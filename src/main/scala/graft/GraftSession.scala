@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session bootstrap for the graft engine.
+  *
+  * The reference engine forces Kryo and broadcasts the Hadoop conf at
+  * startup (reference: runtime/src/main/scala/com/asakusafw/spark/runtime/
+  * SparkClient.scala:105-152); with Dataset/Tungsten encoders neither is
+  * needed. What we DO standardize: UTC session time zone (oracle parity),
+  * AQE on (runtime coalesce / skew-join replaces the reference's plan-time
+  * TINY/SMALL/LARGE/HUGE partition scaling, compiler/.../util/
+  * NumPartitions.scala:31-71), and a shuffle-partition count sized to the
+  * actual core count instead of Spark's default 200.
+  */
+object GraftSession {
+
+  /** Recommended builder for local execution. On a real cluster the same
+    * options apply except `master`; shuffle partitions should scale with
+    * executor cores × executors (AQE coalesces the excess at runtime).
+    */
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // fixture events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+      // type — read as long and convert in `table` below
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load one of the fixture tables from a scale-factor directory.
+    *
+    * Nanosecond parquet timestamps (events.ts) arrive as long when
+    * `nanosAsLong` is set; convert to Spark's microsecond TimestampType
+    * with integer division (float division would lose precision above
+    * 2^53 ns).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
+}

@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftSession.table
+import graft.operators.{Joins, Records}
+import Records._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2
+  * (core algebra in [[graft.queries.CoreQueries]], LLM-data-pipeline
+  * operators in [[graft.queries.NorthStarQueries]]); `oracleSql` the
+  * matching DuckDB SQL for the driver's differential check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (SURVEY.md §7 slice): scan lineitem → master-join to
+    * orders → branch on order status → summarize revenue per priority.
+    * Exercises scan, join, branch, aggregation and decimal arithmetic in
+    * one plan. Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = table(spark, dir, "lineitem")
+    val orders = table(spark, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    val joined = Joins.masterJoin(
+      tx = li, master = orders, keys = Seq("l_orderkey"),
+      output = Seq(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("o_orderstatus"), col("o_orderpriority"))).found
+    joined
+      .branch(when(col("o_orderstatus") === "F", "closed").otherwise("open")).port("closed")
+      .update("revenue" -> (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(12, 2)))))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("revenue")).cast(DecimalType(18, 4)).as("sum_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreQueries.queries.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreQueries.oracles.toMap
 }

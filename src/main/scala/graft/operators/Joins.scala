@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The master-join operator family: MasterJoin / MasterCheck /
+  * MasterJoinUpdate / MasterBranch, each in shuffled and broadcast form
+  * (reference: the fragment/user/join classes, ShuffledMaster*OperatorCompiler /
+  * BroadcastMaster*OperatorCompiler).
+  *
+  * Semantics: per join key, ONE master record is selected for each
+  * transaction record — by default the first master in the masters' group
+  * order (reference DefaultMasterSelection.scala:24-27), optionally by a
+  * user `@MasterSelection` hook. Matched transactions flow to the mapped /
+  * updated / found port, unmatched to `missed`.
+  *
+  * Two physical paths, chosen like the reference's planner chooses
+  * Broadcast* vs Shuffled* compilers (BroadcastInfo size estimation):
+  *  - fast path (default first-match selection): dedup masters to one row
+  *    per key, then a single equi-join; Catalyst plans broadcast-hash,
+  *    shuffled-hash or sort-merge — `broadcastMaster` forces the hint the
+  *    reference exposes explicitly.
+  *  - general path (user selection hook): typed cogroup; the hook sees the
+  *    full master list per key, per transaction — arbitrary code, so no
+  *    join pushdown is possible (same restriction as the reference).
+  *
+  * Scale notes: the fast path is one shuffle on the join key (or zero with
+  * broadcast); master dedup folds into the same shuffle via partial
+  * aggregation. Null join keys: SQL equi-joins drop nulls while the
+  * reference groups null==null (byte-equal serialized keys, ShuffleKey
+  * .scala:31-41); pass `nullSafeKeys = true` to reproduce that with `<=>`.
+  */
+object Joins {
+
+  /** found/missed port pair shared by the whole family. */
+  final case class JoinPorts(found: DataFrame, missed: DataFrame)
+
+  private val MatchTag = "_graft_master_matched"
+
+  /** First-match master selection: keep one master row per key. With an
+    * explicit order this is deterministic (row_number over the order); with
+    * none it mirrors the reference's "first in group encounter order"
+    * (arbitrary but single) via dropDuplicates, which plans as a partial +
+    * final aggregate (no extra shuffle beyond the join's own).
+    */
+  def selectMaster(master: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    if (order.isEmpty) master.dropDuplicates(keys)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      master.withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1).drop("_graft_rn")
+    }
+
+  private def joined(tx: DataFrame, master: DataFrame, keys: Seq[String],
+      masterOrder: Seq[Column], broadcastMaster: Boolean, nullSafeKeys: Boolean): DataFrame = {
+    val m0 = selectMaster(master, keys, masterOrder)
+      // disambiguate master's key columns so tx columns survive the join
+      .withColumns(keys.map(k => s"_graft_mk_$k" -> col(k)).toMap)
+      .drop(keys: _*)
+      .withColumn(MatchTag, lit(true))
+    val m = if (broadcastMaster) broadcast(m0) else m0
+    val cond = keys.map { k =>
+      if (nullSafeKeys) tx(k) <=> m(s"_graft_mk_$k") else tx(k) === m(s"_graft_mk_$k")
+    }.reduce(_ && _)
+    tx.join(m, cond, "left_outer").drop(keys.map(k => s"_graft_mk_$k"): _*)
+  }
+
+  /** MasterJoin: matched tx → `output` projection over (master ++ tx)
+    * columns; unmatched tx → missed port with the tx schema
+    * (reference: join/MasterJoin.scala:22-41,
+    * ShuffledJoinOperatorFragment.scala:22-47).
+    */
+  def masterJoin(tx: DataFrame, master: DataFrame, keys: Seq[String], output: Seq[Column],
+      masterOrder: Seq[Column] = Nil, broadcastMaster: Boolean = false,
+      nullSafeKeys: Boolean = false): JoinPorts = {
+    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys)
+    JoinPorts(
+      found = j.filter(col(MatchTag)).select(output: _*),
+      missed = j.filter(col(MatchTag).isNull).select(tx.columns.map(col).toSeq: _*))
+  }
+
+  /** MasterCheck: route tx to found/missed, no column mapping
+    * (reference: join/MasterCheck.scala:22-31). Planned as semi + anti
+    * joins — both pushdown-friendly and broadcast-able.
+    */
+  def masterCheck(tx: DataFrame, master: DataFrame, keys: Seq[String],
+      broadcastMaster: Boolean = false): JoinPorts = {
+    val m0 = master.select(keys.map(col): _*)
+    val m = if (broadcastMaster) broadcast(m0) else m0
+    JoinPorts(
+      found = tx.join(m, keys, "left_semi"),
+      missed = tx.join(m, keys, "left_anti"))
+  }
+
+  /** MasterJoinUpdate: matched tx records are updated with master columns
+    * in scope; missed port passes unmatched tx unchanged
+    * (reference: join/MasterJoinUpdate.scala:22-38).
+    */
+  def masterJoinUpdate(tx: DataFrame, master: DataFrame, keys: Seq[String],
+      updates: Seq[(String, Column)], masterOrder: Seq[Column] = Nil,
+      broadcastMaster: Boolean = false, nullSafeKeys: Boolean = false): JoinPorts = {
+    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys)
+    val txCols = tx.columns.toSeq
+    val updated = j.filter(col(MatchTag)).withColumns(updates.toMap)
+      .select(txCols.map(col): _*)
+    JoinPorts(updated, j.filter(col(MatchTag).isNull).select(txCols.map(col): _*))
+  }
+
+  /** MasterBranch: a user expression over (master ++ tx) columns routes
+    * each tx to an enum port; the master side may be null for unmatched tx
+    * (reference: join/MasterBranch.scala:22-31). Returns the same
+    * multi-port value as the record-level Branch.
+    */
+  def masterBranch(tx: DataFrame, master: DataFrame, keys: Seq[String], tag: Column,
+      masterOrder: Seq[Column] = Nil, broadcastMaster: Boolean = false,
+      nullSafeKeys: Boolean = false, tagCol: String = "_branch"): BranchPorts = {
+    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys)
+    new BranchPorts(j.withColumn(tagCol, tag).drop(MatchTag), tagCol)
+  }
+
+  /** General path: MasterJoin with a user master-selection hook. The hook
+    * receives the full (order-preserved) master list for the key and the
+    * transaction record, returns the chosen master or None → missed
+    * (reference: `@MasterSelection`, ShuffledJoinOperatorFragment.scala:22-47
+    * invokes the selection per transaction).
+    *
+    * Masters per key are buffered (they must be — the hook is random
+    * access); transactions stream. Mirrors the reference's HEAP buffer for
+    * the master side and one-pass VOLATILE for the tx side.
+    */
+  def masterJoinSelect[K: Encoder, M, T, O: Encoder](
+      master: Dataset[M], tx: Dataset[T])(masterKey: M => K, txKey: T => K)(
+      selection: (Seq[M], T) => Option[M])(
+      mapJoined: (M, T) => O)(implicit te: Encoder[T], oe: Encoder[(Option[O], Option[T])])
+      : (Dataset[O], Dataset[T]) = {
+    val both: Dataset[(Option[O], Option[T])] =
+      master.groupByKey(masterKey).cogroup(tx.groupByKey(txKey)) { (_, ms, ts) =>
+        val masters = ms.toSeq
+        ts.map { t =>
+          selection(masters, t) match {
+            case Some(m) => (Some(mapJoined(m, t)), None)
+            case None    => (None, Some(t))
+          }
+        }
+      }
+    // Persist so found/missed ports share one cogroup pass.
+    val shared = both.persist()
+    (shared.flatMap(_._1), shared.flatMap(_._2))
+  }
+}
