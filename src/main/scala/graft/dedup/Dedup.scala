@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines, each designed to
+  * scale: no driver-side collection, no all-pairs comparison — candidate
+  * generation is always a key-equality shuffle (exact hash, LSH band,
+  * SimHash band, or shared-shingle), so the cost is O(data) + O(candidate
+  * pairs), never O(n²).
+  *
+  * Skew guard: any banding scheme can produce a pathological bucket (e.g.
+  * thousands of identical boilerplate docs). `maxBucket` drops buckets
+  * larger than the bound *and logs how many were dropped* via an observe
+  * metric — at 100 TB an unbounded bucket is a job-killer, and silently
+  * dropping would misreport coverage.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical `on` values, keep the smallest `id`.
+    * Returns (keep_id, n_dups, <on columns>)-shaped frame. One shuffle,
+    * partial-aggregated map-side.
+    */
+  def exact(df: DataFrame, on: Seq[String], id: String): DataFrame =
+    df.groupBy(on.map(col): _*)
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Candidate pairs sharing an LSH band of the MinHash signature.
+    *
+    * bands × rows = k; two docs with Jaccard s share ≥1 band with
+    * probability 1 - (1 - s^rows)^bands (s-curve threshold ≈
+    * (1/bands)^(1/rows)). Default 16×8: threshold ≈ 0.66 for 128 hashes.
+    * Returns (a, b, sig_a, sig_b) with a < b, deduped across bands.
+    */
+  def minhashCandidates(df: DataFrame, id: String, shingles: Column,
+      bands: Int = 16, rows: Int = 8, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val k = bands * rows
+    val sigs = df.select(col(id).as("_id"),
+      HashFunctions.minhash_signature(shingles, k, seed).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, lit(rows)))))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    val guarded = boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets")
+    val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
+    val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
+    a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
+      .select("a", "b", "sig_a", "sig_b").dropDuplicates("a", "b")
+  }
+
+  /** MinHash near-dup pairs: candidates whose *estimated* Jaccard
+    * (fraction of equal signature positions) ≥ `threshold`.
+    */
+  def minhash(df: DataFrame, id: String, shingles: Column, threshold: Double,
+      bands: Int = 16, rows: Int = 8, seed: Long = 42L): DataFrame = {
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / (bands * rows).toDouble
+    minhashCandidates(df, id, shingles, bands, rows, seed)
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    *
+    * Pigeonhole banding: split the 64-bit signature into `maxHamming + 1`
+    * blocks — any pair within the distance bound shares ≥1 exact block, so
+    * block equality is the (complete) candidate generator; popcount of the
+    * XOR verifies.
+    */
+  def simhash(df: DataFrame, id: String, tokens: Column, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sigs = df.select(col(id).as("_id"), HashFunctions.simhash64(tokens).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => call_function("shiftrightunsigned", col("_sig"), b * width) % (1L << width))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    val guarded = boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets")
+    val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
+    val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
+    a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming").dropDuplicates("a", "b")
+  }
+
+  /** Exact n-gram Jaccard similarity ≥ threshold via shared-shingle join:
+    * explode distinct shingles, join on shingle, count co-occurrences —
+    * |A∩B| per pair in one shuffle — then Jaccard from per-doc counts.
+    * Only pairs sharing ≥1 shingle are ever materialized.
+    *
+    * `maxShingleFreq` drops shingles occurring in more than that many docs
+    * (ubiquitous boilerplate n-grams generate quadratic pairs and carry no
+    * dedup signal — standard df-cut; dropped count is observable).
+    */
+  def ngramJaccard(df: DataFrame, id: String, shingles: Column, threshold: Double,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
+    val withSize = ex.withColumn("_n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
+    val freqOk = withSize.withColumn("_df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("_sh"))))
+      .filter(col("_df") <= maxShingleFreq)
+    val a = freqOk.select(col("_sh"), col("_id").as("a"), col("_n").as("na"))
+    val b = freqOk.select(col("_sh"), col("_id").as("b"), col("_n").as("nb"))
+    a.join(b, "_sh").filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "common", "na", "nb", "jaccard")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, candidates bucketed by
+    * random-hyperplane signature (so only vectors agreeing on all
+    * `nPlanes` signs are compared — the scale path; raise nPlanes for
+    * tighter buckets, add band rotations for higher recall).
+    */
+  def embeddingCosine(df: DataFrame, id: String, vec: Column, threshold: Double,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 7L,
+      maxBucket: Int = 10000): DataFrame = {
+    val ps = VectorFunctions.planes(seed, nPlanes, dim)
+    val sigs = df.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
+      VectorFunctions.hyperplaneSig(vec, ps).as("_bucket"))
+    val guarded = boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets")
+    val a = guarded.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
+    val b = guarded.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
+    a.join(b, "_bucket").filter(col("a") < col("b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine").dropDuplicates("a", "b")
+  }
+
+  /** Drop buckets with more than `bound` members; the dropped-bucket count
+    * is emitted as an observe metric named `<name>_dropped` so oversize
+    * buckets are visible, not silent.
+    */
+  private def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
+      name: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_bucket_size", count(lit(1)).over(w))
+      .observe(name, sum(when(col("_bucket_size") > bound, 1).otherwise(0)).as(s"${name}_dropped"))
+      .filter(col("_bucket_size") <= bound)
+      .drop("_bucket_size")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit mixing / hashing primitives shared by the sketch expressions.
+  * splitmix64 finalizer (Steele et al., "Fast splittable pseudorandom
+  * number generators", OOPSLA'14) — public-domain constant mixing, the
+  * standard cheap way to derive k independent hash functions from one
+  * base hash.
+  */
+object Hash64 {
+  @inline final def mix(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes, then splitmix-finalized. */
+  final def hashString(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix(h)
+  }
+}
+
+/** MinHash signature of a set of string shingles, one pass.
+  *
+  * For each of `k` hash functions h_i(x) = mix(hash(x) ^ seed_i), emits
+  * min over the input array — the classic MinHash sketch (Broder '97):
+  * P[sig_a(i) == sig_b(i)] = Jaccard(a, b). A single O(n·k) pass beats the
+  * composable-built-ins form (k × transform+array_min) which materializes
+  * k intermediate arrays per row; this is the "custom Expression beats
+  * composition" case of the design rules. Null/empty input → all-MaxValue
+  * signature (matches nothing).
+  */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = Hash64.hashString(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = Hash64.mix(base ^ (seed + j * 0x9e3779b97f4a7c15L))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash (Charikar '02) over string tokens: per token hash, each
+  * bit votes ±1; the signature takes the sign of each bit's tally. Near-dup
+  * docs differ in few bits → Hamming-distance banding finds them without
+  * pairwise comparison. Null/empty input → 0L.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tally = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hash64.hashString(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (tally(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column wrappers + SQL registration for the sketch expressions.
+  * Spark 4 moved Column↔Expression bridging to classic.ExpressionUtils.
+  */
+object HashFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def minhash_signature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(shingles), k, seed))
+
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+
+  /** Register as SQL functions on a session (spark.sql usable). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinHashSignature(exprs.head, 64, 42L), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
+}

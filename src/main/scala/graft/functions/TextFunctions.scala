@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, n-grams/shingles, language-ID, quality signals, and
+  * winnowing fingerprints.
+  *
+  * Everything here composes Spark built-ins (split / higher-order array
+  * functions / regexp) so the whole pipeline stays inside WholeStageCodegen
+  * — no UDFs, no serialization breaks. The reference has no scalar function
+  * library at all (operator bodies are user Java code, SURVEY.md §0); this
+  * is part of the north-star surface beyond the reference.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed. Single-space split + filter keeps
+    * exact parity with `string_split(text, ' ')` oracles.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Character n-grams (empty array when the text is shorter than n). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word k-shingles joined with a single space (empty when < k tokens). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k), i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Small per-language stopword profiles for the heuristic language ID. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "del", "se", "por"),
+    "fr" -> Seq("le", "de", "un", "et", "en", "que", "pour", "dans", "ce", "pas"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Number of tokens of `text` found in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(words.map(lit): _*)))
+
+  /** Heuristic n-gram/stopword language ID over [[stopwords]]: the first
+    * language (in profile order) with the maximal hit count. Deterministic
+    * and exactly reproducible in SQL (chained >= comparisons in the same
+    * order).
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val cases = scores.zipWithIndex.dropRight(1).map { case ((lang, sc), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      (later.map(s => sc >= s).reduce(_ && _), lang)
+    }
+    cases.foldRight(lit(scores.last._1): Column) { case ((cond, lang), els) =>
+      when(cond, lang).otherwise(els)
+    }
+  }
+
+  /** Count of ASCII punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Count of uppercase ASCII letters. */
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  /** Quality bucket from integer signals only (no float thresholds →
+    * bit-exact oracle parity): length window, token count, punctuation
+    * density (punct*20 < length i.e. < 5%), stopword evidence.
+    */
+  def qualityBucket(text: Column): Column = {
+    val len = length(text)
+    val toks = tokenCount(text)
+    val punct = punctCount(text)
+    val stop = stopwordHits(text, stopwords.flatMap(_._2).distinct)
+    when(len < 20, "too_short")
+      .when(toks < 5, "too_few_tokens")
+      .when(punct * 20 > len, "too_much_punct")
+      .when(stop * 50 < toks, "low_stopword")
+      .otherwise("ok")
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
+    * char n-grams, take the min hash of each sliding window of `w`
+    * consecutive n-gram hashes, dedup. Robust to local edits; the standard
+    * scalable doc-fingerprint for near-dup detection at corpus scale.
+    */
+  def winnowFingerprints(text: Column, n: Int = 5, w: Int = 4): Column = {
+    val hs = transform(charNgrams(text, n), g => xxhash64(g))
+    val mins = when(size(hs) >= w,
+      transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + 1, lit(w)))))
+      .otherwise(hs)
+    array_sort(array_distinct(mins))
+  }
+}

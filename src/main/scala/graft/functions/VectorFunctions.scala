@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions: dot / norm / cosine and random-
+  * hyperplane LSH signatures, all built from Spark higher-order array
+  * functions (`zip_with`, `aggregate`, `transform`) so they stay inside
+  * codegen — no UDFs. Math is done in double regardless of the stored
+  * float element type (cast once up front).
+  */
+object VectorFunctions {
+
+  private def d(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes: `planes(seed, nPlanes, dim)`
+    * via splitmix64 mapped to [-1, 1). Generated driver-side (tiny), used
+    * as a literal so the comparison is pure codegen per row.
+    */
+  def planes(seed: Long, nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val h = Hash64.mix(seed + p.toLong * 1000003L + j.toLong)
+        // top 53 bits -> [0,1) -> [-1,1)
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+
+  /** Sign-of-dot-product LSH signature: bit i = (v · plane_i) > 0, packed
+    * into a long. Cosine-similar vectors collide with high probability
+    * (random-hyperplane LSH, Charikar '02) — the bucketing primitive for
+    * near-dup detection and ANN at corpus scale.
+    */
+  def hyperplaneSig(v: Column, planeLit: Seq[Seq[Double]]): Column = {
+    val ps = typedlit(planeLit)
+    // big-endian bit pack: acc = acc*2 + (dot > 0)
+    aggregate(
+      transform(ps, p => when(dot(v, p) > 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc * 2 + x)
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.model.Document
+import graft.similarity.Ann
+
+/** LLM-training-data-pipeline operators over the documents / embeddings
+  * fixtures: text analysis, the dedup family, similarity search, and the
+  * multimodal (binary column) plumbing. These extend the reference's
+  * surface (SURVEY.md §2 "north-star extensions").
+  *
+  * Oracles exist for everything expressible in DuckDB SQL (token counts,
+  * language ID, quality buckets, exact dedup, exact n-gram Jaccard, exact
+  * ANN); sketch-based ops (MinHash/SimHash/LSH buckets, winnowing) have no
+  * SQL equivalent → rows-only checks, with determinism pinned by fixed
+  * seeds and ScalaTest specs instead.
+  */
+object NorthStarQueries {
+
+  /** doc_id < bound as the query set for ANN (small, broadcastable). */
+  private val AnnQueries = 10
+  private val AnnK = 5
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ---- text analysis ---------------------------------------------------
+    "text_tokens" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0))).as("n_bpe_tokens"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+    },
+
+    "text_quality" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        qualityBucket(col("text")).as("bucket"))
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      // winnowing fingerprints; rows-only check (no xxhash64 in DuckDB),
+      // determinism covered by FingerprintSpec
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(winnowFingerprints(col("text"))).as("n_fps"),
+        array_min(winnowFingerprints(col("text"))).as("min_fp"),
+        array_max(winnowFingerprints(col("text"))).as("max_fp"))
+    },
+
+    // ---- deduplication ---------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), on = Seq("text"), id = "doc_id")
+        .select(col("keep_id"), col("n_dups"))
+    },
+
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minhash(table(s, dir, "documents"), id = "doc_id",
+        shingles = wordShingles(col("text"), 3), threshold = 0.5)
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(table(s, dir, "documents"), id = "doc_id",
+        tokens = TextFunctions.tokens(col("text")), maxHamming = 3)
+    },
+
+    "dedup_ngram" -> { (s, dir) =>
+      Dedup.ngramJaccard(table(s, dir, "documents"), id = "doc_id",
+        shingles = wordShingles(col("text"), 5), threshold = 0.5)
+    },
+
+    "dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingCosine(table(s, dir, "embeddings"), id = "vec_id",
+        vec = col("embedding"), threshold = 0.9, dim = 64)
+    },
+
+    // ---- similarity search ----------------------------------------------
+    "ann_bruteforce" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Ann.bruteForce(
+        queries = emb.filter(col("vec_id") < AnnQueries),
+        corpus = emb,
+        qId = "vec_id", qVec = "embedding", cId = "vec_id", cVec = "embedding",
+        k = AnnK)
+    },
+
+    "ann_lsh" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Ann.lshTopK(
+        queries = emb.filter(col("vec_id") < AnnQueries),
+        corpus = emb,
+        qId = "vec_id", qVec = "embedding", cId = "vec_id", cVec = "embedding",
+        // fixture embeddings are near-uniform random (nearest cosines ~0.4),
+        // the hard case for hyperplane LSH: favor recall (4 planes x 8
+        // tables ~ 75% for a 0.4-cosine pair) over bucket tightness
+        k = AnnK, nPlanes = 4, nTables = 8, dim = 64)
+    },
+
+    // ---- multimodal binary-column plumbing --------------------------------
+    "multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      // Real pipelines carry image/audio as opaque binary + typed metadata;
+      // decode libs are not in this container, so the decode step is a
+      // deterministic STUB (byte histogram + checksum) while the Spark-side
+      // plumbing — binary column, metadata struct, per-partition batched
+      // feature extraction — is real.
+      val blobs = table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+          struct(length(col("text")).as("n_chars"), lit("text/plain").as("mime")).as("meta"))
+      blobs.as[(Long, Array[Byte], (Long, String))]
+        .mapPartitions { it =>
+          it.map { case (id, bytes, (nChars, mime)) =>
+            // STUB decode: byte checksum + 4-bucket histogram stand in for
+            // pixel/sample features
+            var sum = 0L
+            val hist = new Array[Long](4)
+            var i = 0
+            while (i < bytes.length) {
+              sum += bytes(i) & 0xff
+              hist((bytes(i) & 0xff) >> 6) += 1
+              i += 1
+            }
+            (id, bytes.length.toLong, sum, hist(0), hist(1), hist(2), hist(3), mime)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "checksum", "h0", "h1", "h2", "h3", "mime")
+    }
+  )
+
+  private val langCase: String = {
+    val conds = TextFunctions.stopwords.zipWithIndex.dropRight(1).map { case ((lang, _), i) =>
+      val later = TextFunctions.stopwords.drop(i + 1).map(_._1)
+      val cond = later.map(l2 => s"s_$lang >= s_$l2").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${conds.mkString(" ")} ELSE '${TextFunctions.stopwords.last._1}' END"
+  }
+
+  private val langScores: String =
+    TextFunctions.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks_lower, t -> list_contains($list, t))) AS s_$lang"
+    }.mkString(",\n       ")
+
+  val oracles: Seq[(String, String)] = Seq(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks_lower
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |       $langScores
+         |  FROM t
+         |)
+         |SELECT doc_id, $langCase AS pred_lang FROM s""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         length(text) AS len,
+         |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+         |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |         len(list_filter(string_split(lower(text), ' '),
+         |             t -> list_contains(${TextFunctions.stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ", ", "]")}, t))) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, len, n_tokens, n_punct,
+         |       CASE WHEN len < 20 THEN 'too_short'
+         |            WHEN n_tokens < 5 THEN 'too_few_tokens'
+         |            WHEN n_punct * 20 > len THEN 'too_much_punct'
+         |            WHEN n_stop * 50 < n_tokens THEN 'low_stopword'
+         |            ELSE 'ok' END AS bucket
+         |FROM t""".stripMargin,
+    "dedup_exact" ->
+      "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex AS (
+        |  SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh
+        |)
+        |SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common,
+        |       a.n AS na, b.n AS nb,
+        |       CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) AS jaccard
+        |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5""".stripMargin,
+    "ann_bruteforce" ->
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |                      c.vec_id ASC) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
+         |WHERE rank <= $AnnK""".stripMargin
+  )
+}
