@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftSession.table
+import graft.iterative.Rounds
+import graft.sinks.DirectOutput
+import graft.streaming.StreamOps
+
+/** Lifecycle coverage: transactional direct output + re-input, iterative
+  * parameter rounds with NEVER/PARAMETER caching, and structured-streaming
+  * window aggregation — each verified against a batch DuckDB oracle.
+  */
+object PipelineQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    /** Write orders partitioned by status through the 3-phase transactional
+      * sink, read it back as a direct input, aggregate. The oracle
+      * aggregates the source table directly — equality proves the
+      * round-trip wrote exactly the input.
+      */
+    "direct_io_roundtrip" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_direct_out"
+      val conf = s.sparkContext.hadoopConfiguration
+      DirectOutput.setup(conf, Seq(out))
+      DirectOutput.recover(conf, s"$out/_tx", Seq(out))
+      DirectOutput.write(
+        txId = "verify",
+        markerDir = s"$out/_tx",
+        specs = Seq(DirectOutput.Spec(
+          table(s, dir, "orders"), out, partitionBy = Seq("o_orderstatus"))))
+      graft.sources.Sources.direct(s, "parquet", out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+
+    /** Three parameter rounds (one per order status); the lineitem base
+      * projection is a NEVER input (scanned and persisted once for the
+      * whole sweep), the per-round master set is PARAMETER-cached.
+      */
+    "iterative" -> { (s, dir) =>
+      val rounds = new Rounds(s)
+      val results = rounds.run(Seq("F", "O", "P").map(v => Map("status" -> v))) { (ctx, r) =>
+        val li = r.cacheOnce("lineitem") {
+          table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        }
+        val masters = r.cacheByParameter("orders", ctx, Seq("status")) { c =>
+          table(s, dir, "orders").filter(col("o_orderstatus") === c("status"))
+            .select(col("o_orderkey"))
+        }
+        li.join(masters, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+          .withColumn("round_status", lit(ctx("status")))
+      }
+      results.map(_._2).reduce(_ unionAll _)
+    },
+
+    /** Hourly tumbling-window counts per event type, computed by a real
+      * streaming query (file source → watermark → window agg → memory
+      * sink drain); oracle is the equivalent batch GROUP BY date_trunc.
+      */
+    "stream_window" -> { (s, dir) =>
+      val raw = StreamOps.parquetStream(s, s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = StreamOps.windowedAgg(raw, "ts", "1 hour", "2 hours",
+        keys = Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
+            .cast(DoubleType).as("sum_v")))
+      StreamOps.drainToBatch(agg)
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "direct_io_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "iterative" ->
+      """SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'F' AS round_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'O' AS round_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'P' AS round_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'P'""".stripMargin,
+    "stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming layer.
+  *
+  * The reference has NO streaming (its iterativebatch extension is
+  * round-based batch re-execution, SURVEY.md §2 end) — this is north-star
+  * surface: file-source streams, watermarked event-time windows, and a
+  * synchronous drain helper so the same pipeline is testable against a
+  * batch oracle.
+  */
+object StreamOps {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Open a file-based stream over a directory of parquet, schema taken
+    * from a batch probe of the same path (file streams require an explicit
+    * schema). `maxFilesPerTrigger` bounds per-batch work at scale.
+    */
+  def parquetStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    // file streams require a directory source; for a single-file path,
+    // stream the parent directory with a glob filter on the file name
+    val p = new java.io.File(path)
+    val (dir, glob) = if (p.isFile) (p.getParent, Some(p.getName)) else (path, None)
+    val r = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir)
+  }
+
+  /** Tumbling event-time window aggregation with a watermark — the
+    * canonical streaming shape: counts/sums per (window, key).
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, window: String, watermark: String,
+      keys: Seq[String], aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Drain a streaming frame synchronously through a memory sink and
+    * return the materialized result — lets a file-backed stream be
+    * verified against the equivalent batch query. Complete output mode
+    * (aggregations re-emit full state; fine for bounded drains).
+    */
+  def drainToBatch(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
