@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Planted-duplicate tests: the driver fixtures contain no exact text dups
+  * and no high-cosine embedding pairs (verified against ground truth), so
+  * the positive path of every dedup operator is proven here with synthetic
+  * plants.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // 1-token edit
+  private val distinct1 =
+    "completely different content about spark query engines and distributed shuffle execution plans here"
+  private val distinct2 =
+    "yet another unrelated document mentioning parquet columnar storage compression and predicate pushdown"
+
+  private def docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, distinct1), (4L, distinct2)).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash finds exact and near dups, not distinct docs") {
+    val pairs = Dedup.minhash(docs, "doc_id",
+      TextFunctions.wordShingles(col("text"), 3), threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup: est jaccard 1.0
+    assert(pairs.exists(p => Set((0L, 2L), (1L, 2L)).contains(p))) // near dup
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L)) // distinct stay out
+  }
+
+  test("simhash hamming distance separates near dups from distinct") {
+    val pairs = Dedup.simhash(docs, "doc_id", TextFunctions.tokens(col("text")), maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0)) // identical -> 0 bits
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L))
+  }
+
+  test("ngram jaccard computes exact overlap counts") {
+    val out = Dedup.ngramJaccard(docs, "doc_id",
+      TextFunctions.wordShingles(col("text"), 3), threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    val exact = out.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(exact._3 === 1.0) // identical docs -> jaccard exactly 1
+    assert(out.forall(_._3 >= 0.5))
+  }
+
+  test("embedding cosine finds planted near-identical vectors") {
+    val v = (0 until 16).map(i => math.sin(i * 1.7).toFloat).toArray
+    val vNear = v.clone(); vNear(0) = v(0) + 0.01f
+    val vFar = (0 until 16).map(i => math.cos(i * 3.1 + 1).toFloat).toArray
+    val emb = Seq((0L, v.toSeq), (1L, vNear.toSeq), (2L, vFar.toSeq)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosine(emb, "vec_id", col("embedding"),
+      threshold = 0.99, nPlanes = 4, dim = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("minhash signature determinism across partitioning") {
+    val a = Dedup.minhash(docs.repartition(1), "doc_id",
+      TextFunctions.wordShingles(col("text"), 3), 0.5).collect().toSet
+    val b = Dedup.minhash(docs.repartition(4), "doc_id",
+      TextFunctions.wordShingles(col("text"), 3), 0.5).collect().toSet
+    assert(a === b)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.misc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.iterative.Rounds
+import graft.similarity.Ann
+import graft.sinks.DirectOutput
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/ngrams handle empty and short strings") {
+    val df = Seq("", "a", "one two", "  padded  ").toDF("t")
+    val out = df.select(
+      TextFunctions.tokenCount($"t").as("n"),
+      size(TextFunctions.charNgrams($"t", 3)).as("ng"),
+      size(TextFunctions.wordShingles($"t", 2)).as("sh")).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 1))
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 0, 5, 8))
+    assert(out.map(_.getInt(2)).toSeq === Seq(0, 0, 1, 0))
+  }
+
+  test("langId picks the profile with most stopword hits, ties to first") {
+    val df = Seq(
+      "the cat and the dog in the house",   // en
+      "der hund und die katze ist da",      // de
+      "xyzzy plugh")                         // no hits anywhere -> first profile
+      .toDF("t")
+    assert(df.select(TextFunctions.langId($"t")).as[String].collect().toSeq ===
+      Seq("en", "de", "en"))
+  }
+
+  test("winnowing fingerprints are deterministic and edit-local") {
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghij"
+    val b = a.replace("mnop", "mXop")
+    val df = Seq(a, a, b).toDF("t")
+    val fps = df.select(TextFunctions.winnowFingerprints($"t").as("f"))
+      .as[Seq[Long]].collect()
+    assert(fps(0) === fps(1)) // deterministic
+    // local edit: fingerprint sets still share most hashes
+    val shared = fps(0).toSet.intersect(fps(2).toSet).size.toDouble / fps(0).toSet.size
+    assert(shared > 0.5)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForce ranks planted neighbor first") {
+    val q = (0 until 8).map(i => math.sin(i + 1.0).toFloat).toArray
+    val near = q.map(x => x * 1.001f)
+    val mid = (0 until 8).map(i => (math.sin(i + 1.0) + 0.5).toFloat).toArray
+    val far = (0 until 8).map(i => math.cos(i * 2.0).toFloat).toArray
+    val corpus = Seq((10L, near.toSeq), (11L, mid.toSeq), (12L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, q.toSeq)).toDF("vec_id", "embedding")
+    val top = Ann.bruteForce(queries, corpus, "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top === Array(10L, 11L))
+  }
+}
+
+class DirectOutputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transaction: commit marker lifecycle and rollback of orphan attempts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_test").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+
+    DirectOutput.write("t1", s"$dir/_tx", Seq(DirectOutput.Spec(df, s"$dir/out")))
+    assert(spark.read.parquet(s"$dir/out").count() === 2)
+    assert(new java.io.File(s"$dir/out/_GRAFT_COMMITTED").exists())
+    assert(!new java.io.File(s"$dir/_tx/.graft-tx-t1").exists()) // marker cleared
+
+    // orphan attempt (no marker) must be rolled back by recover
+    new java.io.File(s"$dir/out/.attempt-dead").mkdirs()
+    DirectOutput.recover(conf, s"$dir/_tx", Seq(s"$dir/out"))
+    assert(!new java.io.File(s"$dir/out/.attempt-dead").exists())
+    assert(spark.read.parquet(s"$dir/out").count() === 2) // data intact
+  }
+}
+
+class RoundsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cacheOnce builds a NEVER input exactly once across rounds") {
+    var builds = 0
+    val rounds = new Rounds(spark)
+    val out = rounds.run(Seq(Map("x" -> "1"), Map("x" -> "2"), Map("x" -> "1"))) { (ctx, r) =>
+      val base = r.cacheOnce("base") { builds += 1; Seq(1, 2, 3).toDF("n") }
+      base.filter($"n" <= ctx("x").toInt)
+    }
+    assert(builds === 1)
+    assert(out.map(_._2.count()) === Seq(1L, 2L, 1L))
+    rounds.close()
+  }
+
+  test("cacheByParameter memoizes per distinct parameter signature") {
+    var builds = 0
+    val rounds = new Rounds(spark)
+    rounds.run(Seq(Map("p" -> "a"), Map("p" -> "b"), Map("p" -> "a"))) { (ctx, r) =>
+      r.cacheByParameter("dim", ctx, Seq("p")) { c => builds += 1; Seq(c("p")).toDF("v") }
+    }
+    assert(builds === 2)
+    rounds.close()
+  }
+}

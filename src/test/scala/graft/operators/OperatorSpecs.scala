@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Bar, Foo, SparkSpec}
+import graft.operators.Records._
+
+class RecordOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("branch routes every record to exactly one port") {
+    val df = Seq(1, 2, 3, 4, 5).toDF("n")
+    val ports = df.branch(when($"n" % 2 === 0, "even").otherwise("odd"))
+    assert(ports.port("even").as[Int].collect().sorted === Seq(2, 4))
+    assert(ports.port("odd").as[Int].collect().sorted === Seq(1, 3, 5))
+    assert(ports.all.count() === 5)
+  }
+
+  test("extract multi-emit across partition counts") {
+    for (parts <- Seq(1, 4, 8)) {
+      val ds = spark.range(10).map(_.toInt).repartition(parts)
+      val out = ds.extract(n => Seq(n, n + 100)).collect().sorted
+      assert(out === ((0 until 10) ++ (100 until 110)).toArray)
+    }
+  }
+
+  test("restructure keeps same-named, nulls missing, casts widened") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val out = df.restructure(StructType(Seq(
+      StructField("id", LongType), StructField("extra", StringType))))
+    assert(out.schema.map(f => (f.name, f.dataType)) ===
+      Seq(("id", LongType), ("extra", StringType)))
+    assert(out.collect().head.isNullAt(1))
+  }
+
+  test("convert emits converted and passes original through") {
+    val df = Seq((1, "x")).toDF("id", "name")
+    val (conv, orig) = df.convert(upper($"name").as("u"))
+    assert(conv.columns === Array("u"))
+    assert(orig.columns === Array("id", "name"))
+  }
+}
+
+class GroupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bars = Seq(
+    Bar(Some(1), Some(10), 5), Bar(Some(2), Some(10), 7),
+    Bar(Some(3), Some(20), 1), Bar(Some(4), None, 9), Bar(Some(5), None, 2)).toDS()
+
+  test("cogroup groups null keys together (reference null==null semantics)") {
+    val foos = Seq(Foo(Some(10), "a"), Foo(None, "nullfoo"), Foo(Some(30), "lonely")).toDS()
+    val out = Groups.cogroup(foos, bars)(_.id, _.fooId) { (k, fs, bs) =>
+      val nb = bs.size
+      fs.map(f => (f.name, k, nb))
+    }.collect().toSet
+    // null master key meets the two null-key bars
+    assert(out === Set(("a", Some(10), 2), ("nullfoo", None, 2), ("lonely", Some(30), 0)))
+  }
+
+  test("groupSort delivers groups in secondary-sort order across partitions") {
+    for (parts <- Seq(1, 4)) {
+      val ds = bars.repartition(parts)
+      val firsts = Groups.groupSort(ds)(_.fooId)($"v".desc) { (k, it) =>
+        Iterator.single(k -> it.next().v)
+      }.collect().toMap
+      assert(firsts === Map(Some(10) -> 7, Some(20) -> 1, None -> 9))
+    }
+  }
+
+  test("fold reduces per key with map-side partials") {
+    val folded = Groups.fold(bars)(_.fooId)((a, b) => a.copy(v = a.v + b.v))
+      .map { case (k, b) => k -> b.v }.collect().toMap
+    assert(folded === Map(Some(10) -> 12, Some(20) -> 1, None -> 11))
+  }
+
+  test("summarize strictNulls raises on null aggregation input") {
+    val df = Seq((Some(1), "k"), (None, "k")).toDF("v", "key")
+    val strict = Groups.summarize(df, Seq("key"),
+      Seq(Groups.SummarizeSpec(Groups.SummarizeOp.Sum, "v", "s")), strictNulls = true)
+    val e = intercept[Exception](strict.collect())
+    assert(e.getMessage.contains("null value in aggregation input") ||
+      e.getCause != null && e.getCause.getMessage.contains("null value"))
+    // non-strict skips nulls, SQL-style
+    val lax = Groups.summarize(df, Seq("key"),
+      Seq(Groups.SummarizeSpec(Groups.SummarizeOp.Sum, "v", "s")))
+    assert(lax.select("s").as[Long].collect() === Array(1L))
+  }
+
+  test("summarize widens integral sums to long") {
+    val df = Seq((1.toShort, "k"), (2.toShort, "k")).toDF("v", "key")
+    val out = Groups.summarize(df, Seq("key"),
+      Seq(Groups.SummarizeSpec(Groups.SummarizeOp.Sum, "v", "s")))
+    assert(out.schema("s").dataType === LongType)
+  }
+}
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def masters = Seq(Foo(Some(10), "m1"), Foo(Some(10), "m2"), Foo(Some(20), "m3")).toDF()
+  private def txs = Seq(Bar(Some(1), Some(10), 0), Bar(Some(2), Some(20), 0),
+    Bar(Some(3), Some(99), 0), Bar(Some(4), None, 0)).toDF()
+      // align key name with master (and keep column names unique)
+      .select(col("id").as("txid"), col("fooId").as("id"), col("v"))
+
+  test("masterJoin: first-match by explicit order; missed port keeps tx schema") {
+    val ports = Joins.masterJoin(
+      tx = txs, master = masters, keys = Seq("id"),
+      output = Seq(col("id"), col("v"), col("name")),
+      masterOrder = Seq(col("name").asc))
+    val found = ports.found.select("id", "name").as[(Int, String)].collect().toSet
+    assert(found === Set((10, "m1"), (20, "m3"))) // m1 < m2 -> first match
+    // missed: unmatched key 99; null tx key never matches under === semantics
+    assert(ports.missed.columns === txs.columns)
+    assert(ports.missed.select("id").as[Option[Int]].collect().toSet === Set(Some(99), None))
+  }
+
+  test("masterJoin nullSafeKeys matches null==null like the reference") {
+    val m = Seq(Foo(None, "nullmaster"), Foo(Some(20), "m")).toDF()
+    val ports = Joins.masterJoin(
+      tx = txs, master = m, keys = Seq("id"),
+      output = Seq(col("v"), col("name")), nullSafeKeys = true)
+    assert(ports.found.select("name").as[String].collect().toSet === Set("nullmaster", "m"))
+  }
+
+  test("masterCheck found/missed partition the tx set") {
+    val ports = Joins.masterCheck(txs, masters, Seq("id"))
+    assert(ports.found.count() + ports.missed.count() === txs.count())
+  }
+
+  test("masterJoinSelect applies the user hook per transaction") {
+    val ms = Seq(Foo(Some(10), "a"), Foo(Some(10), "bb"), Foo(Some(20), "c")).toDS()
+    val ts = Seq(Bar(Some(1), Some(10), 1), Bar(Some(2), Some(10), 5), Bar(Some(3), Some(30), 1)).toDS()
+    val (found, missed) = Joins.masterJoinSelect(ms, ts)(_.id, _.fooId)(
+      // hook: only masters with name length == tx.v qualify
+      (cands, t) => cands.find(_.name.length == t.v.min(2)))(
+      (m, t) => (t.id.get, m.name))
+    assert(found.collect().toSet === Set((1, "a"), (2, "bb")))
+    assert(missed.collect().map(_.id.get).toSet === Set(3))
+  }
+
+  test("broadcast master joins produce BroadcastHashJoin plans") {
+    val ports = Joins.masterJoin(
+      tx = txs, master = masters, keys = Seq("id"),
+      output = Seq(col("v"), col("name")), broadcastMaster = true)
+    val plan = ports.found.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
