@@ -56,4 +56,16 @@ object GraftSession {
       case (d, _) => d
     }
   }
+
+  /** `table` + round-robin repartition to the session's parallelism.
+    *
+    * The fixture files are single-row-group parquet → the scan is ONE task
+    * and any CPU-heavy per-row work (sketches, typed lambdas) would run on
+    * one core. On a real corpus (many files / row groups) the scan
+    * parallelizes by itself and this explicit shuffle is unnecessary — use
+    * plain `table` there; use this for compute-bound paths over
+    * small-file inputs.
+    */
+  def tableSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    table(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

@@ -44,7 +44,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, lit(rows)))))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    // both sides of the self-join read this frame: persist so the
+    // signature computation (O(n*k)) runs once, not once per side
     val guarded = boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets")
+      .persist()
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
     a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
@@ -82,6 +85,7 @@ object Dedup {
         b => call_function("shiftrightunsigned", col("_sig"), b * width) % (1L << width))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
     val guarded = boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets")
+      .persist()
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
     a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
@@ -101,12 +105,18 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: String, shingles: Column, threshold: Double,
       maxShingleFreq: Int = 1000): DataFrame = {
-    val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
-    val withSize = ex.withColumn("_n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
-    val freqOk = withSize.withColumn("_df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("_sh"))))
-      .filter(col("_df") <= maxShingleFreq)
+    // per-doc distinct-shingle count BEFORE exploding (no window needed);
+    // persisted because the df-cut subquery, the anti-join probe, and both
+    // self-join sides all read it — shingle construction runs once
+    val ex = df.select(col(id).as("_id"), array_distinct(shingles).as("_shs"))
+      .withColumn("_n", size(col("_shs")))
+      .select(col("_id"), col("_n"), explode(col("_shs")).as("_sh"))
+      .persist()
+    // df-cut: ubiquitous shingles are FEW by construction (bounded by
+    // vocabulary, not corpus size) -> broadcast anti-join, not a window
+    val frequent = ex.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxShingleFreq).select(col("_sh"))
+    val freqOk = ex.join(broadcast(frequent), Seq("_sh"), "left_anti")
     val a = freqOk.select(col("_sh"), col("_id").as("a"), col("_n").as("na"))
     val b = freqOk.select(col("_sh"), col("_id").as("b"), col("_n").as("nb"))
     a.join(b, "_sh").filter(col("a") < col("b"))
@@ -129,6 +139,7 @@ object Dedup {
     val sigs = df.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
       VectorFunctions.hyperplaneSig(vec, ps).as("_bucket"))
     val guarded = boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets")
+      .persist()
     val a = guarded.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
     val b = guarded.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
     a.join(b, "_bucket").filter(col("a") < col("b"))

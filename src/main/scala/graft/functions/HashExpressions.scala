@@ -115,6 +115,46 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** Word k-shingles of a token array, one pass.
+  *
+  * The composable form (`transform(sequence(...), i => concat_ws(" ",
+  * slice(toks, i+1, k)))`) is evaluated by Spark's interpreted
+  * higher-order-function path — per-element expression-tree walks and
+  * allocations made it the hottest spot of the dedup pipeline by far.
+  * This expression builds all shingles in a single tight loop over the
+  * backing array. Null/short input → empty array.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private val sep = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      System.arraycopy(toks, i, parts, 0, k)
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the sketch expressions.
   * Spark 4 moved Column↔Expression bridging to classic.ExpressionUtils.
   */
@@ -125,6 +165,9 @@ object HashFunctions {
     column(MinHashSignature(expression(shingles), k, seed))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+
+  def word_shingles(tokens: Column, k: Int): Column =
+    column(WordShingles(expression(tokens), k))
 
   /** Register as SQL functions on a session (spark.sql usable). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -29,13 +29,18 @@ object TextFunctions {
       transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
-  /** Word k-shingles joined with a single space (empty when < k tokens). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= k,
-      transform(sequence(lit(0), size(ts) - k), i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word k-shingles of a token array — a one-pass custom expression
+    * ([[WordShingles]]). The composable higher-order-function form was
+    * interpreted per element and dominated dedup runtime; see the
+    * expression's scaladoc.
+    */
+  def shinglesOf(toks: Column, k: Int): Column =
+    HashFunctions.word_shingles(toks, k)
+
+  /** Convenience one-shot form — fine for small data / tests; at scale use
+    * the two-phase `shinglesOf` (see its performance contract).
+    */
+  def wordShingles(text: Column, k: Int): Column = shinglesOf(tokens(text), k)
 
   /** Small per-language stopword profiles for the heuristic language ID. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
@@ -94,11 +99,21 @@ object TextFunctions {
     * consecutive n-gram hashes, dedup. Robust to local edits; the standard
     * scalable doc-fingerprint for near-dup detection at corpus scale.
     */
-  def winnowFingerprints(text: Column, n: Int = 5, w: Int = 4): Column = {
-    val hs = transform(charNgrams(text, n), g => xxhash64(g))
+  /** n-gram hashes for [[winnowFromHashes]] — materialize as a column. */
+  def ngramHashes(text: Column, n: Int = 5): Column =
+    transform(charNgrams(text, n), g => xxhash64(g))
+
+  /** Winnow over an already-materialized hash array column (same
+    * per-element re-evaluation contract as [[shinglesOf]]).
+    */
+  def winnowFromHashes(hs: Column, w: Int = 4): Column = {
     val mins = when(size(hs) >= w,
       transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + 1, lit(w)))))
       .otherwise(hs)
     array_sort(array_distinct(mins))
   }
+
+  /** Convenience one-shot form — use the two-phase pair at scale. */
+  def winnowFingerprints(text: Column, n: Int = 5, w: Int = 4): Column =
+    winnowFromHashes(ngramHashes(text, n), w)
 }

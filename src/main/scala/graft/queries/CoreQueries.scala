@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.GraftSession.table
+import graft.GraftSession.{table, tableSpread}
 import graft.model._
 import graft.operators.{Groups, Joins, Records, Views}
 import graft.operators.Groups.{SummarizeOp, SummarizeSpec}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession.table
+import graft.GraftSession.{table, tableSpread}
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
@@ -31,18 +31,18 @@ object NorthStarQueries {
 
     // ---- text analysis ---------------------------------------------------
     "text_tokens" -> { (s, dir) =>
-      table(s, dir, "documents")
+      tableSpread(s, dir, "documents")
         .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
           size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0))).as("n_bpe_tokens"))
     },
 
     "text_langid" -> { (s, dir) =>
-      table(s, dir, "documents")
+      tableSpread(s, dir, "documents")
         .select(col("doc_id"), langId(col("text")).as("pred_lang"))
     },
 
     "text_quality" -> { (s, dir) =>
-      table(s, dir, "documents").select(
+      tableSpread(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).as("len"),
         tokenCount(col("text")).as("n_tokens"),
@@ -52,37 +52,40 @@ object NorthStarQueries {
 
     "text_fingerprint" -> { (s, dir) =>
       // winnowing fingerprints; rows-only check (no xxhash64 in DuckDB),
-      // determinism covered by FingerprintSpec
-      table(s, dir, "documents").select(
-        col("doc_id"),
-        size(winnowFingerprints(col("text"))).as("n_fps"),
-        array_min(winnowFingerprints(col("text"))).as("min_fp"),
-        array_max(winnowFingerprints(col("text"))).as("max_fp"))
+      // determinism covered by the text spec. Two-phase: hashes, then
+      // fingerprints, then stats — each array materialized once.
+      tableSpread(s, dir, "documents")
+        .withColumn("_hs", ngramHashes(col("text")))
+        .withColumn("_fps", winnowFromHashes(col("_hs")))
+        .select(col("doc_id"), size(col("_fps")).as("n_fps"),
+          array_min(col("_fps")).as("min_fp"), array_max(col("_fps")).as("max_fp"))
     },
 
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
-      Dedup.exact(table(s, dir, "documents"), on = Seq("text"), id = "doc_id")
+      Dedup.exact(tableSpread(s, dir, "documents"), on = Seq("text"), id = "doc_id")
         .select(col("keep_id"), col("n_dups"))
     },
 
     "dedup_minhash" -> { (s, dir) =>
-      Dedup.minhash(table(s, dir, "documents"), id = "doc_id",
-        shingles = wordShingles(col("text"), 3), threshold = 0.5)
+      Dedup.minhash(
+        tableSpread(s, dir, "documents").withColumn("_toks", TextFunctions.tokens(col("text"))),
+        id = "doc_id", shingles = shinglesOf(col("_toks"), 3), threshold = 0.5)
     },
 
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhash(table(s, dir, "documents"), id = "doc_id",
+      Dedup.simhash(tableSpread(s, dir, "documents"), id = "doc_id",
         tokens = TextFunctions.tokens(col("text")), maxHamming = 3)
     },
 
     "dedup_ngram" -> { (s, dir) =>
-      Dedup.ngramJaccard(table(s, dir, "documents"), id = "doc_id",
-        shingles = wordShingles(col("text"), 5), threshold = 0.5)
+      Dedup.ngramJaccard(
+        tableSpread(s, dir, "documents").withColumn("_toks", TextFunctions.tokens(col("text"))),
+        id = "doc_id", shingles = shinglesOf(col("_toks"), 5), threshold = 0.5)
     },
 
     "dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingCosine(table(s, dir, "embeddings"), id = "vec_id",
+      Dedup.embeddingCosine(tableSpread(s, dir, "embeddings"), id = "vec_id",
         vec = col("embedding"), threshold = 0.9, dim = 64)
     },
 
@@ -116,7 +119,7 @@ object NorthStarQueries {
       // deterministic STUB (byte histogram + checksum) while the Spark-side
       // plumbing — binary column, metadata struct, per-partition batched
       // feature extraction — is real.
-      val blobs = table(s, dir, "documents")
+      val blobs = tableSpread(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
           struct(length(col("text")).as("n_chars"), lit("text/plain").as("mime")).as("meta"))
       blobs.as[(Long, Array[Byte], (Long, String))]

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.TextFunctions
+
+/** Ad-hoc plan/profiling harness: `runMain graft.tools.Explain <query>`
+  * prints the formatted plan and stage timings for one SparkEntry query,
+  * or runs named micro-profiles.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+    args.headOption match {
+      case Some("ngram_profile") =>
+        val docs = GraftSession.table(spark, dir, "documents")
+          .withColumn("_toks", TextFunctions.tokens(col("text")))
+        val sh = TextFunctions.shinglesOf(col("_toks"), 5)
+        time("tokens only")(docs.select(size(col("_toks"))).count())
+        time("shingles (two-phase)")(docs.select(explode(array_distinct(sh))).count())
+        val ex = docs.select(col("doc_id").as("_id"), array_distinct(sh).as("_shs"))
+          .withColumn("_n", size(col("_shs")))
+          .select(col("_id"), col("_n"), explode(col("_shs")).as("_sh"))
+        time("explode count")(ex.count())
+        val frequent = ex.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > 1000).select(col("_sh"))
+        val freqOk = ex.join(broadcast(frequent), Seq("_sh"), "left_anti")
+        time("anti-join persist")(freqOk.persist().count())
+        val a = freqOk.select(col("_sh"), col("_id").as("a"), col("_n").as("na"))
+        val b = freqOk.select(col("_sh"), col("_id").as("b"), col("_n").as("nb"))
+        val joined = a.join(b, "_sh").filter(col("a") < col("b"))
+          .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
+        time("self join + agg")(joined.count())
+      case Some(q) =>
+        val df = graft.SparkEntry.queries(q)(spark, dir)
+        df.explain("formatted")
+        time(s"run $q")(df.count())
+        time(s"run $q again")(df.count())
+      case None => println("usage: Explain <queryName>|ngram_profile")
+    }
+    spark.stop()
+  }
+}
