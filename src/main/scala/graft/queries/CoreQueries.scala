@@ -261,6 +261,26 @@ object CoreQueries {
         .project("s_suppkey", "s_name")
     },
 
+    "masterjoinupdate_broadcast" -> { (s, dir) =>
+      Joins.masterJoinUpdate(
+        tx = table(s, dir, "supplier"),
+        master = table(s, dir, "nation").withColumnRenamed("n_nationkey", "s_nationkey"),
+        keys = Seq("s_nationkey"),
+        updates = Seq("s_name" -> concat(col("s_name"), lit("@"), col("n_name"))),
+        broadcastMaster = true).found
+        .project("s_suppkey", "s_name")
+    },
+
+    "summarize_any" -> { (s, dir) =>
+      // ANY picks one value per group; deterministic when the column is
+      // functionally dependent on the key (here: key IS o_orderkey)
+      Groups.summarize(table(s, dir, "orders"),
+        keys = Seq("o_orderkey"),
+        specs = Seq(
+          SummarizeSpec(SummarizeOp.Any, "o_orderstatus", "any_status"),
+          SummarizeSpec(SummarizeOp.Count, "o_custkey", "n")))
+    },
+
     "masterbranch_broadcast" -> { (s, dir) =>
       Joins.masterBranch(
         tx = table(s, dir, "customer"),
@@ -396,6 +416,12 @@ object CoreQueries {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM nation
         |  WHERE n_nationkey = s_nationkey AND n_regionkey < 2)""".stripMargin,
+    "masterjoinupdate_broadcast" ->
+      """SELECT s_suppkey, s_name || '@' || n_name AS s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "summarize_any" ->
+      """SELECT o_orderkey, MIN(o_orderstatus) AS any_status, COUNT(o_custkey) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "masterbranch_broadcast" ->
       """SELECT c_custkey, c_nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey <= 1""".stripMargin,

@@ -83,6 +83,37 @@ object DirectOutput {
     mfs.delete(marker, false)
   }
 
+  /** Grouped (dynamic-partition) output with pattern-named files: write
+    * `partitionBy(groupCols)` transactionally, then rename each part file
+    * according to the pattern (reference capability: OutputPatternGenerator
+    * fragments — constants, property, formatted number/date, random).
+    *
+    * The rename pass is driver-side and O(files) — same cost class as the
+    * reference's commit phase; data movement stays in the parallel write.
+    */
+  def writeGrouped(txId: String, markerDir: String, spec: Spec,
+      pattern: OutputPattern): Unit = {
+    require(spec.partitionBy.nonEmpty, "writeGrouped needs partition columns")
+    write(txId, markerDir, Seq(spec))
+    val conf = spec.df.sparkSession.sparkContext.hadoopConfiguration
+    val f = fs(conf, spec.path)
+
+    def walk(dir: Path, values: Map[String, String]): Unit = {
+      val (dirs, files) = f.listStatus(dir).partition(_.isDirectory)
+      dirs.foreach { d =>
+        d.getPath.getName.split("=", 2) match {
+          case Array(k, v) => walk(d.getPath, values + (k -> v))
+          case _ => walk(d.getPath, values)
+        }
+      }
+      files.filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+        .zipWithIndex.foreach { case (st, i) =>
+          f.rename(st.getPath, new Path(dir, pattern.render(values, i)))
+        }
+    }
+    walk(new Path(spec.path), Map.empty)
+  }
+
   /** Recovery scan: attempts without a live transaction marker are rolled
     * back (deleted). Call on job restart before new writes.
     */

@@ -40,6 +40,24 @@ object Explain {
         val joined = a.join(b, "_sh").filter(col("a") < col("b"))
           .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
         time("self join + agg")(joined.count())
+      case Some("sinks_demo") =>
+        // pattern-named grouped transactional output + SQL function surface
+        import graft.sinks.{DirectOutput, OutputPattern}
+        val out = java.nio.file.Files.createTempDirectory("graft_demo").toString
+        DirectOutput.writeGrouped("demo", s"$out/_tx",
+          DirectOutput.Spec(GraftSession.table(spark, dir, "orders").repartition(2),
+            s"$out/orders", partitionBy = Seq("o_orderstatus")),
+          OutputPattern.parse("orders-{o_orderstatus}-{seq:%02d}-{date:yyyyMMdd}.parquet"))
+        new java.io.File(s"$out/orders").listFiles().filter(_.isDirectory).foreach { d =>
+          println(s"[demo] ${d.getName}: " + d.listFiles().map(_.getName)
+            .filter(_.endsWith(".parquet")).sorted.mkString(", "))
+        }
+        println(s"[demo] read-back rows: " + spark.read.parquet(s"$out/orders").count())
+        graft.functions.HashFunctions.register(spark)
+        spark.sql(
+          s"""SELECT doc_id, size(word_shingles(split(text, ' '), 5)) AS n_sh,
+             |       minhash_signature(word_shingles(split(text, ' '), 5))[0] AS mh0
+             |FROM parquet.`$dir/documents.parquet` LIMIT 3""".stripMargin).show(false)
       case Some(q) =>
         val df = graft.SparkEntry.queries(q)(spark, dir)
         df.explain("formatted")

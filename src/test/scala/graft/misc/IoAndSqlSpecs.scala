@@ -1,0 +1,69 @@
+package graft.misc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.{DirectOutput, OutputPattern}
+import graft.sources.Sources
+
+class OutputPatternSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pattern parse/render: literals, columns, seq, date, random") {
+    val p = OutputPattern.parse("res-{status}-{seq:%03d}-{date:yyyyMMdd}-{random:10-99}.parquet")
+    val name = p.render(Map("status" -> "F"), 7, java.time.LocalDate.of(2026, 1, 2))
+    assert(name.matches("res-F-007-20260102-\\d{2}\\.parquet"))
+    // deterministic across calls (stable reruns)
+    assert(name === p.render(Map("status" -> "F"), 7, java.time.LocalDate.of(2026, 1, 2)))
+  }
+
+  test("writeGrouped renames part files per pattern inside partition dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pattern").toString
+    val df = Seq(("F", 1), ("F", 2), ("O", 3)).toDF("status", "v")
+    DirectOutput.writeGrouped("t1", s"$dir/_tx",
+      DirectOutput.Spec(df.repartition(1), s"$dir/out", partitionBy = Seq("status")),
+      OutputPattern.parse("result-{status}-{seq:%02d}.parquet"))
+    val f = new java.io.File(s"$dir/out/status=F").listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(f.toSeq === Seq("result-F-00.parquet"))
+    // data still readable as a partitioned dataset
+    assert(spark.read.parquet(s"$dir/out").count() === 3)
+  }
+}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("direct csv/json inputs with explicit schema round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    df.write.option("header", "true").csv(s"$dir/csv")
+    df.write.json(s"$dir/json")
+    val schema = df.schema
+    val csv = Sources.direct(spark, "csv", s"$dir/csv", Some(schema),
+      Map("header" -> "true"))
+    val json = Sources.direct(spark, "json", s"$dir/json", Some(schema))
+    assert(csv.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(json.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions installs without error") {
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("custom expressions usable from SQL after registration") {
+    // same registration path as spark.sql.extensions, applied post-hoc
+    graft.functions.HashFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+        |       size(minhash_signature(array('x','y'))) AS k,
+        |       size(word_shingles(array('a','b','c'), 2)) AS ns
+        |FROM (SELECT 1)""".stripMargin).collect().head
+    assert(out.getLong(0) !== 0L)
+    assert(out.getInt(1) === 64)
+    assert(out.getInt(2) === 2)
+  }
+}
