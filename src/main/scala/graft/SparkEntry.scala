@@ -29,7 +29,7 @@ object SparkEntry {
     val joined = Joins.masterJoin(
       tx = li, master = orders, keys = Seq("l_orderkey"),
       output = Seq(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-        col("o_orderstatus"), col("o_orderpriority"))).found
+        col("o_orderstatus"), col("o_orderpriority")), uniqueMaster = true).found
     joined
       .branch(when(col("o_orderstatus") === "F", "closed").otherwise("open")).port("closed")
       .update("revenue" -> (col("l_extendedprice").cast(DecimalType(12, 2)) *
@@ -42,12 +42,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.CoreQueries.queries ++ graft.queries.NorthStarQueries.queries ++
-      graft.queries.PipelineQueries.queries).toMap
+      graft.queries.PipelineQueries.queries ++ graft.queries.FlagshipQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     (graft.queries.CoreQueries.oracles ++ graft.queries.NorthStarQueries.oracles ++
-      graft.queries.PipelineQueries.oracles).toMap
+      graft.queries.PipelineQueries.oracles ++ graft.queries.FlagshipQueries.oracles).toMap
 }

@@ -44,8 +44,10 @@ object Joins {
     * (arbitrary but single) via dropDuplicates, which plans as a partial +
     * final aggregate (no extra shuffle beyond the join's own).
     */
-  def selectMaster(master: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
-    if (order.isEmpty) master.dropDuplicates(keys)
+  def selectMaster(master: DataFrame, keys: Seq[String], order: Seq[Column],
+      uniqueMaster: Boolean = false): DataFrame =
+    if (uniqueMaster) master // caller guarantees one row per key: no dedup shuffle
+    else if (order.isEmpty) master.dropDuplicates(keys)
     else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       master.withColumn("_graft_rn", row_number().over(w))
@@ -53,8 +55,9 @@ object Joins {
     }
 
   private def joined(tx: DataFrame, master: DataFrame, keys: Seq[String],
-      masterOrder: Seq[Column], broadcastMaster: Boolean, nullSafeKeys: Boolean): DataFrame = {
-    val m0 = selectMaster(master, keys, masterOrder)
+      masterOrder: Seq[Column], broadcastMaster: Boolean, nullSafeKeys: Boolean,
+      uniqueMaster: Boolean): DataFrame = {
+    val m0 = selectMaster(master, keys, masterOrder, uniqueMaster)
       // disambiguate master's key columns so tx columns survive the join
       .withColumns(keys.map(k => s"_graft_mk_$k" -> col(k)).toMap)
       .drop(keys: _*)
@@ -73,8 +76,8 @@ object Joins {
     */
   def masterJoin(tx: DataFrame, master: DataFrame, keys: Seq[String], output: Seq[Column],
       masterOrder: Seq[Column] = Nil, broadcastMaster: Boolean = false,
-      nullSafeKeys: Boolean = false): JoinPorts = {
-    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys)
+      nullSafeKeys: Boolean = false, uniqueMaster: Boolean = false): JoinPorts = {
+    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys, uniqueMaster)
     JoinPorts(
       found = j.filter(col(MatchTag)).select(output: _*),
       missed = j.filter(col(MatchTag).isNull).select(tx.columns.map(col).toSeq: _*))
@@ -99,8 +102,9 @@ object Joins {
     */
   def masterJoinUpdate(tx: DataFrame, master: DataFrame, keys: Seq[String],
       updates: Seq[(String, Column)], masterOrder: Seq[Column] = Nil,
-      broadcastMaster: Boolean = false, nullSafeKeys: Boolean = false): JoinPorts = {
-    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys)
+      broadcastMaster: Boolean = false, nullSafeKeys: Boolean = false,
+      uniqueMaster: Boolean = false): JoinPorts = {
+    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys, uniqueMaster)
     val txCols = tx.columns.toSeq
     val updated = j.filter(col(MatchTag)).withColumns(updates.toMap)
       .select(txCols.map(col): _*)
@@ -114,8 +118,9 @@ object Joins {
     */
   def masterBranch(tx: DataFrame, master: DataFrame, keys: Seq[String], tag: Column,
       masterOrder: Seq[Column] = Nil, broadcastMaster: Boolean = false,
-      nullSafeKeys: Boolean = false, tagCol: String = "_branch"): BranchPorts = {
-    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys)
+      nullSafeKeys: Boolean = false, tagCol: String = "_branch",
+      uniqueMaster: Boolean = false): BranchPorts = {
+    val j = joined(tx, master, keys, masterOrder, broadcastMaster, nullSafeKeys, uniqueMaster)
     new BranchPorts(j.withColumn(tagCol, tag).drop(MatchTag), tagCol)
   }
 

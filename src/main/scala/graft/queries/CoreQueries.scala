@@ -75,7 +75,7 @@ object CoreQueries {
         master = table(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
         keys = Seq("l_orderkey"),
         output = Seq(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"), col("o_orderpriority")),
-        masterOrder = Nil).found
+        masterOrder = Nil, uniqueMaster = true).found
       // hold the joined record, then split it back into its two pieces
       val (left, _) = j.split(
         left = Seq("l_orderkey", "o_orderstatus", "o_orderpriority"),
@@ -176,7 +176,7 @@ object CoreQueries {
         master = table(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
         keys = Seq("l_orderkey"),
         output = Seq(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"), col("o_orderstatus")),
-        masterOrder = Nil).found
+        masterOrder = Nil, uniqueMaster = true).found
     },
 
     "masterjoin_missed" -> { (s, dir) =>
@@ -248,7 +248,7 @@ object CoreQueries {
         master = table(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey"),
         keys = Seq("c_nationkey"),
         output = Seq(col("c_custkey"), col("c_name"), col("n_name")),
-        broadcastMaster = true).found
+        broadcastMaster = true, uniqueMaster = true).found
     },
 
     "mastercheck_broadcast" -> { (s, dir) =>
@@ -267,7 +267,7 @@ object CoreQueries {
         master = table(s, dir, "nation").withColumnRenamed("n_nationkey", "s_nationkey"),
         keys = Seq("s_nationkey"),
         updates = Seq("s_name" -> concat(col("s_name"), lit("@"), col("n_name"))),
-        broadcastMaster = true).found
+        broadcastMaster = true, uniqueMaster = true).found
         .project("s_suppkey", "s_name")
     },
 

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftSession.table
+import graft.operators.{Joins, Records}
+import Records._
+
+/** Composite analytical queries in the TPC-H idiom, built from the graft
+  * operator algebra end-to-end (scan → join family → branch → summarize).
+  * These are the bench headliners: multi-operator plans whose shape at
+  * 100 TB is shuffle-on-join-key + partial aggregation, with the small
+  * dimensions broadcast.
+  */
+object FlagshipQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    /** Pricing summary (TPC-H Q1 shape): wide aggregation over lineitem
+      * with exact decimal arithmetic, pinned to a ship-date horizon.
+      */
+    "flagship_pricing" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .update(
+          "disc_price" -> (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))),
+          "charge" -> (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))
+            * (lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax")))))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DecimalType(28, 2)).cast(DoubleType).as("sum_base_price"),
+          sum(col("disc_price")).cast(DecimalType(28, 4)).cast(DoubleType).as("sum_disc_price"),
+          sum(col("charge")).cast(DecimalType(28, 6)).cast(DoubleType).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+
+    /** Shipping priority (TPC-H Q3 shape): selective customer segment
+      * broadcast-joined to orders, shuffled join to lineitem, top revenue
+      * per order. The segment filter prunes at the scan; the customer side
+      * is broadcast (dimension-sized), lineitem shuffles once on orderkey.
+      */
+    "flagship_shipping" -> { (s, dir) =>
+      val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      val orders = Joins.masterCheck(
+        tx = table(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast(TimestampType)),
+        master = cust, keys = Seq("o_custkey"), broadcastMaster = true).found
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+        .update("revenue" -> (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))))
+      Joins.masterJoin(
+        tx = li, master = orders, keys = Seq("l_orderkey"),
+        output = Seq(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority")),
+        uniqueMaster = true).found
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("revenue")).cast(DecimalType(28, 4)).cast(DoubleType).as("revenue"))
+    },
+
+    /** Local supplier volume (TPC-H Q5 shape): two broadcast dimension
+      * hops (region→nation) then shuffled joins through customer, orders,
+      * lineitem, supplier with a nation-match branch.
+      */
+    "flagship_volume" -> { (s, dir) =>
+      val nations = Joins.masterJoin(
+        tx = table(s, dir, "nation"),
+        master = table(s, dir, "region").filter(col("r_name") === "ASIA")
+          .withColumnRenamed("r_regionkey", "n_regionkey"),
+        keys = Seq("n_regionkey"),
+        output = Seq(col("n_nationkey"), col("n_name")),
+        broadcastMaster = true, uniqueMaster = true).found
+      val cust = Joins.masterJoin(
+        tx = table(s, dir, "customer"),
+        master = nations.withColumnRenamed("n_nationkey", "c_nationkey"),
+        keys = Seq("c_nationkey"),
+        output = Seq(col("c_custkey").as("o_custkey"), col("c_nationkey"), col("n_name")),
+        broadcastMaster = true, uniqueMaster = true).found
+      val ord = Joins.masterJoin(
+        tx = table(s, dir, "orders"),
+        master = cust, keys = Seq("o_custkey"),
+        output = Seq(col("o_orderkey").as("l_orderkey"), col("c_nationkey"), col("n_name")),
+        uniqueMaster = true).found
+      val li = table(s, dir, "lineitem")
+        .update("revenue" -> (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))))
+        .project("l_orderkey", "l_suppkey", "revenue")
+      val joined = Joins.masterJoin(
+        tx = li, master = ord, keys = Seq("l_orderkey"),
+        output = Seq(col("l_suppkey"), col("c_nationkey"), col("n_name"), col("revenue")),
+        uniqueMaster = true).found
+      // keep only lineitems whose supplier sits in the same nation
+      val supp = table(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").as("c_nationkey"))
+      joined.join(broadcast(supp), Seq("l_suppkey", "c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("revenue")).cast(DecimalType(28, 4)).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "flagship_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "flagship_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "flagship_volume" ->
+      """SELECT n_name,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin
+  )
+}
