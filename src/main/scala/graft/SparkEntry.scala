@@ -42,12 +42,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.CoreQueries.queries ++ graft.queries.NorthStarQueries.queries ++
-      graft.queries.PipelineQueries.queries ++ graft.queries.FlagshipQueries.queries).toMap
+      graft.queries.PipelineQueries.queries ++ graft.queries.FlagshipQueries.queries ++
+      graft.queries.RelationalQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     (graft.queries.CoreQueries.oracles ++ graft.queries.NorthStarQueries.oracles ++
-      graft.queries.PipelineQueries.oracles ++ graft.queries.FlagshipQueries.oracles).toMap
+      graft.queries.PipelineQueries.oracles ++ graft.queries.FlagshipQueries.oracles ++
+      graft.queries.RelationalQueries.oracles).toMap
 }

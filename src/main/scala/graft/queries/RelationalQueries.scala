@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftSession.table
+
+/** Relational operators the reference deliberately lacks (its users write
+  * Java operator bodies instead — SURVEY.md §2 end) but that belong to the
+  * engine's north-star surface: window functions, grouping sets /
+  * rollup / cube, set operations, top-k, session windows, approximate
+  * aggregates. All are free from Catalyst; declaring them here (with
+  * oracles) makes the capability parity explicit.
+  */
+object RelationalQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    /** Window functions: rank + running aggregate per partition (the
+      * reference idiom for this is GroupSort + user code).
+      */
+    "window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").asc, col("l_linenumber").asc, col("l_quantity").asc)
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          row_number().over(w).as("rn"),
+          sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("running_qty"))
+    },
+
+    /** Rollup: subtotals per (flag, status), per flag, grand total. */
+    "rollup" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    /** Cube over two low-cardinality dimensions. */
+    "cube" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    /** Set ops: customers-with-orders ∩/∖ customers-with-big-orders. */
+    "intersect" -> { (s, dir) =>
+      val all = table(s, dir, "orders").select(col("o_custkey"))
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey"))
+      all.intersect(big)
+    },
+
+    "except" -> { (s, dir) =>
+      val all = table(s, dir, "orders").select(col("o_custkey"))
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey"))
+      all.except(big)
+    },
+
+    /** Top-k with a total order (deterministic limit). */
+    "topk" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    /** Session windows over the event stream (30-minute inactivity gap)
+      * — works identically in batch and Structured Streaming; oracle is
+      * the classic lag/cumulative-sum sessionization.
+      */
+    "session_window" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+    },
+
+    /** Approximate distinct (HLL) next to the exact count — rows-only
+      * check (sketch internals differ across engines by design); the spec
+      * asserts the approximation error bound instead.
+      */
+    "approx_distinct" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       row_number() OVER w AS rn,
+        |       SUM(l_quantity) OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_shipdate ASC, l_linenumber ASC, l_quantity ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_shipdate ASC, l_linenumber ASC, l_quantity ASC)""".stripMargin,
+    "rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "intersect" ->
+      """SELECT o_custkey FROM orders
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0""".stripMargin,
+    "except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0""".stripMargin,
+    "topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "session_window" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |  FROM gaps
+        |)
+        |SELECT user_id,
+        |       CAST(date_trunc('microseconds', MIN(ts)) AS TIMESTAMP) AS session_start,
+        |       COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin
+  )
+}

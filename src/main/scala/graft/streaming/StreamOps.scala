@@ -44,6 +44,27 @@ object StreamOps {
       .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Custom stateful processing: per-key state folded over arriving
+    * records, updated state emitted each batch (Update mode). The
+    * Spark-native form of "user code with state per key" —
+    * `flatMapGroupsWithState` keeps state in the state store with
+    * checkpointing/recovery; works identically on a batch Dataset (single
+    * batch, empty initial state).
+    */
+  def statefulAggregate[K: org.apache.spark.sql.Encoder, V, S: org.apache.spark.sql.Encoder,
+      O: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[V])(key: V => K)(zero: S)(
+      update: (S, V) => S)(emit: (K, S) => O): org.apache.spark.sql.Dataset[O] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (k: K, vs: Iterator[V], state: org.apache.spark.sql.streaming.GroupState[S]) =>
+        val s = vs.foldLeft(state.getOption.getOrElse(zero))(update)
+        state.update(s)
+        Iterator.single(emit(k, s))
+    }
+  }
+
   /** Drain a streaming frame synchronously through a memory sink and
     * return the materialized result — lets a file-backed stream be
     * verified against the equivalent batch query. Complete output mode

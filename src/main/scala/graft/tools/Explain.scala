@@ -58,6 +58,18 @@ object Explain {
           s"""SELECT doc_id, size(word_shingles(split(text, ' '), 5)) AS n_sh,
              |       minhash_signature(word_shingles(split(text, ' '), 5))[0] AS mh0
              |FROM parquet.`$dir/documents.parquet` LIMIT 3""".stripMargin).show(false)
+      case Some("codegen_check") =>
+        import graft.functions.{HashFunctions, TextFunctions}
+        val df = GraftSession.table(spark, dir, "documents")
+          .withColumn("_toks", TextFunctions.tokens(col("text")))
+          .select(HashFunctions.minhash_signature(TextFunctions.shinglesOf(col("_toks"), 3)).as("sig"),
+            HashFunctions.simhash64(col("_toks")).as("sh"))
+        val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+        println("[codegen] MinHash static call: " + gen.contains("MinHashSignature.compute"))
+        println("[codegen] SimHash static call: " + gen.contains("SimHash64.compute"))
+        println("[codegen] WordShingles static call: " + gen.contains("WordShingles.compute"))
+        println("[codegen] WSCG subtrees: " + gen.linesIterator.take(1).mkString)
+        time("run")(df.count())
       case Some(q) =>
         val df = graft.SparkEntry.queries(q)(spark, dir)
         df.explain("formatted")

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("statefulAggregate keeps per-key state across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val counts = StreamOps.statefulAggregate(input.toDS())(_._1)((0, 0))(
+      (s, v) => (s._1 + 1, s._2 + v._2))(
+      (k, s) => (k, s._1, s._2))
+
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("stateful_test")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("b", 10))
+      q.processAllAvailable()
+      input.addData(("a", 4)) // state must carry: a -> count 3, sum 7
+      q.processAllAvailable()
+      val rows = spark.table("stateful_test").as[(String, Int, Int)].collect()
+      val lastA = rows.filter(_._1 == "a").maxBy(_._2)
+      assert(lastA === ("a", 3, 7))
+      assert(rows.filter(_._1 == "b").maxBy(_._2) === ("b", 1, 10))
+    } finally q.stop()
+  }
+
+  test("statefulAggregate works on a batch Dataset (single-batch semantics)") {
+    val ds = Seq(("x", 1), ("x", 2), ("y", 5)).toDS()
+    val out = StreamOps.statefulAggregate(ds)(_._1)(0)((s, v) => s + v._2)((k, s) => (k, s))
+      .collect().toSet
+    assert(out === Set(("x", 3), ("y", 5)))
+  }
+}
+
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within the documented error bound") {
+    val df = graft.SparkEntry.queries("approx_distinct")(spark, "/root/testdata/sf0.001")
+    df.collect().foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+    }
+  }
+}
