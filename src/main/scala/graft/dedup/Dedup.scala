@@ -143,7 +143,7 @@ object Dedup {
     val a = guarded.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
     val b = guarded.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
     a.join(b, "_bucket").filter(col("a") < col("b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cosine", VectorFunctions.cosineFused(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").dropDuplicates("a", "b")
   }

@@ -18,7 +18,14 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine via composable built-ins — reference form; hot paths use the
+    * fused codegen expression [[VectorExprFunctions.cosine_fused]].
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused one-pass cosine (codegen'd); inputs cast to array<double>. */
+  def cosineFused(a: Column, b: Column): Column =
+    VectorExprFunctions.cosine_fused(d(a), d(b))
 
   /** Deterministic pseudo-random hyperplanes: `planes(seed, nPlanes, dim)`
     * via splitmix64 mapped to [-1, 1). Generated driver-side (tiny), used

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each left record, the single right record
+  * with the greatest `rightTime <= leftTime` for the same key — the
+  * point-in-time lookup every event pipeline needs (Spark has no built-in;
+  * the naive range join is O(|L|·|R|) per key).
+  *
+  * Implementation: union both sides tagged, one shuffle on the key, sort
+  * by (time, side) within partitions, and carry the last seen right
+  * payload forward with `last(ignoreNulls)` — O((|L|+|R|) log) total,
+  * no join explosion, AQE-friendly. Right rows sort before left rows at
+  * equal timestamps, so an exact-tie right row matches (>= semantics,
+  * same as SQL ASOF JOIN).
+  */
+object AsOf {
+
+  /** `rightPayload` columns are appended to every left row (null when no
+    * prior right row exists). Right rows at identical (key, time) are
+    * disambiguated by `rightTieBreak` — pass a unique column for
+    * deterministic output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.toSeq
+    val lType = StructType(leftCols.map(left.schema(_)))
+    val rType = StructType(rightPayload.map(right.schema(_)))
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("_t"),
+        lit(1).as("_side"),
+        struct(leftCols.map(col): _*).as("_lrow"),
+        lit(null).cast(rType).as("_rrow")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("_t"),
+        lit(0).as("_side"),
+        lit(null).cast(lType).as("_lrow"),
+        struct(rightPayload.map(col): _*).as("_rrow")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col("_t").asc, col("_side").asc) ++ rightTieBreak): _*)
+    val filled = l.unionByName(r)
+      .withColumn("_match", last(col("_rrow"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    filled.filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+        rightPayload.map(c => col(s"_match.$c").as(c)): _*)
+  }
+}

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftSession.table
+import graft.operators.{AsOf, Skew}
+import graft.operators.Groups.{SummarizeOp, SummarizeSpec}
 
 /** Relational operators the reference deliberately lacks (its users write
   * Java operator bodies instead — SURVEY.md §2 end) but that belong to the
@@ -79,6 +81,45 @@ object RelationalQueries {
         .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
     },
 
+    /** As-of join: each purchase matched to the user's latest prior view
+      * (single shuffle + window carry-forward, no range-join explosion).
+      * DuckDB has native ASOF JOIN — exact oracle.
+      */
+    "asof_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_event_id"), col("user_id"), col("ts"))
+      AsOf.asofJoin(purchases, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightPayload = Seq("view_event_id"),
+        rightTieBreak = Seq(col("_rrow.view_event_id").asc))
+        .select(col("event_id"), col("user_id"), col("view_event_id"))
+    },
+
+    /** Salted join: hot probe keys spread over 8 salts (build side
+      * replicated); result identical to the plain join.
+      */
+    "salted_join" -> { (s, dir) =>
+      Skew.saltedJoin(
+        probe = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        build = table(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        keys = Seq("l_orderkey"), salt = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    /** Two-level salted aggregation for hot grouping keys. */
+    "salted_aggregate" -> { (s, dir) =>
+      Skew.saltedSummarize(table(s, dir, "events").select("event_type", "value"),
+        keys = Seq("event_type"),
+        specs = Seq(
+          SummarizeSpec(SummarizeOp.Count, "value", "n"),
+          SummarizeSpec(SummarizeOp.Min, "value", "min_v"),
+          SummarizeSpec(SummarizeOp.Max, "value", "max_v")),
+        salt = 16)
+    },
+
     /** Approximate distinct (HLL) next to the exact count — rows-only
       * check (sketch internals differ across engines by design); the spec
       * asserts the approximation error bound instead.
@@ -118,6 +159,18 @@ object RelationalQueries {
     "topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "salted_aggregate" ->
+      """SELECT event_type, COUNT(value) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     "session_window" ->
       """WITH gaps AS (
         |  SELECT user_id, ts,

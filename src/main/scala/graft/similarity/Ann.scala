@@ -30,7 +30,7 @@ object Ann {
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("_cv"))
     val scored = c.crossJoin(q)
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("_cos", cosineFused(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -56,7 +56,7 @@ object Ann {
     val cands = c.join(q, "_bucket")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("_cos", cosineFused(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("_cos").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
