@@ -111,6 +111,15 @@ object NorthStarQueries {
         k = AnnK, nPlanes = 4, nTables = 8, dim = 64)
     },
 
+    "ann_ivf" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      graft.similarity.Ivf.topK(
+        queries = emb.filter(col("vec_id") < AnnQueries),
+        corpus = emb,
+        qId = "vec_id", qVec = "embedding", cId = "vec_id", cVec = "embedding",
+        k = AnnK, nCells = 16, nProbe = 6)
+    },
+
     // ---- multimodal binary-column plumbing --------------------------------
     "multimodal_features" -> { (s, dir) =>
       import s.implicits._

@@ -1,0 +1,133 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Hash64, VectorFunctions}
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the corpus
+  * into `nCells` Voronoi cells around k-means centroids, then search only
+  * the `nProbe` cells nearest to each query — the standard
+  * billion-vector-scale index structure (Jégou et al., TPAMI'11).
+  *
+  * Training is a deterministic driver-side Lloyd's k-means over a bounded
+  * sample (centroid count and dim are tiny — the INDEX, i.e. the
+  * cell-assigned corpus, stays fully distributed). Assignment is a custom
+  * expression over the broadcast centroid matrix; the probe is a cell
+  * equi-join: one shuffle keyed by cell id, cost O(|corpus|·nProbe/nCells)
+  * per query instead of O(|corpus|).
+  */
+object Ivf {
+
+  /** Deterministic Lloyd's k-means (kmeans++-free: seeded-hash init) over
+    * a sample collected to the driver. Inputs are L2-normalized so
+    * Euclidean argmin == cosine argmax.
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
+      iters: Int = 10, sampleN: Int = 10000, seed: Long = 11L): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(sampleN).collect()
+      .map(_.getSeq[Double](0).toArray).map(normalize)
+    require(sample.length >= nCells, s"sample ${sample.length} < nCells $nCells")
+    // seeded init: pick nCells distinct sample indices by hash order
+    var centroids = sample.indices
+      .sortBy(i => Hash64.mix(seed + i))
+      .take(nCells).map(sample(_).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](nCells)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cell: keep old centroid
+        else normalize(sums(c).map(_ / counts(c)))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  private[similarity] def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += v(j) * cs(c)(j); j += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[similarity] def nearestN(v: Array[Double], cs: Array[Array[Double]], n: Int): Array[Int] =
+    cs.indices.map { c =>
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += v(j) * cs(c)(j); j += 1 }
+      (-dot, c)
+    }.sorted.take(n).map(_._2).toArray
+
+  /** `nProbe` nearest cell ids for a vector (nProbe=1 → corpus
+    * assignment). Centroids ride inside the expression (small matrix).
+    */
+  case class NearestCells(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val v = new Array[Double](arr.numElements())
+      var i = 0
+      while (i < v.length) { v(i) = arr.getDouble(i); i += 1 }
+      new GenericArrayData(nearestN(v, centroids, nProbe))
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
+  }
+
+  private def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    column(NearestCells(expression(vec.cast("array<double>")), centroids, nProbe))
+  }
+
+  /** Assign every corpus vector to its cell (the distributed index). */
+  def index(corpus: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col(id).as("neighbor_id"), col(vec).cast("array<double>").as("_cv"),
+      element_at(nearestCells(col(vec), centroids, 1), 1).as("_cell"))
+
+  /** Top-k cosine neighbors searching only nProbe cells per query. */
+  def topK(queries: DataFrame, corpus: DataFrame, qId: String, qVec: String,
+      cId: String, cVec: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 11L, excludeSelf: Boolean = true): DataFrame = {
+    val centroids = trainCentroids(corpus, cVec, nCells, seed = seed)
+    val indexed = index(corpus, cId, cVec, centroids)
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("_qv"),
+      explode(nearestCells(col(qVec), centroids, nProbe)).as("_cell"))
+    val cands = indexed.join(q, "_cell")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("_cos", VectorFunctions.cosineFused(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_cos").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}

@@ -48,6 +48,29 @@ class TextFunctionsSpec extends SparkSpec {
 class AnnSpec extends SparkSpec {
   import spark.implicits._
 
+  test("IVF recall against exact top-k on fixture embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.GraftSession.table(spark, dir, "embeddings")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val exact = Ann.bruteForce(q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.similarity.Ivf.topK(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // random vectors are the worst case; half the cells probed -> high recall
+    assert(recall > 0.6, s"IVF recall $recall")
+  }
+
+  test("IVF is deterministic across runs") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.GraftSession.table(spark, dir, "embeddings")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def run() = graft.similarity.Ivf.topK(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 2).collect().toSet
+    assert(run() === run())
+  }
+
   test("bruteForce ranks planted neighbor first") {
     val q = (0 until 8).map(i => math.sin(i + 1.0).toFloat).toArray
     val near = q.map(x => x * 1.001f)
