@@ -36,5 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "simhash64(tokens) - 64-bit SimHash"), simhashBuilder))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(tokens, k) - word k-shingles"), shinglesBuilder))
+
+    e.injectOptimizerRule(_ => graft.plans.TopOneWindowToAggregate)
+  }
+}
+
+object GraftExtensions {
+  /** Enable the graft optimizer rules on an already-built session. */
+  def enableOptimizations(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.TopOneWindowToAggregate))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.TopOneWindowToAggregate
   }
 }

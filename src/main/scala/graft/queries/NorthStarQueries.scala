@@ -89,6 +89,25 @@ object NorthStarQueries {
         vec = col("embedding"), threshold = 0.9, dim = 64)
     },
 
+    /** End-to-end training-data pipeline: quality-filter documents, exact
+      * dedup (keep lowest id), language-ID the survivors, aggregate token
+      * statistics per language — the composed shape of a real corpus
+      * cleaning job, fully oracle-checked.
+      */
+    "flagship_datapipe" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("bucket", qualityBucket(col("text")))
+        .filter(col("bucket") === "ok")
+      val keep = Dedup.exact(docs, on = Seq("text"), id = "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      docs.join(keep, "doc_id")
+        .select(col("doc_id"), langId(col("text")).as("lang2"), tokenCount(col("text")).as("nt"))
+        .groupBy(col("lang2"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt").cast("long")).as("total_tokens"),
+          max(col("nt")).as("max_tokens"))
+    },
+
     // ---- similarity search ----------------------------------------------
     "ann_bruteforce" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
@@ -202,6 +221,39 @@ object NorthStarQueries {
          |FROM t""".stripMargin,
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "flagship_datapipe" -> {
+      val stop = graft.functions.TextFunctions.stopwords.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |         length(text) AS len,
+         |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+         |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |         len(list_filter(string_split(lower(text), ' '),
+         |             t -> list_contains($stop, t))) AS n_stop
+         |  FROM documents
+         |), ok AS (
+         |  SELECT doc_id, text, n_tokens FROM q
+         |  WHERE NOT (len < 20) AND NOT (n_tokens < 5)
+         |    AND NOT (n_punct * 20 > len) AND NOT (n_stop * 50 < n_tokens)
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY text
+         |), survivors AS (
+         |  SELECT ok.doc_id, ok.text, ok.n_tokens FROM ok JOIN keep USING (doc_id)
+         |), t AS (
+         |  SELECT doc_id, n_tokens,
+         |         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks_lower
+         |  FROM survivors
+         |), sc AS (
+         |  SELECT doc_id, n_tokens,
+         |       $langScores
+         |  FROM t
+         |)
+         |SELECT $langCase AS lang2, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       MAX(n_tokens) AS max_tokens
+         |FROM sc GROUP BY 1""".stripMargin
+    },
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id,

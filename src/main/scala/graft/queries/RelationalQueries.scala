@@ -33,6 +33,22 @@ object RelationalQueries {
             .as("running_qty"))
     },
 
+    /** Same top-1-per-group result as `groupsort`, expressed as the
+      * window idiom and rewritten by [[graft.plans.TopOneWindowToAggregate]]
+      * into a partial-aggregatable min_by aggregate (the Window node is
+      * gone from the optimized plan; Spark's WindowGroupLimit map-side
+      * prune remains below the aggregate).
+      */
+    "top1_per_group" -> { (s, dir) =>
+      graft.GraftExtensions.enableOptimizations(s)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").asc, col("l_linenumber").asc, col("l_quantity").asc)
+      table(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+    },
+
     /** Rollup: subtotals per (flag, status), per flag, grand total. */
     "rollup" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -142,6 +158,11 @@ object RelationalQueries {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_orderkey
         |             ORDER BY l_shipdate ASC, l_linenumber ASC, l_quantity ASC)""".stripMargin,
+    "top1_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_shipdate ASC, l_linenumber ASC, l_quantity ASC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
     "rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
