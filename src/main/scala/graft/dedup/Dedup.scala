@@ -16,6 +16,11 @@ import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
   * larger than the bound *and logs how many were dropped* via an observe
   * metric — at 100 TB an unbounded bucket is a job-killer, and silently
   * dropping would misreport coverage.
+  *
+  * Cache contract: the candidate-generating operators persist an
+  * intermediate frame (read by both self-join sides). The cache lives
+  * until the session ends or `spark.catalog.clearCache()`; call the
+  * latter between batches in a long-lived session.
   */
 object Dedup {
 
@@ -77,12 +82,17 @@ object Dedup {
     */
   def simhash(df: DataFrame, id: String, tokens: Column, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1, 15] (got $maxHamming): banding needs >= 2 blocks of >= 4 bits")
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val sigs = df.select(col(id).as("_id"), HashFunctions.simhash64(tokens).as("_sig"))
+    // block extraction must be sign-safe: % on a negative long keeps the
+    // sign and would split equal low bits into different buckets — mask
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
-        b => call_function("shiftrightunsigned", col("_sig"), b * width) % (1L << width))))
+        b => call_function("shiftrightunsigned", col("_sig"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
     val guarded = boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets")
       .persist()
@@ -100,25 +110,29 @@ object Dedup {
     * Only pairs sharing ≥1 shingle are ever materialized.
     *
     * `maxShingleFreq` drops shingles occurring in more than that many docs
-    * (ubiquitous boilerplate n-grams generate quadratic pairs and carry no
-    * dedup signal — standard df-cut; dropped count is observable).
+    * (ubiquitous boilerplate n-grams generate quadratic pairs and carry
+    * little dedup signal — the standard df-cut). When the cut fires, the
+    * similarity is Jaccard over the SURVIVING shingle sets: per-doc counts
+    * are computed after the cut so numerator and denominator stay
+    * consistent.
     */
   def ngramJaccard(df: DataFrame, id: String, shingles: Column, threshold: Double,
       maxShingleFreq: Int = 1000): DataFrame = {
-    // per-doc distinct-shingle count BEFORE exploding (no window needed);
-    // persisted because the df-cut subquery, the anti-join probe, and both
-    // self-join sides all read it — shingle construction runs once
-    val ex = df.select(col(id).as("_id"), array_distinct(shingles).as("_shs"))
-      .withColumn("_n", size(col("_shs")))
-      .select(col("_id"), col("_n"), explode(col("_shs")).as("_sh"))
+    // persisted because the df-cut subquery, the anti-join probe, the
+    // per-doc recount, and both self-join sides read it — shingle
+    // construction runs once
+    val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
       .persist()
     // df-cut: ubiquitous shingles are FEW by construction (bounded by
     // vocabulary, not corpus size) -> broadcast anti-join, not a window
     val frequent = ex.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxShingleFreq).select(col("_sh"))
     val freqOk = ex.join(broadcast(frequent), Seq("_sh"), "left_anti")
-    val a = freqOk.select(col("_sh"), col("_id").as("a"), col("_n").as("na"))
-    val b = freqOk.select(col("_sh"), col("_id").as("b"), col("_n").as("nb"))
+    // per-doc counts over surviving shingles (consistent with `common`)
+    val counts = freqOk.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val withN = freqOk.join(counts, "_id")
+    val a = withN.select(col("_sh"), col("_id").as("a"), col("_n").as("na"))
+    val b = withN.select(col("_sh"), col("_id").as("b"), col("_n").as("nb"))
     a.join(b, "_sh").filter(col("a") < col("b"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
       .withColumn("jaccard",

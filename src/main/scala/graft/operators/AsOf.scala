@@ -20,12 +20,14 @@ object AsOf {
 
   /** `rightPayload` columns are appended to every left row (null when no
     * prior right row exists). Right rows at identical (key, time) are
-    * disambiguated by `rightTieBreak` — pass a unique column for
-    * deterministic output.
+    * disambiguated by `rightTieBreak` — names of right-side columns (the
+    * row with the greatest tie-break values wins); pass a unique column
+    * for deterministic output. Right rows with a null `rightTime` are
+    * excluded (SQL ASOF semantics: a null time never matches).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPayload: Seq[String],
-      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val lType = StructType(leftCols.map(left.schema(_)))
@@ -36,14 +38,15 @@ object AsOf {
         lit(1).as("_side"),
         struct(leftCols.map(col): _*).as("_lrow"),
         lit(null).cast(rType).as("_rrow")): _*)
-    val r = right.select(
+    val r = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("_t"),
         lit(0).as("_side"),
         lit(null).cast(lType).as("_lrow"),
         struct(rightPayload.map(col): _*).as("_rrow")): _*)
+    val tieBreak = rightTieBreak.map(c => col(s"_rrow.$c").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((Seq(col("_t").asc, col("_side").asc) ++ rightTieBreak): _*)
+      .orderBy((Seq(col("_t").asc, col("_side").asc) ++ tieBreak): _*)
     val filled = l.unionByName(r)
       .withColumn("_match", last(col("_rrow"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -109,7 +109,7 @@ object RelationalQueries {
         .select(col("event_id").as("view_event_id"), col("user_id"), col("ts"))
       AsOf.asofJoin(purchases, views, keys = Seq("user_id"),
         leftTime = "ts", rightTime = "ts", rightPayload = Seq("view_event_id"),
-        rightTieBreak = Seq(col("_rrow.view_event_id").asc))
+        rightTieBreak = Seq("view_event_id"))
         .select(col("event_id"), col("user_id"), col("view_event_id"))
     },
 

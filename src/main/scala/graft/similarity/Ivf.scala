@@ -27,12 +27,22 @@ object Ivf {
   /** Deterministic Lloyd's k-means (kmeans++-free: seeded-hash init) over
     * a sample collected to the driver. Inputs are L2-normalized so
     * Euclidean argmin == cosine argmax.
+    *
+    * Sampling is reproducible regardless of file layout or task order:
+    * a hash filter on the id column selects the candidate set (set
+    * `sampleMod` ≈ corpusSize / sampleN at scale so the collect stays
+    * bounded; 1 collects everything), then a driver-side sort by id picks
+    * the first `sampleN` — `limit()` would depend on scan arrival order.
     */
-  def trainCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
-      iters: Int = 10, sampleN: Int = 10000, seed: Long = 11L): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol).cast("array<double>"))
-      .limit(sampleN).collect()
-      .map(_.getSeq[Double](0).toArray).map(normalize)
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      iters: Int = 10, sampleN: Int = 10000, seed: Long = 11L,
+      sampleMod: Int = 1): Array[Array[Double]] = {
+    val filtered = corpus
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .filter(if (sampleMod <= 1) lit(true) else pmod(xxhash64(col("_id")), lit(sampleMod)) === 0)
+    val sample = filtered.collect()
+      .sortBy(_.getString(0)).take(sampleN)
+      .map(_.getSeq[Double](1).toArray).map(normalize)
     require(sample.length >= nCells, s"sample ${sample.length} < nCells $nCells")
     // seeded init: pick nCells distinct sample indices by hash order
     var centroids = sample.indices
@@ -119,7 +129,7 @@ object Ivf {
   def topK(queries: DataFrame, corpus: DataFrame, qId: String, qVec: String,
       cId: String, cVec: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       seed: Long = 11L, excludeSelf: Boolean = true): DataFrame = {
-    val centroids = trainCentroids(corpus, cVec, nCells, seed = seed)
+    val centroids = trainCentroids(corpus, cId, cVec, nCells, seed = seed)
     val indexed = index(corpus, cId, cVec, centroids)
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("_qv"),
       explode(nearestCells(col(qVec), centroids, nProbe)).as("_cell"))

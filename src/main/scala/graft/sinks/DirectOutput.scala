@@ -67,20 +67,30 @@ object DirectOutput {
     val marker = new Path(s"$markerDir/.graft-tx-$txId")
     mfs.mkdirs(marker.getParent)
     mfs.create(marker, true).close()
-    attempts.foreach { case (s, attempt) =>
-      val f = fs(conf, s.path)
-      val src = new Path(attempt)
-      f.listStatus(src).foreach { st =>
-        val dst = new Path(s.path, st.getPath.getName)
-        if (st.getPath.getName != "_SUCCESS") {
-          f.delete(dst, true)
-          f.rename(st.getPath, dst)
-        }
-      }
-      f.delete(src, true)
-      f.create(new Path(s.path, "_GRAFT_COMMITTED"), true).close()
-    }
+    attempts.foreach { case (s, attempt) => commitOne(conf, s.path, attempt) }
     mfs.delete(marker, false)
+  }
+
+  /** Rename one attempt's files into place. Idempotent (re-runnable after
+    * a crash) and strict: a false return from rename/delete is data loss
+    * waiting to be reported as success, so it throws instead.
+    */
+  private def commitOne(conf: Configuration, outPath: String, attempt: String): Unit = {
+    val f = fs(conf, outPath)
+    val src = new Path(attempt)
+    f.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (name != "_SUCCESS") {
+        val dst = new Path(outPath, name)
+        if (f.exists(dst) && !f.delete(dst, true))
+          throw new java.io.IOException(s"commit: cannot delete existing $dst")
+        if (!f.rename(st.getPath, dst))
+          throw new java.io.IOException(s"commit: rename ${st.getPath} -> $dst failed")
+      }
+    }
+    if (!f.delete(src, true))
+      throw new java.io.IOException(s"commit: cannot remove attempt dir $src")
+    f.create(new Path(outPath, "_GRAFT_COMMITTED"), true).close()
   }
 
   /** Grouped (dynamic-partition) output with pattern-named files: write
@@ -114,20 +124,27 @@ object DirectOutput {
     walk(new Path(spec.path), Map.empty)
   }
 
-  /** Recovery scan: attempts without a live transaction marker are rolled
-    * back (deleted). Call on job restart before new writes.
+  /** Recovery scan, the reference TransactionManager rule: a live marker
+    * means the transaction reached its commit point — roll FORWARD by
+    * re-running the (idempotent) renames, then clear the marker; attempts
+    * without a marker are garbage from a pre-commit crash — roll back by
+    * deleting them. Call on job restart before new writes.
     */
   def recover(conf: Configuration, markerDir: String, paths: Seq[String]): Unit = {
     val mfs = fs(conf, markerDir)
     val live: Set[String] = Option(mfs.globStatus(new Path(s"$markerDir/.graft-tx-*")))
       .map(_.map(_.getPath.getName.stripPrefix(".graft-tx-")).toSet).getOrElse(Set.empty)
+    val finished = scala.collection.mutable.Set.empty[String] ++ live
     paths.foreach { p =>
       val f = fs(conf, p)
       val attempts = Option(f.globStatus(new Path(s"$p/.attempt-*"))).getOrElse(Array.empty)
       attempts.foreach { a =>
         val tx = a.getPath.getName.stripPrefix(".attempt-")
-        if (!live.contains(tx)) f.delete(a.getPath, true)
+        if (live.contains(tx)) commitOne(conf, p, a.getPath.toString) // roll forward
+        else f.delete(a.getPath, true) // roll back
       }
     }
+    // markers whose attempts are all rolled forward are done
+    finished.foreach(tx => mfs.delete(new Path(s"$markerDir/.graft-tx-$tx"), false))
   }
 }

@@ -67,14 +67,15 @@ object StreamOps {
 
   /** Drain a streaming frame synchronously through a memory sink and
     * return the materialized result — lets a file-backed stream be
-    * verified against the equivalent batch query. Complete output mode
-    * (aggregations re-emit full state; fine for bounded drains).
+    * verified against the equivalent batch query. `outputMode` must match
+    * the stream shape: "complete" for aggregations (the default here),
+    * "append" for plain transforms, "update" for stateful operators.
     */
-  def drainToBatch(stream: DataFrame): DataFrame = {
+  def drainToBatch(stream: DataFrame, outputMode: String = "complete"): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = stream.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

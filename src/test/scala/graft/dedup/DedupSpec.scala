@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("simhash bucketing is sign-safe (negative signatures still bucket)") {
+    // near-identical long docs produce high-entropy signatures; with the
+    // old sign-following % a negative signature missed its own bucket
+    val many = (0L until 40L).map(i => (i, s"shared common core text body number padding $i"))
+    val df = (many :+ (100L, many.head._2)).toDF("doc_id", "text")
+    val pairs = Dedup.simhash(df, "doc_id", TextFunctions.tokens(col("text")), maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 0)) // identical docs found
+  }
+
+  test("simhash rejects unusable maxHamming") {
+    intercept[IllegalArgumentException](
+      Dedup.simhash(docs, "doc_id", TextFunctions.tokens(col("text")), maxHamming = 0))
+  }
+
   test("minhash signature determinism across partitioning") {
     val a = Dedup.minhash(docs.repartition(1), "doc_id",
       TextFunctions.wordShingles(col("text"), 3), 0.5).collect().toSet

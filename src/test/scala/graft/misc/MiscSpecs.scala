@@ -85,6 +85,21 @@ class AnnSpec extends SparkSpec {
   }
 }
 
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin matches latest prior right row; null right times never match") {
+    val left = Seq((1L, 10L, 100), (2L, 10L, 5)).toDF("id", "k", "t")
+    val right = Seq((50L, 10L, Some(90)), (51L, 10L, Some(95)), (52L, 10L, None))
+      .toDF("rid", "k", "t")
+    val out = graft.operators.AsOf.asofJoin(left, right, Seq("k"), "t", "t",
+      rightPayload = Seq("rid"), rightTieBreak = Seq("rid"))
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(51L)) // latest prior (95 <= 100)
+    assert(out(2L) === None)      // nothing at or before t=5; null-time row excluded
+  }
+}
+
 class DirectOutputSpec extends SparkSpec {
   import spark.implicits._
 
@@ -103,6 +118,22 @@ class DirectOutputSpec extends SparkSpec {
     DirectOutput.recover(conf, s"$dir/_tx", Seq(s"$dir/out"))
     assert(!new java.io.File(s"$dir/out/.attempt-dead").exists())
     assert(spark.read.parquet(s"$dir/out").count() === 2) // data intact
+  }
+
+  test("recover rolls FORWARD a crash between marker creation and rename") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_fw").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    // simulate the crash window: attempt written, marker live, renames not run
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .write.parquet(s"$dir/out/.attempt-crashed")
+    new java.io.File(s"$dir/_tx").mkdirs()
+    new java.io.File(s"$dir/_tx/.graft-tx-crashed").createNewFile()
+
+    DirectOutput.recover(conf, s"$dir/_tx", Seq(s"$dir/out"))
+    assert(spark.read.parquet(s"$dir/out").count() === 3) // rolled forward
+    assert(new java.io.File(s"$dir/out/_GRAFT_COMMITTED").exists())
+    assert(!new java.io.File(s"$dir/out/.attempt-crashed").exists())
+    assert(!new java.io.File(s"$dir/_tx/.graft-tx-crashed").exists()) // marker cleared
   }
 }
 
