@@ -27,6 +27,16 @@ import Records._
   */
 final case class FoldAcc(l_returnflag: String, qty: Double, cnt: Long)
 
+/** Narrow typed views: select the needed columns BEFORE `.as[T]` so the
+  * encoder materializes 2-4 fields, not the full 11-column row — at scale
+  * the deserialization boundary dominates typed-operator cost.
+  */
+final case class LineQty(l_orderkey: Long, l_quantity: Double)
+final case class LineShip(l_orderkey: Long, l_linenumber: Int,
+    l_shipdate: java.sql.Timestamp, l_quantity: Double)
+final case class LinePrice(l_orderkey: Long, l_linenumber: Int, l_extendedprice: Double)
+final case class OrderStatus(o_orderkey: Long, o_orderstatus: String)
+
 object CoreQueries {
 
   private def money(c: Column): Column = c.cast(DecimalType(12, 2))
@@ -46,6 +56,22 @@ object CoreQueries {
         Seq(("base", li.l_orderkey, li.l_linenumber, li.l_extendedprice),
             ("qty", li.l_orderkey, li.l_linenumber, li.l_quantity))
       }.toDF("kind", "l_orderkey", "l_linenumber", "amount")
+    },
+
+    "extract_multi" -> { (s, dir) =>
+      import s.implicits._
+      // multi-input Extract vertex: two upstream branches restructured to a
+      // common shape, unioned, then one extract pass (reference:
+      // runtime/.../graph/Extract.scala:51-67 multi-input case)
+      val shape = StructType(Seq(
+        StructField("key", LongType), StructField("name", StringType)))
+      val a = table(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType).as("key"), col("r_name").as("name"))
+      val b = table(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("key"), col("n_name").as("name"))
+      a.unionAll(b).restructure(shape).as[(Long, String)]
+        .extract { case (k, n) => Seq((k, n, n.length)) }
+        .toDF("key", "name", "name_len")
     },
 
     "update" -> { (s, dir) =>
@@ -122,8 +148,9 @@ object CoreQueries {
     "cogroup" -> { (s, dir) =>
       import s.implicits._
       Groups.cogroup(
-        table(s, dir, "orders").as[Order],
-        table(s, dir, "lineitem").as[Lineitem])(_.o_orderkey, _.l_orderkey) { (k, os, ls) =>
+        table(s, dir, "orders").select("o_orderkey", "o_orderstatus").as[OrderStatus],
+        table(s, dir, "lineitem").select("l_orderkey", "l_quantity").as[LineQty])(
+        _.o_orderkey, _.l_orderkey) { (k, os, ls) =>
         val items = ls.toSeq
         os.map { o =>
           (k, o.o_orderstatus, items.size.toLong, items.iterator.map(_.l_quantity).sum)
@@ -134,7 +161,8 @@ object CoreQueries {
     "groupsort" -> { (s, dir) =>
       import s.implicits._
       // last-shipped lineitem per order (secondary sort, one-pass group scan)
-      Groups.groupSort(table(s, dir, "lineitem").as[Lineitem])(_.l_orderkey)(
+      Groups.groupSort(table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity").as[LineShip])(_.l_orderkey)(
         col("l_shipdate").desc, col("l_linenumber").asc, col("l_quantity").asc) { (_, it) =>
         Iterator.single(it.next())
       }.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
@@ -142,8 +170,8 @@ object CoreQueries {
 
     "fold" -> { (s, dir) =>
       import s.implicits._
-      val accs = table(s, dir, "lineitem").as[Lineitem]
-        .map(li => FoldAcc(li.l_returnflag, li.l_quantity, 1L))
+      val accs = table(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+        .withColumn("cnt", lit(1L)).withColumnRenamed("l_quantity", "qty").as[FoldAcc]
       Groups.fold(accs)(_.l_returnflag)((a, b) => FoldAcc(a.l_returnflag, a.qty + b.qty, a.cnt + b.cnt))
         .map { case (_, a) => a }
         .toDF("l_returnflag", "qty", "cnt")
@@ -337,6 +365,11 @@ object CoreQueries {
       """SELECT 'base' AS kind, l_orderkey, l_linenumber, l_extendedprice AS amount FROM lineitem
         |UNION ALL
         |SELECT 'qty' AS kind, l_orderkey, l_linenumber, l_quantity AS amount FROM lineitem""".stripMargin,
+    "extract_multi" ->
+      """SELECT key, name, length(name) AS name_len FROM (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS key, r_name AS name FROM region
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name FROM nation)""".stripMargin,
     "update" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
