@@ -31,6 +31,7 @@ object GraftSession {
       // fixture events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
       // type — read as long and convert in `table` below
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

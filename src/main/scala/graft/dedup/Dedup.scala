@@ -18,9 +18,9 @@ import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
   * dropping would misreport coverage.
   *
   * Cache contract: the candidate-generating operators persist an
-  * intermediate frame (read by both self-join sides). The cache lives
-  * until the session ends or `spark.catalog.clearCache()`; call the
-  * latter between batches in a long-lived session.
+  * intermediate frame (read by both self-join sides), registered with
+  * [[graft.Caches]] — call `Caches.clear(spark)` between batches in a
+  * long-lived session to release them.
   */
 object Dedup {
 
@@ -51,8 +51,8 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
     // both sides of the self-join read this frame: persist so the
     // signature computation (O(n*k)) runs once, not once per side
-    val guarded = boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets")
-      .persist()
+    val guarded = graft.Caches.track(
+      boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets").persist())
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
     a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
@@ -94,8 +94,8 @@ object Dedup {
         b => call_function("shiftrightunsigned", col("_sig"), b * width)
           .bitwiseAND(lit((1L << width) - 1)))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
-    val guarded = boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets")
-      .persist()
+    val guarded = graft.Caches.track(
+      boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets").persist())
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
     a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
@@ -121,8 +121,8 @@ object Dedup {
     // persisted because the df-cut subquery, the anti-join probe, the
     // per-doc recount, and both self-join sides read it — shingle
     // construction runs once
-    val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
-      .persist()
+    val ex = graft.Caches.track(
+      df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh")).persist())
     // df-cut: ubiquitous shingles are FEW by construction (bounded by
     // vocabulary, not corpus size) -> broadcast anti-join, not a window
     val frequent = ex.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
@@ -152,8 +152,8 @@ object Dedup {
     val ps = VectorFunctions.planes(seed, nPlanes, dim)
     val sigs = df.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
       VectorFunctions.hyperplaneSig(vec, ps).as("_bucket"))
-    val guarded = boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets")
-      .persist()
+    val guarded = graft.Caches.track(
+      boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets").persist())
     val a = guarded.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
     val b = guarded.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
     a.join(b, "_bucket").filter(col("a") < col("b"))

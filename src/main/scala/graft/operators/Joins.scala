@@ -149,8 +149,10 @@ object Joins {
           }
         }
       }
-    // Persist so found/missed ports share one cogroup pass.
+    // Persist so found/missed ports share one cogroup pass (released via
+    // graft.Caches.clear).
     val shared = both.persist()
+    graft.Caches.track(shared.toDF())
     (shared.flatMap(_._1), shared.flatMap(_._2))
   }
 }

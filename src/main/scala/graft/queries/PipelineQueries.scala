@@ -38,6 +38,26 @@ object PipelineQueries {
           max(col("o_totalprice")).as("max_price"))
     },
 
+    /** Bucketed co-located join: both sides written bucketed by the join
+      * key, so the join itself plans with no Exchange — the shuffle was
+      * paid once at write time. The oracle is the plain join (bucketing
+      * must not change results).
+      */
+    "bucketed_join" -> { (s, dir) =>
+      import graft.sinks.Bucketed
+      Bucketed.write(table(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_li_bucketed", bucketBy = Seq("l_orderkey"), nBuckets = 8,
+        sortBy = Seq("l_orderkey"))
+      Bucketed.write(table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        "graft_ord_bucketed", bucketBy = Seq("l_orderkey"), nBuckets = 8,
+        sortBy = Seq("l_orderkey"))
+      Bucketed.read(s, "graft_li_bucketed")
+        .join(Bucketed.read(s, "graft_ord_bucketed"), "l_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
     /** Three parameter rounds (one per order status); the lineitem base
       * projection is a NEVER input (scanned and persisted once for the
       * whole sweep), the per-round master set is PARAMETER-cached.
@@ -81,6 +101,10 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "iterative" ->
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'F' AS round_status
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'

@@ -31,6 +31,29 @@ class OutputPatternSpec extends SparkSpec {
   }
 }
 
+class BucketedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with no shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sinks.Bucketed.write(
+        (1 to 100).map(i => (i.toLong, i * 2)).toDF("k", "a"),
+        "graft_test_ba", bucketBy = Seq("k"), nBuckets = 4, sortBy = Seq("k"))
+      graft.sinks.Bucketed.write(
+        (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "b"),
+        "graft_test_bb", bucketBy = Seq("k"), nBuckets = 4, sortBy = Seq("k"))
+      val j = graft.sinks.Bucketed.read(spark, "graft_test_ba")
+        .join(graft.sinks.Bucketed.read(spark, "graft_test_bb"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() === 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
+
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
