@@ -180,6 +180,92 @@ object WordShingles {
   }
 }
 
+/** Character n-grams of a string, one pass (empty array when shorter than
+  * n). Replaces the transform-over-sequence form whose per-element
+  * interpreted evaluation re-walked the expression tree per gram.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing sliding-window minima over an array of hashes (Schleimer et
+  * al., SIGMOD'03): for each window of `w` consecutive hashes keep the
+  * minimum, dedup and sort. One pass with a monotonic deque — O(n) versus
+  * the O(n·w) interpreted transform+slice+array_min chain.
+  */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowMins.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowMins.compute($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val hs = arr.toLongArray()
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n < w) {
+      var i = 0
+      while (i < n) { mins.add(hs(i)); i += 1 }
+    } else {
+      // monotonic deque of indices, increasing hash values
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < n) {
+        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1) mins.add(hs(deque.peekFirst()))
+        i += 1
+      }
+    }
+    val out = new Array[Long](mins.size())
+    val it = mins.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column wrappers + SQL registration for the sketch expressions.
   * Spark 4 moved Column↔Expression bridging to classic.ExpressionUtils.
   */
@@ -193,6 +279,12 @@ object HashFunctions {
 
   def word_shingles(tokens: Column, k: Int): Column =
     column(WordShingles(expression(tokens), k))
+
+  def char_ngrams(text: Column, n: Int): Column =
+    column(CharNgrams(expression(text), n))
+
+  def winnow_mins(hashes: Column, w: Int): Column =
+    column(WinnowMins(expression(hashes), w))
 
   /** Register as SQL functions on a session (spark.sql usable). For new
     * sessions prefer `withExtensions(new graft.GraftExtensions)`.

@@ -23,11 +23,11 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Character n-grams (empty array when the text is shorter than n). */
+  /** Character n-grams (empty array when the text is shorter than n) —
+    * one-pass custom expression ([[CharNgrams]], codegen'd).
+    */
   def charNgrams(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    HashFunctions.char_ngrams(text, n)
 
   /** Word k-shingles of a token array — a one-pass custom expression
     * ([[WordShingles]]). The composable higher-order-function form was
@@ -103,15 +103,12 @@ object TextFunctions {
   def ngramHashes(text: Column, n: Int = 5): Column =
     transform(charNgrams(text, n), g => xxhash64(g))
 
-  /** Winnow over an already-materialized hash array column (same
-    * per-element re-evaluation contract as [[shinglesOf]]).
+  /** Winnow over an already-materialized hash array column — monotonic-
+    * deque custom expression ([[WinnowMins]], O(n) vs the O(n·w)
+    * interpreted sliding-slice form); returns sorted distinct minima.
     */
-  def winnowFromHashes(hs: Column, w: Int = 4): Column = {
-    val mins = when(size(hs) >= w,
-      transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + 1, lit(w)))))
-      .otherwise(hs)
-    array_sort(array_distinct(mins))
-  }
+  def winnowFromHashes(hs: Column, w: Int = 4): Column =
+    HashFunctions.winnow_mins(hs, w)
 
   /** Convenience one-shot form — use the two-phase pair at scale. */
   def winnowFingerprints(text: Column, n: Int = 5, w: Int = 4): Column =

@@ -1,0 +1,98 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.operators.{AsOf, Joins}
+
+/** Property-based checks over randomized inputs — invariants that single
+  * fixtures can't pin down (the reference has no property tests at all).
+  * Raw ScalaCheck generators with explicit seeds (no scalatest bridge in
+  * the offline cache): deterministic, reproducible samples.
+  */
+object Props {
+  def samples[A](g: Gen[A], n: Int, seed: Long = 7L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default.withSize(30), Seed(seed + i)))
+}
+
+class JoinPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  private val txGen = Gen.listOf(Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0, 20)))
+  private val masterGen = Gen.listOf(Gen.zip(Gen.choose(0, 20), Gen.alphaStr.map(_.take(5))))
+
+  test("masterJoin: found + missed partition the transactions exactly") {
+    for ((txs, masters) <- samples(Gen.zip(txGen, masterGen), 5)) {
+      val tx = txs.zipWithIndex.map { case ((id, k), i) => (id * 100 + i, k) }.toDF("txid", "k")
+      val m = masters.toDF("k", "name")
+      val ports = Joins.masterJoin(tx, m, Seq("k"), output = Seq(col("txid"), col("name")))
+      val found = ports.found.select("txid").as[Long].collect().toSet
+      val missed = ports.missed.select("txid").as[Long].collect().toSet
+      assert(found.intersect(missed).isEmpty)
+      assert(found.union(missed) === tx.select("txid").as[Long].collect().toSet)
+      // found txids are exactly those whose key appears in masters
+      val masterKeys = masters.map(_._1).toSet
+      val txKeys = tx.select("txid", "k").as[(Long, Int)].collect().toMap
+      assert(found === txKeys.filter { case (_, k) => masterKeys(k) }.keySet)
+    }
+  }
+
+  test("asofJoin agrees with the naive quadratic definition") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50)))
+    for ((ls, rs) <- samples(Gen.zip(rows, rows), 5)) {
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "k", "t")
+      val got = AsOf.asofJoin(left, right, Seq("k"), "t", "t", Seq("rid"), Seq("rid"))
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      // naive: per left row, the right row with max (t, rid) among t <= left.t
+      val naive = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt <= t }
+        i.toLong -> cands.sortBy { case ((_, rt), ri) => (rt, ri) }.lastOption.map(_._2.toLong)
+      }.toMap
+      assert(got === naive)
+    }
+  }
+}
+
+class SketchPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+  private val docGen = Gen.listOfN(40, wordGen).map(_.mkString(" "))
+
+  test("minhash estimated Jaccard tracks true shingle Jaccard within 0.25") {
+    for ((d1, d2) <- samples(Gen.zip(docGen, docGen), 5)) {
+      def shingles(d: String) = d.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val trueJ = {
+        val (a, b) = (shingles(d1), shingles(d2))
+        if (a.isEmpty && b.isEmpty) 1.0
+        else a.intersect(b).size.toDouble / a.union(b).size
+      }
+      val df = Seq((0L, d1), (1L, d2)).toDF("doc_id", "text")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val est = graft.dedup.Dedup.minhash(df, "doc_id",
+        TextFunctions.shinglesOf(col("_toks"), 3), threshold = 0.0)
+        .select("est_jaccard").as[Double].collect().headOption.getOrElse(0.0)
+      // 128 hashes -> s.d. ~ sqrt(j(1-j)/128) <= 0.045; 0.25 is ~5 sigma,
+      // and candidates below the LSH s-curve may legitimately return 0
+      assert(est === 0.0 || math.abs(est - trueJ) < 0.25, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("winnow fingerprints are a subset of ngram hashes and order-stable") {
+    for (d <- samples(docGen, 8)) {
+      val df = Seq(d).toDF("t")
+        .withColumn("_hs", TextFunctions.ngramHashes(col("t")))
+        .withColumn("_fps", TextFunctions.winnowFromHashes(col("_hs")))
+      val row = df.select("_hs", "_fps").as[(Seq[Long], Seq[Long])].collect().head
+      assert(row._2.toSet.subsetOf(row._1.toSet))
+      assert(row._2 === row._2.sorted)
+      assert(row._2.distinct === row._2)
+    }
+  }
+}
