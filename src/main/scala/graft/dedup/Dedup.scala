@@ -32,6 +32,22 @@ object Dedup {
     df.groupBy(on.map(col): _*)
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keyed by a 128-bit content fingerprint (two independent
+    * xxhash64 seeds) instead of the raw `on` values: same (keep_id, n_dups)
+    * result, but the aggregation shuffles 16-byte keys rather than full
+    * document text — on a mostly-unique 100 TB corpus that is the
+    * difference between shuffling ~16 B/doc and ~the whole corpus. Use when
+    * the output doesn't need the `on` values themselves. 128 bits keeps the
+    * collision odds negligible at any realistic corpus size (birthday bound
+    * ~2^64 docs); a collision would merge two distinct groups.
+    */
+  def exactFingerprint(df: DataFrame, on: Seq[String], id: String): DataFrame = {
+    val cols = on.map(col)
+    df.groupBy(xxhash64(cols: _*).as("_h1"), xxhash64(lit(0x5eed) +: cols: _*).as("_h2"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .drop("_h1", "_h2")
+  }
+
   /** Candidate pairs sharing an LSH band of the MinHash signature.
     *
     * bands × rows = k; two docs with Jaccard s share ≥1 band with
@@ -55,7 +71,7 @@ object Dedup {
       boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets").persist())
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
-    a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
+    a.hint("merge").join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
       .select("a", "b", "sig_a", "sig_b").dropDuplicates("a", "b")
   }
 
@@ -98,7 +114,7 @@ object Dedup {
       boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets").persist())
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
-    a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
+    a.hint("merge").join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming").dropDuplicates("a", "b")
@@ -133,7 +149,7 @@ object Dedup {
     val withN = freqOk.join(counts, "_id")
     val a = withN.select(col("_sh"), col("_id").as("a"), col("_n").as("na"))
     val b = withN.select(col("_sh"), col("_id").as("b"), col("_n").as("nb"))
-    a.join(b, "_sh").filter(col("a") < col("b"))
+    a.hint("merge").join(b, "_sh").filter(col("a") < col("b"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
@@ -156,7 +172,7 @@ object Dedup {
       boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets").persist())
     val a = guarded.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
     val b = guarded.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
-    a.join(b, "_bucket").filter(col("a") < col("b"))
+    a.hint("merge").join(b, "_bucket").filter(col("a") < col("b"))
       .withColumn("cosine", VectorFunctions.cosineFused(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").dropDuplicates("a", "b")

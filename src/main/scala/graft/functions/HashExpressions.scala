@@ -286,6 +286,15 @@ object HashFunctions {
   def winnow_mins(hashes: Column, w: Int): Column =
     column(WinnowMins(expression(hashes), w))
 
+  def stopword_counts(text: Column, profiles: Seq[Seq[String]]): Column =
+    column(StopwordCounts(expression(text), profiles))
+
+  def ascii_char_count(text: Column, chars: String): Column =
+    column(AsciiCharCount(expression(text), chars))
+
+  def word_shingle_hashes(tokens: Column, k: Int): Column =
+    column(WordShingleHashes(expression(tokens), k))
+
   /** Register as SQL functions on a session (spark.sql usable). For new
     * sessions prefer `withExtensions(new graft.GraftExtensions)`.
     */

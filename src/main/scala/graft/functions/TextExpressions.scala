@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-statistics expressions.
+  *
+  * The composable forms (`size(filter(split(lower(text), " "), _.isin(...)))`
+  * per language) are higher-order functions — Spark evaluates those on the
+  * interpreted path, and a when-chain that references k scores duplicates
+  * the whole tokenize+filter tree per reference. [[StopwordCounts]] replaces
+  * all of it with one tokenization pass per row and a hash lookup per token,
+  * inside whole-stage codegen where identical subtrees are also CSE'd.
+  * Values are bit-identical to the composable forms (same split-on-space,
+  * same `lower` semantics), so the DuckDB oracles are unchanged.
+  */
+
+/** Token count + per-profile stopword hit counts of a text, one pass.
+  *
+  * Output: `array<int>` of length `profiles.size + 1` — element 0 is the
+  * whitespace-token count (empty tokens dropped, exactly
+  * `size(filter(split(text, " "), t => t != ""))`), element i+1 the number
+  * of tokens whose lowercase form appears in `profiles(i)`. A token in
+  * several profiles counts for each (matching the per-language `isin`
+  * semantics). Null text → null.
+  */
+case class StopwordCounts(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] =
+    StopwordCounts.buildLookup(profiles)
+
+  override protected def nullSafeEval(input: Any): Any =
+    StopwordCounts.compute(input.asInstanceOf[UTF8String], lookup, profiles.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("stopwordLookup", lookup, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StopwordCounts.compute($c, $mapRef, ${profiles.length});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordCounts =
+    copy(child = newChild)
+}
+
+object StopwordCounts {
+
+  def buildLookup(profiles: Seq[Seq[String]]): java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    for ((words, i) <- profiles.zipWithIndex; w <- words) {
+      val key = UTF8String.fromString(w).toLowerCase
+      val prev = m.get(key)
+      m.put(key, if (prev == null) Array(i) else prev :+ i)
+    }
+    m
+  }
+
+  def compute(text: UTF8String, lookup: java.util.HashMap[UTF8String, Array[Int]],
+      nProfiles: Int): ArrayData = {
+    val counts = new Array[Int](nProfiles + 1)
+    val bytes = text.getBytes
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    // split on the space byte (0x20 never occurs inside a multi-byte UTF-8
+    // sequence), dropping empty tokens — same as split(text, " ") + filter
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) {
+          counts(0) += 1
+          if (!lookup.isEmpty) {
+            val tok = UTF8String.fromBytes(bytes, start, i - start).toLowerCase
+            val hit = lookup.get(tok)
+            if (hit != null) {
+              var j = 0
+              while (j < hit.length) { counts(hit(j) + 1) += 1; j += 1 }
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+/** Count of characters of `text` contained in the ASCII set `chars` — the
+  * one-pass form of `length(text) - length(regexp_replace(text, "[...]",
+  * ""))`. ASCII bytes never appear inside multi-byte UTF-8 sequences, so a
+  * byte scan counts characters exactly. Null text → null.
+  */
+case class AsciiCharCount(child: Expression, chars: String)
+    extends UnaryExpression {
+  require(chars.forall(_ < 128), s"AsciiCharCount needs ASCII chars (got '$chars')")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val table: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    chars.foreach(c => t(c.toInt) = true)
+    t
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(
+      AsciiCharCount.compute(input.asInstanceOf[UTF8String], table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("charTable", table, "boolean[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AsciiCharCount.compute($c, $tableRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiCharCount =
+    copy(child = newChild)
+}
+
+object AsciiCharCount {
+  def compute(text: UTF8String, table: Array[Boolean]): Int = {
+    val bytes = text.getBytes
+    var c = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && table(b)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** 64-bit hashes of the word k-shingles of a token array, one pass — the
+  * fused form of `transform(word_shingles(toks, k), s => hash(s))` that
+  * never allocates the shingle strings: each shingle's hash is computed by
+  * feeding the k token byte-slices (space-separated) straight into the
+  * FNV-1a/splitmix pipeline of [[Hash64]]. Used where only shingle
+  * *identity* matters (n-gram-Jaccard candidate generation): an 8-byte join
+  * key instead of a multi-word string — at corpus scale this cuts the
+  * explode-shuffle volume ~5-10×. Null/short input → empty array.
+  */
+case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleHashes.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingleHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val t = toks(i + j)
+        var b = 0
+        while (b < t.length) { h ^= (t(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+        j += 1
+      }
+      out(i) = Hash64.mix(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

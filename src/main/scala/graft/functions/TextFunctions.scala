@@ -21,7 +21,11 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** One-pass codegen'd token count (== `size(tokens(text))`, which walks
+    * the interpreted HOF path and allocates the array).
+    */
+  def tokenCount(text: Column): Column =
+    element_at(HashFunctions.stopword_counts(text, Nil), 1)
 
   /** Character n-grams (empty array when the text is shorter than n) —
     * one-pass custom expression ([[CharNgrams]], codegen'd).
@@ -37,6 +41,16 @@ object TextFunctions {
   def shinglesOf(toks: Column, k: Int): Column =
     HashFunctions.word_shingles(toks, k)
 
+  /** 64-bit hashes of the word k-shingles — use instead of [[shinglesOf]]
+    * wherever only shingle identity matters (candidate-generation joins):
+    * same one pass, but 8-byte values instead of strings, so downstream
+    * explodes/shuffles/joins move ~5-10× fewer bytes. Equals
+    * `transform(shinglesOf(toks, k), Hash64.hashString)` without
+    * materializing the strings.
+    */
+  def shingleHashesOf(toks: Column, k: Int): Column =
+    HashFunctions.word_shingle_hashes(toks, k)
+
   /** Convenience one-shot form — fine for small data / tests; at scale use
     * the two-phase `shinglesOf` (see its performance contract).
     */
@@ -50,17 +64,25 @@ object TextFunctions {
     "fr" -> Seq("le", "de", "un", "et", "en", "que", "pour", "dans", "ce", "pas"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
-  /** Number of tokens of `text` found in `words`. */
+  /** Number of tokens of `text` whose lowercase form is in `words` — one
+    * pass ([[StopwordCounts]]); == the interpreted
+    * `size(filter(tokens(lower(text)), _.isin(words)))`.
+    */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => t.isin(words.map(lit): _*)))
+    element_at(HashFunctions.stopword_counts(text, Seq(words)), 2)
 
   /** Heuristic n-gram/stopword language ID over [[stopwords]]: the first
     * language (in profile order) with the maximal hit count. Deterministic
     * and exactly reproducible in SQL (chained >= comparisons in the same
-    * order).
+    * order). All five hit counts come from ONE tokenization pass
+    * ([[StopwordCounts]]); the when-chain's repeated references to the
+    * counts array are CSE'd by whole-stage codegen.
     */
   def langId(text: Column): Column = {
-    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val counts = HashFunctions.stopword_counts(text, stopwords.map(_._2))
+    val scores = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 2)
+    }
     val cases = scores.zipWithIndex.dropRight(1).map { case ((lang, sc), i) =>
       val later = scores.drop(i + 1).map(_._2)
       (later.map(s => sc >= s).reduce(_ && _), lang)
@@ -70,23 +92,28 @@ object TextFunctions {
     }
   }
 
-  /** Count of ASCII punctuation characters. */
+  /** Count of ASCII punctuation characters (one-pass [[AsciiCharCount]];
+    * == `length(text) - length(regexp_replace(text, "[.,!?;:]", ""))`).
+    */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+    HashFunctions.ascii_char_count(text, ".,!?;:")
 
   /** Count of uppercase ASCII letters. */
   def upperCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    HashFunctions.ascii_char_count(text, ('A' to 'Z').mkString)
 
   /** Quality bucket from integer signals only (no float thresholds →
     * bit-exact oracle parity): length window, token count, punctuation
-    * density (punct*20 < length i.e. < 5%), stopword evidence.
+    * density (punct*20 < length i.e. < 5%), stopword evidence. Token and
+    * stopword counts share one [[StopwordCounts]] pass.
     */
   def qualityBucket(text: Column): Column = {
+    val counts = HashFunctions.stopword_counts(
+      text, Seq(stopwords.flatMap(_._2).distinct))
     val len = length(text)
-    val toks = tokenCount(text)
+    val toks = element_at(counts, 1)
     val punct = punctCount(text)
-    val stop = stopwordHits(text, stopwords.flatMap(_._2).distinct)
+    val stop = element_at(counts, 2)
     when(len < 20, "too_short")
       .when(toks < 5, "too_few_tokens")
       .when(punct * 20 > len, "too_much_punct")

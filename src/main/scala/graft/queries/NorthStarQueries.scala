@@ -63,7 +63,9 @@ object NorthStarQueries {
 
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
-      Dedup.exact(tableSpread(s, dir, "documents"), on = Seq("text"), id = "doc_id")
+      // fingerprint-keyed: the oracle groups by text; results agree up to
+      // 128-bit hash collisions (none at any realistic corpus size)
+      Dedup.exactFingerprint(tableSpread(s, dir, "documents"), on = Seq("text"), id = "doc_id")
         .select(col("keep_id"), col("n_dups"))
     },
 
@@ -79,9 +81,12 @@ object NorthStarQueries {
     },
 
     "dedup_ngram" -> { (s, dir) =>
+      // hashed shingles: only shingle identity feeds the Jaccard counts,
+      // so 8-byte join keys replace 5-word strings (same oracle result up
+      // to 64-bit collisions within a doc's shingle set — negligible)
       Dedup.ngramJaccard(
         tableSpread(s, dir, "documents").withColumn("_toks", TextFunctions.tokens(col("text"))),
-        id = "doc_id", shingles = shinglesOf(col("_toks"), 5), threshold = 0.5)
+        id = "doc_id", shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
     },
 
     "dedup_embedding" -> { (s, dir) =>
@@ -98,7 +103,7 @@ object NorthStarQueries {
       val docs = tableSpread(s, dir, "documents")
         .withColumn("bucket", qualityBucket(col("text")))
         .filter(col("bucket") === "ok")
-      val keep = Dedup.exact(docs, on = Seq("text"), id = "doc_id")
+      val keep = Dedup.exactFingerprint(docs, on = Seq("text"), id = "doc_id")
         .select(col("keep_id").as("doc_id"))
       docs.join(keep, "doc_id")
         .select(col("doc_id"), langId(col("text")).as("lang2"), tokenCount(col("text")).as("nt"))

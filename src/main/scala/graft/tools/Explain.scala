@@ -70,6 +70,20 @@ object Explain {
         println("[codegen] WordShingles static call: " + gen.contains("WordShingles.compute"))
         println("[codegen] WSCG subtrees: " + gen.linesIterator.take(1).mkString)
         time("run")(df.count())
+      case Some("conf_sweep") =>
+        // A/B a query under runtime-settable SQL confs:
+        //   Explain conf_sweep <query> key=v[,key=v...] — times base vs set
+        val q = args(1)
+        def run() = { val r = graft.SparkEntry.queries(q)(spark, dir).count()
+          graft.Caches.clear(spark); r }
+        time(s"$q warmup")(run())
+        time(s"$q base")(run())
+        for (kv <- args(2).split(",")) {
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k, v)
+          time(s"$q $kv")(run())
+          spark.conf.unset(k)
+        }
       case Some(q) =>
         val df = graft.SparkEntry.queries(q)(spark, dir)
         df.explain("formatted")

@@ -96,3 +96,60 @@ class SketchPropertiesSpec extends SparkSpec {
     }
   }
 }
+
+/** The one-pass text expressions must be bit-identical to the composable
+  * built-in forms they replaced (the oracles verify the same equality in
+  * SQL; this pins it across randomized inputs including unicode, repeated
+  * spaces, and empty strings).
+  */
+class TextExpressionParitySpec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  private val textGen = Gen.listOf(Gen.oneOf(
+    "the", "und", "que", "DE", "la", "Zürich", "人", "a.b,c!", "", " ",
+    "WORD", "mixedCase", "the.")).map(_.mkString(" "))
+
+  test("StopwordCounts == size(filter(...)) forms; AsciiCharCount == regexp form") {
+    for (t <- samples(textGen, 20) :+ "" :+ "   " :+ "the the THE") {
+      val df = Seq(t).toDF("t")
+      val words = TextFunctions.stopwords.flatMap(_._2).distinct
+      val got = df.select(
+        TextFunctions.tokenCount($"t"),
+        TextFunctions.stopwordHits($"t", words),
+        TextFunctions.punctCount($"t"),
+        TextFunctions.upperCount($"t")).as[(Int, Int, Int, Int)].collect().head
+      val want = df.select(
+        size(filter(split($"t", " "), x => x =!= lit(""))),
+        size(filter(filter(split(lower($"t"), " "), x => x =!= lit("")),
+          x => x.isin(words.map(lit): _*))),
+        length($"t") - length(regexp_replace($"t", "[.,!?;:]", "")),
+        length($"t") - length(regexp_replace($"t", "[A-Z]", "")))
+        .as[(Int, Int, Int, Int)].collect().head
+      assert(got === want, s"text=<$t>")
+    }
+  }
+
+  test("WordShingleHashes == Hash64.hashString over WordShingles") {
+    for (t <- samples(textGen, 12)) {
+      val df = Seq(t).toDF("t")
+        .withColumn("_toks", TextFunctions.tokens($"t"))
+      val (shs, hs) = df.select(
+        TextFunctions.shinglesOf($"_toks", 3),
+        TextFunctions.shingleHashesOf($"_toks", 3)).as[(Seq[String], Seq[Long])].collect().head
+      assert(hs === shs.map(s =>
+        graft.functions.Hash64.hashString(org.apache.spark.unsafe.types.UTF8String.fromString(s))))
+    }
+  }
+
+  test("langId unchanged on tie-break and dominance cases") {
+    val cases = Seq(
+      "the and of to in" -> "en",        // en dominant
+      "der die und den von" -> "de",     // de dominant
+      "de la que el en" -> "es",         // es wins ties with fr on profile order
+      "xyzzy plugh" -> "en")             // zero hits everywhere -> first profile wins the tie
+    for ((t, want) <- cases)
+      assert(Seq(t).toDF("t").select(TextFunctions.langId($"t"))
+        .as[String].collect().head === want, s"text=<$t>")
+  }
+}
