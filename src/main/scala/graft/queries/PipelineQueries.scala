@@ -93,6 +93,41 @@ object PipelineQueries {
             .cast(DoubleType).as("sum_v")))
       StreamOps.drainToBatch(agg)
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
+    },
+
+    /** Stream-stream interval join: clicks joined to same-user purchases
+      * within 30 minutes, both sides watermarked so join state is evicted
+      * (bounded memory on unbounded streams). The fixture loads as one
+      * micro-batch, so no rows age out and the batch SQL join is an exact
+      * oracle.
+      */
+    "stream_join" -> { (s, dir) =>
+      def side(tpe: String, prefix: String) =
+        StreamOps.parquetStream(s, s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+      val joined = StreamOps.intervalJoin(
+        side("click", "c"), "c_ts", side("purchase", "p"), "p_ts",
+        keys = Seq("c_user" -> "p_user"), within = "30 minutes", watermark = "2 hours")
+      StreamOps.drainToBatch(joined, outputMode = "append")
+        .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"), col("p_value").as("purchase_value"))
+    },
+
+    /** Streaming dedup within the watermark horizon
+      * (dropDuplicatesWithinWatermark): emits each (user_id, event_type)
+      * once; which physical row survives is nondeterministic, so the query
+      * projects the keys only and the oracle is SELECT DISTINCT.
+      */
+    "stream_dedup" -> { (s, dir) =>
+      val raw = StreamOps.parquetStream(s, s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = StreamOps.dedupStream(raw, "ts", watermark = "2 hours",
+        keys = Seq("user_id", "event_type"))
+      StreamOps.drainToBatch(deduped, outputMode = "append")
+        .select(col("user_id"), col("event_type"))
     }
   )
 
@@ -118,6 +153,15 @@ object PipelineQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       COUNT(*) AS n,
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_v
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

@@ -44,6 +44,34 @@ object StreamOps {
       .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Watermarked stream-stream inner join: a left row matches right rows
+    * with equal `keys` whose event time lies in [leftTs, leftTs + within].
+    * Both sides carry watermarks, so the join's state store evicts rows
+    * once they can no longer match — bounded state, the only viable shape
+    * for an unbounded 100 TB/day stream (an unwatermarked stream-stream
+    * join buffers forever). Caller must disambiguate column names first.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
+      keys: Seq[(String, String)], within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+    val timeCond = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
+  /** Streaming dedup: drop records whose `keys` were already seen within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`): state is
+    * evicted as the watermark advances, so memory stays O(distinct keys
+    * per horizon) instead of O(all keys ever) — exact-once filtering for
+    * event streams where duplicates arrive close together (retries,
+    * at-least-once sources).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
   /** Custom stateful processing: per-key state folded over arriving
     * records, updated state emitted each batch (Update mode). The
     * Spark-native form of "user code with state per key" —

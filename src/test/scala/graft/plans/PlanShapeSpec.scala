@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkSpec}
+import graft.operators.Joins
+
+/** Physical-plan regression tests for the properties that make the engine
+  * viable at 100 TB — correctness tests can't catch a silently re-added
+  * shuffle or a filter that stopped reaching the scan, so these pin the
+  * plan shape itself:
+  *
+  *  - predicate pushdown + column pruning reach the parquet scan
+  *  - dimension-sized masters plan as broadcast joins (no full shuffle)
+  *  - bucketed tables join with NO exchange on either side
+  *  - fingerprint dedup keeps full document text out of the exchange
+  */
+class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame) = {
+    df.count() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan
+  }
+
+  private def scans(df: DataFrame) = {
+    val plan = executed(df)
+    collect(plan) { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+  }
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val q = GraftSession.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = scans(q).head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity"),
+      scan.metadata("PushedFilters"))
+    // pruned read schema: exactly the two referenced columns
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("l_orderkey", "l_quantity"), readCols.toString)
+  }
+
+  test("broadcastMaster plans a broadcast join, not an exchange of the fact side") {
+    val li = GraftSession.table(spark, dir, "lineitem")
+    val orders = GraftSession.table(spark, dir, "orders")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val q = Joins.masterJoin(li, orders, Seq("l_orderkey"),
+      output = Seq(col("l_orderkey"), col("o_orderstatus")),
+      broadcastMaster = true, uniqueMaster = true).found
+    val plan = executed(q)
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"fact side shuffled despite broadcast master:\n$plan")
+  }
+
+  test("bucketed-by-key tables join with zero exchanges") {
+    import graft.sinks.Bucketed
+    Bucketed.write(GraftSession.table(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "plan_spec_li", bucketBy = Seq("l_orderkey"), nBuckets = 4, sortBy = Seq("l_orderkey"))
+    Bucketed.write(GraftSession.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+      "plan_spec_ord", bucketBy = Seq("l_orderkey"), nBuckets = 4, sortBy = Seq("l_orderkey"))
+    val q = Bucketed.read(spark, "plan_spec_li")
+      .join(Bucketed.read(spark, "plan_spec_ord"), "l_orderkey")
+    val plan = executed(q)
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed join still exchanges:\n$plan")
+    assert(collect(plan) { case j: SortMergeJoinExec => j }.nonEmpty ||
+      collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+  }
+
+  test("fingerprint dedup exchanges hashes, not document text") {
+    val docs = GraftSession.table(spark, dir, "documents")
+    val q = graft.dedup.Dedup.exactFingerprint(docs, on = Seq("text"), id = "doc_id")
+    val plan = executed(q)
+    val exchanges = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    for (e <- exchanges; attr <- e.output)
+      assert(attr.name != "text",
+        s"full text crossed the exchange:\n${e.output.mkString(", ")}")
+  }
+
+  test("groupBy partial-aggregates map-side before the exchange") {
+    val q = GraftSession.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    val plan = executed(q)
+    val aggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // partial + final pair around the exchange
+    assert(aggs.size >= 2, plan.toString)
+    val ex = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(ex.nonEmpty && ex.forall(_.output.length <= 3),
+      "exchange carries partial aggregates only")
+  }
+}
