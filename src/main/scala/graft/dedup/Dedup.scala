@@ -134,23 +134,39 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: String, shingles: Column, threshold: Double,
       maxShingleFreq: Int = 1000): DataFrame = {
-    // persisted because the df-cut subquery, the anti-join probe, the
-    // per-doc recount, and both self-join sides read it — shingle
-    // construction runs once
-    val ex = graft.Caches.track(
-      df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh")).persist())
-    // df-cut: ubiquitous shingles are FEW by construction (bounded by
-    // vocabulary, not corpus size) -> broadcast anti-join, not a window
-    val frequent = ex.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxShingleFreq).select(col("_sh"))
-    val freqOk = ex.join(broadcast(frequent), Seq("_sh"), "left_anti")
-    // per-doc counts over surviving shingles (consistent with `common`)
-    val counts = freqOk.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val withN = freqOk.join(counts, "_id")
-    val a = withN.select(col("_sh"), col("_id").as("a"), col("_n").as("na"))
-    val b = withN.select(col("_sh"), col("_id").as("b"), col("_n").as("nb"))
-    a.hint("merge").join(b, "_sh").filter(col("a") < col("b"))
-      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
+    // ONE shuffle builds the postings list (shingle -> sorted doc ids); the
+    // df-cut is a filter on that same aggregation — no separate counting
+    // pass, no anti-join, and everything downstream reads aggregated data
+    // instead of the raw exploded frame. Dropped ubiquitous shingles are
+    // reported via observe, same contract as the banded dedups.
+    val postings = graft.Caches.track(
+      ex.groupBy(col("_sh"))
+        .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+        .withColumn("_df", size(col("_ids")))
+        .observe("ngram_postings",
+          sum(when(col("_df") > maxShingleFreq, 1).otherwise(0)).as("ngram_postings_dropped"))
+        .filter(col("_df") <= maxShingleFreq)
+        .select(col("_ids"))
+        .persist())
+    // per-doc surviving-shingle counts (consistent with `common`)
+    val counts = postings.select(explode(col("_ids")).as("_id"))
+      .groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    // co-occurrence: emit each posting's (a < b) pairs and count. A posting
+    // of d docs emits d(d-1)/2 pairs — bounded by maxShingleFreq², and the
+    // iterator streams (no per-group materialization).
+    val pairs = postings.as[Seq[Long]]
+      .flatMap { ids =>
+        for { i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator }
+          yield (ids(i), ids(j))
+      }
+      .toDF("a", "b")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val na = counts.withColumnsRenamed(Map("_id" -> "a", "_n" -> "na"))
+    val nb = counts.withColumnsRenamed(Map("_id" -> "b", "_n" -> "nb"))
+    pairs.join(na, "a").join(nb, "b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
