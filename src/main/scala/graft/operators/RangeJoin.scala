@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: pair each left record with the right records of
+  * the same key whose time falls in `[leftTime + lower, leftTime + upper]`
+  * — the "events within the preceding hour" shape every event pipeline
+  * needs. Spark plans a naive time-range join as a per-key nested loop
+  * (O(|L|·|R|) per key); at 100 TB that is a non-starter.
+  *
+  * Implementation: quantize time into fixed-width buckets, explode each
+  * left row to the buckets its window overlaps (a bounded
+  * ⌈(upper−lower)/width⌉+1 copies — width defaults to the window span, so
+  * ≤ 2), then equi-join on (key, bucket) and re-check the exact range
+  * predicate. The join is a plain shuffled/broadcast hash join on
+  * (key, bucket): one shuffle, codegen-friendly, AQE-skew-splittable, and
+  * the bucket term spreads a hot key's rows over time so a single key's
+  * traffic no longer lands in one task.
+  */
+object RangeJoin {
+
+  /** @param lowerMicros window start offset relative to the left time
+    *                    (microseconds, typically negative)
+    * @param upperMicros window end offset
+    * @param bucketMicros bucket width; defaults to the window span.
+    *                     Wider buckets → fewer probe copies but more
+    *                     false candidates re-checked by the residual
+    *                     predicate.
+    *
+    * Column name collisions between the two inputs are fine for the join
+    * condition (resolved per side) but the caller should alias overlapping
+    * payload columns before selecting from the result, as with any Spark
+    * join. With an outer `joinType`, unmatched left rows surface once per
+    * overlapped bucket — aggregate by a left key or dedup downstream.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      lowerMicros: Long, upperMicros: Long,
+      bucketMicros: Long = -1L,
+      includeLower: Boolean = true, includeUpper: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
+    require(upperMicros >= lowerMicros, "empty window")
+    val width = if (bucketMicros > 0) bucketMicros
+      else math.max(upperMicros - lowerMicros, 1L)
+    val l = left
+      .withColumn("_t_micros", unix_micros(col(leftTime)))
+      .withColumn("_bucket", explode(sequence(
+        floor((col("_t_micros") + lowerMicros) / width),
+        floor((col("_t_micros") + upperMicros) / width))))
+    val r = right.withColumn("_rt_micros", unix_micros(col(rightTime)))
+      .withColumn("_rbucket", floor(col("_rt_micros") / width))
+    val lowerPred =
+      if (includeLower) r("_rt_micros") >= l("_t_micros") + lowerMicros
+      else r("_rt_micros") > l("_t_micros") + lowerMicros
+    val upperPred =
+      if (includeUpper) r("_rt_micros") <= l("_t_micros") + upperMicros
+      else r("_rt_micros") < l("_t_micros") + upperMicros
+    val cond = (keys.map(k => l(k) === r(k)) :+
+      (l("_bucket") === r("_rbucket")) :+ (lowerPred && upperPred)).reduce(_ && _)
+    l.join(r, cond, joinType)
+      .drop("_bucket", "_rbucket", "_t_micros", "_rt_micros")
+  }
+}

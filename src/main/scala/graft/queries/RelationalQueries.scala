@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftSession.table
-import graft.operators.{AsOf, Skew}
+import graft.operators.{AsOf, RangeJoin, Skew}
 import graft.operators.Groups.{SummarizeOp, SummarizeSpec}
 
 /** Relational operators the reference deliberately lacks (its users write
@@ -136,6 +136,64 @@ object RelationalQueries {
         salt = 16)
     },
 
+    /** Lag/lead + frame-bounded running aggregate: one shuffle per window
+      * partition spec; the three functions share a single Window node.
+      */
+    "window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").asc, col("l_quantity").asc, col("l_extendedprice").asc)
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"),
+          sum(col("l_quantity")).over(w.rowsBetween(-2, 0)).as("qty_window3"))
+    },
+
+    /** Grouping sets beyond rollup/cube: an explicit, non-hierarchical
+      * set list — (flag, status), (status), ().
+      */
+    "grouping_sets" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    /** Exact percentiles (single-pass sort-based aggregate; the
+      * interpolation positions land on exact binary fractions of integer
+      * quantities, so the DuckDB `quantile_cont` oracle matches at full
+      * float precision).
+      */
+    "percentile" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity").cast(DoubleType), lit(0.25)).as("p25"),
+          percentile(col("l_quantity").cast(DoubleType), lit(0.5)).as("p50"),
+          percentile(col("l_quantity").cast(DoubleType), lit(0.75)).as("p75"))
+    },
+
+    /** Interval join via [[graft.operators.RangeJoin]]: views of the same
+      * user in the hour before each purchase, counted per purchase. The
+      * bucketed rewrite keeps it a single equi-join shuffle (no per-key
+      * nested loop) with ≤2 probe copies per row.
+      */
+    "range_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      RangeJoin.rangeJoin(purchases, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "view_ts",
+        lowerMicros = -3600L * 1000000L, upperMicros = 0L,
+        includeUpper = false, joinType = "left_outer")
+        .groupBy(col("event_id"))
+        .agg(count(col("view_ts")).as("n_prior_views"))
+    },
+
     /** Approximate distinct (HLL) next to the exact count — rows-only
       * check (sketch internals differ across engines by design); the spec
       * asserts the approximation error bound instead.
@@ -185,6 +243,33 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "window_lag" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       lag(l_quantity, 1) OVER w AS prev_qty,
+        |       lead(l_quantity, 1) OVER w AS next_qty,
+        |       SUM(l_quantity) OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC
+        |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_window3
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC)""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+    "percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS p50,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "range_join" ->
+      """SELECT p.event_id, COUNT(v.ts) AS n_prior_views
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |GROUP BY 1""".stripMargin,
     "salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

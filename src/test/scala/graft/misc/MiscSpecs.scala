@@ -100,6 +100,29 @@ class AsOfSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("rangeJoin finds rows across bucket boundaries, honors open upper bound") {
+    // window = [t-60s, t) with the default 60s buckets: left t=1000 spans
+    // buckets 15 and 16; candidates at 941 (bucket 15) and 990 (bucket 16)
+    // match, 900 is below the window, 1000 is excluded by the open bound.
+    val left = Seq((1L, 10L, 1000L), (2L, 99L, 1000L))
+      .toDF("id", "k", "sec").withColumn("t", timestamp_seconds(col("sec")))
+    val right = Seq((50L, 10L, 941L), (51L, 10L, 990L), (52L, 10L, 900L), (53L, 10L, 1000L))
+      .toDF("rid", "k", "rsec").withColumn("rt", timestamp_seconds(col("rsec")))
+    val out = graft.operators.RangeJoin.rangeJoin(
+      left, right, Seq("k"), "t", "rt",
+      lowerMicros = -60L * 1000000L, upperMicros = 0L,
+      includeUpper = false, joinType = "left_outer")
+      .groupBy(col("id")).agg(count(col("rid")).as("n"), collect_set(col("rid")).as("rids"))
+      .as[(Long, Long, Set[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((2L, Set(50L, 51L))))
+    assert(out(2L) === ((0L, Set.empty[Long]))) // unmatched key, still present once
+  }
+}
+
 class DirectOutputSpec extends SparkSpec {
   import spark.implicits._
 
