@@ -91,7 +91,7 @@ object PipelineQueries {
         aggs = Seq(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
             .cast(DoubleType).as("sum_v")))
-      StreamOps.drainToBatch(agg)
+      StreamOps.drainToBatch(agg, statePartitions = 8)
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
     },
 
@@ -111,7 +111,7 @@ object PipelineQueries {
       val joined = StreamOps.intervalJoin(
         side("click", "c"), "c_ts", side("purchase", "p"), "p_ts",
         keys = Seq("c_user" -> "p_user"), within = "30 minutes", watermark = "2 hours")
-      StreamOps.drainToBatch(joined, outputMode = "append")
+      StreamOps.drainToBatch(joined, outputMode = "append", statePartitions = 8)
         .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
           col("p_id").as("purchase_id"), col("p_value").as("purchase_value"))
     },
@@ -126,7 +126,7 @@ object PipelineQueries {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val deduped = StreamOps.dedupStream(raw, "ts", watermark = "2 hours",
         keys = Seq("user_id", "event_type"))
-      StreamOps.drainToBatch(deduped, outputMode = "append")
+      StreamOps.drainToBatch(deduped, outputMode = "append", statePartitions = 8)
         .select(col("user_id"), col("event_type"))
     }
   )

@@ -99,16 +99,30 @@ object StreamOps {
     * the stream shape: "complete" for aggregations (the default here),
     * "append" for plain transforms, "update" for stateful operators.
     */
-  def drainToBatch(stream: DataFrame, outputMode: String = "complete"): DataFrame = {
+  def drainToBatch(stream: DataFrame, outputMode: String = "complete",
+      statePartitions: Int = -1): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = stream.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // The stateful-operator partition count is a first-class streaming
+    // knob: it is frozen into the checkpoint at first start and every
+    // micro-batch commits one state-store delta PER partition PER stateful
+    // operator, so it must be sized to state volume (keys in the watermark
+    // horizon), not to the batch shuffle default — tiny local streams wear
+    // 32 near-empty store commits per batch otherwise; a 100 TB/day stream
+    // sizes it up instead. Applied via the session conf (what streaming
+    // reads at query start) and restored after the drain.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (statePartitions > 0) spark.conf.set(key, prev)
     spark.table(name)
   }
 }

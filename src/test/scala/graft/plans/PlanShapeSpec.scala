@@ -85,6 +85,25 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"full text crossed the exchange:\n${e.output.mkString(", ")}")
   }
 
+  test("rangeJoin plans as an equi-join, never a nested loop") {
+    val ev = GraftSession.table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val q = graft.operators.RangeJoin.rangeJoin(purchases, views, Seq("user_id"),
+      "ts", "view_ts", lowerMicros = -3600L * 1000000L, upperMicros = 0L,
+      includeUpper = false)
+    val plan = executed(q)
+    val loops = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty, s"range join fell back to a nested loop:\n$plan")
+    assert(collect(plan) { case j: SortMergeJoinExec => j }.nonEmpty ||
+      collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+  }
+
   test("groupBy partial-aggregates map-side before the exchange") {
     val q = GraftSession.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
