@@ -8,6 +8,7 @@ import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.model.Document
+import graft.operators.Sampling
 import graft.similarity.Ann
 
 /** LLM-training-data-pipeline operators over the documents / embeddings
@@ -172,6 +173,53 @@ object NorthStarQueries {
           }
         }
         .toDF("doc_id", "n_bytes", "checksum", "h0", "h1", "h2", "h3", "mime")
+    },
+
+    // ---- corpus statistics + sampling -------------------------------------
+
+    /** Vocabulary / inverted-index statistics: per term, the document
+      * frequency, total and max term frequency — the corpus-wide pass
+      * behind tokenizer training and tf-idf. Two partial-aggregated
+      * shuffles ((doc,term) then term); the exchange carries counts, never
+      * text.
+      */
+    "vocab_index" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          max(col("tf")).as("max_tf"))
+    },
+
+    /** Deterministic 80/10/10 split via explicit multiplicative hashing —
+      * stable across engines and re-runs (the oracle computes the same
+      * arithmetic in DuckDB and agrees exactly).
+      */
+    "train_test_split" -> { (s, dir) =>
+      Sampling.deterministicSplit(table(s, dir, "documents"), col("doc_id"),
+        weights = Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    },
+
+    /** At most 20 documents per source, selected by deterministic hash
+      * order (uniform, reproducible, exact DuckDB oracle).
+      */
+    "sample_per_group" -> { (s, dir) =>
+      Sampling.capPerGroup(table(s, dir, "documents"), keys = Seq("source"),
+        k = 20, id = col("doc_id"))
+        .select(col("source"), col("doc_id"))
+    },
+
+    /** Stratified Bernoulli sample per language (seeded; rows-only check —
+      * RNG streams differ by engine; SamplingSpec asserts the per-stratum
+      * rates instead).
+      */
+    "stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(table(s, dir, "documents"), strata = "lang",
+        fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), seed = 7L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
     }
   )
 
@@ -283,6 +331,37 @@ object NorthStarQueries {
          |                      c.vec_id ASC) AS rank
          |  FROM embeddings q, embeddings c
          |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
-         |WHERE rank <= $AnnK""".stripMargin
+         |WHERE rank <= $AnnK""".stripMargin,
+    "vocab_index" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY 1, 2
+        |)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |       CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |       CAST(MAX(tf) AS BIGINT) AS max_tf
+        |FROM tf GROUP BY 1""".stripMargin,
+    "train_test_split" ->
+      """WITH b AS (
+        |  SELECT ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+        |         n_chars
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM b GROUP BY 1""".stripMargin,
+    "sample_per_group" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY ((doc_id * 2654435761) % 4294967296) % 1073741824 ASC,
+        |                      doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin
   )
 }

@@ -149,3 +149,46 @@ class JoinOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 }
+
+class SamplingSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sampling
+
+  test("deterministicSplit hits the requested proportions and is stable") {
+    val ids = (0L until 10000L).toDF("id")
+    val split = Sampling.deterministicSplit(ids, col("id"),
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000L) < 200, counts.toString) // hash uniformity
+    assert(math.abs(counts("valid") - 1000L) < 150, counts.toString)
+    // stability: identical assignment on re-run (no RNG state)
+    val again = Sampling.deterministicSplit(ids, col("id"),
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+    assert(split.except(again).count() === 0L)
+  }
+
+  test("capPerGroup keeps at most k per group, all of smaller groups") {
+    val df = (Seq.tabulate(100)(i => ("big", i.toLong)) ++
+      Seq.tabulate(3)(i => ("small", 1000L + i))).toDF("g", "id")
+    val capped = Sampling.capPerGroup(df, Seq("g"), k = 10, id = col("id"))
+    val byG = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("big") === 10L)
+    assert(byG("small") === 3L)
+    // deterministic choice: same 10 ids every time
+    val again = Sampling.capPerGroup(df, Seq("g"), k = 10, id = col("id"))
+    assert(capped.except(again).count() === 0L)
+  }
+
+  test("stratifiedSample approximates per-stratum fractions, drops unlisted strata") {
+    val df = (Seq.tabulate(2000)(i => ("en", i.toLong)) ++
+      Seq.tabulate(2000)(i => ("de", 10000L + i)) ++
+      Seq.tabulate(100)(i => ("xx", 20000L + i))).toDF("lang", "id")
+    val s = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.1), seed = 7L)
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") - 1000L) < 150, byLang.toString)
+    assert(math.abs(byLang("de") - 200L) < 100, byLang.toString)
+    assert(!byLang.contains("xx"))
+  }
+}
