@@ -43,22 +43,26 @@ object RangeJoin {
     require(upperMicros >= lowerMicros, "empty window")
     val width = if (bucketMicros > 0) bucketMicros
       else math.max(upperMicros - lowerMicros, 1L)
+    // plan aliases (not DataFrame-instance refs) keep the key equality
+    // unambiguous when both inputs derive from the same scan (self-join)
     val l = left
       .withColumn("_t_micros", unix_micros(col(leftTime)))
       .withColumn("_bucket", explode(sequence(
         floor((col("_t_micros") + lowerMicros) / width),
         floor((col("_t_micros") + upperMicros) / width))))
+      .alias("_rj_l")
     val r = right.withColumn("_rt_micros", unix_micros(col(rightTime)))
       .withColumn("_rbucket", floor(col("_rt_micros") / width))
-    val lowerPred =
-      if (includeLower) r("_rt_micros") >= l("_t_micros") + lowerMicros
-      else r("_rt_micros") > l("_t_micros") + lowerMicros
-    val upperPred =
-      if (includeUpper) r("_rt_micros") <= l("_t_micros") + upperMicros
-      else r("_rt_micros") < l("_t_micros") + upperMicros
-    val cond = (keys.map(k => l(k) === r(k)) :+
-      (l("_bucket") === r("_rbucket")) :+ (lowerPred && upperPred)).reduce(_ && _)
+      .alias("_rj_r")
+    val lt = col("_rj_l._t_micros")
+    val rt = col("_rj_r._rt_micros")
+    val lowerPred = if (includeLower) rt >= lt + lowerMicros else rt > lt + lowerMicros
+    val upperPred = if (includeUpper) rt <= lt + upperMicros else rt < lt + upperMicros
+    val cond = (keys.map(k => col(s"_rj_l.$k") === col(s"_rj_r.$k")) :+
+      (col("_rj_l._bucket") === col("_rj_r._rbucket")) :+
+      (lowerPred && upperPred)).reduce(_ && _)
     l.join(r, cond, joinType)
-      .drop("_bucket", "_rbucket", "_t_micros", "_rt_micros")
+      .drop(col("_rj_l._bucket")).drop(col("_rj_l._t_micros"))
+      .drop(col("_rj_r._rbucket")).drop(col("_rj_r._rt_micros"))
   }
 }

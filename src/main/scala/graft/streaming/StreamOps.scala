@@ -114,15 +114,31 @@ object StreamOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    // the drain is a synchronous test/verify sink, so its checkpoint needs
+    // no durability — put state-store deltas on the RAM disk when one
+    // exists (a production stream would point checkpointLocation at
+    // durable storage instead)
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_")
     try {
       val q = stream.writeStream
         .outputMode(outputMode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally if (statePartitions > 0) spark.conf.set(key, prev)
+    } finally {
+      if (statePartitions > 0) spark.conf.set(key, prev)
+      // best-effort cleanup so repeated drains don't fill the tmpfs
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ckpt.toFile)
+    }
     spark.table(name)
   }
 }
