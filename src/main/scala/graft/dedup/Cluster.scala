@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: the dedup operators emit similarity
+  * PAIRS, but a pipeline keeps one canonical document per duplicate
+  * CLUSTER — near-duplication is not transitive, so A~B and B~C must
+  * collapse {A,B,C} even when A~C was never scored. That is connected
+  * components over the similarity graph.
+  */
+object Cluster {
+
+  /** Distributed connected components by hash-min label propagation:
+    * every node starts labeled with its own id and each round takes the
+    * min of its and its neighbors' labels (one equi-join + one min
+    * aggregate per round — all shuffles on the node id, no driver-side
+    * graph). Rounds needed = graph diameter, which for duplicate clusters
+    * is small (near-clique components); a worst-case long-chain graph at
+    * web scale would want the O(log n)-round star-contraction variant
+    * (Kiveris et al., "Connected Components in MapReduce"), which this
+    * API could swap in without changing callers.
+    *
+    * Returns one row per node appearing in `edges`: (id, component) with
+    * component = min node id of the connected component. Early-exits when
+    * a round changes no label.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not just persist) each round: it truncates the
+    // logical plan, which otherwise grows by a join+union+agg per round
+    // and blows up analysis/codegen after ~10 rounds — THE classic
+    // iterative-DataFrame failure. A restartable production job would use
+    // reliable checkpoint() to durable storage instead.
+    var labels = und.groupBy(col("a")).agg(min(col("b")).as("m"))
+      .select(col("a").as("id"), least(col("a"), col("m")).as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = und.join(labels, und("a") === labels("id"))
+        .select(und("b").as("id"), col("comp"))
+      val next = labels.unionAll(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.except(labels).isEmpty
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+}

@@ -175,6 +175,20 @@ object NorthStarQueries {
         .toDF("doc_id", "n_bytes", "checksum", "h0", "h1", "h2", "h3", "mime")
     },
 
+    /** Near-dup pairs collapsed to duplicate clusters (connected
+      * components over the n-gram-Jaccard similarity graph): one
+      * (doc, component) row per clustered doc, component = min doc_id.
+      * A~B and B~C land in one cluster even when A~C was never scored.
+      */
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccard(
+        tableSpread(s, dir, "documents").withColumn("_toks", TextFunctions.tokens(col("text"))),
+        id = "doc_id", shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
+        .select(col("a"), col("b"))
+      graft.dedup.Cluster.connectedComponents(pairs, "a", "b")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    },
+
     // ---- corpus statistics + sampling -------------------------------------
 
     /** Vocabulary / inverted-index statistics: per term, the document
@@ -332,6 +346,31 @@ object NorthStarQueries {
          |  FROM embeddings q, embeddings c
          |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
          |WHERE rank <= $AnnK""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex AS (
+        |  SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        |FROM reach GROUP BY src""".stripMargin,
     "vocab_index" ->
       """WITH tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf

@@ -89,3 +89,24 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+class ClusterSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents collapses multi-hop chains to min-id components") {
+    // chain 1-2-3 (1~3 never scored) + separate pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = graft.dedup.Cluster.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents handles a long chain within maxIter") {
+    val n = 12
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val comps = graft.dedup.Cluster.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size === n + 1)
+    assert(comps.values.toSet === Set(0L))
+  }
+}
