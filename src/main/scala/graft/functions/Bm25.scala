@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring over a document corpus — the standard lexical
+  * ranking function (Robertson et al.), and the scoring half of the
+  * vocabulary statistics in `vocab_index`.
+  *
+  * Plan shape at scale: two shuffles on doc id (term frequencies, doc
+  * lengths), one on term (document frequencies), and a single-row corpus
+  * stats aggregate broadcast to every task — no driver-side loops, all
+  * expressions codegen'd.
+  */
+object Bm25 {
+
+  /** Per-(doc, term) BM25 scores: (id, term, score). */
+  def scores(docs: DataFrame, id: String, text: Column,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(id), explode(TextFunctions.tokens(text)).as("term"))
+    val tf = toks.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = toks.groupBy(col(id))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val tfNorm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dl, id)
+      .crossJoin(broadcast(stats))
+      .join(dfr, "term")
+      .select(col(id), col("term"), (idf * tfNorm).as("score"))
+  }
+
+  /** Top-k documents per query term by BM25, deterministic tie-break on
+    * id. The score itself stays internal (engine log/division ulps
+    * differ); the ranking is the contract.
+    */
+  def topDocs(docs: DataFrame, id: String, text: Column, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col(id).asc)
+    scores(docs, id, text, k1, b)
+      .filter(col("term").isin(terms: _*))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank"), col(id))
+  }
+}

@@ -27,6 +27,27 @@ object VectorFunctions {
   def cosineFused(a: Column, b: Column): Column =
     VectorExprFunctions.cosine_fused(d(a), d(b))
 
+  /** Symmetric int8 quantization: codes = round(x / scale) with
+    * scale = max|x| / 127 — 4× smaller than float32 on the wire and in
+    * the ANN index, the standard storage/recall trade for embedding
+    * columns at corpus scale. Returns struct(scale, codes).
+    */
+  def quantizeInt8(v: Column): Column = {
+    // MinPositiveValue guard: an all-zero vector quantizes to zeros
+    // instead of NaN codes from 0/0
+    val scale = greatest(
+      aggregate(d(v), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0,
+      lit(java.lang.Double.MIN_VALUE))
+    struct(scale.as("scale"),
+      transform(d(v), x => round(x / scale).cast("tinyint")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes * scale, back to array<double>
+    * (max error scale/2 per component).
+    */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** Deterministic pseudo-random hyperplanes: `planes(seed, nPlanes, dim)`
     * via splitmix64 mapped to [-1, 1). Generated driver-side (tiny), used
     * as a literal so the comparison is pure codegen per row.

@@ -189,6 +189,32 @@ object NorthStarQueries {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     },
 
+    /** BM25 top-5 documents for three query terms. The float score stays
+      * internal (engine ln/division ulps differ); the output contract is
+      * the ranking with a deterministic id tie-break, which the DuckDB
+      * oracle reproduces from the same formula.
+      */
+    "text_bm25" -> { (s, dir) =>
+      graft.functions.Bm25.topDocs(table(s, dir, "documents"), id = "doc_id",
+        text = col("text"), terms = Seq("spark", "join", "data"), k = 5)
+    },
+
+    /** Int8-quantized embeddings: 4x smaller storage for the ANN index;
+      * per-vector reconstruction quality reported (rows-only — float
+      * rounding at .5 code boundaries is engine-specific; the spec pins
+      * the error bound instead).
+      */
+    "embedding_quantize" -> { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val emb = table(s, dir, "embeddings")
+        .withColumn("q", VectorFunctions.quantizeInt8(col("embedding")))
+        .withColumn("deq", VectorFunctions.dequantizeInt8(col("q")))
+      emb.select(col("vec_id"),
+        VectorFunctions.cosineFused(col("embedding"), col("deq")).as("fidelity"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("fidelity") >= 0.999, 1L).otherwise(0L)).as("n_high_fidelity"))
+    },
+
     // ---- corpus statistics + sampling -------------------------------------
 
     /** Vocabulary / inverted-index statistics: per term, the document
@@ -346,6 +372,35 @@ object NorthStarQueries {
          |  FROM embeddings q, embeddings c
          |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
          |WHERE rank <= $AnnK""".stripMargin,
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        |  FROM toks WHERE term <> '' GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+        |), dfr AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM t GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+        |         (t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM t
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  JOIN dfr USING (term)
+        |  WHERE t.term IN ('spark', 'join', 'data')
+        |)
+        |SELECT term, rank, doc_id FROM (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term
+        |             ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

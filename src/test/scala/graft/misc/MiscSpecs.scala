@@ -185,3 +185,51 @@ class RoundsSpec extends SparkSpec {
     rounds.close()
   }
 }
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("bm25 ranks the term-dense short doc first, respects idf") {
+    val docs = Seq(
+      (1L, "apple apple apple banana"),
+      (2L, "apple banana banana cherry cherry cherry cherry"),
+      (3L, "banana cherry date date date date date date date date")).toDF("doc_id", "text")
+    val top = graft.functions.Bm25.topDocs(docs, "doc_id", col("text"),
+      terms = Seq("apple"), k = 3)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    // doc1: tf=3 in 4 tokens beats doc2: tf=1 in 7 tokens
+    assert(top === Array(1L, 2L))
+    val scores = graft.functions.Bm25.scores(docs, "doc_id", col("text"))
+      .as[(Long, String, Double)].collect()
+      .map { case (d, t, s) => (d, t) -> s }.toMap
+    // idf: 'apple' (2 docs) out-scores 'banana' (3 docs) at equal tf/dl
+    assert(scores((1L, "apple")) > scores((1L, "banana")))
+    // all scores positive and finite
+    assert(scores.values.forall(s => s > 0 && java.lang.Double.isFinite(s)))
+  }
+}
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorFunctions
+
+  test("int8 quantize/dequantize bounds reconstruction error at scale/2") {
+    val vecs = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.125)),
+      (2L, Seq(127.0, -127.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val out = vecs
+      .withColumn("q", VectorFunctions.quantizeInt8(col("v")))
+      .withColumn("deq", VectorFunctions.dequantizeInt8(col("q")))
+      .select(col("id"), col("q.scale").as("scale"),
+        zip_with(col("v"), col("deq"), (a, b) => abs(a - b)).as("err"))
+      .as[(Long, Double, Seq[Double])].collect()
+    for ((id, scale, errs) <- out; e <- errs)
+      assert(e <= scale / 2 + 1e-12, s"id=$id err=$e scale=$scale")
+    // zero vector round-trips to zeros, not NaN
+    val z = out.find(_._1 == 3L).get
+    assert(z._3.forall(_ == 0.0))
+  }
+}
