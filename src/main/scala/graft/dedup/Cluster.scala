@@ -28,8 +28,11 @@ object Cluster {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
+    // materialize the (possibly expensive) edge pipeline ONCE before the
+    // symmetrizing union — unionAll(edges, edges.swapped) would otherwise
+    // run the upstream plan twice in the same job
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val und = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (not just persist) each round: it truncates the
@@ -40,6 +43,12 @@ object Cluster {
     var labels = und.groupBy(col("a")).agg(min(col("b")).as("m"))
       .select(col("a").as("id"), least(col("a"), col("m")).as("comp"))
       .localCheckpoint()
+    // labels only ever decrease under min-propagation, so the label sum is
+    // a monotone potential: unchanged sum == fixpoint. One cheap scalar
+    // aggregate per round instead of a distinct-based except() anti-join.
+    def potential(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).head.getLong(0)
+    var pot = potential(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -48,7 +57,9 @@ object Cluster {
       val next = labels.unionAll(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      converged = next.except(labels).isEmpty
+      val nextPot = potential(next)
+      converged = nextPot == pot
+      pot = nextPot
       labels = next
       iter += 1
     }

@@ -69,6 +69,14 @@ class SourcesSpec extends SparkSpec {
     assert(csv.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
     assert(json.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
   }
+
+  test("direct orc input round-trips with predicate pushdown available") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    df.write.orc(s"$dir/orc")
+    val orc = Sources.direct(spark, "orc", s"$dir/orc").filter(col("id") > 1L)
+    assert(orc.as[(Long, String)].collect().toSet === Set((2L, "b"), (3L, "c")))
+  }
 }
 
 class ExtensionsSpec extends SparkSpec {
@@ -88,5 +96,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.getLong(0) !== 0L)
     assert(out.getInt(1) === 64)
     assert(out.getInt(2) === 2)
+  }
+}
+
+class SortedOutputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("range-sorted output: files cover disjoint key ranges, sorted within") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val df = spark.range(0, 10000).select(
+      (col("id") * 2654435761L % 9999L).as("k"), col("id").as("v"))
+    graft.sinks.SortedOutput.write(df, s"$dir/out", Seq("k"), nFiles = 4)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 10000L)
+    // per-file min/max must not overlap across files (global range order)
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length === 4)
+    for (Seq((_, hi1), (lo2, _)) <- ranges.toSeq.sliding(2))
+      assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+    // a range filter prunes: scan of k < ranges(0)._2 reads a subset of files
+    val pruned = back.filter(col("k") <= ranges(0)._2)
+    assert(pruned.count() > 0)
   }
 }
