@@ -47,10 +47,10 @@ object Cluster {
     // a monotone potential: unchanged sum == fixpoint. One cheap scalar
     // aggregate per round instead of a distinct-based except() anti-join.
     def potential(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).head.getLong(0)
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0) // 0 on empty edge set
     var pot = potential(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (iter < maxIter && !converged) {
       val msgs = und.join(labels, und("a") === labels("id"))
         .select(und("b").as("id"), col("comp"))
@@ -64,6 +64,10 @@ object Cluster {
       iter += 1
     }
     und.unpersist()
+    // partial labels are silently-wrong fragments — refuse to return them
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 }

@@ -27,10 +27,29 @@ object VectorFunctions {
   def cosineFused(a: Column, b: Column): Column =
     VectorExprFunctions.cosine_fused(d(a), d(b))
 
-  /** Symmetric int8 quantization: codes = round(x / scale) with
-    * scale = max|x| / 127 — 4× smaller than float32 on the wire and in
-    * the ANN index, the standard storage/recall trade for embedding
-    * columns at corpus scale. Returns struct(scale, codes).
+  /** Symmetric int8 quantization as a DataFrame transform: codes =
+    * round(x / scale) with scale = max|x| / 127 — 4× smaller than float32
+    * on the wire and in the ANN index. Adds `out` as struct(scale, codes).
+    *
+    * Two projections on purpose: the scale becomes a per-row ATTRIBUTE
+    * before the codes lambda references it. Folding both into one
+    * expression (see [[quantizeInt8]]) re-evaluates the O(d) max-abs fold
+    * per element — O(d²)/vector, the interpreted-HOF pitfall.
+    */
+  def quantizeInt8Col(df: org.apache.spark.sql.DataFrame, vec: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val sCol = s"_${out}_scale"
+    df.withColumn(sCol, greatest(
+        aggregate(d(vec), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0,
+        lit(java.lang.Double.MIN_VALUE)))
+      .withColumn(out, struct(col(sCol).as("scale"),
+        transform(d(vec), x => round(x / col(sCol)).cast("tinyint")).as("codes")))
+      .drop(sCol)
+  }
+
+  /** Single-Column form of [[quantizeInt8Col]] — convenient for small
+    * vectors, but O(d²) per row (the scale sub-expression re-evaluates
+    * inside the lambda); prefer the DataFrame form on real embeddings.
     */
   def quantizeInt8(v: Column): Column = {
     // MinPositiveValue guard: an all-zero vector quantizes to zeros

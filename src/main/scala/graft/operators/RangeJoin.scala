@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval (range) join: pair each left record with the right records of
@@ -43,15 +43,30 @@ object RangeJoin {
     require(upperMicros >= lowerMicros, "empty window")
     val width = if (bucketMicros > 0) bucketMicros
       else math.max(upperMicros - lowerMicros, 1L)
+    // timestamps compare in epoch micros; integral columns join on their
+    // own scale — the same bucketing covers numeric band joins ("ids/
+    // positions within ±delta"). Fractional types are rejected rather
+    // than silently truncated (a double position 510.9 must not pass a
+    // ±10 band around 500); scale them to an integral column first.
+    def scalar(df: DataFrame, c: String): Column = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+        case t => throw new IllegalArgumentException(
+          s"rangeJoin time/band column '$c' has unsupported type $t: " +
+            "use timestamp or an integral type (pre-scale fractional values)")
+      }
+    }
     // plan aliases (not DataFrame-instance refs) keep the key equality
     // unambiguous when both inputs derive from the same scan (self-join)
     val l = left
-      .withColumn("_t_micros", unix_micros(col(leftTime)))
+      .withColumn("_t_micros", scalar(left, leftTime))
       .withColumn("_bucket", explode(sequence(
         floor((col("_t_micros") + lowerMicros) / width),
         floor((col("_t_micros") + upperMicros) / width))))
       .alias("_rj_l")
-    val r = right.withColumn("_rt_micros", unix_micros(col(rightTime)))
+    val r = right.withColumn("_rt_micros", scalar(right, rightTime))
       .withColumn("_rbucket", floor(col("_rt_micros") / width))
       .alias("_rj_r")
     val lt = col("_rj_l._t_micros")

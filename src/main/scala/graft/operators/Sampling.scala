@@ -16,9 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform pseudo-random bucket in [0, buckets) from an integral id. */
-  def hashBucket(id: Column, buckets: Int): Column =
-    pmod(pmod(id.cast("long") * lit(2654435761L), lit(4294967296L)), lit(buckets.toLong))
+  /** Uniform pseudo-random bucket in [0, buckets) from an integral id.
+    *
+    * Computes (lo32(id) * 2654435761) mod 2^32 with the multiply SPLIT
+    * into 16-bit halves: a direct 64-bit product overflows Long for ids
+    * above ~3.4e9 (snowflake-style ids), which throws under Spark's ANSI
+    * mode and errors in DuckDB. The split keeps every intermediate below
+    * 2^50 and the masked lo32 makes negative ids well-defined — the same
+    * expression evaluates identically in any engine with 64-bit integers.
+    */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    val lo = id.cast("long").bitwiseAND(lit(4294967295L))
+    val h = shiftright(lo, 16)
+    val l = lo.bitwiseAND(lit(65535L))
+    val m = (pmod(h * lit(2654435761L), lit(4294967296L)) * 65536L + l * lit(2654435761L)) % 4294967296L
+    pmod(m, lit(buckets.toLong))
+  }
 
   /** Deterministic percentage split: `weights` maps label -> percent
     * (must sum to 100); every record gets a `split` label from its id —

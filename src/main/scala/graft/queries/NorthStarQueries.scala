@@ -206,8 +206,8 @@ object NorthStarQueries {
       */
     "embedding_quantize" -> { (s, dir) =>
       import graft.functions.VectorFunctions
-      val emb = table(s, dir, "embeddings")
-        .withColumn("q", VectorFunctions.quantizeInt8(col("embedding")))
+      val emb = VectorFunctions.quantizeInt8Col(
+        table(s, dir, "embeddings"), col("embedding"), "q")
         .withColumn("deq", VectorFunctions.dequantizeInt8(col("q")))
       emb.select(col("vec_id"),
         VectorFunctions.cosineFused(col("embedding"), col("deq")).as("fidelity"))
@@ -439,7 +439,8 @@ object NorthStarQueries {
         |FROM tf GROUP BY 1""".stripMargin,
     "train_test_split" ->
       """WITH b AS (
-        |  SELECT ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+        |  SELECT ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + (doc_id & 65535) * 2654435761) % 4294967296) % 100 AS bucket,
         |         n_chars
         |  FROM documents
         |)
@@ -453,7 +454,8 @@ object NorthStarQueries {
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,
         |         row_number() OVER (PARTITION BY source
-        |             ORDER BY ((doc_id * 2654435761) % 4294967296) % 1073741824 ASC,
+        |             ORDER BY ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                       + (doc_id & 65535) * 2654435761) % 4294967296) % 1073741824 ASC,
         |                      doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin

@@ -101,6 +101,11 @@ class ClusterSpec extends graft.SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents returns empty on an empty edge set (clean corpus)") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.dedup.Cluster.connectedComponents(edges, "a", "b").count() === 0L)
+  }
+
   test("connectedComponents handles a long chain within maxIter") {
     val n = 12
     val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")

@@ -117,8 +117,15 @@ class SortedOutputSpec extends SparkSpec {
     assert(ranges.length === 4)
     for (Seq((_, hi1), (lo2, _)) <- ranges.toSeq.sliding(2))
       assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
-    // a range filter prunes: scan of k < ranges(0)._2 reads a subset of files
+    // the sort-key predicate reaches the parquet reader (row-group stats
+    // in the sorted files are tight, so the reader skips non-matching
+    // row groups); file-listing itself is not partition-pruned here
     val pruned = back.filter(col("k") <= ranges(0)._2)
-    assert(pruned.count() > 0)
+    pruned.count()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(k"),
+      scan.metadata("PushedFilters"))
   }
 }

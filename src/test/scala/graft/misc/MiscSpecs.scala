@@ -121,6 +121,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(out(1L) === ((2L, Set(50L, 51L))))
     assert(out(2L) === ((0L, Set.empty[Long]))) // unmatched key, still present once
   }
+
+  test("rangeJoin works as a numeric band join (non-timestamp columns)") {
+    val left = Seq((1L, 10L, 500L)).toDF("id", "k", "pos")
+    val right = Seq((50L, 10L, 495L), (51L, 10L, 505L), (52L, 10L, 600L))
+      .toDF("rid", "k", "rpos")
+    val rids = graft.operators.RangeJoin.rangeJoin(
+      left, right, Seq("k"), "pos", "rpos",
+      lowerMicros = -10L, upperMicros = 10L)
+      .select("rid").as[Long].collect().toSet
+    assert(rids === Set(50L, 51L))
+  }
 }
 
 class DirectOutputSpec extends SparkSpec {
@@ -220,8 +231,7 @@ class QuantizeSpec extends SparkSpec {
       (1L, Seq(0.5, -1.0, 0.25, 0.125)),
       (2L, Seq(127.0, -127.0, 1.0, 0.0)),
       (3L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
-    val out = vecs
-      .withColumn("q", VectorFunctions.quantizeInt8(col("v")))
+    val out = VectorFunctions.quantizeInt8Col(vecs, col("v"), "q")
       .withColumn("deq", VectorFunctions.dequantizeInt8(col("q")))
       .select(col("id"), col("q.scale").as("scale"),
         zip_with(col("v"), col("deq"), (a, b) => abs(a - b)).as("err"))

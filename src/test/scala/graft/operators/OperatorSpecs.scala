@@ -169,6 +169,19 @@ class SamplingSpec extends graft.SparkSpec {
     assert(split.except(again).count() === 0L)
   }
 
+  test("hashBucket handles 64-bit and negative ids without overflow (ANSI-safe)") {
+    // snowflake-scale and negative ids: the naive id*2654435761 product
+    // overflows Long and throws under ANSI mode; the split multiply must not
+    val ids = Seq(0L, 1L, 3500000000L, 912345678901234567L, Long.MaxValue, -5L, Long.MinValue)
+      .toDF("id")
+    val buckets = ids.select(Sampling.hashBucket(col("id"), 100).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100), buckets.mkString(","))
+    // deterministic
+    assert(buckets === ids.select(Sampling.hashBucket(col("id"), 100).as("b"))
+      .as[Long].collect())
+  }
+
   test("capPerGroup keeps at most k per group, all of smaller groups") {
     val df = (Seq.tabulate(100)(i => ("big", i.toLong)) ++
       Seq.tabulate(3)(i => ("small", 1000L + i))).toDF("g", "id")
