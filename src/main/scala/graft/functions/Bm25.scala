@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Per-(doc, term) BM25 scores: (id, term, score). */
+  /** Per-(doc, term) BM25 scores: (id, term, score). `onlyTerms` prunes
+    * the per-(doc, term) aggregation to the query terms BEFORE the
+    * shuffle — document-length and corpus stats stay corpus-wide, so the
+    * scores are identical to filtering afterwards, but the big exchange
+    * carries only the queried terms' postings (Catalyst cannot derive
+    * this push-down itself: the filter sits above two aggregations with
+    * different groupings).
+    */
   def scores(docs: DataFrame, id: String, text: Column,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      onlyTerms: Option[Seq[String]] = None): DataFrame = {
     val toks = docs.select(col(id), explode(TextFunctions.tokens(text)).as("term"))
-    val tf = toks.groupBy(col(id), col("term"))
+    val toksForTf = onlyTerms.fold(toks)(ts => toks.filter(col("term").isin(ts: _*)))
+    val tf = toksForTf.groupBy(col(id), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dl = toks.groupBy(col(id))
       .agg(count(lit(1)).cast("double").as("dl"))
@@ -42,8 +51,7 @@ object Bm25 {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("term"))
       .orderBy(col("score").desc, col(id).asc)
-    scores(docs, id, text, k1, b)
-      .filter(col("term").isin(terms: _*))
+    scores(docs, id, text, k1, b, onlyTerms = Some(terms))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("term"), col("rank"), col(id))
