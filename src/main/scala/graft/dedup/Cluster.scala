@@ -54,9 +54,20 @@ object Cluster {
     while (iter < maxIter && !converged) {
       val msgs = und.join(labels, und("a") === labels("id"))
         .select(und("b").as("id"), col("comp"))
-      val next = labels.unionAll(msgs)
+      val propagated = labels.unionAll(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      // pointer jump (comp -> comp(comp)): halves the remaining path per
+      // round, so with the neighbor step convergence is O(log diameter)
+      // instead of O(diameter). Near-clique duplicate graphs converge in
+      // 1-2 plain rounds, so the jump's extra self-join only switches on
+      // once convergence drags — deep chains stay inside maxIter, shallow
+      // graphs don't pay for them.
+      val next = (if (iter < 2) propagated else {
+        val p = propagated.localCheckpoint() // consumed twice below
+        p.join(p.select(col("id").as("_cid"), col("comp").as("_ccomp")),
+            col("comp") === col("_cid"))
+          .select(col("id"), least(col("comp"), col("_ccomp")).as("comp"))
+      }).localCheckpoint()
       val nextPot = potential(next)
       converged = nextPot == pot
       pot = nextPot

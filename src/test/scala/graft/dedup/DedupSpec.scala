@@ -106,8 +106,10 @@ class ClusterSpec extends graft.SparkSpec {
     assert(graft.dedup.Cluster.connectedComponents(edges, "a", "b").count() === 0L)
   }
 
-  test("connectedComponents handles a long chain within maxIter") {
-    val n = 12
+  test("connectedComponents resolves a diameter-60 chain in O(log) rounds") {
+    // without pointer jumping this needs 60 rounds and would exceed
+    // maxIter=20; neighbor step + jump converges in ~log2(60) rounds
+    val n = 60
     val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
     val comps = graft.dedup.Cluster.connectedComponents(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
