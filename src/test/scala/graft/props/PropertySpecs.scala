@@ -153,3 +153,54 @@ class TextExpressionParitySpec extends SparkSpec {
         .as[String].collect().head === want, s"text=<$t>")
   }
 }
+
+class RangeJoinPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  test("rangeJoin agrees with the naive quadratic band definition") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 300L)))
+    for (((ls, rs), (lo, span)) <- samples(
+        Gen.zip(Gen.zip(rows, rows), Gen.zip(Gen.choose(-50L, 10L), Gen.choose(0L, 80L))), 5)) {
+      val hi = lo + span
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "rk", "rt")
+      val got = graft.operators.RangeJoin.rangeJoin(
+        left, right.withColumnRenamed("rk", "k"), Seq("k"), "t", "rt",
+        lowerMicros = lo, upperMicros = hi)
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      val naive = (for {
+        ((k, t), i) <- ls.zipWithIndex
+        ((rk, rt), ri) <- rs.zipWithIndex
+        if rk == k && rt >= t + lo && rt <= t + hi
+      } yield (i.toLong, ri.toLong)).toSet
+      assert(got === naive, s"window [$lo, $hi]")
+    }
+  }
+}
+
+class ClusterPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  test("connectedComponents agrees with a driver-side union-find") {
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (es <- samples(edgeGen, 5).filter(_.nonEmpty)) {
+      val got = graft.dedup.Cluster.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // naive union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- es) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val naive = parent.keys.map(x => x -> find(x)).toMap
+      assert(got === naive)
+    }
+  }
+}
