@@ -29,16 +29,23 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     Caches.clear(spark)
     // deterministic name order so per-query times are comparable across runs
+    val failed = Seq.newBuilder[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a swallowed failure would read as a (fast, green) result
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+      }
       finally Caches.clear(spark)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

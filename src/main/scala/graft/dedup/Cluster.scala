@@ -46,8 +46,11 @@ object Cluster {
     // labels only ever decrease under min-propagation, so the label sum is
     // a monotone potential: unchanged sum == fixpoint. One cheap scalar
     // aggregate per round instead of a distinct-based except() anti-join.
-    def potential(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0) // 0 on empty edge set
+    // decimal(38) sum: node ids may be 64-bit hash fingerprints, whose
+    // long sum overflows (ANSI error / silent wrap); 0 on an empty set
+    def potential(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .head.getDecimal(0)
     var pot = potential(labels)
     var iter = 0
     var converged = labels.isEmpty
@@ -69,7 +72,7 @@ object Cluster {
           .select(col("id"), least(col("comp"), col("_ccomp")).as("comp"))
       }).localCheckpoint()
       val nextPot = potential(next)
-      converged = nextPot == pot
+      converged = nextPot.compareTo(pot) == 0
       pot = nextPot
       labels = next
       iter += 1

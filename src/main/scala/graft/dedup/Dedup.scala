@@ -136,6 +136,15 @@ object Dedup {
       maxShingleFreq: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the postings pair-emitter is typed Dataset[Seq[Long]] — fail with a
+    // clear contract instead of an opaque up-cast AnalysisException
+    df.schema(id).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case t => throw new IllegalArgumentException(
+        s"ngramJaccard id column '$id' must be integral (got $t); " +
+          "hash string ids to int64 first (e.g. xxhash64)")
+    }
     val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
     // ONE shuffle builds the postings list (shingle -> sorted doc ids); the
     // df-cut is a filter on that same aggregation — no separate counting
@@ -194,16 +203,22 @@ object Dedup {
       .select("a", "b", "cosine").dropDuplicates("a", "b")
   }
 
-  /** Drop buckets with more than `bound` members; the dropped-bucket count
-    * is emitted as an observe metric named `<name>_dropped` so oversize
-    * buckets are visible, not silent.
+  /** Drop buckets with more than `bound` members; the number of ROWS in
+    * dropped buckets is emitted as an observe metric named
+    * `<name>_dropped_rows` (plus `<name>_dropped_buckets` for the distinct
+    * bucket count) so oversize buckets are visible, not silent.
     */
   private def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
       name: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val over = col("_bucket_size") > bound
     df.withColumn("_bucket_size", count(lit(1)).over(w))
-      .observe(name, sum(when(col("_bucket_size") > bound, 1).otherwise(0)).as(s"${name}_dropped"))
-      .filter(col("_bucket_size") <= bound)
+      .observe(name,
+        sum(when(over, 1).otherwise(0)).as(s"${name}_dropped_rows"),
+        // each dropped bucket has `size` rows, so sum(1/size) counts buckets
+        sum(when(over, lit(1.0) / col("_bucket_size")).otherwise(0.0))
+          .as(s"${name}_dropped_buckets"))
+      .filter(!over)
       .drop("_bucket_size")
   }
 }

@@ -87,9 +87,16 @@ object VectorFunctions {
     */
   def hyperplaneSig(v: Column, planeLit: Seq[Seq[Double]]): Column = {
     val ps = typedlit(planeLit)
+    val nDim = planeLit.head.length
+    // fail fast on a dim mismatch: zip_with would null-pad the shorter
+    // side, silently zeroing every signature (all vectors collapse into
+    // one bucket — empty or quadratic candidate sets, no error)
+    val guarded = when(size(d(v)) =!= nDim, raise_error(concat(
+      lit(s"hyperplaneSig: vector length "), size(d(v)).cast("string"),
+      lit(s" != plane dim $nDim")))).otherwise(d(v))
     // big-endian bit pack: acc = acc*2 + (dot > 0)
     aggregate(
-      transform(ps, p => when(dot(v, p) > 0, lit(1L)).otherwise(lit(0L))),
+      transform(ps, p => when(dot(guarded, p) > 0, lit(1L)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc * 2 + x)
   }
 }

@@ -23,10 +23,10 @@ object RangeJoin {
   /** @param lowerMicros window start offset relative to the left time
     *                    (microseconds, typically negative)
     * @param upperMicros window end offset
-    * @param bucketMicros bucket width; defaults to the window span.
-    *                     Wider buckets → fewer probe copies but more
-    *                     false candidates re-checked by the residual
-    *                     predicate.
+    * @param bucketMicros bucket width, rounded up to the next power of
+    *                     two; defaults to the window span. Wider buckets
+    *                     → fewer probe copies but more false candidates
+    *                     re-checked by the residual predicate.
     *
     * Column name collisions between the two inputs are fine for the join
     * condition (resolved per side) but the caller should alias overlapping
@@ -41,8 +41,13 @@ object RangeJoin {
       includeLower: Boolean = true, includeUpper: Boolean = true,
       joinType: String = "inner"): DataFrame = {
     require(upperMicros >= lowerMicros, "empty window")
-    val width = if (bucketMicros > 0) bucketMicros
+    // bucket width rounds up to a power of two and buckets are computed
+    // with an arithmetic right shift: exact integral floor-division at any
+    // magnitude. A double-precision `/` would mis-bucket keys above 2^53
+    // (snowflake-scale ids) and silently drop matching pairs.
+    val rawWidth = if (bucketMicros > 0) bucketMicros
       else math.max(upperMicros - lowerMicros, 1L)
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(rawWidth - 1, 1L))
     // timestamps compare in epoch micros; integral columns join on their
     // own scale — the same bucketing covers numeric band joins ("ids/
     // positions within ±delta"). Fractional types are rejected rather
@@ -63,11 +68,11 @@ object RangeJoin {
     val l = left
       .withColumn("_t_micros", scalar(left, leftTime))
       .withColumn("_bucket", explode(sequence(
-        floor((col("_t_micros") + lowerMicros) / width),
-        floor((col("_t_micros") + upperMicros) / width))))
+        shiftright(col("_t_micros") + lowerMicros, shift),
+        shiftright(col("_t_micros") + upperMicros, shift))))
       .alias("_rj_l")
     val r = right.withColumn("_rt_micros", scalar(right, rightTime))
-      .withColumn("_rbucket", floor(col("_rt_micros") / width))
+      .withColumn("_rbucket", shiftright(col("_rt_micros"), shift))
       .alias("_rj_r")
     val lt = col("_rj_l._t_micros")
     val rt = col("_rj_r._rt_micros")

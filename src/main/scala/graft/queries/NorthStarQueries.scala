@@ -354,15 +354,25 @@ object NorthStarQueries {
         |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
         |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  -- mirror the engine's df-cut: shingles in > 1000 docs are dropped
+        |  -- and per-doc counts are taken over SURVIVING shingles
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
         |), ex AS (
-        |  SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
         |)
-        |SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common,
-        |       a.n AS na, b.n AS nb,
-        |       CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) AS jaccard
-        |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
-        |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5""".stripMargin,
+        |SELECT p.a, p.b, p.common, na.n AS na, nb.n AS nb,
+        |       CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) AS jaccard
+        |FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.5""".stripMargin,
     "ann_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -408,13 +418,22 @@ object NorthStarQueries {
         |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
         |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
         |), ex AS (
-        |  SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh
-        |), pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-        |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT p.a, p.b
+        |  FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.5
         |), edges AS (
         |  SELECT a AS src, b AS dst FROM pairs
         |  UNION

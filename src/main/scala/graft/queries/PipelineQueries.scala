@@ -76,7 +76,11 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
           .withColumn("round_status", lit(ctx("status")))
       }
-      results.map(_._2).reduce(_ unionAll _)
+      // materialize before close(): the sweep's persisted inputs must not
+      // outlive the query (Caches.clear can't see Rounds' internal caches)
+      val out = results.map(_._2).reduce(_ unionAll _).localCheckpoint()
+      rounds.close()
+      out
     },
 
     /** Hourly tumbling-window counts per event type, computed by a real

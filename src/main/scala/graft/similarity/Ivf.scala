@@ -29,10 +29,12 @@ object Ivf {
     * Euclidean argmin == cosine argmax.
     *
     * Sampling is reproducible regardless of file layout or task order:
-    * a hash filter on the id column selects the candidate set (set
-    * `sampleMod` ≈ corpusSize / sampleN at scale so the collect stays
-    * bounded; 1 collects everything), then a driver-side sort by id picks
-    * the first `sampleN` — `limit()` would depend on scan arrival order.
+    * a hash filter on the id column thins the candidate set (set
+    * `sampleMod` ≈ corpusSize / sampleN at scale to spread the sample
+    * across the corpus; 1 keeps everything), then a distributed
+    * sort-by-id + limit picks the first `sampleN` — deterministic, and
+    * the driver only ever receives `sampleN` rows (a TakeOrdered, never
+    * a full collect).
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
       iters: Int = 10, sampleN: Int = 10000, seed: Long = 11L,
@@ -40,8 +42,7 @@ object Ivf {
     val filtered = corpus
       .select(col(idCol).cast("string").as("_id"), col(vecCol).cast("array<double>").as("_v"))
       .filter(if (sampleMod <= 1) lit(true) else pmod(xxhash64(col("_id")), lit(sampleMod)) === 0)
-    val sample = filtered.collect()
-      .sortBy(_.getString(0)).take(sampleN)
+    val sample = filtered.orderBy(col("_id")).limit(sampleN).collect()
       .map(_.getSeq[Double](1).toArray).map(normalize)
     require(sample.length >= nCells, s"sample ${sample.length} < nCells $nCells")
     // seeded init: pick nCells distinct sample indices by hash order
@@ -128,8 +129,10 @@ object Ivf {
   /** Top-k cosine neighbors searching only nProbe cells per query. */
   def topK(queries: DataFrame, corpus: DataFrame, qId: String, qVec: String,
       cId: String, cVec: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-      seed: Long = 11L, excludeSelf: Boolean = true): DataFrame = {
-    val centroids = trainCentroids(corpus, cId, cVec, nCells, seed = seed)
+      seed: Long = 11L, excludeSelf: Boolean = true,
+      sampleN: Int = 10000, sampleMod: Int = 1): DataFrame = {
+    val centroids = trainCentroids(corpus, cId, cVec, nCells, seed = seed,
+      sampleN = sampleN, sampleMod = sampleMod)
     val indexed = index(corpus, cId, cVec, centroids)
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("_qv"),
       explode(nearestCells(col(qVec), centroids, nProbe)).as("_cell"))

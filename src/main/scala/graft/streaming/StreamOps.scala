@@ -139,6 +139,11 @@ object StreamOps {
       }
       rm(ckpt.toFile)
     }
-    spark.table(name)
+    // detach the result from the memory sink so the sink's full copy of
+    // the data can be dropped — repeated drains otherwise accumulate one
+    // materialized result per call in driver memory for the session's life
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 }
