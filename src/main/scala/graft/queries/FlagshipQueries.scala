@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftSession.table
-import graft.operators.{Joins, Records}
+import graft.operators.{AsOf, Joins, Records}
 import Records._
 
 /** Composite analytical queries in the TPC-H idiom, built from the graft
@@ -19,6 +19,35 @@ object FlagshipQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    /** Last-touch attribution over the event stream: each purchase is
+      * chained to ITS latest prior click (as-of join), and that click to
+      * its latest prior view — two single-shuffle as-of joins, no range
+      * explosion — then per-user funnel counts with 1-hour windows.
+      * Tie-robust by construction (only the matched timestamps feed the
+      * counts); oracle = DuckDB's native ASOF joins.
+      */
+    "flagship_attribution" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      val pc = AsOf.asofJoin(p, c, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightPayload = Seq("click_id", "click_ts"), rightTieBreak = Seq("click_id"))
+      val pcv = AsOf.asofJoin(pc, v, keys = Seq("user_id"),
+        leftTime = "click_ts", rightTime = "view_ts",
+        rightPayload = Seq("view_id", "view_ts"), rightTieBreak = Seq("view_id"))
+      val clickAttr = col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      val fullChain = clickAttr && col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR")
+      pcv.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when(clickAttr, 1)).as("n_click_attributed"),
+          count(when(fullChain, 1)).as("n_full_chain"))
+    },
 
     /** Pricing summary (TPC-H Q1 shape): wide aggregation over lineitem
       * with exact decimal arithmetic, pinned to a ship-date horizon.
@@ -103,6 +132,25 @@ object FlagshipQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "flagship_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |pc AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |), pcv AS (
+        |  SELECT pc.*, v.view_id, v.ts AS view_ts
+        |  FROM pc ASOF LEFT JOIN v ON pc.user_id = v.user_id AND v.ts <= pc.click_ts
+        |)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN 1 END) AS BIGINT)
+        |         AS n_click_attributed,
+        |       CAST(COUNT(CASE WHEN click_ts >= ts - INTERVAL 1 HOUR
+        |                        AND view_ts >= click_ts - INTERVAL 1 HOUR THEN 1 END) AS BIGINT)
+        |         AS n_full_chain
+        |FROM pcv GROUP BY 1""".stripMargin,
     "flagship_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
