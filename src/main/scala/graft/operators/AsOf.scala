@@ -50,8 +50,13 @@ object AsOf {
     val filled = l.unionByName(r)
       .withColumn("_match", last(col("_rrow"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // key columns come from the TOP-LEVEL attributes (identical to the
+    // struct copies for left rows) so the window's hash partitioning on
+    // them stays visible to Catalyst — a downstream groupBy/join on the
+    // keys reuses this exchange instead of re-shuffling
     filled.filter(col("_side") === 1)
-      .select(leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+      .select(leftCols.map(c =>
+        (if (keys.contains(c)) col(c) else col(s"_lrow.$c")).as(c)) ++
         rightPayload.map(c => col(s"_match.$c").as(c)): _*)
   }
 }

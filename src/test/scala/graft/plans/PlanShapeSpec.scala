@@ -104,6 +104,21 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
   }
 
+  test("asofJoin keeps key partitioning visible: groupBy on keys adds no exchange") {
+    val ev = GraftSession.table(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val joined = graft.operators.AsOf.asofJoin(p, v, Seq("user_id"),
+      leftTime = "ts", rightTime = "view_ts",
+      rightPayload = Seq("view_id"), rightTieBreak = Seq("view_id"))
+      .groupBy(col("user_id")).agg(count(col("view_id")).as("n"))
+    val plan = executed(joined)
+    // one exchange for the asof window; the aggregate must reuse it
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.size === 1, plan.toString)
+  }
+
   test("groupBy partial-aggregates map-side before the exchange") {
     val q = GraftSession.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
