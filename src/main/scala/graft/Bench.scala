@@ -1,9 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Median of an odd-length sample. */
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // identical code measured 9.6x apart across rounds on single runs:
+    // per-query medians over SPARK_GRAFT_RUNS (default 3) are the signal
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,21 +37,31 @@ object Bench {
     // deterministic name order so per-query times are comparable across runs
     val failed = Seq.newBuilder[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // a swallowed failure would read as a (fast, green) result
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              // a swallowed failure would read as a (fast, green) result
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              failed += name
+              false
+          }
+          finally Caches.clear(spark)
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      finally Caches.clear(spark)
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (times.isEmpty) 0.0 else median(times))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // ONE machine-parseable line, flushed before shutdown so JVM teardown
+    // or interleaved executor logs can't truncate it (bit round 2's report)
+    System.out.println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -155,4 +155,32 @@ object Joins {
     graft.Caches.track(shared.toDF())
     (shared.flatMap(_._1), shared.flatMap(_._2))
   }
+
+  /** Broadcast form of the master-selection path: the master side becomes a
+    * driver-built broadcast GroupView and the hook runs as transactions
+    * stream through mapPartitions — zero shuffle on either side (reference:
+    * BroadcastJoinOperatorFragment.scala:24-83 invokes `@MasterSelection`
+    * against a broadcast MapGroupView the same way). The master must be
+    * dimension-sized; [[Views.groupView]]'s row bound enforces that with a
+    * fail-fast instead of a driver OOM.
+    */
+  def masterJoinSelectBroadcast[K, M, T, O: Encoder](
+      master: Dataset[M], tx: Dataset[T])(masterKey: M => K, txKey: T => K)(
+      selection: (Seq[M], T) => Option[M])(
+      mapJoined: (M, T) => O)(implicit te: Encoder[T], oe: Encoder[(Option[O], Option[T])])
+      : (Dataset[O], Dataset[T]) = {
+    val view = Views.groupView(master)(masterKey)
+    val both: Dataset[(Option[O], Option[T])] = tx.mapPartitions { ts =>
+      ts.map { t =>
+        selection(view.find(txKey(t)), t) match {
+          case Some(m) => (Some(mapJoined(m, t)), None: Option[T])
+          case None    => (None: Option[O], Some(t))
+        }
+      }
+    }
+    // found/missed share one pass, same contract as the shuffled path
+    val shared = both.persist()
+    graft.Caches.track(shared.toDF())
+    (shared.flatMap(_._1), shared.flatMap(_._2))
+  }
 }

@@ -12,8 +12,12 @@ import org.apache.spark.sql.Dataset
   * Scale notes: like the reference, the view is materialized on the driver
   * and broadcast — correct only for dimension-sized data (the reference has
   * the same constraint; its planner size-estimates broadcast eligibility).
-  * For large lookups use the join family instead; Catalyst will still pick
-  * a broadcast join when the side fits `autoBroadcastJoinThreshold`.
+  * `maxRows` makes that constraint a fail-fast contract instead of a driver
+  * OOM: the collect is bounded by `limit(maxRows + 1)`, so a fact table
+  * mistakenly passed as a view dies with a pointer at the join family
+  * before any unbounded driver allocation. For large lookups use the join
+  * family; Catalyst still picks a broadcast join when the side fits
+  * `autoBroadcastJoinThreshold`.
   */
 final class GroupView[K, V](bc: Broadcast[Map[K, Seq[V]]]) extends Serializable {
   /** All records for the key, in the view's build order (empty if none). */
@@ -24,9 +28,20 @@ final class GroupView[K, V](bc: Broadcast[Map[K, Seq[V]]]) extends Serializable 
 
 object Views {
 
-  /** Build a broadcast GroupView keyed by `key`. */
-  def groupView[T, K](ds: Dataset[T])(key: T => K): GroupView[K, T] = {
-    val grouped: Map[K, Seq[T]] = ds.collect().toSeq.groupBy(key)
+  /** Default driver-side row bound for a view (dimension-table sized). */
+  val DefaultMaxRows: Int = 4000000
+
+  /** Build a broadcast GroupView keyed by `key`. Fails fast when the
+    * dataset exceeds `maxRows` — the collect itself is limit-bounded, so
+    * the failure is an exception, never a driver OOM.
+    */
+  def groupView[T, K](ds: Dataset[T], maxRows: Int = DefaultMaxRows)(key: T => K): GroupView[K, T] = {
+    val rows = ds.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) throw new IllegalArgumentException(
+      s"groupView input exceeds maxRows=$maxRows: a View/GroupView is a " +
+        "driver-materialized broadcast and must be dimension-sized; use the " +
+        "join family (graft.operators.Joins) for large lookups, or raise maxRows")
+    val grouped: Map[K, Seq[T]] = rows.toSeq.groupBy(key)
     new GroupView(ds.sparkSession.sparkContext.broadcast(grouped))
   }
 }

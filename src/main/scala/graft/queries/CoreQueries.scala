@@ -334,6 +334,22 @@ object CoreQueries {
       found.toDF("o_orderkey", "sel_linenumber", "sel_price")
     },
 
+    /** Same selection hook, broadcast physical path: the master side rides a
+      * GroupView instead of a cogroup shuffle. Shares `masterjoinselect`'s
+      * oracle — identical semantics, different plan.
+      */
+    "masterjoinselect_broadcast" -> { (s, dir) =>
+      import s.implicits._
+      val (found, _) = Joins.masterJoinSelectBroadcast(
+        master = table(s, dir, "lineitem").as[Lineitem],
+        tx = table(s, dir, "orders").as[Order])(_.l_orderkey, _.o_orderkey)(
+        selection = (ms, _) =>
+          if (ms.isEmpty) None
+          else Some(ms.minBy(m => (-m.l_extendedprice, m.l_linenumber))))(
+        mapJoined = (m, t) => (t.o_orderkey, m.l_linenumber, m.l_extendedprice))
+      found.toDF("o_orderkey", "sel_linenumber", "sel_price")
+    },
+
     // ---- broadcast view side input ---------------------------------------
     "groupview" -> { (s, dir) =>
       import s.implicits._
@@ -459,6 +475,13 @@ object CoreQueries {
       """SELECT c_custkey, c_nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey <= 1""".stripMargin,
     "masterjoinselect" ->
+      """SELECT o_orderkey, l_linenumber AS sel_linenumber, l_extendedprice AS sel_price
+        |FROM orders JOIN (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem) li ON o_orderkey = li.l_orderkey
+        |WHERE li.rn = 1""".stripMargin,
+    "masterjoinselect_broadcast" ->
       """SELECT o_orderkey, l_linenumber AS sel_linenumber, l_extendedprice AS sel_price
         |FROM orders JOIN (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey

@@ -141,6 +141,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(missed.collect().map(_.id.get).toSet === Set(3))
   }
 
+  test("masterJoinSelectBroadcast matches the shuffled selection path") {
+    val ms = Seq(Foo(Some(10), "a"), Foo(Some(10), "bb"), Foo(Some(20), "c")).toDS()
+    val ts = Seq(Bar(Some(1), Some(10), 1), Bar(Some(2), Some(10), 5), Bar(Some(3), Some(30), 1)).toDS()
+    val (found, missed) = Joins.masterJoinSelectBroadcast(ms, ts)(_.id, _.fooId)(
+      (cands, t) => cands.find(_.name.length == t.v.min(2)))(
+      (m, t) => (t.id.get, m.name))
+    assert(found.collect().toSet === Set((1, "a"), (2, "bb")))
+    assert(missed.collect().map(_.id.get).toSet === Set(3))
+    // zero-shuffle contract: no Exchange anywhere in the found plan
+    assert(!found.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("groupView fails fast above maxRows instead of collecting unbounded") {
+    val big = spark.range(100).map(i => Foo(Some(i.toInt), s"n$i"))
+    val e = intercept[IllegalArgumentException] {
+      Views.groupView(big, maxRows = 10)(_.id)
+    }
+    assert(e.getMessage.contains("maxRows"))
+    assert(e.getMessage.contains("join"))
+    // under the bound it still builds
+    assert(Views.groupView(big, maxRows = 100)(_.id).find(Some(3)).head.name === "n3")
+  }
+
   test("broadcast master joins produce BroadcastHashJoin plans") {
     val ports = Joins.masterJoin(
       tx = txs, master = masters, keys = Seq("id"),
