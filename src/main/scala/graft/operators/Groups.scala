@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Group-level operators: CoGroup / GroupSort / Fold / Summarize
   * (reference: runtime/.../graph/CoGroup.scala:44-78,
@@ -42,6 +43,56 @@ object Groups {
     left.groupByKey(leftKey).cogroupSorted(right.groupByKey(rightKey))(leftOrder: _*)(rightOrder: _*) {
       (k, ls, rs) => f(k, ls, rs).iterator
     }
+
+  /** n-ary sort-merge cogroup (the reference's `smcogroup` is n-ary,
+    * runtime/.../rdd/package.scala:71-143; our typed [[cogroup]] stops at
+    * n=2 because Spark's KeyValueGroupedDataset.cogroup does). One shuffle
+    * for ALL inputs: tag each input, union, group by key, secondary-sort by
+    * (tag, per-input order), then slice the single sorted stream back into
+    * per-input iterators.
+    *
+    * Contract: every input must carry the `keys` columns under the same
+    * names (rename first); `orders(i)` names sort columns of input i. The
+    * user function receives per-input iterators in declaration order —
+    * inputs 0..n-2 are buffered per group (they must be: one physical
+    * stream can only be consumed in tag order), the LAST input streams
+    * without materialization, so put the biggest input last. Mirrors the
+    * reference's buffer strategy (all-but-streamed HEAP buffers,
+    * CoGroupOperatorCompiler.scala:122-130).
+    */
+  def cogroupN(inputs: Seq[DataFrame], keys: Seq[String], orders: Seq[Seq[String]],
+      outSchema: StructType)(
+      f: (Row, IndexedSeq[Iterator[Row]]) => IterableOnce[Row]): DataFrame = {
+    require(inputs.size >= 2, s"cogroupN needs >= 2 inputs (got ${inputs.size})")
+    require(orders.size == inputs.size, "one (possibly empty) order list per input")
+    val n = inputs.size
+    val tagged = inputs.zipWithIndex.map { case (df, i) =>
+      df.select(keys.map(col) ++ Seq(lit(i).as("_tag"),
+        struct(df.columns.map(col).toSeq: _*).as(s"_rec_$i")): _*)
+    }
+    val u = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    val uSchema = u.schema
+    val keyIdx = keys.map(uSchema.fieldIndex)
+    val tagIdx = uSchema.fieldIndex("_tag")
+    val recIdx = (0 until n).map(i => uSchema.fieldIndex(s"_rec_$i"))
+    val keyEnc: Encoder[Row] = Encoders.row(StructType(keys.map(uSchema(_))))
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    // sort by tag first, then input i's own columns (null constants for
+    // rows of other tags, so they never perturb the within-tag order)
+    val sortCols = col("_tag") +:
+      orders.zipWithIndex.flatMap { case (os, i) => os.map(o => col(s"_rec_$i").getField(o)) }
+    u.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+      .flatMapSortedGroups(sortCols: _*) { (k: Row, it: Iterator[Row]) =>
+        val bit = it.buffered
+        val buffered: IndexedSeq[Iterator[Row]] = (0 until n - 1).map { i =>
+          val b = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (bit.hasNext && bit.head.getInt(tagIdx) == i) b += bit.next().getStruct(recIdx(i))
+          b.iterator
+        }
+        val last: Iterator[Row] = bit.map(r => r.getStruct(recIdx(n - 1)))
+        f(k, buffered :+ last).iterator
+      }(outEnc)
+  }
 
   /** GroupSort: user function over each key's records delivered in sort
     * order — one pass, nothing buffered by the framework.

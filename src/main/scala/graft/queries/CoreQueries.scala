@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,6 +156,37 @@ object CoreQueries {
           (k, o.o_orderstatus, items.size.toLong, items.iterator.map(_.l_quantity).sum)
         }
       }.toDF("o_orderkey", "o_orderstatus", "n_items", "total_qty")
+    },
+
+    /** n-ary cogroup (reference `smcogroup` is n-ary; our 2-way `cogroup`
+      * can't express this without a second shuffle): nation × supplier ×
+      * customer per nationkey in ONE shuffle — nation name, supplier count,
+      * customer count and max balance per group. Customer (the biggest
+      * input) is last, so it streams; nation/supplier are buffered.
+      */
+    "cogroup3" -> { (s, dir) =>
+      val nation = table(s, dir, "nation").select(col("n_nationkey").as("k"), col("n_name"))
+      val supplier = table(s, dir, "supplier").select(col("s_nationkey").as("k"), col("s_suppkey"))
+      val customer = table(s, dir, "customer")
+        .select(col("c_nationkey").as("k"), col("c_custkey"), col("c_acctbal"))
+      val out = StructType(Seq(
+        StructField("k", IntegerType), StructField("n_name", StringType),
+        StructField("n_suppliers", LongType), StructField("n_customers", LongType),
+        StructField("max_acctbal", DoubleType)))
+      Groups.cogroupN(
+        Seq(nation, supplier, customer), keys = Seq("k"),
+        orders = Seq(Nil, Seq("s_suppkey"), Seq("c_custkey")), outSchema = out) { (key, its) =>
+        val name = its(0).map(_.getString(1)).nextOption().orNull
+        val nSupp = its(1).size.toLong
+        var nCust = 0L
+        var maxBal: java.lang.Double = null
+        its(2).foreach { c =>
+          nCust += 1
+          val b = c.getDouble(2)
+          if (maxBal == null || b > maxBal) maxBal = b
+        }
+        Iterator.single(Row(key.getInt(0), name, nSupp, nCust, maxBal))
+      }
     },
 
     "groupsort" -> { (s, dir) =>
@@ -415,6 +446,19 @@ object CoreQueries {
         |       COALESCE(SUM(l_quantity), 0) AS total_qty
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
+    "cogroup3" ->
+      """WITH s AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |           FROM supplier GROUP BY 1),
+        |     c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |                  MAX(c_acctbal) AS max_acctbal
+        |           FROM customer GROUP BY 1)
+        |SELECT n_nationkey AS k, n_name,
+        |       COALESCE(n_suppliers, 0) AS n_suppliers,
+        |       COALESCE(n_customers, 0) AS n_customers,
+        |       max_acctbal
+        |FROM nation
+        |LEFT JOIN s ON n_nationkey = s_nationkey
+        |LEFT JOIN c ON n_nationkey = c_nationkey""".stripMargin,
     "groupsort" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey

@@ -28,6 +28,27 @@ object NorthStarQueries {
   private val AnnQueries = 10
   private val AnnK = 5
 
+  /** Recall@k of an approximate ANN result against the exact bruteforce
+    * baseline, as one oracle-checkable row: (n_queries, n_relevant,
+    * recall_ok). The counts are derivable in DuckDB; recall_ok folds the
+    * (seed-deterministic but engine-specific) hit count into a floor
+    * boolean — a recall regression flips it and fails the hash compare.
+    */
+  private def recallSummary(s: SparkSession, dir: String, approx: DataFrame,
+      floor: Double): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val exact = Ann.bruteForce(
+      queries = emb.filter(col("vec_id") < AnnQueries), corpus = emb,
+      qId = "vec_id", qVec = "embedding", cId = "vec_id", cVec = "embedding",
+      k = AnnK)
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("_hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_relevant"),
+        (sum(coalesce(col("_hit"), lit(0))) >= count(lit(1)) * lit(floor)).as("recall_ok"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---- text analysis ---------------------------------------------------
@@ -52,14 +73,27 @@ object NorthStarQueries {
     },
 
     "text_fingerprint" -> { (s, dir) =>
-      // winnowing fingerprints; rows-only check (no xxhash64 in DuckDB),
-      // determinism covered by the text spec. Two-phase: hashes, then
-      // fingerprints, then stats — each array materialized once.
-      tableSpread(s, dir, "documents")
-        .withColumn("_hs", ngramHashes(col("text")))
-        .withColumn("_fps", winnowFromHashes(col("_hs")))
-        .select(col("doc_id"), size(col("_fps")).as("n_fps"),
-          array_min(col("_fps")).as("min_fp"), array_max(col("_fps")).as("max_fp"))
+      // DuckDB has no xxhash64, so the check is the winnowing containment
+      // invariant instead of a value compare: fingerprints of a text
+      // PREFIX are minima over a subset of the original's n-gram hashes,
+      // so every one of them must appear in the original's hash set. A
+      // broken hash, window, or dedup step breaks containment; the oracle
+      // pins the planted-prefix count and that all of them are contained.
+      val docs = tableSpread(s, dir, "documents")
+      val origSets = docs
+        .select(col("doc_id"), array_distinct(ngramHashes(col("text"))).as("hs"))
+      val prefixFps = docs
+        .filter(col("doc_id") < 60 && length(col("text")) >= 40)
+        .select(col("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("ptext"))
+        .withColumn("_hs", ngramHashes(col("ptext")))
+        .select(col("doc_id"), winnowFromHashes(col("_hs")).as("fps"))
+      prefixFps.join(origSets, "doc_id")
+        .select(col("doc_id"),
+          (size(col("fps")) > 0 && size(array_except(col("fps"), col("hs"))) === 0)
+            .as("contained"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("contained"), 1L).otherwise(0L)).as("n_contained"))
     },
 
     // ---- deduplication ---------------------------------------------------
@@ -71,14 +105,40 @@ object NorthStarQueries {
     },
 
     "dedup_minhash" -> { (s, dir) =>
-      Dedup.minhash(
-        tableSpread(s, dir, "documents").withColumn("_toks", TextFunctions.tokens(col("text"))),
-        id = "doc_id", shingles = shinglesOf(col("_toks"), 3), threshold = 0.5)
+      // planted-recall verification (the fixture has no true near-dups):
+      // docs with >= 50 tokens get a copy at id+1e6 with the last two
+      // tokens dropped — 3-shingle Jaccard >= (m-4)/(m-2) ~ 0.96, which
+      // the 16x8 banding recalls with P(miss) ~ 3e-9 and the signature
+      // estimate clears 0.5 with overwhelming margin. The contract is
+      // n_recalled == n_planted; the DuckDB oracle recomputes n_planted.
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val planted = docs.filter(col("doc_id") < 60 && size(col("_toks")) >= 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          slice(col("_toks"), lit(1), size(col("_toks")) - 2).as("_toks"))
+      val all = docs.select("doc_id", "_toks").unionByName(planted)
+      val pairs = Dedup.minhash(all, id = "doc_id",
+        shingles = shinglesOf(col("_toks"), 3), threshold = 0.5)
+      planted.select((col("doc_id") - 1000000L).as("a"), col("doc_id").as("b"))
+        .join(pairs.select(col("a"), col("b"), lit(1).as("_hit")), Seq("a", "b"), "left_outer")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_recalled"))
     },
 
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhash(tableSpread(s, dir, "documents"), id = "doc_id",
+      // planted exact duplicates: identical token stream -> identical
+      // 64-bit simhash -> hamming 0, and pigeonhole banding is complete,
+      // so every planted pair MUST be found — n_recalled == n_planted.
+      val docs = tableSpread(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = docs.select("doc_id", "text").unionByName(planted)
+      val pairs = Dedup.simhash(all, id = "doc_id",
         tokens = TextFunctions.tokens(col("text")), maxHamming = 3)
+      planted.select((col("doc_id") - 1000000L).as("a"), col("doc_id").as("b"))
+        .join(pairs.select(col("a"), col("b"), lit(1).as("_hit")), Seq("a", "b"), "left_outer")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_recalled"))
     },
 
     "dedup_ngram" -> { (s, dir) =>
@@ -91,8 +151,21 @@ object NorthStarQueries {
     },
 
     "dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingCosine(tableSpread(s, dir, "embeddings"), id = "vec_id",
+      // the fixture's random vectors have no pair above 0.9 cosine (round-2
+      // output was empty => vacuous verification), so plant near-dups: each
+      // vec_id < 20 gets a copy at id+1e6 scaled by 2. Doubling is exact in
+      // floating point, so the copy's cosine is 1 and every hyperplane dot
+      // product keeps its sign — the pair provably lands in the same LSH
+      // bucket. The DuckDB oracle scores ALL pairs of the augmented table
+      // exactly, so spurious hits and drops both fail the hash compare.
+      val emb = tableSpread(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val all = emb.select("vec_id", "embedding").unionByName(planted)
+      Dedup.embeddingCosine(all, id = "vec_id",
         vec = col("embedding"), threshold = 0.9, dim = 64)
+        .select(col("a"), col("b"))
     },
 
     /** End-to-end training-data pipeline: quality-filter documents, exact
@@ -125,54 +198,124 @@ object NorthStarQueries {
     },
 
     "ann_lsh" -> { (s, dir) =>
+      // recall@k against the exact bruteforce baseline, computed inline:
+      // the output row carries counts the DuckDB oracle can derive plus a
+      // recall floor boolean, so a recall regression becomes a hash
+      // mismatch instead of an invisible rows-only pass.
       val emb = table(s, dir, "embeddings")
-      Ann.lshTopK(
-        queries = emb.filter(col("vec_id") < AnnQueries),
-        corpus = emb,
+      val q = emb.filter(col("vec_id") < AnnQueries)
+      // fixture embeddings are near-uniform random (nearest cosines ~0.4),
+      // the hard case for hyperplane LSH: favor recall (4 planes x 8
+      // tables ~ 75% per pair) over bucket tightness
+      val approx = Ann.lshTopK(
+        queries = q, corpus = emb,
         qId = "vec_id", qVec = "embedding", cId = "vec_id", cVec = "embedding",
-        // fixture embeddings are near-uniform random (nearest cosines ~0.4),
-        // the hard case for hyperplane LSH: favor recall (4 planes x 8
-        // tables ~ 75% for a 0.4-cosine pair) over bucket tightness
         k = AnnK, nPlanes = 4, nTables = 8, dim = 64)
+      recallSummary(s, dir, approx, floor = 0.5)
     },
 
     "ann_ivf" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      graft.similarity.Ivf.topK(
+      val approx = graft.similarity.Ivf.topK(
         queries = emb.filter(col("vec_id") < AnnQueries),
         corpus = emb,
         qId = "vec_id", qVec = "embedding", cId = "vec_id", cVec = "embedding",
         k = AnnK, nCells = 16, nProbe = 6)
+      recallSummary(s, dir, approx, floor = 0.5)
     },
 
     // ---- multimodal binary-column plumbing --------------------------------
+    /** Image pipeline with a REAL decode step: a PNG is synthesized per
+      * document (width/height/constant gray level derived from doc fields),
+      * carried as an opaque binary column, then decoded with javax.imageio
+      * and reduced to features. The DuckDB oracle recomputes
+      * width/height/red_sum arithmetically, so a broken encode, decode, or
+      * feature-extract step all fail the hash compare. At 100 TB the shape
+      * is the same: binary column + per-partition batched codec work, no
+      * shuffle until the (tiny) feature frame.
+      */
     "multimodal_features" -> { (s, dir) =>
       import s.implicits._
-      // Real pipelines carry image/audio as opaque binary + typed metadata;
-      // decode libs are not in this container, so the decode step is a
-      // deterministic STUB (byte histogram + checksum) while the Spark-side
-      // plumbing — binary column, metadata struct, per-partition batched
-      // feature extraction — is real.
       val blobs = tableSpread(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
-          struct(length(col("text")).as("n_chars"), lit("text/plain").as("mime")).as("meta"))
-      blobs.as[(Long, Array[Byte], (Long, String))]
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
         .mapPartitions { it =>
-          it.map { case (id, bytes, (nChars, mime)) =>
-            // STUB decode: byte checksum + 4-bucket histogram stand in for
-            // pixel/sample features
-            var sum = 0L
-            val hist = new Array[Long](4)
-            var i = 0
-            while (i < bytes.length) {
-              sum += bytes(i) & 0xff
-              hist((bytes(i) & 0xff) >> 6) += 1
-              i += 1
+          it.map { case (id, nChars) =>
+            val w = (nChars % 31 + 1).toInt
+            val h = (id % 17 + 1).toInt
+            val c = (id * 7 % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (c << 16) | (c << 8) | c
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
             }
-            (id, bytes.length.toLong, sum, hist(0), hist(1), hist(2), hist(3), mime)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray, "image/png")
           }
         }
-        .toDF("doc_id", "n_bytes", "checksum", "h0", "h1", "h2", "h3", "mime")
+        .toDF("doc_id", "blob", "mime")
+      blobs.as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.map { case (id, bytes, _) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+              y += 1
+            }
+            (id, w, h, sum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "red_sum")
+    },
+
+    /** Audio pipeline with a REAL decode step: unsigned 8-bit mono PCM WAV
+      * synthesized per document, decoded via javax.sound.sampled (actual
+      * RIFF header parse), reduced to sample stats the oracle recomputes.
+      */
+    "multimodal_audio" -> { (s, dir) =>
+      import s.implicits._
+      val blobs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 100 + 1).toInt
+            val data = Array.tabulate[Byte](n)(i => ((id + i) % 256).toByte)
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+              8000f, 8, 1, 1, 8000f, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray, "audio/wav")
+          }
+        }
+        .toDF("doc_id", "blob", "mime")
+      blobs.as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.map { case (id, bytes, _) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val buf = ais.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i < buf.length) { sum += buf(i) & 0xff; i += 1 }
+            (id, buf.length.toLong, ais.getFormat.getSampleRate.toInt, sum)
+          }
+        }
+        .toDF("doc_id", "n_samples", "sample_rate", "sample_sum")
     },
 
     /** Near-dup pairs collapsed to duplicate clusters (connected
@@ -199,10 +342,11 @@ object NorthStarQueries {
         text = col("text"), terms = Seq("spark", "join", "data"), k = 5)
     },
 
-    /** Int8-quantized embeddings: 4x smaller storage for the ANN index;
-      * per-vector reconstruction quality reported (rows-only — float
-      * rounding at .5 code boundaries is engine-specific; the spec pins
-      * the error bound instead).
+    /** Int8-quantized embeddings: 4x smaller storage for the ANN index.
+      * The raw fidelity floats are engine-specific (rounding at .5 code
+      * boundaries), so the output is the vector count plus a worst-case
+      * reconstruction-fidelity floor boolean — both oracle-checkable; a
+      * quantizer regression flips the boolean and fails the hash compare.
       */
     "embedding_quantize" -> { (s, dir) =>
       import graft.functions.VectorFunctions
@@ -212,7 +356,7 @@ object NorthStarQueries {
       emb.select(col("vec_id"),
         VectorFunctions.cosineFused(col("embedding"), col("deq")).as("fidelity"))
         .agg(count(lit(1)).as("n_vectors"),
-          sum(when(col("fidelity") >= 0.999, 1L).otherwise(0L)).as("n_high_fidelity"))
+          (min(col("fidelity")) >= 0.99).as("fidelity_ok"))
     },
 
     // ---- corpus statistics + sampling -------------------------------------
@@ -252,14 +396,27 @@ object NorthStarQueries {
         .select(col("source"), col("doc_id"))
     },
 
-    /** Stratified Bernoulli sample per language (seeded; rows-only check —
-      * RNG streams differ by engine; SamplingSpec asserts the per-stratum
-      * rates instead).
+    /** Stratified Bernoulli sample per language (seeded). The sampled
+      * counts themselves are RNG-stream-specific, so the output is the
+      * per-stratum population count plus a rate-tolerance boolean: the
+      * observed rate must sit within 0.15 of the requested fraction. The
+      * DuckDB oracle recomputes the population; a sampler that ignores
+      * the fractions (or a stratum) fails the hash compare.
       */
     "stratified_sample" -> { (s, dir) =>
-      Sampling.stratifiedSample(table(s, dir, "documents"), strata = "lang",
-        fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), seed = 7L)
+      val fracs = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
+      val docs = table(s, dir, "documents")
+      val sampled = Sampling.stratifiedSample(docs, strata = "lang",
+        fractions = fracs, seed = 7L)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      val wanted = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "de", 0.25).otherwise(0.1)
+      docs.filter(col("lang").isin(fracs.keys.toSeq: _*))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_total"),
+          (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_total").cast("double")
+            - wanted) <= 0.15).as("rate_ok"))
     }
   )
 
@@ -477,6 +634,57 @@ object NorthStarQueries {
         |                       + (doc_id & 65535) * 2654435761) % 4294967296) % 1073741824 ASC,
         |                      doc_id ASC) AS rn
         |  FROM documents)
-        |WHERE rn <= 20""".stripMargin
+        |WHERE rn <= 20""".stripMargin,
+    // exact all-pairs cosine over the SAME planted-augmented table the
+    // engine dedups — catches both dropped planted pairs and spurious hits
+    "dedup_embedding" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""".stripMargin,
+    "ann_lsh" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST($AnnK * COUNT(*) AS BIGINT) AS n_relevant,
+         |       TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $AnnQueries""".stripMargin,
+    "ann_ivf" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST($AnnK * COUNT(*) AS BIGINT) AS n_relevant,
+         |       TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $AnnQueries""".stripMargin,
+    "embedding_quantize" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS fidelity_ok FROM embeddings",
+    "stratified_sample" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS rate_ok
+        |FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, CAST(COUNT(*) AS BIGINT) AS n_recalled
+        |FROM documents
+        |WHERE doc_id < 60
+        |  AND len(list_filter(string_split(text, ' '), x -> x != '')) >= 50""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, CAST(COUNT(*) AS BIGINT) AS n_recalled
+        |FROM documents WHERE doc_id < 60""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, CAST(COUNT(*) AS BIGINT) AS n_contained
+        |FROM documents WHERE doc_id < 60 AND length(text) >= 40""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |       CAST(n_chars % 31 + 1 AS INT) AS width,
+        |       CAST(doc_id % 17 + 1 AS INT) AS height,
+        |       CAST((n_chars % 31 + 1) * (doc_id % 17 + 1) * (doc_id * 7 % 256) AS BIGINT) AS red_sum
+        |FROM documents""".stripMargin,
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 100 + 1 AS BIGINT) AS n_samples,
+        |       8000 AS sample_rate,
+        |       CAST(list_sum(list_transform(range(0, doc_id % 100 + 1), i -> (doc_id + i) % 256)) AS BIGINT)
+        |         AS sample_sum
+        |FROM documents""".stripMargin
   )
 }

@@ -194,15 +194,18 @@ object RelationalQueries {
         .agg(count(col("view_ts")).as("n_prior_views"))
     },
 
-    /** Approximate distinct (HLL) next to the exact count — rows-only
-      * check (sketch internals differ across engines by design); the spec
-      * asserts the approximation error bound instead.
+    /** Approximate distinct (HLL). Sketch estimates differ across engines
+      * by design, so the output folds the estimate into an error-bound
+      * boolean next to the exact count (both oracle-checkable): the HLL
+      * estimate must land within 10% of the truth (default rsd is 5%), so
+      * a broken sketch fails the hash compare instead of passing rows-only.
       */
     "approx_distinct" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            <= countDistinct(col("l_partkey")).cast("double") * 0.1).as("approx_ok"))
     }
   )
 
@@ -293,6 +296,10 @@ object RelationalQueries {
         |SELECT user_id,
         |       CAST(date_trunc('microseconds', MIN(ts)) AS TIMESTAMP) AS session_start,
         |       COUNT(*) AS n_events
-        |FROM sessions GROUP BY user_id, session_id""".stripMargin
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "approx_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -49,26 +49,35 @@ object DirectOutput {
       if (matches != null) matches.foreach(s => f.delete(s.getPath, true))
     }
 
-  /** Prepare + commit a set of datasets as one transaction. */
-  def write(txId: String, markerDir: String, specs: Seq[Spec]): Unit = {
-    require(specs.nonEmpty, "no datasets to write")
-    val conf = specs.head.df.sparkSession.sparkContext.hadoopConfiguration
+  /** Prepare phase for one dataset: write its attempt directory (a Spark
+    * job with its own internal commit). Nothing under `spec.path` becomes
+    * visible until [[commitAll]].
+    */
+  def prepare(spec: Spec, txId: String): (Spec, String) = {
+    val attempt = s"${spec.path}/.attempt-$txId"
+    val w = spec.df.write.mode("overwrite").format(spec.format).options(spec.options)
+    (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w).save(attempt)
+    (spec, attempt)
+  }
 
-    // prepare: write each dataset's attempt (parallel Spark jobs)
-    val attempts = specs.map { s =>
-      val attempt = s"${s.path}/.attempt-$txId"
-      val w = s.df.write.mode("overwrite").format(s.format).options(s.options)
-      (if (s.partitionBy.nonEmpty) w.partitionBy(s.partitionBy: _*) else w).save(attempt)
-      (s, attempt)
-    }
-
-    // commit: marker first, then idempotent renames, then marker removal
+  /** Commit phase: marker first, then idempotent renames, then marker
+    * removal — the transaction point for ALL prepared attempts at once.
+    */
+  def commitAll(conf: Configuration, txId: String, markerDir: String,
+      attempts: Seq[(Spec, String)]): Unit = {
     val mfs = fs(conf, markerDir)
     val marker = new Path(s"$markerDir/.graft-tx-$txId")
     mfs.mkdirs(marker.getParent)
     mfs.create(marker, true).close()
     attempts.foreach { case (s, attempt) => commitOne(conf, s.path, attempt) }
     mfs.delete(marker, false)
+  }
+
+  /** Prepare + commit a set of datasets as one transaction. */
+  def write(txId: String, markerDir: String, specs: Seq[Spec]): Unit = {
+    require(specs.nonEmpty, "no datasets to write")
+    val conf = specs.head.df.sparkSession.sparkContext.hadoopConfiguration
+    commitAll(conf, txId, markerDir, specs.map(prepare(_, txId)))
   }
 
   /** Rename one attempt's files into place. Idempotent (re-runnable after

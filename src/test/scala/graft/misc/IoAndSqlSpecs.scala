@@ -31,6 +31,53 @@ class OutputPatternSpec extends SparkSpec {
   }
 }
 
+class DeferredCommitSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sinks.DeferredDirectOutput
+
+  private def committedOutputs(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && Option(f.listFiles()).exists(_.exists(_.getName == "_GRAFT_COMMITTED")))
+      .map(_.getName).toSeq.sorted
+
+  test("crash between rounds leaves zero committed outputs; recovery rolls back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_defer").toString
+    val tx = new DeferredDirectOutput("it1", s"$dir/_tx")
+    // two rounds stage their outputs, then the job "crashes" (no commit)
+    tx.stage(DirectOutput.Spec(Seq(1, 2).toDF("v"), s"$dir/round_0"))
+    tx.stage(DirectOutput.Spec(Seq(3).toDF("v"), s"$dir/round_1"))
+    assert(committedOutputs(dir).isEmpty, "nothing may be visible before commit")
+    // both attempts exist, but no transaction marker was ever written
+    assert(new java.io.File(s"$dir/round_0/.attempt-it1").exists())
+    assert(!new java.io.File(s"$dir/_tx/.graft-tx-it1").exists())
+    // restart-time recovery: marker-less attempts are rolled back
+    DirectOutput.recover(spark.sparkContext.hadoopConfiguration, s"$dir/_tx",
+      Seq(s"$dir/round_0", s"$dir/round_1"))
+    assert(!new java.io.File(s"$dir/round_0/.attempt-it1").exists())
+    assert(committedOutputs(dir).isEmpty)
+  }
+
+  test("commit publishes every round's output atomically at job end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_defer").toString
+    val tx = new DeferredDirectOutput("it2", s"$dir/_tx")
+    tx.stage(DirectOutput.Spec(Seq(1, 2).toDF("v"), s"$dir/round_0"))
+    tx.stage(DirectOutput.Spec(Seq(3).toDF("v"), s"$dir/round_1"))
+    tx.commit()
+    assert(committedOutputs(dir) === Seq("round_0", "round_1"))
+    assert(spark.read.parquet(s"$dir/round_0").count() === 2)
+    assert(spark.read.parquet(s"$dir/round_1").count() === 1)
+    // same path twice in one transaction is a contract violation
+    val tx2 = new DeferredDirectOutput("it3", s"$dir/_tx")
+    tx2.stage(DirectOutput.Spec(Seq(9).toDF("v"), s"$dir/round_2"))
+    val e = intercept[IllegalArgumentException] {
+      tx2.stage(DirectOutput.Spec(Seq(9).toDF("v"), s"$dir/round_2"))
+    }
+    assert(e.getMessage.contains("already staged"))
+    tx2.abort()
+    assert(!new java.io.File(s"$dir/round_2/.attempt-it3").exists())
+  }
+}
+
 class BucketedSpec extends SparkSpec {
   import spark.implicits._
 

@@ -59,6 +59,32 @@ class GroupOpsSpec extends SparkSpec {
     assert(out === Set(("a", Some(10), 2), ("nullfoo", None, 2), ("lonely", Some(30), 0)))
   }
 
+  test("cogroupN slices a 3-input union into per-input sorted iterators") {
+    import org.apache.spark.sql.Row
+    for (parts <- Seq(1, 4)) {
+      val a = Seq((1, "n1"), (2, "n2"), (4, "n4")).toDF("k", "name").repartition(parts)
+      val b = Seq((1, 30), (1, 10), (2, 5)).toDF("k", "sv").repartition(parts)
+      val c = Seq((1, 7L), (3, 9L), (3, 2L)).toDF("k", "cv").repartition(parts)
+      val out = Groups.cogroupN(
+        Seq(a, b, c), keys = Seq("k"),
+        orders = Seq(Nil, Seq("sv"), Seq("cv")),
+        outSchema = StructType(Seq(
+          StructField("k", IntegerType), StructField("name", StringType),
+          StructField("svs", StringType), StructField("cvs", StringType)))) { (key, its) =>
+        Iterator.single(Row(
+          key.getInt(0),
+          its(0).map(_.getString(1)).mkString(","),
+          its(1).map(_.getInt(1)).mkString(","),   // asserts sv sort order
+          its(2).map(_.getLong(1)).mkString(","))) // asserts cv sort order
+      }.collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+      assert(out === Map(
+        1 -> (("n1", "10,30", "7")),
+        2 -> (("n2", "5", "")),
+        3 -> (("", "", "2,9")),   // key only in the streamed input
+        4 -> (("n4", "", ""))))   // key only in a buffered input
+    }
+  }
+
   test("groupSort delivers groups in secondary-sort order across partitions") {
     for (parts <- Seq(1, 4)) {
       val ds = bars.repartition(parts)
