@@ -35,25 +35,31 @@ object Cluster {
     val und = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (not just persist) each round: it truncates the
-    // logical plan, which otherwise grows by a join+union+agg per round
-    // and blows up analysis/codegen after ~10 rounds — THE classic
-    // iterative-DataFrame failure. A restartable production job would use
-    // reliable checkpoint() to durable storage instead.
+    // lazy localCheckpoint each round: it truncates the logical plan (which
+    // otherwise grows by a join+union+agg per round and blows up
+    // analysis/codegen after ~10 rounds — THE classic iterative-DataFrame
+    // failure), and being lazy it materializes under the SAME action as the
+    // convergence aggregate — one Spark job per round, not two. A
+    // restartable production job would use reliable checkpoint() instead.
+    //
+    // Convergence: labels only decrease under min-propagation, so the label
+    // sum is a monotone potential — unchanged sum == fixpoint. The row
+    // count rides along in the same aggregate (empty input == converged),
+    // so no separate isEmpty job. decimal(38) sum: node ids may be 64-bit
+    // hash fingerprints, whose long sum overflows (ANSI error/silent wrap).
+    def measure(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(
+        coalesce(sum(col("comp").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")),
+        count(lit(1))).head
+      (r.getDecimal(0), r.getLong(1))
+    }
     var labels = und.groupBy(col("a")).agg(min(col("b")).as("m"))
       .select(col("a").as("id"), least(col("a"), col("m")).as("comp"))
-      .localCheckpoint()
-    // labels only ever decrease under min-propagation, so the label sum is
-    // a monotone potential: unchanged sum == fixpoint. One cheap scalar
-    // aggregate per round instead of a distinct-based except() anti-join.
-    // decimal(38) sum: node ids may be 64-bit hash fingerprints, whose
-    // long sum overflows (ANSI error / silent wrap); 0 on an empty set
-    def potential(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
-        .head.getDecimal(0)
-    var pot = potential(labels)
+      .localCheckpoint(false)
+    val t0 = System.nanoTime()
+    var (pot, n) = measure(labels)
     var iter = 0
-    var converged = labels.isEmpty
+    var converged = n == 0L
     while (iter < maxIter && !converged) {
       val msgs = und.join(labels, und("a") === labels("id"))
         .select(und("b").as("id"), col("comp"))
@@ -70,14 +76,17 @@ object Cluster {
         p.join(p.select(col("id").as("_cid"), col("comp").as("_ccomp")),
             col("comp") === col("_cid"))
           .select(col("id"), least(col("comp"), col("_ccomp")).as("comp"))
-      }).localCheckpoint()
-      val nextPot = potential(next)
+      }).localCheckpoint(false)
+      val (nextPot, _) = measure(next)
       converged = nextPot.compareTo(pot) == 0
       pot = nextPot
       labels = next
       iter += 1
     }
     und.unpersist()
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"connectedComponents: $iter rounds, $n labeled nodes, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s after edge materialization")
     // partial labels are silently-wrong fragments — refuse to return them
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +

@@ -85,6 +85,30 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"full text crossed the exchange:\n${e.output.mkString(", ")}")
   }
 
+  test("branch fan-out: three port consumers reuse one shared scan") {
+    import graft.operators.Records._
+    val ports = GraftSession.table(spark, dir, "orders")
+      .branch(when(col("o_orderstatus") === "F", "closed")
+        .when(col("o_orderstatus") === "O", "open").otherwise("other"))
+      .shared()
+    try {
+      val consumers = Seq("closed", "open", "other").map(ports.port)
+      consumers.foreach(_.count())
+      for (c <- consumers) {
+        val plan = executed(c)
+        // the port must read the persisted tagged frame, not re-scan parquet
+        assert(collect(plan) {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+        }.nonEmpty, s"port re-planned from the source:\n$plan")
+        assert(collect(plan) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.isEmpty, s"port re-scanned the file:\n$plan")
+      }
+      // and the three ports partition the input exactly
+      assert(consumers.map(_.count()).sum === GraftSession.table(spark, dir, "orders").count())
+    } finally ports.all.unpersist()
+  }
+
   test("rangeJoin plans as an equi-join, never a nested loop") {
     val ev = GraftSession.table(spark, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
