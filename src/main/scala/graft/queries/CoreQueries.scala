@@ -35,6 +35,8 @@ final case class LineQty(l_orderkey: Long, l_quantity: Double)
 final case class LineShip(l_orderkey: Long, l_linenumber: Int,
     l_shipdate: java.sql.Timestamp, l_quantity: Double)
 final case class LinePrice(l_orderkey: Long, l_linenumber: Int, l_extendedprice: Double)
+final case class SupplierBal(s_suppkey: Long, s_nationkey: Int, s_acctbal: Double)
+final case class CustomerNation(c_custkey: Long, c_nationkey: Int)
 final case class OrderStatus(o_orderkey: Long, o_orderstatus: String)
 
 object CoreQueries {
@@ -365,20 +367,25 @@ object CoreQueries {
       found.toDF("o_orderkey", "sel_linenumber", "sel_price")
     },
 
-    /** Same selection hook, broadcast physical path: the master side rides a
-      * GroupView instead of a cogroup shuffle. Shares `masterjoinselect`'s
-      * oracle — identical semantics, different plan.
+    /** Same selection-hook semantics, broadcast physical path: the master
+      * side rides a GroupView instead of a cogroup shuffle. The master here
+      * is dimension-sized (supplier) — that is the broadcast path's
+      * contract; a fact-sized master belongs on the shuffled path (and the
+      * GroupView row bound enforces it at scale).
       */
     "masterjoinselect_broadcast" -> { (s, dir) =>
       import s.implicits._
       val (found, _) = Joins.masterJoinSelectBroadcast(
-        master = table(s, dir, "lineitem").as[Lineitem],
-        tx = table(s, dir, "orders").as[Order])(_.l_orderkey, _.o_orderkey)(
+        master = table(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey", "s_acctbal").as[SupplierBal],
+        tx = table(s, dir, "customer")
+          .select("c_custkey", "c_nationkey").as[CustomerNation])(_.s_nationkey, _.c_nationkey)(
+        // user hook: richest supplier of the customer's nation (ties -> lowest key)
         selection = (ms, _) =>
           if (ms.isEmpty) None
-          else Some(ms.minBy(m => (-m.l_extendedprice, m.l_linenumber))))(
-        mapJoined = (m, t) => (t.o_orderkey, m.l_linenumber, m.l_extendedprice))
-      found.toDF("o_orderkey", "sel_linenumber", "sel_price")
+          else Some(ms.minBy(m => (-m.s_acctbal, m.s_suppkey))))(
+        mapJoined = (m, t) => (t.c_custkey, m.s_suppkey, m.s_acctbal))
+      found.toDF("c_custkey", "sel_suppkey", "sel_acctbal")
     },
 
     // ---- broadcast view side input ---------------------------------------
@@ -526,12 +533,12 @@ object CoreQueries {
         |  FROM lineitem) li ON o_orderkey = li.l_orderkey
         |WHERE li.rn = 1""".stripMargin,
     "masterjoinselect_broadcast" ->
-      """SELECT o_orderkey, l_linenumber AS sel_linenumber, l_extendedprice AS sel_price
-        |FROM orders JOIN (
-        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |           ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
-        |  FROM lineitem) li ON o_orderkey = li.l_orderkey
-        |WHERE li.rn = 1""".stripMargin,
+      """SELECT c_custkey, s_suppkey AS sel_suppkey, s_acctbal AS sel_acctbal
+        |FROM customer JOIN (
+        |  SELECT *, row_number() OVER (PARTITION BY s_nationkey
+        |           ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+        |  FROM supplier) s ON c_nationkey = s.s_nationkey
+        |WHERE s.rn = 1""".stripMargin,
     "groupview" ->
       """SELECT c_custkey, COALESCE(n_name, 'UNKNOWN') AS nation_name
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
