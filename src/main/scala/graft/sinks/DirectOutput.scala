@@ -73,11 +73,30 @@ object DirectOutput {
     mfs.delete(marker, false)
   }
 
-  /** Prepare + commit a set of datasets as one transaction. */
+  /** Prepare + commit a set of datasets as one transaction. The prepare
+    * phase submits every dataset's write job from its own driver thread —
+    * the reference's node-level concurrency (SparkClient.scala:48-66 runs
+    * every graph node as a Future on a dedicated executor pool): with
+    * independent outputs, one job's shuffle/read stalls overlap another's
+    * compute instead of serializing. Spark supports multi-threaded job
+    * submission natively; commit stays sequential (O(datasets) renames).
+    */
   def write(txId: String, markerDir: String, specs: Seq[Spec]): Unit = {
     require(specs.nonEmpty, "no datasets to write")
     val conf = specs.head.df.sparkSession.sparkContext.hadoopConfiguration
-    commitAll(conf, txId, markerDir, specs.map(prepare(_, txId)))
+    val attempts =
+      if (specs.size == 1) specs.map(prepare(_, txId))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(specs.size, 8))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            specs.map(s => scala.concurrent.Future(prepare(s, txId)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+    commitAll(conf, txId, markerDir, attempts)
   }
 
   /** Rename one attempt's files into place. Idempotent (re-runnable after

@@ -41,6 +41,32 @@ class JoinPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cogroupN agrees with driver-side groupBy on random 3-input data") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val gen = Gen.listOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 100)))
+    for (((as, bs), cs) <- samples(Gen.zip(Gen.zip(gen, gen), gen), 5)) {
+      val a = as.toDF("k", "v")
+      val b = bs.toDF("k", "v")
+      val c = cs.toDF("k", "v")
+      val got = graft.operators.Groups.cogroupN(
+        Seq(a, b, c), keys = Seq("k"), orders = Seq(Seq("v"), Seq("v"), Seq("v")),
+        outSchema = StructType(Seq(
+          StructField("k", IntegerType),
+          StructField("sa", StringType), StructField("sb", StringType),
+          StructField("sc", StringType)))) { (key, its) =>
+        Iterator.single(Row(key.getInt(0),
+          its(0).map(_.getInt(1)).mkString(","),
+          its(1).map(_.getInt(1)).mkString(","),
+          its(2).map(_.getInt(1)).mkString(",")))
+      }.collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+      def slice(xs: List[(Int, Int)], k: Int) = xs.filter(_._1 == k).map(_._2).sorted.mkString(",")
+      val keys = (as ++ bs ++ cs).map(_._1).toSet
+      val naive = keys.map(k => k -> ((slice(as, k), slice(bs, k), slice(cs, k)))).toMap
+      assert(got === naive)
+    }
+  }
+
   test("asofJoin agrees with the naive quadratic definition") {
     val rows = Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50)))
     for ((ls, rs) <- samples(Gen.zip(rows, rows), 5)) {
