@@ -96,6 +96,38 @@ object NorthStarQueries {
           sum(when(col("contained"), 1L).otherwise(0L)).as("n_contained"))
     },
 
+    /** PII scrub: redact email addresses, report per-doc counts. The
+      * fixture has no PII, so deterministic addresses are planted in the
+      * query (both engines reproduce the construction) — redaction then
+      * has non-vacuous counts the oracle recomputes exactly. The regex
+      * stays in the common Java/RE2 subset so Spark and DuckDB agree.
+      */
+    "text_redact" -> { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      tableSpread(s, dir, "documents")
+        .withColumn("_t",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("_t"), lit(emailRe), lit(0))).as("n_emails"),
+          length(regexp_replace(col("_t"), emailRe, "[EMAIL]")).as("redacted_len"))
+    },
+
+    /** Repetition-ratio quality signal (Gopher/C4-style): the most frequent
+      * token's share of the document. Two partial-aggregated shuffles on
+      * (doc, term) hashes; counts only cross the exchange.
+      */
+    "text_repetition" -> { (s, dir) =>
+      tableSpread(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max(col("tf")).as("top_tf"))
+        .withColumn("repetitive", col("top_tf") * 10 > col("n_tokens") * 3)
+    },
+
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
       // fingerprint-keyed: the oracle groups by text; results agree up to
@@ -635,6 +667,31 @@ object NorthStarQueries {
         |                      doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+    "text_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || ' contact user' || doc_id || '@example.com now'
+        |              ELSE text END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       length(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'))
+        |         AS redacted_len
+        |FROM t""".stripMargin,
+    "text_repetition" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       CAST(MAX(tf) AS BIGINT) AS top_tf,
+        |       MAX(tf) * 10 > SUM(tf) * 3 AS repetitive
+        |FROM tf GROUP BY 1""".stripMargin,
     // exact all-pairs cosine over the SAME planted-augmented table the
     // engine dedups — catches both dropped planted pairs and spurious hits
     "dedup_embedding" ->
