@@ -146,4 +146,32 @@ object StreamOps {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Exactly-once file sink: `foreachBatch` into the transactional
+    * DirectOutput. Each micro-batch commits under its own transaction id
+    * (`<txPrefix>-<batchId>`) into `<path>/batch=<batchId>/`; a replayed
+    * batch (restart after a crash between sink commit and checkpoint
+    * advance — the at-least-once window every foreachBatch sink has) is
+    * detected by its committed marker and skipped, upgrading the sink to
+    * effectively exactly-once. Returns the started query; callers own
+    * `checkpointLocation` (durable storage in production).
+    */
+  def directSink(stream: DataFrame, path: String, checkpoint: String,
+      txPrefix: String = "stream", trigger: Trigger = Trigger.AvailableNow(),
+      format: String = "parquet"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = s"$path/batch=$batchId"
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(target), conf)
+        val committed = new org.apache.hadoop.fs.Path(target, "_GRAFT_COMMITTED")
+        if (fs.exists(committed)) () // replayed batch: already committed, skip
+        else graft.sinks.DirectOutput.write(s"$txPrefix-$batchId", s"$path/_tx",
+          Seq(graft.sinks.DirectOutput.Spec(batch, target, format = format)))
+      }
+      .start()
 }
