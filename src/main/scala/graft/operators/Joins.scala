@@ -124,6 +124,56 @@ object Joins {
     new BranchPorts(j.withColumn(tagCol, tag).drop(MatchTag), tagCol)
   }
 
+  /** Declarative master-selection: when the `@MasterSelection` hook is
+    * expressible as "keep masters where `predicate(master, tx)` holds, pick
+    * the first by `preference` order", the selection plans as relational
+    * operators instead of a typed cogroup — equi-join on the group key,
+    * predicate filter, then a `min_by` aggregate per transaction row. This
+    * is the SparkStrategy alternative SURVEY.md §4 anticipates, realized as
+    * plain Catalyst operators: the whole pipeline stays in whole-stage
+    * codegen with partial (map-side) aggregation, where the typed-cogroup
+    * hook pays object serde per record and blocks codegen.
+    *
+    * Unlike the first-match fast path ([[selectMaster]] pre-join dedup),
+    * `predicate` may reference BOTH sides — per-transaction master
+    * eligibility, which a pre-join dedup cannot express (reference:
+    * `@MasterSelection` methods receive the tx record,
+    * ShuffledJoinOperatorFragment.scala:22-47).
+    *
+    * Contract: `txId` uniquely identifies a tx row; `preference` is an
+    * ascending lexicographic order over the joined columns (negate numeric
+    * columns for descending; include a master-unique tiebreaker or ties
+    * resolve arbitrarily — same caveat as the reference's unordered group
+    * encounter); `output` columns (over tx ++ master) must be aliased —
+    * they become the found port's schema.
+    *
+    * Scale: join shuffles on `keys` (or zero-shuffle with
+    * `broadcastMaster`), selection is one more exchange on `txId` with
+    * partial min_by merge — both skew-handled by AQE. The missed port is a
+    * left-anti of tx against the candidate tx ids.
+    */
+  def masterJoinSelectBy(tx: DataFrame, master: DataFrame, keys: Seq[String],
+      txId: Seq[String], preference: Seq[Column], output: Seq[Column],
+      predicate: Column = lit(true), broadcastMaster: Boolean = false,
+      nullSafeKeys: Boolean = false): JoinPorts = {
+    val m0 = master
+      .withColumns(keys.map(k => s"_graft_mk_$k" -> col(k)).toMap)
+      .drop(keys: _*)
+    val m = if (broadcastMaster) broadcast(m0) else m0
+    val cond = keys.map { k =>
+      if (nullSafeKeys) tx(k) <=> m(s"_graft_mk_$k") else tx(k) === m(s"_graft_mk_$k")
+    }.reduce(_ && _)
+    val candidates = tx.join(m, cond, "inner")
+      .drop(keys.map(k => s"_graft_mk_$k"): _*)
+      .filter(predicate)
+    val found = candidates
+      .groupBy(txId.map(col): _*)
+      .agg(min_by(struct(output: _*), struct(preference: _*)).as("_graft_sel"))
+      .select(col("_graft_sel.*"))
+    val missed = tx.join(candidates.select(txId.map(col): _*), txId, "left_anti")
+    JoinPorts(found, missed)
+  }
+
   /** General path: MasterJoin with a user master-selection hook. The hook
     * receives the full (order-preserved) master list for the key and the
     * transaction record, returns the chosen master or None → missed

@@ -367,6 +367,25 @@ object CoreQueries {
       found.toDF("o_orderkey", "sel_linenumber", "sel_price")
     },
 
+    /** Selection-hook semantics expressed declaratively (join + predicate +
+      * min_by) — plans as codegen'd relational operators, no typed serde.
+      * The predicate references BOTH sides (master price vs the tx order's
+      * total), which the pre-join first-match fast path cannot express.
+      */
+    "masterjoinselect_expr" -> { (s, dir) =>
+      Joins.masterJoinSelectBy(
+        tx = table(s, dir, "orders"),
+        master = table(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        keys = Seq("o_orderkey"),
+        txId = Seq("o_orderkey"),
+        // highest-priced eligible item, ties -> lowest line number
+        preference = Seq(negate(col("l_extendedprice")), col("l_linenumber")),
+        output = Seq(col("o_orderkey"), col("l_linenumber").as("sel_linenumber"),
+          col("l_extendedprice").as("sel_price")),
+        // per-transaction eligibility: item price within the order's total
+        predicate = col("l_extendedprice") <= col("o_totalprice")).found
+    },
+
     /** Same selection-hook semantics, broadcast physical path: the master
       * side rides a GroupView instead of a cogroup shuffle. The master here
       * is dimension-sized (supplier) — that is the broadcast path's
@@ -531,6 +550,14 @@ object CoreQueries {
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
         |           ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
         |  FROM lineitem) li ON o_orderkey = li.l_orderkey
+        |WHERE li.rn = 1""".stripMargin,
+    "masterjoinselect_expr" ->
+      """SELECT o_orderkey, l_linenumber AS sel_linenumber, l_extendedprice AS sel_price
+        |FROM orders JOIN (
+        |  SELECT l.*, row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l_extendedprice <= o_totalprice) li ON o_orderkey = li.l_orderkey
         |WHERE li.rn = 1""".stripMargin,
     "masterjoinselect_broadcast" ->
       """SELECT c_custkey, s_suppkey AS sel_suppkey, s_acctbal AS sel_acctbal

@@ -179,6 +179,25 @@ class JoinOpsSpec extends SparkSpec {
     assert(!found.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("masterJoinSelectBy matches the typed hook path and stays relational") {
+    val ms = Seq(Foo(Some(10), "a"), Foo(Some(10), "bb"), Foo(Some(20), "c")).toDS()
+    val ts = Seq(Bar(Some(1), Some(10), 1), Bar(Some(2), Some(10), 5), Bar(Some(3), Some(30), 1)).toDS()
+    // same selection as the hook test: masters with name length == min(tx.v, 2),
+    // first by name — predicate references BOTH sides, so the pre-join
+    // first-match fast path cannot express it
+    val ports = Joins.masterJoinSelectBy(
+      tx = ts.toDF(), master = ms.toDF().withColumnRenamed("id", "fooId"),
+      keys = Seq("fooId"), txId = Seq("id"),
+      preference = Seq(col("name")),
+      output = Seq(col("id").as("txid"), col("name")),
+      predicate = length(col("name")) === least(col("v"), lit(2)))
+    assert(ports.found.as[(Int, String)].collect().toSet === Set((1, "a"), (2, "bb")))
+    assert(ports.missed.select("id").as[Int].collect().toSet === Set(3))
+    // the point of this path: no typed serde anywhere in the plan
+    val plan = ports.found.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapGroups"), plan)
+  }
+
   test("groupView fails fast above maxRows instead of collecting unbounded") {
     val big = spark.range(100).map(i => Foo(Some(i.toInt), s"n$i"))
     val e = intercept[IllegalArgumentException] {
