@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.model.Document
-import graft.operators.Sampling
+import graft.operators.{Packing, Sampling}
 import graft.similarity.Ann
 
 /** LLM-training-data-pipeline operators over the documents / embeddings
@@ -449,6 +449,28 @@ object NorthStarQueries {
         .select(col("lang"), col("n_total"),
           (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_total").cast("double")
             - wanted) <= 0.15).as("rate_ok"))
+    },
+
+    /** Deterministic global corpus shuffle as a position column: two-level
+      * distributed prefix sum (bucketed windows + a broadcast of bucket
+      * offsets) instead of the single-task global window. The DuckDB
+      * oracle IS the single global window — exact equality proves the
+      * distributed decomposition bit-identical.
+      */
+    "global_shuffle" -> { (s, dir) =>
+      Packing.globalShuffle(table(s, dir, "documents"), col("doc_id"), buckets = 64)
+        .select(col("doc_id"), col("shuffle_pos"))
+    },
+
+    /** Sequence packing: documents assigned to fixed-capacity training
+      * sequences by cumulative token count in shuffle order, verified
+      * per-pack (count + token total) against DuckDB's global running sum.
+      */
+    "sequence_pack" -> { (s, dir) =>
+      Packing.sequencePack(table(s, dir, "documents"), col("doc_id"),
+        tokens = col("n_chars"), capacity = 4096L, buckets = 64)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_tokens"))
     }
   )
 
@@ -736,6 +758,31 @@ object NorthStarQueries {
         |       CAST(doc_id % 17 + 1 AS INT) AS height,
         |       CAST((n_chars % 31 + 1) * (doc_id % 17 + 1) * (doc_id * 7 % 256) AS BIGINT) AS red_sum
         |FROM documents""".stripMargin,
+    // the oracle is the naive single-window formulation the distributed
+    // two-level prefix sum must equal bit-for-bit
+    "global_shuffle" ->
+      """SELECT doc_id,
+        |       row_number() OVER (
+        |         ORDER BY ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                   + (doc_id & 65535) * 2654435761) % 4294967296) % 1073741824 ASC,
+        |                  doc_id ASC) AS shuffle_pos
+        |FROM documents""".stripMargin,
+    "sequence_pack" ->
+      """WITH ordered AS (
+        |  SELECT doc_id, n_chars,
+        |         ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |          + (doc_id & 65535) * 2654435761) % 4294967296) % 1073741824 AS ord
+        |  FROM documents
+        |), packed AS (
+        |  SELECT n_chars,
+        |         CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY ord, doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT)
+        |           AS pack_id
+        |  FROM ordered
+        |)
+        |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY 1""".stripMargin,
     "multimodal_audio" ->
       """SELECT doc_id,
         |       CAST(doc_id % 100 + 1 AS BIGINT) AS n_samples,
