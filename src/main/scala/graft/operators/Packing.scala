@@ -38,12 +38,22 @@ object Packing {
 
   /** `out` = sum of `value` over all records strictly BEFORE this one in
     * the deterministic shuffle order (hash(id), id). `value` must be a
-    * non-negative integral column; `id` must be unique per record.
+    * non-negative integral column; `id` must be a unique INTEGRAL column —
+    * [[Sampling.hashBucket]] casts to long, so a string id would silently
+    * become null, collapsing every record into one null bucket processed by
+    * a single task (exactly the funnel this operator exists to avoid).
+    * Hash string ids to long first (e.g. `xxhash64(col)`).
     */
   def prefixSumBefore(df: DataFrame, id: Column, value: Column, out: String,
       buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && OrdRing % buckets == 0,
       s"buckets must divide 2^30, got $buckets")
+    val idType = df.select(id).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"prefixSumBefore id column must be integral, got ${idType.typeName}: " +
+        "a non-integral id casts to null and degenerates the distributed " +
+        "prefix sum to one single-task bucket; hash string ids to long " +
+        "first, e.g. xxhash64(col)")
     val width = OrdRing / buckets
     val d = df
       .withColumn("_graft_ord", Sampling.hashBucket(id, OrdRing))

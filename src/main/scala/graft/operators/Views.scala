@@ -41,7 +41,11 @@ object Views {
     * probe and the collect see one snapshot of one computation.
     */
   def groupView[T, K](ds: Dataset[T], maxRows: Int = DefaultMaxRows)(key: T => K): GroupView[K, T] = {
-    val cached = ds.persist()
+    // respect a caller-owned cache: persist() on an already-persisted frame
+    // throws ("cannot change storage level"), and unpersisting it here would
+    // silently drop the caller's cache — only manage a cache this method made
+    val callerCached = ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) ds else ds.persist()
     try {
       val n = cached.count()
       if (n > maxRows) throw new IllegalArgumentException(
@@ -50,6 +54,6 @@ object Views {
           "join family (graft.operators.Joins) for large lookups, or raise maxRows")
       val grouped: Map[K, Seq[T]] = cached.collect().toSeq.groupBy(key)
       new GroupView(ds.sparkSession.sparkContext.broadcast(grouped))
-    } finally cached.unpersist(false)
+    } finally if (!callerCached) cached.unpersist(false)
   }
 }

@@ -90,11 +90,20 @@ object DirectOutput {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(specs.size, 8))
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        try scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            specs.map(s => scala.concurrent.Future(prepare(s, txId)))),
-          scala.concurrent.duration.Duration.Inf)
-        finally pool.shutdown()
+        // lift to Try so every submitted prepare runs to completion BEFORE
+        // the first failure propagates: fail-fast Future.sequence would
+        // return while sibling prepares are still writing attempt dirs, and
+        // a caller's recover/abort could race those writes (a freshly
+        // re-created .attempt dir appearing after cleanup)
+        try {
+          val settled = scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(specs.map(s =>
+              scala.concurrent.Future(prepare(s, txId))
+                .transform(scala.util.Success(_)))),
+            scala.concurrent.duration.Duration.Inf)
+          settled.collectFirst { case scala.util.Failure(e) => throw e }
+          settled.map(_.get)
+        } finally pool.shutdown()
       }
     commitAll(conf, txId, markerDir, attempts)
   }

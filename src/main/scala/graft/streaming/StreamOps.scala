@@ -18,13 +18,13 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Open a file-based stream over a directory of parquet, schema taken
-    * from a batch probe of the same path (file streams require an explicit
-    * schema). `maxFilesPerTrigger` bounds per-batch work at scale.
+  /** Open a file-based stream over a directory of parquet with an explicit
+    * schema (file streams require one). `maxFilesPerTrigger` bounds
+    * per-batch work at scale.
     */
   def parquetStream(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 64): DataFrame = {
-    val schema = spark.read.parquet(path).schema
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int): DataFrame = {
     // file streams require a directory source; for a single-file path,
     // stream the parent directory with a glob filter on the file name
     val p = new java.io.File(path)
@@ -33,6 +33,15 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir)
   }
+
+  /** Convenience overload: schema taken from a batch probe of the same
+    * path. The probe is a full file-listing job — fine for tests and small
+    * directories, but a 100 TB path wants the explicit-schema overload so
+    * opening the stream costs nothing.
+    */
+  def parquetStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    parquetStream(spark, path, spark.read.parquet(path).schema, maxFilesPerTrigger)
 
   /** Tumbling event-time window aggregation with a watermark — the
     * canonical streaming shape: counts/sums per (window, key).
@@ -169,9 +178,25 @@ object StreamOps {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           java.net.URI.create(target), conf)
         val committed = new org.apache.hadoop.fs.Path(target, "_GRAFT_COMMITTED")
+        // crash recovery BEFORE the replay check: a live tx marker means the
+        // prior attempt reached its commit point — roll it forward (recover
+        // re-runs the idempotent renames, which ends by writing the committed
+        // marker, so the check below then skips the replay); an attempt dir
+        // without a marker is pre-commit garbage and is rolled back
+        graft.sinks.DirectOutput.recover(conf, s"$path/_tx", Seq(target))
         if (fs.exists(committed)) () // replayed batch: already committed, skip
-        else graft.sinks.DirectOutput.write(s"$txPrefix-$batchId", s"$path/_tx",
-          Seq(graft.sinks.DirectOutput.Spec(batch, target, format = format)))
+        else {
+          // still no committed marker: anything under target is leftover from
+          // a commit that crashed between its rename pass and its marker
+          // write — re-writing alongside it would duplicate rows (fresh
+          // job-UUID part names never collide with the old ones). The batch
+          // is replayed deterministically from the checkpoint, so clearing
+          // and re-writing is safe.
+          val tpath = new org.apache.hadoop.fs.Path(target)
+          if (fs.exists(tpath)) fs.delete(tpath, true)
+          graft.sinks.DirectOutput.write(s"$txPrefix-$batchId", s"$path/_tx",
+            Seq(graft.sinks.DirectOutput.Spec(batch, target, format = format)))
+        }
       }
       .start()
 }
