@@ -72,11 +72,19 @@ object Bench {
               false
           }
         // stop the clock BEFORE cleanup: unpersisting operator caches is
-        // bench bookkeeping, not query cost
+        // bench bookkeeping, not query cost. Blocking, so the removal work
+        // cannot bleed into the next run's timed region.
         val dt = (System.nanoTime() - t0) / 1e9
-        Caches.clear(spark)
+        Caches.clear(spark, blocking = true)
         if (ok) Some(dt) else None
       }
+      // session-reset audit: after Caches.clear NOTHING graft created may
+      // still be persisted — anything left is a leak (round 4: superseded
+      // iteration checkpoints squatting in the MemoryStore slowed down
+      // unrelated downstream queries 8-15x). Force-drop leftovers so one
+      // query's leak can't tax the next, and report the count per query.
+      val leftovers = spark.sparkContext.getPersistentRDDs
+      leftovers.values.foreach(_.unpersist(true))
       // hundreds of query executions in one JVM accumulate broadcast and
       // shuffle references that the ContextCleaner only reaps after a GC
       // clears their weak refs; on a large heap that GC may never come, so
@@ -84,29 +92,44 @@ object Bench {
       // eviction walks. Nudge collection periodically, OUTSIDE any timing.
       sinceGc += 1
       if (sinceGc >= 8) { sinceGc = 0; System.gc() }
-      // stderr diagnostics: janino compilations and GC time attributable to
-      // this query's runs — separates environment cost from plan cost
+      // diagnostics: janino compilations, generated codegen units, GC time
+      // and leaked-block count attributable to this query's runs — they
+      // separate environment cost from plan cost, and ship in the JSON so
+      // the round artifact carries the attribution
+      val diag = Map(
+        "compiles" -> (CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0),
+        "genUnits" -> (CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - ct0),
+        "gcMs" -> (gcMillis() - gc0),
+        "leakedRdds" -> leftovers.size.toLong)
       System.err.println(f"[bench] $name%-28s med=${if (times.isEmpty) -1 else median(times)}%.2fs " +
-        s"compiles=${CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0} " +
-        s"genUnits=${CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - ct0} " +
-        s"gcMs=${gcMillis() - gc0}")
+        diag.map { case (k, v) => s"$k=$v" }.mkString(" "))
       // all-runs-failed → None: the JSON carries null so downstream tooling
       // can't mistake a broken query for a fast one
-      name -> (if (times.isEmpty) None else Some((median(times), times.min)))
+      (name, if (times.isEmpty) None else Some((median(times), times.min)), diag)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._1)) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._1)) }
       .mkString("{", ",", "}")
     // min-of-runs per query: environment noise (GC, compile, scheduling) is
     // one-sided, so median-min gaps localize noise without a profiler
-    val qsMin = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._2)) }
+    val qsMin = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._2)) }
       .mkString("{", ",", "}")
-    val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2).map(_._1).sum
+    val qsDiag = results.map { case (k, _, d) =>
+      s"\"" + k + "\":" + d.toSeq.sortBy(_._1)
+        .map { case (dk, dv) => s"\"$dk\":$dv" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val failedQueries = failed.result().distinct
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // any failure ⇒ value:null — a sum over the surviving queries would
+    // read as "faster", so a broken query must be unmistakable to tooling
+    // that gates on the headline number alone
+    val total =
+      if (failedQueries.nonEmpty) "null"
+      else fmt(results.flatMap(_._2).map(_._1).sum)
     // ONE machine-parseable line, flushed before shutdown so JVM teardown
     // or interleaved executor logs can't truncate it (bit round 2's report)
     System.out.println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"diag":$qsDiag,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

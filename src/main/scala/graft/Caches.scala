@@ -11,19 +11,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * touching user caches (unlike `spark.catalog.clearCache`). Long-lived
   * sessions should call it between batches; Verify/Bench call it between
   * queries.
+  *
+  * Two kinds of entries: tracked DataFrames (plain `persist`) and release
+  * thunks for state a DataFrame handle can't free — localCheckpoint
+  * blocks live on RDDs *inside* a returned Dataset's plan, where
+  * `df.unpersist` can't reach them (the round-4 bench leak: superseded
+  * iteration checkpoints squatting in the MemoryStore across queries).
   */
 object Caches {
 
   private val tracked = mutable.Set.empty[DataFrame]
+  private val releases = mutable.Buffer.empty[() => Unit]
 
   private[graft] def track(df: DataFrame): DataFrame = synchronized {
     tracked += df
     df
   }
 
-  /** Unpersist every operator-internal cache created so far. */
-  def clear(spark: SparkSession): Unit = synchronized {
-    tracked.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+  /** Register a cleanup for cached state not expressible as a DataFrame
+    * unpersist (checkpoint RDD blocks, pinned broadcasts). Run-once: clear
+    * drops it after invoking.
+    */
+  private[graft] def trackRelease(f: () => Unit): Unit = synchronized {
+    releases += f
+  }
+
+  /** Unpersist every operator-internal cache created so far. `blocking`
+    * waits for block removal — benchmarks want it so cleanup can't bleed
+    * into the next measured region.
+    */
+  def clear(spark: SparkSession, blocking: Boolean = false): Unit = synchronized {
+    tracked.foreach(df => try df.unpersist(blocking) catch { case _: Throwable => () })
     tracked.clear()
+    releases.foreach(f => try f() catch { case _: Throwable => () })
+    releases.clear()
   }
 }

@@ -56,12 +56,15 @@ object Groups {
     * user function receives per-input iterators in declaration order —
     * inputs 0..n-2 are buffered per group (they must be: one physical
     * stream can only be consumed in tag order), the LAST input streams
-    * without materialization, so put the biggest input last. Mirrors the
-    * reference's buffer strategy (all-but-streamed HEAP buffers,
-    * CoGroupOperatorCompiler.scala:122-130).
+    * without materialization, so put the biggest input last. Buffers hold
+    * at most `spillThreshold` records on heap and spill the rest to
+    * executor-local disk ([[SpillBuffer]]) — a pathological hot key
+    * degrades to disk streaming instead of OOMing the task, mirroring the
+    * reference's HEAP-then-SPILL buffer strategy
+    * (CoGroupOperatorCompiler.scala:122-130, BufferType.SPILL).
     */
   def cogroupN(inputs: Seq[DataFrame], keys: Seq[String], orders: Seq[Seq[String]],
-      outSchema: StructType)(
+      outSchema: StructType, spillThreshold: Int = -1)(
       f: (Row, IndexedSeq[Iterator[Row]]) => IterableOnce[Row]): DataFrame = {
     require(inputs.size >= 2, s"cogroupN needs >= 2 inputs (got ${inputs.size})")
     require(orders.size == inputs.size, "one (possibly empty) order list per input")
@@ -83,10 +86,11 @@ object Groups {
       orders.zipWithIndex.flatMap { case (os, i) => os.map(o => col(s"_rec_$i").getField(o)) }
     u.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
       .flatMapSortedGroups(sortCols: _*) { (k: Row, it: Iterator[Row]) =>
+        val limit = if (spillThreshold > 0) spillThreshold else SpillBuffer.defaultThreshold
         val bit = it.buffered
         val buffered: IndexedSeq[Iterator[Row]] = (0 until n - 1).map { i =>
-          val b = scala.collection.mutable.ArrayBuffer.empty[Row]
-          while (bit.hasNext && bit.head.getInt(tagIdx) == i) b += bit.next().getStruct(recIdx(i))
+          val b = new SpillBuffer[Row](limit)
+          while (bit.hasNext && bit.head.getInt(tagIdx) == i) b.append(bit.next().getStruct(recIdx(i)))
           b.iterator
         }
         val last: Iterator[Row] = bit.map(r => r.getStruct(recIdx(n - 1)))

@@ -180,18 +180,26 @@ object Joins {
     * (reference: `@MasterSelection`, ShuffledJoinOperatorFragment.scala:22-47
     * invokes the selection per transaction).
     *
-    * Masters per key are buffered (they must be — the hook is random
-    * access); transactions stream. Mirrors the reference's HEAP buffer for
-    * the master side and one-pass VOLATILE for the tx side.
+    * Masters per key are buffered (they must be — the hook re-traverses
+    * them per transaction); transactions stream. The master buffer holds
+    * at most `spillThreshold` records on heap and spills the rest to
+    * executor-local disk ([[SpillBuffer]]): a hot master key degrades to
+    * disk replay per transaction instead of OOMing the task — the
+    * reference's HEAP-then-SPILL buffer strategy
+    * (CoGroupOperatorFragment.scala:65-116); the tx side stays one-pass
+    * VOLATILE.
     */
   def masterJoinSelect[K: Encoder, M, T, O: Encoder](
-      master: Dataset[M], tx: Dataset[T])(masterKey: M => K, txKey: T => K)(
-      selection: (Seq[M], T) => Option[M])(
+      master: Dataset[M], tx: Dataset[T], spillThreshold: Int = -1)(
+      masterKey: M => K, txKey: T => K)(
+      selection: (Iterable[M], T) => Option[M])(
       mapJoined: (M, T) => O)(implicit te: Encoder[T], oe: Encoder[(Option[O], Option[T])])
       : (Dataset[O], Dataset[T]) = {
     val both: Dataset[(Option[O], Option[T])] =
       master.groupByKey(masterKey).cogroup(tx.groupByKey(txKey)) { (_, ms, ts) =>
-        val masters = ms.toSeq
+        val limit = if (spillThreshold > 0) spillThreshold else SpillBuffer.defaultThreshold
+        val masters = new SpillBuffer[M](limit)
+        ms.foreach(masters.append)
         ts.map { t =>
           selection(masters, t) match {
             case Some(m) => (Some(mapJoined(m, t)), None)
@@ -216,7 +224,7 @@ object Joins {
     */
   def masterJoinSelectBroadcast[K, M, T, O: Encoder](
       master: Dataset[M], tx: Dataset[T])(masterKey: M => K, txKey: T => K)(
-      selection: (Seq[M], T) => Option[M])(
+      selection: (Iterable[M], T) => Option[M])(
       mapJoined: (M, T) => O)(implicit te: Encoder[T], oe: Encoder[(Option[O], Option[T])])
       : (Dataset[O], Dataset[T]) = {
     val view = Views.groupView(master)(masterKey)

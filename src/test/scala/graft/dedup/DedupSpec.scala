@@ -116,4 +116,36 @@ class ClusterSpec extends graft.SparkSpec {
     assert(comps.size === n + 1)
     assert(comps.values.toSet === Set(0L))
   }
+
+  test("connectedComponents leaves no persisted blocks behind after Caches.clear") {
+    // the round-4 bench leak: superseded per-round localCheckpoint RDDs
+    // squatted in the MemoryStore for the session's life. Every block the
+    // operator creates must be released — superseded rounds immediately,
+    // the survivor via Caches.clear.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val comps = graft.dedup.Cluster.connectedComponents(edges, "a", "b")
+    assert(comps.count() === 41L)
+    graft.Caches.clear(spark, blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
+  test("connectedComponents with checkpointDir survives total block loss") {
+    // reliable-checkpoint mode: the result must be recomputable from the
+    // checkpoint files alone — unpersist every block the run created
+    // (simulating executor loss) and the frame must still read correctly.
+    // localCheckpoint mode would throw here (truncated lineage, dead blocks).
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = graft.dedup.Cluster.connectedComponents(
+      edges, "a", "b", checkpointDir = Some(dir))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    assert(comps.as[(Long, Long)].collect().toMap === expected)
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(true))
+    assert(comps.as[(Long, Long)].collect().toMap === expected)
+  }
 }
