@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale training-data pipelines:
@@ -140,4 +140,34 @@ object TextFunctions {
   /** Convenience one-shot form — use the two-phase pair at scale. */
   def winnowFingerprints(text: Column, n: Int = 5, w: Int = 4): Column =
     winnowFromHashes(ngramHashes(text, n), w)
+
+  /** Email pattern in the common Java/RE2 regex subset, so Spark and
+    * SQL-engine oracles agree byte-for-byte on matches.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Number of email addresses in `text` (PII audit signal). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  /** PII scrub: every email address replaced by `replacement`. Pure
+    * per-row expression — codegen'd, no UDF.
+    */
+  def redactEmails(text: Column, replacement: String = "[EMAIL]"): Column =
+    regexp_replace(text, emailPattern, replacement)
+
+  /** Per-document token-repetition statistics (the Gopher/C4-style quality
+    * signal): total tokens, distinct tokens, and the most frequent token's
+    * count. Two shuffles, both with map-side partial aggregation, and only
+    * (id, term-hash, count) tuples cross the exchanges — never document
+    * text. Returns `idCols ++ (n_tokens, n_distinct, top_tf)`; derive a
+    * boolean flag with whatever integral threshold the pipeline uses
+    * (e.g. `top_tf * 10 > n_tokens * 3`) to keep oracles float-free.
+    */
+  def repetitionStats(df: DataFrame, idCols: Seq[String], text: Column): DataFrame =
+    df.select(idCols.map(col) :+ explode(tokens(text)).as("_graft_term"): _*)
+      .groupBy((idCols :+ "_graft_term").map(col): _*).agg(count(lit(1)).as("tf"))
+      .groupBy(idCols.map(col): _*)
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
 }

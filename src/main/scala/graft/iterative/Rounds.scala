@@ -27,23 +27,45 @@ final case class RoundContext(params: Map[String, String]) {
     keys.sorted.map(k => s"$k=${params.getOrElse(k, "")}").mkString("&")
 }
 
-final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
+/** `checkpointDir`: when set, cached inputs are additionally written as
+  * reliable checkpoints under it — a 1000-round sweep on a real cluster
+  * survives executor loss without recomputing the (possibly 100 TB) NEVER
+  * inputs from scratch; blocks remain the fast path, the checkpoint files
+  * the recovery path. Unset (default), caches are memory/disk blocks only
+  * — correct but round-restarting on block loss.
+  */
+final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    checkpointDir: Option[String] = None) {
+
+  checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
   private val onceCache = mutable.Map.empty[String, DataFrame]
   private val paramCache = mutable.Map.empty[(String, String), DataFrame]
+  // the frames whose persist() we own (in reliable mode the HANDED-OUT
+  // frame is the checkpointed one, which carries no persist of its own)
+  private val retained = mutable.Buffer.empty[DataFrame]
+
+  private def pin(df: DataFrame): DataFrame = {
+    val cached = df.persist(level)
+    retained += cached
+    if (checkpointDir.isEmpty) cached
+    // persist-then-checkpoint: the checkpoint write reads the cache, not a
+    // second run of the input's lineage
+    else cached.checkpoint(false)
+  }
 
   /** NEVER-recompute input: built and persisted on first use, shared
     * across all rounds.
     */
   def cacheOnce(name: String)(build: => DataFrame): DataFrame =
-    onceCache.getOrElseUpdate(name, build.persist(level))
+    onceCache.getOrElseUpdate(name, pin(build))
 
   /** PARAMETER-keyed input: one persisted instance per distinct value of
     * the given parameter keys.
     */
   def cacheByParameter(name: String, ctx: RoundContext, keys: Seq[String])(
       build: RoundContext => DataFrame): DataFrame =
-    paramCache.getOrElseUpdate((name, ctx.signature(keys)), build(ctx).persist(level))
+    paramCache.getOrElseUpdate((name, ctx.signature(keys)), pin(build(ctx)))
 
   /** Run the flow once per round, in order; returns (round, result). */
   def run(rounds: Seq[Map[String, String]])(
@@ -53,10 +75,13 @@ final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMOR
       ctx -> flow(ctx, this)
     }
 
-  /** Release all cached inputs (end of the sweep). */
+  /** Release all cached inputs (end of the sweep). Checkpoint files are
+    * left for the caller's directory lifecycle (they may back frames the
+    * caller still holds).
+    */
   def close(): Unit = {
-    onceCache.values.foreach(_.unpersist(false))
-    paramCache.values.foreach(_.unpersist(false))
+    retained.foreach(_.unpersist(false))
+    retained.clear()
     onceCache.clear(); paramCache.clear()
   }
 }

@@ -38,10 +38,13 @@ object Packing {
 
   /** `out` = sum of `value` over all records strictly BEFORE this one in
     * the deterministic shuffle order (hash(id), id). `value` must be a
-    * non-negative integral column; `id` must be a unique INTEGRAL column —
-    * [[Sampling.hashBucket]] casts to long, so a string id would silently
-    * become null, collapsing every record into one null bucket processed by
-    * a single task (exactly the funnel this operator exists to avoid).
+    * non-negative integral column; `id` must be a unique, NON-NULL,
+    * INTEGRAL column — [[Sampling.hashBucket]] casts to long, so a string
+    * id would silently become null, collapsing every record into one null
+    * bucket processed by a single task (exactly the funnel this operator
+    * exists to avoid). The integral requirement is checked at plan time;
+    * nulls are checked per-row during execution (a null id violates the
+    * unique-id contract and would silently pool records into one bucket).
     * Hash string ids to long first (e.g. `xxhash64(col)`).
     */
   def prefixSumBefore(df: DataFrame, id: Column, value: Column, out: String,
@@ -56,7 +59,13 @@ object Packing {
         "first, e.g. xxhash64(col)")
     val width = OrdRing / buckets
     val d = df
-      .withColumn("_graft_ord", Sampling.hashBucket(id, OrdRing))
+      // inline null guard: zero extra jobs, fails the task naming the
+      // contract instead of silently funneling rows into a null bucket
+      .withColumn("_graft_ord",
+        when(id.isNull, raise_error(lit(
+          "prefixSumBefore: null id violates the unique-id contract " +
+            "(null ids would silently collapse into one bucket)")))
+          .otherwise(Sampling.hashBucket(id, OrdRing)))
       .withColumn("_graft_bkt", (col("_graft_ord") / width).cast("long"))
       .withColumn("_graft_val", value.cast("long"))
     // level 1: running sum within each bucket (parallel, one shuffle)

@@ -103,28 +103,23 @@ object NorthStarQueries {
       * stays in the common Java/RE2 subset so Spark and DuckDB agree.
       */
     "text_redact" -> { (s, dir) =>
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       tableSpread(s, dir, "documents")
         .withColumn("_t",
           when(col("doc_id") % 5 === 0,
             concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
             .otherwise(col("text")))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("_t"), lit(emailRe), lit(0))).as("n_emails"),
-          length(regexp_replace(col("_t"), emailRe, "[EMAIL]")).as("redacted_len"))
+          TextFunctions.emailCount(col("_t")).as("n_emails"),
+          length(TextFunctions.redactEmails(col("_t"))).as("redacted_len"))
     },
 
     /** Repetition-ratio quality signal (Gopher/C4-style): the most frequent
-      * token's share of the document. Two partial-aggregated shuffles on
-      * (doc, term) hashes; counts only cross the exchange.
+      * token's share of the document ([[TextFunctions.repetitionStats]] —
+      * two partial-aggregated shuffles; counts only cross the exchange).
       */
     "text_repetition" -> { (s, dir) =>
-      tableSpread(s, dir, "documents")
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
-          max(col("tf")).as("top_tf"))
+      TextFunctions.repetitionStats(
+        tableSpread(s, dir, "documents"), Seq("doc_id"), col("text"))
         .withColumn("repetitive", col("top_tf") * 10 > col("n_tokens") * 3)
     },
 

@@ -31,11 +31,43 @@ object PipelineQueries {
         txId = "verify",
         markerDir = s"$out/_tx",
         specs = Seq(DirectOutput.Spec(
-          table(s, dir, "orders"), out, partitionBy = Seq("o_orderstatus"))))
+          // size the write to the dynamic partitions: one task per status
+          // writes 1 file each instead of 32 tasks x 3 statuses = 96 — the
+          // attempt job's commit and the read-back are O(files). At real
+          // scale pick a task count per partition that matches data volume.
+          table(s, dir, "orders").repartition(3, col("o_orderstatus")),
+          out, partitionBy = Seq("o_orderstatus"))))
       graft.sources.Sources.direct(s, "parquet", out)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
           max(col("o_totalprice")).as("max_price"))
+    },
+
+    /** Arbitrary-InputFormat direct input (the reference's Hadoop
+      * InputFormat escape hatch): orders round-trips through a Hadoop
+      * SequenceFile — written via saveAsNewAPIHadoopFile, read back via
+      * [[graft.sources.Sources.hadoop]] — then aggregates. The oracle
+      * aggregates the source table: equality proves the format boundary
+      * preserved every record.
+      */
+    "hadoop_input" -> { (s, dir) =>
+      import org.apache.hadoop.io.{LongWritable, Text}
+      val out = s"${sys.props("java.io.tmpdir")}/graft_seqfile"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      table(s, dir, "orders").select("o_orderkey", "o_orderstatus").rdd
+        .map(r => (new LongWritable(r.getLong(0)), new Text(r.getString(1))))
+        .saveAsNewAPIHadoopFile(out, classOf[LongWritable], classOf[Text],
+          classOf[org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat[LongWritable, Text]])
+      graft.sources.Sources.hadoop(s, out,
+        classOf[org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat[LongWritable, Text]],
+        classOf[LongWritable], classOf[Text],
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType))))(
+        (k, v) => org.apache.spark.sql.Row(k.get(), v.toString))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
     },
 
     /** Bucketed co-located join: both sides written bucketed by the join
@@ -139,6 +171,9 @@ object PipelineQueries {
     "direct_io_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "hadoop_input" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
         |FROM orders GROUP BY 1""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty

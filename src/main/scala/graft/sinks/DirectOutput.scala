@@ -101,7 +101,19 @@ object DirectOutput {
               scala.concurrent.Future(prepare(s, txId))
                 .transform(scala.util.Success(_)))),
             scala.concurrent.duration.Duration.Inf)
-          settled.collectFirst { case scala.util.Failure(e) => throw e }
+          settled.collectFirst { case scala.util.Failure(e) =>
+            // sibling attempts that DID complete are pre-commit garbage by
+            // the recovery rule (no marker was ever written) — best-effort
+            // delete now instead of letting repeated failures accumulate
+            // orphaned attempt data until someone calls recover()
+            settled.foreach {
+              case scala.util.Success((sp, attempt)) =>
+                try { fs(conf, sp.path).delete(new Path(attempt), true); () }
+                catch { case _: Throwable => () }
+              case _ => ()
+            }
+            throw e
+          }
           settled.map(_.get)
         } finally pool.shutdown()
       }
@@ -166,22 +178,32 @@ object DirectOutput {
     * re-running the (idempotent) renames, then clear the marker; attempts
     * without a marker are garbage from a pre-commit crash — roll back by
     * deleting them. Call on job restart before new writes.
+    *
+    * `txFilter` scopes the scan to this writer's own transaction ids:
+    * markers and attempts of a non-matching tx are left untouched, so two
+    * writers sharing a marker dir / output path (distinct tx prefixes)
+    * cannot delete each other's in-flight transaction mid-commit and turn
+    * its roll-forward into a rollback. The permissive default is correct
+    * only under single-writer-per-path discipline.
     */
-  def recover(conf: Configuration, markerDir: String, paths: Seq[String]): Unit = {
+  def recover(conf: Configuration, markerDir: String, paths: Seq[String],
+      txFilter: String => Boolean = _ => true): Unit = {
     val mfs = fs(conf, markerDir)
     val live: Set[String] = Option(mfs.globStatus(new Path(s"$markerDir/.graft-tx-*")))
       .map(_.map(_.getPath.getName.stripPrefix(".graft-tx-")).toSet).getOrElse(Set.empty)
-    val finished = scala.collection.mutable.Set.empty[String] ++ live
+      .filter(txFilter)
     paths.foreach { p =>
       val f = fs(conf, p)
       val attempts = Option(f.globStatus(new Path(s"$p/.attempt-*"))).getOrElse(Array.empty)
       attempts.foreach { a =>
         val tx = a.getPath.getName.stripPrefix(".attempt-")
-        if (live.contains(tx)) commitOne(conf, p, a.getPath.toString) // roll forward
-        else f.delete(a.getPath, true) // roll back
+        if (txFilter(tx)) {
+          if (live.contains(tx)) commitOne(conf, p, a.getPath.toString) // roll forward
+          else f.delete(a.getPath, true) // roll back
+        } // foreign writer's attempt: not ours to judge
       }
     }
-    // markers whose attempts are all rolled forward are done
-    finished.foreach(tx => mfs.delete(new Path(s"$markerDir/.graft-tx-$tx"), false))
+    // in-scope markers whose attempts are all rolled forward are done
+    live.foreach(tx => mfs.delete(new Path(s"$markerDir/.graft-tx-$tx"), false))
   }
 }

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.InputFormat
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Input layer.
@@ -29,5 +31,36 @@ object Sources {
       options: Map[String, String] = Map.empty): DataFrame = {
     val r = spark.read.format(format).options(options)
     schema.fold(r)(r.schema).load(path)
+  }
+
+  /** Escape hatch for sources Spark has no datasource for: any Hadoop
+    * `mapreduce.InputFormat` with per-source configuration, converted to a
+    * DataFrame record-by-record — the reference's arbitrary direct-input
+    * path (compiler/src/main/scala/com/asakusafw/spark/compiler/graph/DirectInputCompiler.scala:29-76
+    * configures an InputFormat + per-source conf the same way). Splits and
+    * locality come from the InputFormat; predicate pushdown and column
+    * pruning do NOT — prefer [[direct]] whenever a real datasource exists,
+    * and migrate SequenceFile/custom-format archives to parquet once.
+    *
+    * `conf` entries overlay the session's Hadoop configuration for this
+    * source only (per-source "extra configuration", not global state).
+    *
+    * `convert` runs once per record inside the scan task, before any
+    * buffering — REQUIRED because Hadoop RecordReaders reuse the key/value
+    * instances between records: copy every field into the Row (calling
+    * `.get`/`.toString` does that); never store the Writable itself.
+    */
+  def hadoop[K, V](spark: SparkSession, path: String,
+      inputFormat: Class[_ <: InputFormat[K, V]],
+      keyClass: Class[K], valueClass: Class[V],
+      schema: StructType,
+      conf: Map[String, String] = Map.empty)(
+      convert: (K, V) => Row): DataFrame = {
+    val hconf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.foreach { case (k, v) => hconf.set(k, v) }
+    val rows = spark.sparkContext
+      .newAPIHadoopFile(path, inputFormat, keyClass, valueClass, hconf)
+      .map { case (k, v) => convert(k, v) }
+    spark.createDataFrame(rows, schema)
   }
 }

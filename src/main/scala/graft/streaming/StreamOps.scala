@@ -182,8 +182,12 @@ object StreamOps {
         // prior attempt reached its commit point — roll it forward (recover
         // re-runs the idempotent renames, which ends by writing the committed
         // marker, so the check below then skips the replay); an attempt dir
-        // without a marker is pre-commit garbage and is rolled back
-        graft.sinks.DirectOutput.recover(conf, s"$path/_tx", Seq(target))
+        // without a marker is pre-commit garbage and is rolled back. Scoped
+        // to THIS batch's tx id: another writer sharing the output path
+        // (different txPrefix, concurrent query) keeps its in-flight
+        // transaction untouched.
+        graft.sinks.DirectOutput.recover(conf, s"$path/_tx", Seq(target),
+          txFilter = _ == s"$txPrefix-$batchId")
         if (fs.exists(committed)) () // replayed batch: already committed, skip
         else {
           // still no committed marker: anything under target is leftover from

@@ -43,6 +43,28 @@ class TextFunctionsSpec extends SparkSpec {
     val shared = fps(0).toSet.intersect(fps(2).toSet).size.toDouble / fps(0).toSet.size
     assert(shared > 0.5)
   }
+
+  test("emailCount/redactEmails find and scrub addresses, leave clean text alone") {
+    val df = Seq(
+      "reach me at a.b+c@example.co.uk or x@y.io today",
+      "no pii here",
+      "").toDF("t")
+    val out = df.select(
+      TextFunctions.emailCount($"t").as("n"),
+      TextFunctions.redactEmails($"t").as("r")).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(2, 0, 0))
+    assert(out(0).getString(1) === "reach me at [EMAIL] or [EMAIL] today")
+    assert(out(1).getString(1) === "no pii here")
+  }
+
+  test("repetitionStats counts total/distinct/top token frequencies per doc") {
+    val df = Seq(
+      (1L, "spam spam spam ham"),
+      (2L, "all tokens differ here")).toDF("doc_id", "text")
+    val got = TextFunctions.repetitionStats(df, Seq("doc_id"), $"text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((4L, 2L, 3L)), 2L -> ((4L, 4L, 1L))))
+  }
 }
 
 class AnnSpec extends SparkSpec {
@@ -169,6 +191,40 @@ class DirectOutputSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/out/.attempt-crashed").exists())
     assert(!new java.io.File(s"$dir/_tx/.graft-tx-crashed").exists()) // marker cleared
   }
+
+  test("scoped recover leaves a foreign writer's in-flight transaction alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_scope").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    // two writers share the path: ours crashed pre-commit (attempt, no
+    // marker), theirs is mid-commit (attempt + live marker)
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$dir/out/.attempt-mine-0")
+    Seq((2, "b")).toDF("k", "v").write.parquet(s"$dir/out/.attempt-theirs-7")
+    new java.io.File(s"$dir/_tx").mkdirs()
+    new java.io.File(s"$dir/_tx/.graft-tx-theirs-7").createNewFile()
+
+    DirectOutput.recover(conf, s"$dir/_tx", Seq(s"$dir/out"), txFilter = _.startsWith("mine-"))
+    // ours rolled back; theirs untouched — marker AND attempt still live
+    assert(!new java.io.File(s"$dir/out/.attempt-mine-0").exists())
+    assert(new java.io.File(s"$dir/out/.attempt-theirs-7").exists())
+    assert(new java.io.File(s"$dir/_tx/.graft-tx-theirs-7").exists())
+  }
+
+  test("a failed prepare deletes sibling attempts before rethrowing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_fail").toString
+    val ok = Seq((1, "a")).toDF("k", "v")
+    // second spec fails at write time: its dataframe throws on execution
+    val bad = ok.filter(raise_error(lit("boom")).isNull)
+    intercept[Exception] {
+      DirectOutput.write("t9", s"$dir/_tx", Seq(
+        DirectOutput.Spec(ok, s"$dir/out_ok"), DirectOutput.Spec(bad, s"$dir/out_bad")))
+    }
+    // the successful sibling's attempt dir is pre-commit garbage: gone now,
+    // not parked until a later recover()
+    val leftovers = Option(new java.io.File(s"$dir/out_ok").listFiles())
+      .map(_.map(_.getName).filter(_.startsWith(".attempt")).toSeq).getOrElse(Seq.empty)
+    assert(leftovers.isEmpty, s"orphaned attempts: $leftovers")
+    assert(!new java.io.File(s"$dir/out_ok/_GRAFT_COMMITTED").exists()) // nothing committed
+  }
 }
 
 class RoundsSpec extends SparkSpec {
@@ -194,6 +250,23 @@ class RoundsSpec extends SparkSpec {
     }
     assert(builds === 2)
     rounds.close()
+  }
+
+  test("checkpointDir makes cached inputs survive total block loss") {
+    // reliable mode: after close() drops every block the sweep persisted,
+    // a result frame built on a cached input must still read — from the
+    // checkpoint files, not dead blocks (the executor-loss story for a
+    // 1000-round production sweep)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rounds-ckpt").toString
+    val rounds = new Rounds(spark, checkpointDir = Some(dir))
+    val out = rounds.run(Seq(Map("x" -> "2"))) { (ctx, r) =>
+      val base = r.cacheOnce("base") { Seq(1, 2, 3).toDF("n") }
+      base.filter($"n" <= ctx("x").toInt)
+    }
+    val result = out.head._2
+    assert(result.count() === 2L)
+    rounds.close() // unpersists the sweep's blocks
+    assert(result.count() === 2L)
   }
 }
 

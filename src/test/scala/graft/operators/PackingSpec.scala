@@ -66,4 +66,14 @@ class PackingSpec extends SparkSpec {
       Packing.prefixSumBefore(docs(10), $"id", $"tokens", "x", buckets = 3)
     }
   }
+
+  test("prefixSumBefore fails fast on a null id instead of pooling a null bucket") {
+    val df = Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L)).toDF("id", "tokens")
+    val e = intercept[Exception] {
+      Packing.prefixSumBefore(df, $"id", $"tokens", "before").collect()
+    }
+    // raise_error surfaces wrapped in Spark's job failure; match the message
+    assert(e.getMessage.contains("unique-id contract") ||
+      Option(e.getCause).exists(_.getMessage.contains("unique-id contract")))
+  }
 }

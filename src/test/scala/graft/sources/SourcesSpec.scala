@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat
+import org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends graft.SparkSpec {
+
+  test("hadoop source round-trips a SequenceFile with per-record conversion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq").toString + "/data"
+    val n = 1000
+    spark.sparkContext.parallelize(0 until n, 4)
+      .map(i => (new LongWritable(i.toLong), new Text(s"v$i")))
+      .saveAsNewAPIHadoopFile(dir, classOf[LongWritable], classOf[Text],
+        classOf[SequenceFileOutputFormat[LongWritable, Text]])
+    val df = Sources.hadoop(spark, dir,
+      classOf[SequenceFileInputFormat[LongWritable, Text]],
+      classOf[LongWritable], classOf[Text],
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))(
+      // copy out of the reusable Writables immediately (the contract)
+      (k, v) => Row(k.get(), v.toString))
+    assert(df.count() === n.toLong)
+    // record identity survives the format boundary (reused-Writable bugs
+    // show up as every row carrying the split's last record)
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === (0 until n).map(i => i.toLong -> s"v$i").toMap)
+  }
+
+  test("hadoop source applies per-source configuration overlays") {
+    // per-source conf must not leak into the session's Hadoop conf
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq2").toString + "/data"
+    // Writables are not java-serializable: construct them executor-side
+    spark.sparkContext.parallelize(Seq(1L), 1)
+      .map(i => (new LongWritable(i), new Text("x")))
+      .saveAsNewAPIHadoopFile(dir, classOf[LongWritable], classOf[Text],
+        classOf[SequenceFileOutputFormat[LongWritable, Text]])
+    val df = Sources.hadoop(spark, dir,
+      classOf[SequenceFileInputFormat[LongWritable, Text]],
+      classOf[LongWritable], classOf[Text],
+      StructType(Seq(StructField("k", LongType))),
+      conf = Map("graft.test.marker" -> "set"))((k, _) => Row(k.get()))
+    assert(df.count() === 1L)
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.marker") === null)
+  }
+}
