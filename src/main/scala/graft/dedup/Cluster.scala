@@ -112,8 +112,11 @@ object Cluster {
       val (jumped, jumpRelease) =
         if (iter < 2) (propagated, () => ())
         else {
+          // lazy checkpoint consumed by BOTH self-join sides in the round's
+          // single job: whichever stage touches a partition first computes
+          // and caches it, the other reads the block (block-lock
+          // coordination) — no separate materialization job
           val (p, pRel) = cp(propagated)
-          p.count() // consumed twice below: materialize once, not per side
           (p.join(p.select(col("id").as("_cid"), col("comp").as("_ccomp")),
               col("comp") === col("_cid"))
             .select(col("id"), least(col("comp"), col("_ccomp")).as("comp")), pRel)

@@ -108,7 +108,7 @@ object Records {
       * materialization.
       */
     def checkpointBarrier(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-      df.persist(level)
+      graft.Caches.track(df.persist(level))
   }
 
   implicit final class DatasetRecordOps[T](private val ds: Dataset[T]) extends AnyVal {

@@ -109,8 +109,10 @@ object PipelineQueries {
           .withColumn("round_status", lit(ctx("status")))
       }
       // materialize before close(): the sweep's persisted inputs must not
-      // outlive the query (Caches.clear can't see Rounds' internal caches)
-      val out = results.map(_._2).reduce(_ unionAll _).localCheckpoint()
+      // outlive the query (Caches.clear can't see Rounds' internal caches);
+      // tracked so the checkpoint blocks are freed by Caches.clear too
+      val out = graft.Caches.localCheckpointTracked(
+        results.map(_._2).reduce(_ unionAll _))
       rounds.close()
       out
     },

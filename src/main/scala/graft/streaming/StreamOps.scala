@@ -150,8 +150,9 @@ object StreamOps {
     }
     // detach the result from the memory sink so the sink's full copy of
     // the data can be dropped — repeated drains otherwise accumulate one
-    // materialized result per call in driver memory for the session's life
-    val out = spark.table(name).localCheckpoint()
+    // materialized result per call in driver memory for the session's life.
+    // Tracked: the checkpoint blocks themselves are freed by Caches.clear.
+    val out = graft.Caches.localCheckpointTracked(spark.table(name))
     spark.catalog.dropTempView(name)
     out
   }
