@@ -54,30 +54,38 @@ object Bench {
     // (measured ~4-6 s on the first query, independent of the query)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     Caches.clear(spark)
-    // deterministic name order so per-query times are comparable across runs
+    // per-query accumulators: times plus janino-compile / codegen-unit /
+    // GC / leaked-block diagnostics attributable to this query's runs —
+    // they separate environment cost from plan cost, and ship in the JSON
+    // so the round artifact carries the attribution
+    final class Acc {
+      var times: List[Double] = Nil
+      var compiles = 0L; var genUnits = 0L; var gcMs = 0L; var leaked = 0L
+    }
     val failed = Seq.newBuilder[String]
     var sinceGc = 0
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = selected.toSeq.sortBy(_._1)
+    val acc = names.map { case (n, _) => n -> new Acc }.toMap
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val a = acc(name)
       val (gc0, cc0, ct0) =
         (gcMillis(), CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
           CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount)
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true } catch {
-            case e: Throwable =>
-              // a swallowed failure would read as a (fast, green) result
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              failed += name
-              false
-          }
-        // stop the clock BEFORE cleanup: unpersisting operator caches is
-        // bench bookkeeping, not query cost. Blocking, so the removal work
-        // cannot bleed into the next run's timed region.
-        val dt = (System.nanoTime() - t0) / 1e9
-        Caches.clear(spark, blocking = true)
-        if (ok) Some(dt) else None
-      }
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            // a swallowed failure would read as a (fast, green) result
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+        }
+      // stop the clock BEFORE cleanup: unpersisting operator caches is
+      // bench bookkeeping, not query cost. Blocking, so the removal work
+      // cannot bleed into the next run's timed region.
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.clear(spark, blocking = true)
+      if (ok) a.times ::= dt
       // session-reset audit: after Caches.clear NOTHING graft created may
       // still be persisted — anything left is a leak (round 4: superseded
       // iteration checkpoints squatting in the MemoryStore slowed down
@@ -92,20 +100,36 @@ object Bench {
       // eviction walks. Nudge collection periodically, OUTSIDE any timing.
       sinceGc += 1
       if (sinceGc >= 8) { sinceGc = 0; System.gc() }
-      // diagnostics: janino compilations, generated codegen units, GC time
-      // and leaked-block count attributable to this query's runs — they
-      // separate environment cost from plan cost, and ship in the JSON so
-      // the round artifact carries the attribution
-      val diag = Map(
-        "compiles" -> (CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0),
-        "genUnits" -> (CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - ct0),
-        "gcMs" -> (gcMillis() - gc0),
-        "leakedRdds" -> leftovers.size.toLong)
-      System.err.println(f"[bench] $name%-28s med=${if (times.isEmpty) -1 else median(times)}%.2fs " +
+      a.compiles += CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0
+      a.genUnits += CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - ct0
+      a.gcMs += gcMillis() - gc0
+      a.leaked += leftovers.size
+    }
+    // SPARK_GRAFT_ROTATE=1: instead of `runs` back-to-back runs per query,
+    // make `runs` full passes over the set with the start offset rotated
+    // ~1/runs of the list per pass — every query sees `runs` DIFFERENT
+    // predecessors, so a slowdown that travels with a neighbor (leaked
+    // blocks, page-cache eviction, machine load spikes) shows up as
+    // median-min spread instead of silently biasing one victim's median.
+    // Default off: back-to-back runs are the established timing baseline.
+    if (sys.env.get("SPARK_GRAFT_ROTATE").contains("1")) {
+      val step = math.max(1, names.size / math.max(1, runs))
+      for (p <- 0 until runs) {
+        val off = (p * step) % math.max(1, names.size)
+        (names.drop(off) ++ names.take(off)).foreach { case (n, fn) => runOnce(n, fn) }
+      }
+    } else {
+      names.foreach { case (n, fn) => (1 to runs).foreach(_ => runOnce(n, fn)) }
+    }
+    val results = names.map { case (name, _) =>
+      val a = acc(name)
+      val diag = Map("compiles" -> a.compiles, "genUnits" -> a.genUnits,
+        "gcMs" -> a.gcMs, "leakedRdds" -> a.leaked)
+      System.err.println(f"[bench] $name%-28s med=${if (a.times.isEmpty) -1 else median(a.times)}%.2fs " +
         diag.map { case (k, v) => s"$k=$v" }.mkString(" "))
       // all-runs-failed → None: the JSON carries null so downstream tooling
       // can't mistake a broken query for a fast one
-      (name, if (times.isEmpty) None else Some((median(times), times.min)), diag)
+      (name, if (a.times.isEmpty) None else Some((median(a.times), a.times.min)), diag)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._1)) }

@@ -295,16 +295,11 @@ object HashFunctions {
   def word_shingle_hashes(tokens: Column, k: Int): Column =
     column(WordShingleHashes(expression(tokens), k))
 
-  /** Register as SQL functions on a session (spark.sql usable). For new
+  /** Register ALL graft SQL functions on a session (spark.sql usable) —
+    * delegates to the single shared table in [[graft.GraftExtensions]] so
+    * this path cannot drift from the extension injection. For new
     * sessions prefer `withExtensions(new graft.GraftExtensions)`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", exprs => MinHashSignature(exprs.head, 64, 42L), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.registerAll(spark)
 }

@@ -123,6 +123,25 @@ object NorthStarQueries {
         .withColumn("repetitive", col("top_tf") * 10 > col("n_tokens") * 3)
     },
 
+    /** The whole text surface through `spark.sql` with the functions
+      * registered by [[graft.GraftExtensions]] — proves the SQL API is
+      * the same engine as the Column API (same one-pass expressions, same
+      * results) through the external-oracle gate, not just a spec.
+      */
+    "sql_text_pipeline" -> { (s, dir) =>
+      graft.GraftExtensions.registerAll(s)
+      tableSpread(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql("""SELECT doc_id,
+              |       token_count(text) AS n_tokens,
+              |       lang_id(text) AS pred_lang,
+              |       quality_bucket(text) AS bucket,
+              |       punct_count(text) AS n_punct,
+              |       email_count(text) AS n_emails,
+              |       length(redact_emails(text, '<PII>')) AS redacted_len,
+              |       size(char_ngrams(text, 3)) AS n_trigrams
+              |FROM graft_sql_docs""".stripMargin)
+    },
+
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
       // fingerprint-keyed: the oracle groups by text; results agree up to
@@ -518,6 +537,37 @@ object NorthStarQueries {
          |            WHEN n_stop * 50 < n_tokens THEN 'low_stopword'
          |            ELSE 'ok' END AS bucket
          |FROM t""".stripMargin,
+    "sql_text_pipeline" -> {
+      val allStop = TextFunctions.stopwords.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         length(text) AS len,
+         |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+         |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |         len(list_filter(string_split(lower(text), ' '),
+         |             t -> list_contains($allStop, t))) AS n_stop,
+         |         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks_lower
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, text, len, n_tokens, n_punct, n_stop,
+         |       $langScores
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens,
+         |       $langCase AS pred_lang,
+         |       CASE WHEN len < 20 THEN 'too_short'
+         |            WHEN n_tokens < 5 THEN 'too_few_tokens'
+         |            WHEN n_punct * 20 > len THEN 'too_much_punct'
+         |            WHEN n_stop * 50 < n_tokens THEN 'low_stopword'
+         |            ELSE 'ok' END AS bucket,
+         |       n_punct,
+         |       len(regexp_extract_all(text, '$email')) AS n_emails,
+         |       length(regexp_replace(text, '$email', '<PII>', 'g')) AS redacted_len,
+         |       CASE WHEN len < 3 THEN 0 ELSE len - 2 END AS n_trigrams
+         |FROM s""".stripMargin
+    },
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
     "flagship_datapipe" -> {

@@ -144,6 +144,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.getInt(1) === 64)
     assert(out.getInt(2) === 2)
   }
+
+  test("full SQL surface: every registered function matches its Column-API twin") {
+    import graft.functions.{TextFunctions => T}
+    import spark.implicits._
+    graft.GraftExtensions.registerAll(spark)
+    val docs = Seq(
+      (1L, "The cat and the dog sat in the road, happy. Contact a@b.com!"),
+      (2L, "der und von zu das mit sich ist der die und den von der zu"),
+      (3L, "x"),
+      (4L, "")).toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT id, token_count(text) AS a, lang_id(text) AS b,
+        |       quality_bucket(text) AS c, punct_count(text) AS d,
+        |       email_count(text) AS e, redact_emails(text) AS f,
+        |       redact_emails(text, 'X') AS f2,
+        |       size(graft_tokens(text)) AS g,
+        |       size(char_ngrams(text, 3)) AS h,
+        |       size(word_shingle_hashes(graft_tokens(text), 2)) AS i,
+        |       winnow_fingerprints(text) AS j,
+        |       winnow_fingerprints(text, 4, 3) AS j2
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val viaCol = docs.select(col("id"), T.tokenCount(col("text")), T.langId(col("text")),
+        T.qualityBucket(col("text")), T.punctCount(col("text")),
+        T.emailCount(col("text")), T.redactEmails(col("text")),
+        T.redactEmails(col("text"), "X"), size(T.tokens(col("text"))),
+        size(T.charNgrams(col("text"), 3)),
+        size(T.shingleHashesOf(T.tokens(col("text")), 2)),
+        T.winnowFingerprints(col("text")), T.winnowFingerprints(col("text"), 4, 3))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+    // vector functions round-trip: cosine of a vector with its 2x copy is 1
+    val vec = spark.sql(
+      """SELECT cosine_similarity(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS cs,
+        |       dequantize_int8(named_struct('scale', 0.5d,
+        |         'codes', array(cast(2 as tinyint), cast(-4 as tinyint)))) AS dq""".stripMargin)
+      .collect().head
+    assert(math.abs(vec.getDouble(0) - 1.0) < 1e-12)
+    assert(vec.getSeq[Double](1) === Seq(1.0, -2.0))
+    // scalar args must be literals: a column there is an analysis-time error
+    val err = intercept[Exception] {
+      spark.sql("SELECT char_ngrams(text, id) FROM ext_docs").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }
 
 class SortedOutputSpec extends SparkSpec {
