@@ -48,6 +48,46 @@ object Dedup {
       .drop("_h1", "_h2")
   }
 
+  /** Fingerprint index of a corpus: one row per distinct 128-bit content
+    * fingerprint of the `on` values (same two-seed xxhash64 construction
+    * as [[exactFingerprint]]). This is what a pipeline persists between
+    * ingestion batches — 16 bytes per distinct document, NOT the text, so
+    * the index for a 100 TB corpus is tens of GB and joins cheaply.
+    */
+  def fingerprintIndex(df: DataFrame, on: Seq[String]): DataFrame = {
+    val cols = on.map(col)
+    df.select(xxhash64(cols: _*).as("_h1"), xxhash64(lit(0x5eed) +: cols: _*).as("_h2"))
+      .distinct()
+  }
+
+  /** Incremental exact dedup — the production ingestion pattern: a new
+    * batch must be deduped BOTH within itself and against everything
+    * already ingested, without touching the corpus text. Returns the
+    * surviving batch rows (original batch schema): the smallest-`id` row
+    * per fingerprint within the batch, minus any fingerprint present in
+    * `index` (from [[fingerprintIndex]], typically read back from its
+    * persisted home).
+    *
+    * Scale shape: one shuffle of the batch on its 16-byte fingerprint
+    * (min_by keeps whole rows through the partial-aggregated exchange),
+    * then a left-anti join against the index on the same key — the
+    * aggregated side is already hash-partitioned by the join key, so only
+    * the (16-byte-wide) index side moves. Corpus text never shuffles;
+    * batch text shuffles once.
+    */
+  def exactIncremental(batch: DataFrame, index: DataFrame,
+      on: Seq[String], id: String): DataFrame = {
+    val cols = on.map(col)
+    val outCols = batch.columns.toSeq
+    batch
+      .withColumn("_h1", xxhash64(cols: _*))
+      .withColumn("_h2", xxhash64(lit(0x5eed) +: cols: _*))
+      .groupBy(col("_h1"), col("_h2"))
+      .agg(min_by(struct(outCols.map(col): _*), col(id)).as("_row"))
+      .join(index, Seq("_h1", "_h2"), "left_anti")
+      .select(col("_row.*"))
+  }
+
   /** Candidate pairs sharing an LSH band of the MinHash signature.
     *
     * bands × rows = k; two docs with Jaccard s share ≥1 band with

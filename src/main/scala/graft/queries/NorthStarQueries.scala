@@ -150,6 +150,25 @@ object NorthStarQueries {
         .select(col("keep_id"), col("n_dups"))
     },
 
+    /** Incremental ingestion dedup: batch = the tail of the corpus plus
+      * planted collisions — copies of corpus texts (must be dropped
+      * against the index) and copies of batch texts (must be dropped
+      * within the batch, keeping the smallest id). The corpus side
+      * participates only as its 16-byte fingerprint index.
+      */
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionAll(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") >= 400 && col("doc_id") < 420)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.exactIncremental(batch,
+          Dedup.fingerprintIndex(corpus, Seq("text")), Seq("text"), "doc_id")
+        .select(col("doc_id"))
+    },
+
     "dedup_minhash" -> { (s, dir) =>
       // planted-recall verification (the fixture has no true near-dups):
       // docs with >= 50 tokens get a copy at id+1e6 with the last two
@@ -570,6 +589,17 @@ object NorthStarQueries {
     },
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents
+        |            WHERE doc_id >= 400 AND doc_id < 420
+        |),
+        |first_in_batch AS (SELECT text, MIN(doc_id) AS keep FROM batch GROUP BY text)
+        |SELECT f.keep AS doc_id FROM first_in_batch f
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)""".stripMargin,
     "flagship_datapipe" -> {
       val stop = graft.functions.TextFunctions.stopwords.flatMap(_._2).distinct
         .map(w => s"'$w'").mkString("[", ", ", "]")

@@ -30,6 +30,19 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("incremental dedup drops corpus collisions and within-batch dups") {
+    val corpus = Seq((1L, base), (2L, distinct1)).toDF("id", "text")
+    val batch = Seq(
+      (10L, base),      // collides with corpus -> dropped
+      (11L, nearDup),   // new (near-dup is NOT exact) -> kept
+      (12L, nearDup),   // within-batch dup of 11 -> dropped
+      (13L, "entirely new content")).toDF("id", "text")
+    val out = Dedup.exactIncremental(batch,
+      Dedup.fingerprintIndex(corpus, Seq("text")), Seq("text"), "id")
+    assert(out.columns.toSeq === Seq("id", "text"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+  }
+
   test("minhash finds exact and near dups, not distinct docs") {
     val pairs = Dedup.minhash(docs, "doc_id",
       TextFunctions.wordShingles(col("text"), 3), threshold = 0.5)
