@@ -289,6 +289,21 @@ object NorthStarQueries {
       recallSummary(s, dir, approx, floor = 0.5)
     },
 
+    /** IVF search over the int8-quantized index: codes-only across the
+      * probe shuffle (~8× smaller resident index), dequantized inside the
+      * scoring expression. Recall floor vs the exact baseline proves
+      * quantization error does not disturb the top-k materially.
+      */
+    "ann_ivf_int8" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val approx = graft.similarity.Ivf.topKQuantized(
+        queries = emb.filter(col("vec_id") < AnnQueries),
+        corpus = emb,
+        qId = "vec_id", qVec = "embedding", cId = "vec_id", cVec = "embedding",
+        k = AnnK, nCells = 16, nProbe = 6)
+      recallSummary(s, dir, approx, floor = 0.5)
+    },
+
     // ---- multimodal binary-column plumbing --------------------------------
     /** Image pipeline with a REAL decode step: a PNG is synthesized per
       * document (width/height/constant gray level derived from doc fields),
@@ -807,6 +822,11 @@ object NorthStarQueries {
          |       TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $AnnQueries""".stripMargin,
     "ann_ivf" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST($AnnK * COUNT(*) AS BIGINT) AS n_relevant,
+         |       TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $AnnQueries""".stripMargin,
+    "ann_ivf_int8" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          |       CAST($AnnK * COUNT(*) AS BIGINT) AS n_relevant,
          |       TRUE AS recall_ok

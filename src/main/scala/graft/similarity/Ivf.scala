@@ -134,11 +134,48 @@ object Ivf {
     val centroids = trainCentroids(corpus, cId, cVec, nCells, seed = seed,
       sampleN = sampleN, sampleMod = sampleMod)
     val indexed = index(corpus, cId, cVec, centroids)
+    probe(queries, indexed, qId, qVec, centroids, k, nProbe, excludeSelf)
+  }
+
+  /** Top-k over an int8-QUANTIZED cell index: the resident index stores
+    * struct(scale, tinyint codes) instead of array<double> — ~8× smaller
+    * per vector, which at corpus scale is the difference between an index
+    * that fits executor memory and one that spills every probe. Codes are
+    * dequantized on the fly inside the probe's scoring expression (max
+    * per-component error scale/2 ≈ 0.4 % of the max component — rank
+    * perturbation only among near-ties). Same IVF shape otherwise: cell
+    * equi-join, O(|corpus|·nProbe/nCells) scored candidates per query.
+    */
+  def topKQuantized(queries: DataFrame, corpus: DataFrame, qId: String, qVec: String,
+      cId: String, cVec: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 11L, excludeSelf: Boolean = true,
+      sampleN: Int = 10000, sampleMod: Int = 1): DataFrame = {
+    val centroids = trainCentroids(corpus, cId, cVec, nCells, seed = seed,
+      sampleN = sampleN, sampleMod = sampleMod)
+    // two-projection quantize (scale becomes an attribute before the codes
+    // lambda reads it — the one-Column form is O(d²) per row), then the
+    // float vectors are DROPPED: only codes cross the probe shuffle;
+    // dequantization happens in the post-join scoring expression
+    val indexed = VectorFunctions.quantizeInt8Col(
+        index(corpus, cId, cVec, centroids), col("_cv"), "_q")
+      .drop("_cv")
+    probe(queries, indexed, qId, qVec, centroids, k, nProbe, excludeSelf,
+      corpusVec = VectorFunctions.dequantizeInt8(col("_q")))
+  }
+
+  /** Shared probe: explode each query's nProbe nearest cells, equi-join
+    * the cell index, score, keep top-k per query. `corpusVec` is evaluated
+    * AFTER the join, so a compressed index representation stays compressed
+    * across the exchange.
+    */
+  private def probe(queries: DataFrame, indexed: DataFrame, qId: String, qVec: String,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      excludeSelf: Boolean, corpusVec: Column = col("_cv")): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("_qv"),
       explode(nearestCells(col(qVec), centroids, nProbe)).as("_cell"))
     val cands = indexed.join(q, "_cell")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("_cos", VectorFunctions.cosineFused(col("_qv"), col("_cv")))
+      .withColumn("_cos", VectorFunctions.cosineFused(col("_qv"), corpusVec))
     val w = Window.partitionBy(col("query_id")).orderBy(col("_cos").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")

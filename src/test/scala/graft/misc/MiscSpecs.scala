@@ -84,6 +84,22 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.6, s"IVF recall $recall")
   }
 
+  test("int8-quantized IVF matches the float IVF top-k almost everywhere") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.GraftSession.table(spark, dir, "embeddings")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    def run(quant: Boolean) = {
+      val f = if (quant) graft.similarity.Ivf.topKQuantized _ else graft.similarity.Ivf.topK _
+      f(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5, 8, 4, 11L, true, 10000, 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    val (fl, qt) = (run(false), run(true))
+    // int8 error (~scale/2 per component) may flip near-ties only: the two
+    // result sets must agree on the overwhelming majority of pairs
+    val agree = fl.intersect(qt).size.toDouble / fl.size
+    assert(agree > 0.9, s"quantized/float agreement $agree")
+  }
+
   test("IVF is deterministic across runs") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.GraftSession.table(spark, dir, "embeddings")
