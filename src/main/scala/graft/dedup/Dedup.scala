@@ -95,16 +95,29 @@ object Dedup {
     * (1/bands)^(1/rows)). Default 16×8: threshold ≈ 0.66 for 128 hashes.
     * Returns (a, b, sig_a, sig_b) with a < b, deduped across bands.
     */
-  def minhashCandidates(df: DataFrame, id: String, shingles: Column,
-      bands: Int = 16, rows: Int = 8, seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame = {
-    val k = bands * rows
+  /** Banded MinHash rows of `df`: (_band, _bucket, _id, _sig) — the
+    * signature computation plus per-band bucket hashes shared by
+    * [[minhashCandidates]], [[minhashIndex]] and [[minhashIncremental]].
+    */
+  private def mhBanded(df: DataFrame, id: String, shingles: Column,
+      bands: Int, rows: Int, seed: Long): DataFrame = {
     val sigs = df.select(col(id).as("_id"),
-      HashFunctions.minhash_signature(shingles, k, seed).as("_sig"))
-    val banded = sigs.select(col("_id"), col("_sig"),
+      HashFunctions.minhash_signature(shingles, bands * rows, seed).as("_sig"))
+    sigs.select(col("_id"), col("_sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, lit(rows)))))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+  }
+
+  /** Estimated Jaccard: fraction of equal signature positions. */
+  private def estJaccard(a: Column, b: Column, k: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / k.toDouble
+
+  def minhashCandidates(df: DataFrame, id: String, shingles: Column,
+      bands: Int = 16, rows: Int = 8, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val banded = mhBanded(df, id, shingles, bands, rows, seed)
     // both sides of the self-join read this frame: persist so the
     // signature computation (O(n*k)) runs once, not once per side
     val guarded = graft.Caches.track(
@@ -119,14 +132,59 @@ object Dedup {
     * (fraction of equal signature positions) ≥ `threshold`.
     */
   def minhash(df: DataFrame, id: String, shingles: Column, threshold: Double,
-      bands: Int = 16, rows: Int = 8, seed: Long = 42L): DataFrame = {
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, x) => acc + x) / (bands * rows).toDouble
+      bands: Int = 16, rows: Int = 8, seed: Long = 42L): DataFrame =
     minhashCandidates(df, id, shingles, bands, rows, seed)
-      .withColumn("est_jaccard", est)
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), bands * rows))
       .filter(col("est_jaccard") >= threshold)
       .select("a", "b", "est_jaccard")
+
+  /** Banded MinHash index of a corpus: (_band, _bucket, _id, _sig) rows —
+    * what a pipeline persists between ingestion batches for incremental
+    * NEAR-dup dedup (companion to [[fingerprintIndex]]'s exact index).
+    * Size: bands rows of (8B + 8B + 8B·bands·rows) per doc — signature
+    * data, never text. Rebuild is embarrassingly parallel, so pipelines
+    * typically append each accepted batch's banded rows to the index home.
+    */
+  def minhashIndex(df: DataFrame, id: String, shingles: Column,
+      bands: Int = 16, rows: Int = 8, seed: Long = 42L): DataFrame =
+    mhBanded(df, id, shingles, bands, rows, seed)
+
+  /** Incremental MinHash near-dup dedup: returns the batch rows that are
+    * NOT near-duplicates (estimated Jaccard ≥ threshold) of (a) any
+    * indexed corpus doc or (b) any smaller-`id` batch doc. Rule (b) is
+    * deterministic and parallel (no greedy chain through survivor
+    * status) — the same keep-smallest-id convention as [[exact]].
+    *
+    * `index` must come from [[minhashIndex]] built with the SAME bands /
+    * rows / seed (signature positions must align for the estimate).
+    *
+    * Scale shape: the batch is signature-banded once (persisted — both
+    * the index join and the within-batch self-join read it), candidates
+    * are band-bucket equi-joins with the same `maxBucket` skew guard as
+    * [[minhashCandidates]], and the corpus participates only as its
+    * banded index — corpus text is never read, batch text shuffles never
+    * (only ids, buckets and signatures move).
+    */
+  def minhashIncremental(batch: DataFrame, index: DataFrame, id: String,
+      shingles: Column, threshold: Double, bands: Int = 16, rows: Int = 8,
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val k = bands * rows
+    val banded = graft.Caches.track(
+      boundedBuckets(mhBanded(batch, id, shingles, bands, rows, seed),
+        Seq("_band", "_bucket"), maxBucket, "minhash_inc_batch").persist())
+    val idx = boundedBuckets(
+      index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
+      Seq("_band", "_bucket"), maxBucket, "minhash_inc_index")
+    val vsCorpus = banded.join(idx, Seq("_band", "_bucket"))
+      .filter(estJaccard(col("_sig"), col("_isig"), k) >= threshold)
+      .select(col("_id"))
+    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
+    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
+    val withinBatch = a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
+      .filter(estJaccard(col("sig_a"), col("sig_b"), k) >= threshold)
+      .select(col("b").as("_id"))
+    batch.join(vsCorpus.unionAll(withinBatch).distinct(),
+      batch(id) === col("_id"), "left_anti")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.

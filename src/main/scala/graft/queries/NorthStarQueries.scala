@@ -190,6 +190,34 @@ object NorthStarQueries {
           sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_recalled"))
     },
 
+    /** Incremental NEAR-dup dedup: corpus (doc_id < 400) participates
+      * only as its banded MinHash index; the batch is the remaining docs
+      * plus planted truncated near-copies of corpus docs (must drop
+      * against the index) and of batch docs (must drop within the batch).
+      * The fixture's ORGANIC near-dup pairs (driver-planted, all true
+      * Jaccard ≥ 0.9; everything else ≤ 0.07) make the oracle exact: the
+      * sketch must agree with DuckDB's exact-Jaccard-0.5 survivor set,
+      * which the bimodal gap makes deterministic (a J ≥ 0.9 pair misses
+      * 16×8 banding with P ≤ 1.2e-4, and nothing sits near the cut).
+      */
+    "dedup_minhash_incremental" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), col("_toks"))
+      def trim(t: org.apache.spark.sql.Column) = slice(t, lit(1), size(t) - 2)
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batchBase = docs.filter(col("doc_id") >= 400)
+      val plantsVsCorpus = corpus.filter(col("doc_id") < 60 && size(col("_toks")) >= 50)
+        .select((col("doc_id") + 10000L).as("doc_id"), trim(col("_toks")).as("_toks"))
+      val plantsWithin = batchBase.filter(col("doc_id") < 460 && size(col("_toks")) >= 50)
+        .select((col("doc_id") + 20000L).as("doc_id"), trim(col("_toks")).as("_toks"))
+      val batch = batchBase.unionByName(plantsVsCorpus).unionByName(plantsWithin)
+      Dedup.minhashIncremental(batch,
+          Dedup.minhashIndex(corpus, "doc_id", shinglesOf(col("_toks"), 3)),
+          "doc_id", shinglesOf(col("_toks"), 3), threshold = 0.5)
+        .select(col("doc_id"))
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       // planted exact duplicates: identical token stream -> identical
       // 64-bit simhash -> hamming 0, and pigeonhole banding is complete,
@@ -844,6 +872,35 @@ object NorthStarQueries {
     "dedup_simhash" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, CAST(COUNT(*) AS BIGINT) AS n_recalled
         |FROM documents WHERE doc_id < 60""".stripMargin,
+    // exact-Jaccard survivor set: batch doc x (>= 400) survives iff no
+    // doc with a smaller id (corpus OR earlier batch) has 3-shingle
+    // J >= 0.5. Plants never drop base docs (their ids are larger), and
+    // every plant is itself dropped (J ~ 0.96 vs its source), so the
+    // result is exactly the surviving base docs.
+    "dedup_minhash_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+        |                 i -> array_to_string(ts[i:i+2], ' '))) AS shs
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), n AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s
+        |  WHERE a.doc_id >= 400 AND b.doc_id < a.doc_id
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT p.x FROM p
+        |  JOIN n na ON p.x = na.doc_id JOIN n nb ON p.y = nb.doc_id
+        |  WHERE CAST(p.c AS DOUBLE) / (na.n + nb.n - p.c) >= 0.5
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT x FROM dropped)""".stripMargin,
     "text_fingerprint" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, CAST(COUNT(*) AS BIGINT) AS n_contained
         |FROM documents WHERE doc_id < 60 AND length(text) >= 40""".stripMargin,

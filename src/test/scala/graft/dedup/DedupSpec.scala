@@ -43,6 +43,28 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
   }
 
+  test("incremental minhash drops near-dups vs index and within the batch") {
+    import graft.functions.TextFunctions.{shinglesOf, tokens}
+    val sh = shinglesOf(tokens(col("text")), 3)
+    val corpus = Seq((1L, base), (2L, distinct1)).toDF("id", "text")
+    // J(12,11) = 25/27 ~ 0.93: comfortably above the 16x8 banding
+    // threshold (~0.66); a ~0.57-Jaccard pair would legitimately slip
+    // through the bands — near-dup, not "vaguely similar"
+    val longDoc = "incremental ingestion pipelines persist a banded signature index " +
+      "between batches so that every newly arriving document can be checked " +
+      "for near duplication against the whole history without ever rereading text"
+    val truncated = longDoc.split(" ").dropRight(2).mkString(" ")
+    val batch = Seq(
+      (10L, nearDup), // near-dup of indexed base -> dropped vs corpus
+      (11L, longDoc), // kept
+      (12L, truncated), // near-dup (truncated copy) of 11 -> dropped
+      (13L, "short unrelated note")).toDF("id", "text")
+    val out = Dedup.minhashIncremental(batch,
+      Dedup.minhashIndex(corpus, "id", sh), "id", sh, threshold = 0.5)
+    assert(out.columns.toSeq === Seq("id", "text"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+  }
+
   test("minhash finds exact and near dups, not distinct docs") {
     val pairs = Dedup.minhash(docs, "doc_id",
       TextFunctions.wordShingles(col("text"), 3), threshold = 0.5)
