@@ -85,6 +85,45 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"full text crossed the exchange:\n${e.output.mkString(", ")}")
   }
 
+  test("incremental dedup: anti-join pushes below the batch aggregation") {
+    val docs = GraftSession.table(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 30)
+    val batch = docs.filter(col("doc_id") >= 30)
+    val q = graft.dedup.Dedup.exactIncremental(batch,
+      graft.dedup.Dedup.fingerprintIndex(corpus, Seq("text")), Seq("text"), "doc_id")
+    val plan = executed(q)
+    // PushDownLeftSemiAntiJoin must fire: the anti-join (filter on the
+    // grouping keys) runs BELOW the min_by aggregate, so already-ingested
+    // rows are discarded before the batch shuffle, not after
+    val joins = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    val aggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    val joinUnderAgg = aggs.exists(a =>
+      collect(a: org.apache.spark.sql.execution.SparkPlan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.nonEmpty)
+    assert(joinUnderAgg, s"anti-join did not push below the aggregate:\n$plan")
+  }
+
+  test("quantized IVF probe: only int8 codes cross the corpus exchange") {
+    val emb = GraftSession.table(spark, dir, "embeddings")
+    val q = graft.similarity.Ivf.topKQuantized(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2)
+    val plan = executed(q)
+    val exchanges = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    // no float/double array attribute of the CORPUS side may be shuffled:
+    // the index representation is struct(scale, tinyint codes) until the
+    // post-join scoring expression dequantizes it
+    for (e <- exchanges; attr <- e.output if attr.name == "_cv")
+      fail(s"dequantized corpus vector crossed an exchange:\n${e.output.mkString(", ")}")
+  }
+
   test("branch fan-out: three port consumers reuse one shared scan") {
     import graft.operators.Records._
     val ports = GraftSession.table(spark, dir, "orders")
