@@ -65,6 +65,19 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
   }
 
+  test("minhash index survives a parquet round-trip between batches") {
+    import graft.functions.TextFunctions.{shinglesOf, tokens}
+    val sh = shinglesOf(tokens(col("text")), 3)
+    val corpus = Seq((1L, base), (2L, distinct1)).toDF("id", "text")
+    val home = java.nio.file.Files.createTempDirectory("mh_index").toString
+    // batch N writes its accepted docs' banded rows; batch N+1 reads them
+    Dedup.minhashIndex(corpus, "id", sh).write.mode("overwrite").parquet(home)
+    val reloaded = spark.read.parquet(home)
+    val batch = Seq((10L, nearDup), (11L, distinct2)).toDF("id", "text")
+    val out = Dedup.minhashIncremental(batch, reloaded, "id", sh, threshold = 0.5)
+    assert(out.select("id").as[Long].collect().toSeq === Seq(11L))
+  }
+
   test("minhash finds exact and near dups, not distinct docs") {
     val pairs = Dedup.minhash(docs, "doc_id",
       TextFunctions.wordShingles(col("text"), 3), threshold = 0.5)
