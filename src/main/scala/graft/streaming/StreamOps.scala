@@ -18,6 +18,13 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Stable 64-bit identity of a writer's output path (see [[ingestSink]]
+    * index layout).
+    */
+  private[streaming] def writerId(path: String): String =
+    java.lang.Long.toHexString(graft.functions.Hash64.hashString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(path)))
+
   /** Open a file-based stream over a directory of parquet with an explicit
     * schema (file streams require one). `maxFilesPerTrigger` bounds
     * per-batch work at scale.
@@ -201,6 +208,74 @@ object StreamOps {
           if (fs.exists(tpath)) fs.delete(tpath, true)
           graft.sinks.DirectOutput.write(s"$txPrefix-$batchId", s"$path/_tx",
             Seq(graft.sinks.DirectOutput.Spec(batch, target, format = format)))
+        }
+      }
+      .start()
+
+  /** Streaming ingestion with incremental exact dedup — the full
+    * production loop in one sink: each micro-batch is deduped against the
+    * PERSISTED fingerprint index (everything accepted by earlier batches
+    * and earlier runs) and within itself
+    * ([[graft.dedup.Dedup.exactIncremental]]), then ONE transaction
+    * commits both the surviving rows (`<path>/batch=<id>/`) and their
+    * fingerprints appended to the index home
+    * (`<indexHome>/batch=<id>/`) — data and index advance atomically, so
+    * a crash can never publish rows whose fingerprints are missing (a
+    * later replay would re-accept duplicates) or vice versa. Replayed
+    * batches are detected by their committed marker and skipped, exactly
+    * like [[directSink]].
+    *
+    * Scale shape: the index read is 16 bytes/doc parquet (column-pruned);
+    * the batch is the only text that moves. Attempt dirs are dot-prefixed,
+    * so concurrent index readers never see in-flight writes.
+    *
+    * Index layout: `<indexHome>/tx=<txPrefix>-<batchId>-<writerId>/` where
+    * writerId hashes the output `path`. The writer identity matters: batch
+    * ids restart at 0 for every query, so a second ingest stream sharing
+    * the index home (or the same stream after a checkpoint reset) would
+    * otherwise compute the SAME append dir as an earlier run's batch and
+    * clear the already-committed fingerprints as pre-commit leftovers —
+    * silently re-admitting every duplicate (found by the fresh-checkpoint
+    * replay spec).
+    */
+  def ingestSink(stream: DataFrame, on: Seq[String], id: String, path: String,
+      indexHome: String, checkpoint: String, txPrefix: String = "ingest",
+      trigger: Trigger = Trigger.AvailableNow(), format: String = "parquet")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$path/batch=$batchId"
+        val idxTarget = s"$indexHome/tx=$txPrefix-$batchId-${StreamOps.writerId(path)}"
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(target), conf)
+        // roll this batch's own crashed transaction forward/back first;
+        // other writers' transactions are untouched (txFilter)
+        graft.sinks.DirectOutput.recover(conf, s"$path/_tx", Seq(target, idxTarget),
+          txFilter = _ == s"$txPrefix-$batchId")
+        val committed = new org.apache.hadoop.fs.Path(target, "_GRAFT_COMMITTED")
+        if (!fs.exists(committed)) {
+          // pre-commit leftovers from a crash between rename and marker:
+          // clear both targets, the checkpoint replays deterministically
+          Seq(target, idxTarget).foreach { t =>
+            val p = new org.apache.hadoop.fs.Path(t)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          val idxPath = new org.apache.hadoop.fs.Path(indexHome)
+          val index =
+            if (fs.exists(idxPath) && fs.listStatus(idxPath).nonEmpty)
+              spark.read.parquet(indexHome).select(col("_h1"), col("_h2"))
+            else spark.range(0).select(col("id").as("_h1"), col("id").as("_h2"))
+          val survivors = graft.dedup.Dedup.exactIncremental(batch, index, on, id).persist()
+          try
+            graft.sinks.DirectOutput.write(s"$txPrefix-$batchId", s"$path/_tx", Seq(
+              graft.sinks.DirectOutput.Spec(survivors, target, format = format),
+              graft.sinks.DirectOutput.Spec(
+                graft.dedup.Dedup.fingerprintIndex(survivors, on), idxTarget)))
+          finally { survivors.unpersist(false); () }
         }
       }
       .start()

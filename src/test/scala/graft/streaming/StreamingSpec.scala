@@ -59,6 +59,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).as[Int].collect() === Seq(4))
   }
 
+  test("ingestSink dedups each batch against the persisted index and itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    def sink() = StreamOps.ingestSink(input.toDS().toDF("id", "text"),
+      on = Seq("text"), id = "id", path = s"$dir/out", indexHome = s"$dir/index",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    // batch 0: within-batch dup (11 copies 10's text) -> 10, 12 survive
+    input.addData((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
+    val q = sink()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/batch=0").select("id").as[Long]
+        .collect().sorted === Seq(10L, 12L))
+      // batch 1: 20 collides with the INDEXED batch-0 text; 21 is new
+      input.addData((20L, "beta"), (21L, "gamma"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/batch=1").select("id").as[Long]
+        .collect() === Seq(21L))
+    } finally q.stop()
+    // the index home accumulated one fingerprint per accepted doc, atomically
+    // with the data (both targets carry the same committed transactions)
+    assert(spark.read.parquet(s"$dir/index").select("_h1").count() === 3)
+    val idxDirs = new java.io.File(s"$dir/index").listFiles().filter(_.isDirectory)
+    assert(idxDirs.length === 2 &&
+      idxDirs.forall(d => new java.io.File(d, "_GRAFT_COMMITTED").exists()))
+    // restart with a fresh checkpoint: the whole history replays as one new
+    // batch and EVERYTHING is dropped against the persisted index
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((30L, "alpha"), (31L, "gamma"))
+    val q2 = StreamOps.ingestSink(input2.toDS().toDF("id", "text"),
+      on = Seq("text"), id = "id", path = s"$dir/out2", indexHome = s"$dir/index",
+      checkpoint = s"$dir/ckpt2", trigger = Trigger.ProcessingTime(0))
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out2/batch=0").count() === 0)
+    } finally q2.stop()
+  }
+
   test("statefulAggregate works on a batch Dataset (single-batch semantics)") {
     val ds = Seq(("x", 1), ("x", 2), ("y", 5)).toDS()
     val out = StreamOps.statefulAggregate(ds)(_._1)(0)((s, v) => s + v._2)((k, s) => (k, s))
