@@ -279,4 +279,44 @@ object StreamOps {
         }
       }
       .start()
+
+  /** Compact an [[ingestSink]] index home: every micro-batch appends one
+    * small tx dir, and after thousands of batches the per-batch listing +
+    * footer reads dominate the index scan — the classic streaming
+    * small-files failure. Rewrites all current fingerprints as ONE
+    * consolidated tx dir (committed through the same transactional
+    * output), then deletes the superseded dirs.
+    *
+    * Crash safety leans on the index being a SET: if the delete pass dies
+    * partway, superseded dirs coexist with the compacted one and every
+    * fingerprint merely appears twice — `exactIncremental`'s anti-join is
+    * unaffected by duplicates, and the next compaction reclaims the
+    * space. No coordination with live writers is needed beyond the usual
+    * single-compactor assumption: concurrent batch appends land in new tx
+    * dirs that the compactor never touches (it snapshots the dir list
+    * before writing).
+    */
+  def compactIndex(spark: SparkSession, indexHome: String,
+      partitions: Int = 1): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val home = new org.apache.hadoop.fs.Path(indexHome)
+    val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(indexHome), conf)
+    if (!fs.exists(home)) return
+    // snapshot BEFORE reading: appends racing the compaction stay live.
+    // A previous compaction's own tx= dir is a normal member of the
+    // snapshot — it gets folded in and reclaimed like any other.
+    val old = fs.listStatus(home).filter(s => s.isDirectory &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSeq
+    if (old.isEmpty) return
+    // same `tx=` partition key as the appends: mixed key names under one
+    // home would break partition discovery for index readers
+    val compactId = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    val fps = spark.read.parquet(old.map(_.toString): _*)
+      .select(col("_h1"), col("_h2")).distinct()
+      .repartition(partitions)
+    graft.sinks.DirectOutput.write(compactId, s"$indexHome/_tx", Seq(
+      graft.sinks.DirectOutput.Spec(fps, s"$indexHome/tx=$compactId")))
+    old.foreach(p => fs.delete(p, true))
+  }
 }

@@ -85,8 +85,14 @@ class StreamingSpec extends SparkSpec {
     val idxDirs = new java.io.File(s"$dir/index").listFiles().filter(_.isDirectory)
     assert(idxDirs.length === 2 &&
       idxDirs.forall(d => new java.io.File(d, "_GRAFT_COMMITTED").exists()))
+    // compaction folds the per-batch tx dirs into one; the fingerprint SET
+    // is unchanged
+    StreamOps.compactIndex(spark, s"$dir/index")
+    assert(new java.io.File(s"$dir/index").listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith("_")) === 1)
+    assert(spark.read.parquet(s"$dir/index").select("_h1").distinct().count() === 3)
     // restart with a fresh checkpoint: the whole history replays as one new
-    // batch and EVERYTHING is dropped against the persisted index
+    // batch and EVERYTHING is dropped against the (compacted) index
     val input2 = MemoryStream[(Long, String)]
     input2.addData((30L, "alpha"), (31L, "gamma"))
     val q2 = StreamOps.ingestSink(input2.toDS().toDF("id", "text"),
