@@ -187,6 +187,60 @@ object Dedup {
       batch(id) === col("_id"), "left_anti")
   }
 
+  /** Banded SimHash rows: (_band, _bucket, _id, _sig) — pigeonhole blocks
+    * of the 64-bit signature, shared by [[simhash]], [[simhashIndex]] and
+    * [[simhashIncremental]].
+    */
+  private def shBanded(df: DataFrame, id: String, tokens: Column,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1, 15] (got $maxHamming): banding needs >= 2 blocks of >= 4 bits")
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sigs = df.select(col(id).as("_id"), HashFunctions.simhash64(tokens).as("_sig"))
+    // block extraction must be sign-safe: % on a negative long keeps the
+    // sign and would split equal low bits into different buckets — mask
+    sigs.select(col("_id"), col("_sig"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => call_function("shiftrightunsigned", col("_sig"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+  }
+
+  /** Banded SimHash index of a corpus (companion to [[minhashIndex]]):
+    * persist between ingestion batches; 8 bytes of signature per doc,
+    * never text.
+    */
+  def simhashIndex(df: DataFrame, id: String, tokens: Column,
+      maxHamming: Int = 3): DataFrame = shBanded(df, id, tokens, maxHamming)
+
+  /** Incremental SimHash dedup: batch rows with NO doc at Hamming
+    * distance ≤ maxHamming in the index or among smaller-`id` batch docs.
+    * Pigeonhole banding is COMPLETE for the bound (any pair within it
+    * shares an exact block), so — unlike the MinHash variant — nothing
+    * inside the Hamming bound can slip through. The index must be built
+    * with the same `maxHamming` (block geometry must match).
+    */
+  def simhashIncremental(batch: DataFrame, index: DataFrame, id: String,
+      tokens: Column, maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val banded = graft.Caches.track(
+      boundedBuckets(shBanded(batch, id, tokens, maxHamming),
+        Seq("_band", "_bucket"), maxBucket, "simhash_inc_batch").persist())
+    val idx = boundedBuckets(
+      index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
+      Seq("_band", "_bucket"), maxBucket, "simhash_inc_index")
+    val vsCorpus = banded.join(idx, Seq("_band", "_bucket"))
+      .filter(bit_count(col("_sig").bitwiseXOR(col("_isig"))) <= maxHamming)
+      .select(col("_id"))
+    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
+    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
+    val withinBatch = a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select(col("b").as("_id"))
+    batch.join(vsCorpus.unionAll(withinBatch).distinct(),
+      batch(id) === col("_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole banding: split the 64-bit signature into `maxHamming + 1`
@@ -196,18 +250,7 @@ object Dedup {
     */
   def simhash(df: DataFrame, id: String, tokens: Column, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming >= 1 && maxHamming <= 15,
-      s"maxHamming must be in [1, 15] (got $maxHamming): banding needs >= 2 blocks of >= 4 bits")
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
-    val sigs = df.select(col(id).as("_id"), HashFunctions.simhash64(tokens).as("_sig"))
-    // block extraction must be sign-safe: % on a negative long keeps the
-    // sign and would split equal low bits into different buckets — mask
-    val banded = sigs.select(col("_id"), col("_sig"),
-      posexplode(transform(sequence(lit(0), lit(blocks - 1)),
-        b => call_function("shiftrightunsigned", col("_sig"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)))))
-      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    val banded = shBanded(df, id, tokens, maxHamming)
     val guarded = graft.Caches.track(
       boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets").persist())
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))

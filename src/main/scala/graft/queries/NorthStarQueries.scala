@@ -218,6 +218,30 @@ object NorthStarQueries {
         .select(col("doc_id"))
     },
 
+    /** Incremental SimHash dedup, planted-completeness oracle: exact
+      * copies have Hamming distance 0 and pigeonhole banding is COMPLETE
+      * for the bound, so every plant MUST be dropped — the oracle pins
+      * n_planted_surviving == 0 (organic near-dups may also drop base
+      * docs, which a survivor-set oracle could not predict for a
+      * Hamming-distance sketch; the planted contract is exact).
+      */
+    "dedup_simhash_incremental" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batchBase = docs.filter(col("doc_id") >= 400)
+      val batch = batchBase
+        .unionByName(corpus.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        .unionByName(batchBase.filter(col("doc_id") < 420)
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+      val toks = TextFunctions.tokens(col("text"))
+      val surv = Dedup.simhashIncremental(batch,
+        Dedup.simhashIndex(corpus, "doc_id", toks), "doc_id", toks)
+      batch.filter(col("doc_id") >= 10000L).agg(count(lit(1)).as("n_planted"))
+        .crossJoin(surv.filter(col("doc_id") >= 10000L)
+          .agg(count(lit(1)).as("n_planted_surviving")))
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       // planted exact duplicates: identical token stream -> identical
       // 64-bit simhash -> hamming 0, and pigeonhole banding is complete,
@@ -872,6 +896,11 @@ object NorthStarQueries {
     "dedup_simhash" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, CAST(COUNT(*) AS BIGINT) AS n_recalled
         |FROM documents WHERE doc_id < 60""".stripMargin,
+    "dedup_simhash_incremental" ->
+      """SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 60) +
+        |            (SELECT COUNT(*) FROM documents WHERE doc_id >= 400 AND doc_id < 420)
+        |       AS BIGINT) AS n_planted,
+        |       CAST(0 AS BIGINT) AS n_planted_surviving""".stripMargin,
     // exact-Jaccard survivor set: batch doc x (>= 400) survives iff no
     // doc with a smaller id (corpus OR earlier batch) has 3-shingle
     // J >= 0.5. Plants never drop base docs (their ids are larger), and

@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
   }
 
+  test("incremental simhash drops Hamming-near docs vs index and within batch") {
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val corpus = Seq((1L, base)).toDF("id", "text")
+    val batch = Seq(
+      (10L, base), // identical token stream -> hamming 0 vs index -> dropped
+      (11L, distinct1), // kept
+      (12L, distinct1), // identical to 11 -> dropped within batch
+      (13L, distinct2)).toDF("id", "text")
+    val out = Dedup.simhashIncremental(batch,
+      Dedup.simhashIndex(corpus, "id", toks), "id", toks)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+  }
+
   test("minhash index survives a parquet round-trip between batches") {
     import graft.functions.TextFunctions.{shinglesOf, tokens}
     val sh = shinglesOf(tokens(col("text")), 3)
