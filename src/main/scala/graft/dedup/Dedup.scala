@@ -344,6 +344,52 @@ object Dedup {
       .select("a", "b", "cosine").dropDuplicates("a", "b")
   }
 
+  /** Hyperplane-bucket index of an embedding corpus (companion to
+    * [[fingerprintIndex]] / [[minhashIndex]] / [[simhashIndex]]): one row
+    * per vector with its LSH bucket and the INT8-QUANTIZED vector —
+    * ~d bytes instead of 8d, so a billion-vector index stays executor-
+    * resident. Build and query must share (nPlanes, dim, seed).
+    */
+  def embeddingIndex(df: DataFrame, id: String, vec: Column,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val ps = VectorFunctions.planes(seed, nPlanes, dim)
+    VectorFunctions.quantizeInt8Col(
+      df.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
+        VectorFunctions.hyperplaneSig(vec, ps).as("_bucket")),
+      col("_v"), "_q").drop("_v")
+  }
+
+  /** Incremental embedding-cosine dedup: batch rows with no vector of
+    * cosine ≥ threshold in the index or among smaller-`id` batch rows.
+    * Index vectors are dequantized inside the verification expression
+    * (cosine error ~1e-3 — pick thresholds away from the decision
+    * boundary by that margin). Same scale shape as the other
+    * incrementals: bucket equi-joins with the maxBucket guard, corpus
+    * text/floats never move — only buckets and int8 codes.
+    */
+  def embeddingIncremental(batch: DataFrame, index: DataFrame, id: String,
+      vec: Column, threshold: Double, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
+    val ps = VectorFunctions.planes(seed, nPlanes, dim)
+    val sigs = graft.Caches.track(boundedBuckets(
+      batch.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
+        VectorFunctions.hyperplaneSig(vec, ps).as("_bucket")),
+      Seq("_bucket"), maxBucket, "embedding_inc_batch").persist())
+    val idx = boundedBuckets(index.select(col("_bucket"), col("_q")),
+      Seq("_bucket"), maxBucket, "embedding_inc_index")
+    val vsCorpus = sigs.join(idx, "_bucket")
+      .filter(VectorFunctions.cosineFused(col("_v"),
+        VectorFunctions.dequantizeInt8(col("_q"))) >= threshold)
+      .select(col("_id"))
+    val a = sigs.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
+    val b = sigs.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
+    val withinBatch = a.join(b, "_bucket").filter(col("a") < col("b"))
+      .filter(VectorFunctions.cosineFused(col("va"), col("vb")) >= threshold)
+      .select(col("b").as("_id"))
+    batch.join(vsCorpus.unionAll(withinBatch).distinct(),
+      batch(id) === col("_id"), "left_anti")
+  }
+
   /** Drop buckets with more than `bound` members; the number of ROWS in
     * dropped buckets is emitted as an observe metric named
     * `<name>_dropped_rows` (plus `<name>_dropped_buckets` for the distinct

@@ -285,6 +285,29 @@ object NorthStarQueries {
         .select(col("a"), col("b"))
     },
 
+    /** Incremental embedding dedup against the int8-quantized hyperplane
+      * index: 2×-scaled copies have cosine exactly 1 and provably the
+      * same LSH bucket (doubling preserves every dot-product sign), so
+      * all plants drop; the fixture's max organic cosine is 0.51, so far
+      * below the 0.9 threshold that quantization error (~1e-3) cannot
+      * flip any decision — survivors == the base batch, deterministic.
+      */
+    "dedup_embedding_incremental" -> { (s, dir) =>
+      val emb = tableSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def scaled(df: DataFrame, offset: Long) = df.select(
+        (col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.filter(col("vec_id") < 400)
+      val batchBase = emb.filter(col("vec_id") >= 400)
+      val batch = batchBase
+        .unionByName(scaled(corpus.filter(col("vec_id") < 20), 10000L))
+        .unionByName(scaled(batchBase.filter(col("vec_id") < 420), 20000L))
+      Dedup.embeddingIncremental(batch,
+          Dedup.embeddingIndex(corpus, "vec_id", col("embedding")),
+          "vec_id", col("embedding"), threshold = 0.9)
+        .select(col("vec_id"))
+    },
+
     /** End-to-end training-data pipeline: quality-filter documents, exact
       * dedup (keep lowest id), language-ID the survivors, aggregate token
       * statistics per language — the composed shape of a real corpus
@@ -896,6 +919,8 @@ object NorthStarQueries {
     "dedup_simhash" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, CAST(COUNT(*) AS BIGINT) AS n_recalled
         |FROM documents WHERE doc_id < 60""".stripMargin,
+    "dedup_embedding_incremental" ->
+      "SELECT vec_id FROM embeddings WHERE vec_id >= 400",
     "dedup_simhash_incremental" ->
       """SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 60) +
         |            (SELECT COUNT(*) FROM documents WHERE doc_id >= 400 AND doc_id < 420)

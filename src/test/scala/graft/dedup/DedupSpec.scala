@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
   }
 
+  test("incremental embedding drops high-cosine vs quantized index and within batch") {
+    def vec(f: Int => Double) = (0 until 64).map(i => f(i).toFloat)
+    val v1 = vec(i => math.sin(i + 1.0))
+    val v2 = vec(i => math.cos(i * 2.0 + 1.0))
+    val v3 = vec(i => math.sin(i * 3.0 + 2.0))
+    val corpus = Seq((1L, v1)).toDF("id", "v")
+    val batch = Seq(
+      (10L, v1.map(_ * 2f)), // cosine 1 vs indexed v1 -> dropped
+      (11L, v2), // kept
+      (12L, v2.map(_ * 2f)), // cosine 1 vs 11 -> dropped within batch
+      (13L, v3)).toDF("id", "v")
+    val out = Dedup.embeddingIncremental(batch,
+      Dedup.embeddingIndex(corpus, "id", col("v")), "id", col("v"), threshold = 0.9)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+  }
+
   test("minhash index survives a parquet round-trip between batches") {
     import graft.functions.TextFunctions.{shinglesOf, tokens}
     val sh = shinglesOf(tokens(col("text")), 3)
