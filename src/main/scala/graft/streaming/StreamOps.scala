@@ -212,13 +212,14 @@ object StreamOps {
       }
       .start()
 
-  /** Streaming ingestion with incremental exact dedup — the full
-    * production loop in one sink: each micro-batch is deduped against the
-    * PERSISTED fingerprint index (everything accepted by earlier batches
-    * and earlier runs) and within itself
-    * ([[graft.dedup.Dedup.exactIncremental]]), then ONE transaction
-    * commits both the surviving rows (`<path>/batch=<id>/`) and their
-    * fingerprints appended to the index home
+  /** Streaming ingestion with incremental dedup — the full production
+    * loop in one sink: each micro-batch is deduped against the PERSISTED
+    * index (everything accepted by earlier batches and earlier runs) and
+    * within itself, using any [[graft.dedup.IngestDedup]] strategy
+    * (exact fingerprints, MinHash, SimHash, or embedding cosine), then
+    * ONE transaction commits both the surviving rows
+    * (`<path>/batch=<id>/`) and their index rows appended to the index
+    * home
     * (`<indexHome>/batch=<id>/`) — data and index advance atomically, so
     * a crash can never publish rows whose fingerprints are missing (a
     * later replay would re-accept duplicates) or vice versa. Replayed
@@ -238,7 +239,7 @@ object StreamOps {
     * silently re-admitting every duplicate (found by the fresh-checkpoint
     * replay spec).
     */
-  def ingestSink(stream: DataFrame, on: Seq[String], id: String, path: String,
+  def ingestSink(stream: DataFrame, strategy: graft.dedup.IngestDedup, path: String,
       indexHome: String, checkpoint: String, txPrefix: String = "ingest",
       trigger: Trigger = Trigger.AvailableNow(), format: String = "parquet")
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -267,14 +268,13 @@ object StreamOps {
           val idxPath = new org.apache.hadoop.fs.Path(indexHome)
           val index =
             if (fs.exists(idxPath) && fs.listStatus(idxPath).nonEmpty)
-              spark.read.parquet(indexHome).select(col("_h1"), col("_h2"))
-            else spark.range(0).select(col("id").as("_h1"), col("id").as("_h2"))
-          val survivors = graft.dedup.Dedup.exactIncremental(batch, index, on, id).persist()
+              spark.read.parquet(indexHome)
+            else strategy.emptyIndex(spark)
+          val survivors = strategy.dedup(batch, index).persist()
           try
             graft.sinks.DirectOutput.write(s"$txPrefix-$batchId", s"$path/_tx", Seq(
               graft.sinks.DirectOutput.Spec(survivors, target, format = format),
-              graft.sinks.DirectOutput.Spec(
-                graft.dedup.Dedup.fingerprintIndex(survivors, on), idxTarget)))
+              graft.sinks.DirectOutput.Spec(strategy.indexOf(survivors), idxTarget)))
           finally { survivors.unpersist(false); () }
         }
       }
@@ -312,8 +312,11 @@ object StreamOps {
     // same `tx=` partition key as the appends: mixed key names under one
     // home would break partition discovery for index readers
     val compactId = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    // strategy-agnostic: reading the leaf dirs directly skips the tx
+    // partition column, so distinct() runs over exactly the columns the
+    // strategy persists (fingerprints, banded sigs, quantized vectors)
     val fps = spark.read.parquet(old.map(_.toString): _*)
-      .select(col("_h1"), col("_h2")).distinct()
+      .distinct()
       .repartition(partitions)
     graft.sinks.DirectOutput.write(compactId, s"$indexHome/_tx", Seq(
       graft.sinks.DirectOutput.Spec(fps, s"$indexHome/tx=$compactId")))

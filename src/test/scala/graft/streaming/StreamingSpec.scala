@@ -64,7 +64,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     def sink() = StreamOps.ingestSink(input.toDS().toDF("id", "text"),
-      on = Seq("text"), id = "id", path = s"$dir/out", indexHome = s"$dir/index",
+      graft.dedup.IngestDedup.exact(Seq("text"), "id"),
+      path = s"$dir/out", indexHome = s"$dir/index",
       checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
     // batch 0: within-batch dup (11 copies 10's text) -> 10, 12 survive
     input.addData((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
@@ -96,12 +97,39 @@ class StreamingSpec extends SparkSpec {
     val input2 = MemoryStream[(Long, String)]
     input2.addData((30L, "alpha"), (31L, "gamma"))
     val q2 = StreamOps.ingestSink(input2.toDS().toDF("id", "text"),
-      on = Seq("text"), id = "id", path = s"$dir/out2", indexHome = s"$dir/index",
+      graft.dedup.IngestDedup.exact(Seq("text"), "id"),
+      path = s"$dir/out2", indexHome = s"$dir/index",
       checkpoint = s"$dir/ckpt2", trigger = Trigger.ProcessingTime(0))
     try {
       q2.processAllAvailable()
       assert(spark.read.parquet(s"$dir/out2/batch=0").count() === 0)
     } finally q2.stop()
+  }
+
+  test("ingestSink with the minhash strategy drops NEAR-dups across batches") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.{shinglesOf, tokens}
+    val dir = java.nio.file.Files.createTempDirectory("graft_near_ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val doc = "streaming near duplicate ingestion keeps one canonical copy of " +
+      "every document family while the corpus grows batch after batch forever"
+    val truncated = doc.split(" ").dropRight(2).mkString(" ") // J ~ 0.9
+    val other = "completely unrelated short text"
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, doc))
+    val q = StreamOps.ingestSink(input.toDS().toDF("id", "text"),
+      graft.dedup.IngestDedup.minhash(shinglesOf(tokens(col("text")), 3), "id", 0.5),
+      path = s"$dir/out", indexHome = s"$dir/index",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      // batch 1: a truncated NEAR-copy of batch 0's doc (not byte-equal,
+      // an exact index would admit it) plus a genuinely new doc
+      input.addData((2L, truncated), (3L, other))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/batch=0").select("id").as[Long].collect() === Seq(1L))
+      assert(spark.read.parquet(s"$dir/out/batch=1").select("id").as[Long].collect() === Seq(3L))
+    } finally q.stop()
   }
 
   test("statefulAggregate works on a batch Dataset (single-batch semantics)") {
