@@ -132,6 +132,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestSink with the simhash strategy drops Hamming-near docs across batches") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val doc = "the quick brown fox jumps over the lazy dog near the river bank"
+    // SimHash over the token BAG is order-insensitive: a reordered doc has
+    // Hamming distance 0 while its raw text (exact fingerprint) differs
+    val reordered = doc.split(" ").reverse.mkString(" ")
+    val other = "entirely different content about distributed query planning"
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, doc))
+    val q = StreamOps.ingestSink(input.toDS().toDF("id", "text"),
+      graft.dedup.IngestDedup.simhash(tokens(col("text")), "id"),
+      path = s"$dir/out", indexHome = s"$dir/index",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      input.addData((2L, reordered), (3L, other))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/batch=0").select("id").as[Long].collect() === Seq(1L))
+      assert(spark.read.parquet(s"$dir/out/batch=1").select("id").as[Long].collect() === Seq(3L))
+    } finally q.stop()
+  }
+
+  test("ingestSink with the embedding strategy near-dedups and its index compacts") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def vec(f: Int => Double) = (0 until 64).map(i => f(i).toFloat)
+    val v1 = vec(i => math.sin(i + 1.0))
+    val v2 = vec(i => math.cos(i * 2.0 + 1.0))
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData((1L, v1))
+    val q = StreamOps.ingestSink(input.toDS().toDF("id", "v"),
+      graft.dedup.IngestDedup.embedding(col("v"), "id", 0.9),
+      path = s"$dir/out", indexHome = s"$dir/index",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      // 2L is a scaled copy of the INDEXED v1 (cosine 1.0); 3L is new
+      input.addData((2L, v1.map(_ * 2f)), (3L, v2))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/batch=0").select("id").as[Long].collect() === Seq(1L))
+      assert(spark.read.parquet(s"$dir/out/batch=1").select("id").as[Long].collect() === Seq(3L))
+    } finally q.stop()
+    // compaction is strategy-agnostic: the quantized (_id,_bucket,_q struct)
+    // index folds into one tx dir and still near-dedups a fresh replay
+    StreamOps.compactIndex(spark, s"$dir/index")
+    assert(new java.io.File(s"$dir/index").listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith("_")) === 1)
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    input2.addData((4L, v2.map(_ * 0.5f))) // scaled copy of accepted 3L
+    val q2 = StreamOps.ingestSink(input2.toDS().toDF("id", "v"),
+      graft.dedup.IngestDedup.embedding(col("v"), "id", 0.9),
+      path = s"$dir/out2", indexHome = s"$dir/index",
+      checkpoint = s"$dir/ckpt2", trigger = Trigger.ProcessingTime(0))
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out2/batch=0").count() === 0)
+    } finally q2.stop()
+  }
+
   test("statefulAggregate works on a batch Dataset (single-batch semantics)") {
     val ds = Seq(("x", 1), ("x", 2), ("y", 5)).toDS()
     val out = StreamOps.statefulAggregate(ds)(_._1)(0)((s, v) => s + v._2)((k, s) => (k, s))
