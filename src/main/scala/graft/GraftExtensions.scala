@@ -81,6 +81,9 @@ object GraftExtensions {
     ("ascii_char_count",
       "ascii_char_count(text, chars) - occurrences of any of `chars` in text",
       exprs => AsciiCharCount(exprs.head, strArg(exprs, 1, "ascii_char_count", "chars"))),
+    ("sig_match_frac",
+      "sig_match_frac(a, b) - fraction of equal positions in two long-array signatures (MinHash Jaccard estimate)",
+      exprs => SigMatchFrac(exprs(0), exprs(1))),
     ("cosine_similarity",
       "cosine_similarity(a, b) - cosine of two numeric arrays (fused one-pass)",
       exprs => expression(VectorFunctions.cosineFused(column(exprs(0)), column(exprs(1))))),

@@ -109,10 +109,17 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
   }
 
-  /** Estimated Jaccard: fraction of equal signature positions. */
+  /** Estimated Jaccard: fraction of equal signature positions — a single
+    * codegen'd loop ([[graft.functions.SigMatchFrac]]); this sits in the
+    * candidate-verification filter, the O(|pairs|·k) hot spot of every
+    * MinHash query and ingest batch. `k` is implied by the array length
+    * (always bands·rows from [[graft.functions.MinHashSignature]]); a
+    * length mismatch — index built with different bands/rows — yields
+    * null, which the ≥-threshold filter drops, poisoning visibly instead
+    * of estimating wrongly.
+    */
   private def estJaccard(a: Column, b: Column, k: Int): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, x) => acc + x) / k.toDouble
+    graft.functions.HashFunctions.sig_match_frac(a, b)
 
   def minhashCandidates(df: DataFrame, id: String, shingles: Column,
       bands: Int = 16, rows: Int = 8, seed: Long = 42L,

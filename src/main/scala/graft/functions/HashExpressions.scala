@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -266,6 +266,53 @@ object WinnowMins {
   }
 }
 
+/** Fraction of equal positions in two MinHash signatures — the unbiased
+  * Jaccard estimate (Broder '97: each position matches with probability
+  * J). One codegen'd loop over the long arrays; the composable form
+  * (aggregate ∘ zip_with) runs on the interpreted higher-order-function
+  * path with a boxed accumulator per element, and it sits in the
+  * candidate-verification filter — the O(|candidate pairs| · k) hot spot
+  * of every MinHash dedup/ingest batch. Length mismatch (signatures built
+  * with different k — a caller contract violation) → null, a visible
+  * poison rather than a silently-biased estimate. Empty arrays → null.
+  */
+case class SigMatchFrac(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigMatchFrac.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("frac")
+      s"""
+         |java.lang.Double $r = graft.functions.SigMatchFrac.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : SigMatchFrac = copy(left = newLeft, right = newRight)
+}
+
+object SigMatchFrac {
+  /** Null (boxed) when lengths differ or inputs are empty. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return null
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(eq.toDouble / n)
+  }
+}
+
 /** Column wrappers + SQL registration for the sketch expressions.
   * Spark 4 moved Column↔Expression bridging to classic.ExpressionUtils.
   */
@@ -294,6 +341,9 @@ object HashFunctions {
 
   def word_shingle_hashes(tokens: Column, k: Int): Column =
     column(WordShingleHashes(expression(tokens), k))
+
+  def sig_match_frac(a: Column, b: Column): Column =
+    column(SigMatchFrac(expression(a), expression(b)))
 
   /** Register ALL graft SQL functions on a session (spark.sql usable) —
     * delegates to the single shared table in [[graft.GraftExtensions]] so

@@ -189,6 +189,31 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("sig_match_frac matches the composable HOF form and poisons mismatches") {
+    import spark.implicits._
+    graft.GraftExtensions.registerAll(spark)
+    // random-ish signature pairs; the HOF form is the executable spec
+    val sigs = Seq.tabulate(50) { i =>
+      val a = Seq.tabulate(16)(j => graft.functions.Hash64.mix(i * 16L + j))
+      val b = Seq.tabulate(16)(j => if ((i + j) % 3 == 0) a(j) else -a(j))
+      (a, b)
+    }.toDF("a", "b")
+    val rows = sigs.select(
+      graft.functions.HashFunctions.sig_match_frac(col("a"), col("b")).as("fast"),
+      (aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+        lit(0.0), (acc, x) => acc + x) / 16.0).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1), r.toString))
+    // length mismatch and empties are null, not a biased estimate
+    val edge = spark.sql(
+      """SELECT sig_match_frac(array(1L, 2L), array(1L)) AS m,
+        |       sig_match_frac(array(), array()) AS e,
+        |       sig_match_frac(array(1L, 2L), array(1L, 3L)) AS h""".stripMargin)
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    assert(edge.getDouble(2) === 0.5)
+  }
 }
 
 class SortedOutputSpec extends SparkSpec {
