@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC / changeset application and history building — the generalization
+  * of the master-update batch pattern (reference
+  * `runtime/src/main/scala/com/asakusafw/spark/runtime/fragment/user/join/MasterJoinUpdateOperatorFragment.scala`
+  * updates transactions from a master; here the CHANGES update the
+  * master) to the three-verb upsert stream every warehouse ingests:
+  * insert / update / delete keyed by primary key, latest change wins.
+  */
+object Merge {
+
+  /** Apply a keyed changeset to a base snapshot: per primary key the
+    * change with the highest `seq` wins (ties broken by `op` descending —
+    * deterministic, but give changes unique seqs per key); a winning
+    * 'D' removes the key, a winning 'I'/'U' replaces the full row
+    * (upsert — 'I' on an existing key behaves as 'U', 'D' on an absent
+    * key is a no-op). Keys without changes pass through.
+    *
+    * `changes` must carry every `base` column plus `op` ('I'|'U'|'D') and
+    * `seq` (any ordered type); any other op value fails the job naming
+    * the offender rather than silently passing the row through.
+    *
+    * Scale shape: ONE shuffle of the changes (groupBy pk — map-side
+    * combined by max_by, no rank-window second pass) and one
+    * co-partitioned FULL OUTER sort-merge join against base; no window
+    * over the full base, no driver-side state. Full outer keeps it a
+    * single pass over both sides (a broadcast path doesn't exist for
+    * full outer — the alternative, left-join + anti-join union, scans
+    * base twice); a base stored bucketed by pk joins with no base
+    * shuffle at all.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, pk: Seq[String],
+      op: String = "_op", seq: String = "_seq"): DataFrame = {
+    val valueCols = base.columns.filterNot(pk.contains).toSeq
+    val opChecked = when(col(op).isin("I", "U", "D"), col(op))
+      .otherwise(raise_error(concat(
+        lit(s"applyChanges: invalid $op value '"), col(op),
+        lit("' (expected I, U or D)"))))
+    // latest change per key, one aggregate: max_by over (seq, op) keeps
+    // the whole winning row without a rank-window second pass
+    val winner = changes
+      .groupBy(pk.map(col): _*)
+      .agg(max_by(struct(opChecked.as(op) +: valueCols.map(col): _*),
+        struct(col(seq), col(op))).as("_w"))
+      .select(pk.map(col) ++ valueCols.map(c => col(s"_w.$c").as(s"_w_$c")) :+
+        col(s"_w.$op").as("_w_op"): _*)
+    base.join(winner, pk, "full_outer")
+      .filter(col("_w_op").isNull || col("_w_op") =!= "D")
+      .select(pk.map(col) ++ valueCols.map(c =>
+        when(col("_w_op").isNotNull, col(s"_w_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Build an SCD-2 validity history from versioned records: each row
+    * becomes a version valid from its own `ts` until the key's next
+    * version (`valid_to` null = current). `tieBreak` columns disambiguate
+    * equal timestamps — pass enough of them that (ts, tieBreak) is unique
+    * per key, or the interval endpoints are nondeterministic.
+    *
+    * One shuffle (window over pk); at scale this is the same partitioning
+    * a pk-bucketed history table already has.
+    */
+  def scd2History(versions: DataFrame, pk: Seq[String], ts: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)
+    versions
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

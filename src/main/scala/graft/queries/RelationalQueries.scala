@@ -206,6 +206,52 @@ object RelationalQueries {
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
             <= countDistinct(col("l_partkey")).cast("double") * 0.1).as("approx_ok"))
+    },
+
+    /** CDC changeset application ([[graft.operators.Merge.applyChanges]]):
+      * a deterministic changeset derived from orders itself — updates
+      * (with a superseding second change for one key class, proving
+      * last-seq-wins), deletes, and inserts under fresh keys. String
+      * updates only: value columns pass through raw, so the oracle
+      * compare is exact with no float arithmetic.
+      */
+    "merge_changes" -> { (s, dir) =>
+      val base = table(s, dir, "orders")
+      def change(c: DataFrame, op: String, seq: Long): DataFrame =
+        c.withColumn("_op", lit(op)).withColumn("_seq", lit(seq))
+      val changes = change(base.filter(col("o_orderkey") % 10 < 3)
+          .withColumn("o_orderstatus", lit("X")), "U", 1L)
+        .unionByName(change(base.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderstatus", lit("Y")), "U", 2L))
+        .unionByName(change(base.filter(col("o_orderkey") % 10 === 3), "D", 1L))
+        .unionByName(change(base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderpriority", lit("NEW")), "I", 1L))
+      graft.operators.Merge.applyChanges(base, changes, Seq("o_orderkey"))
+    },
+
+    /** SCD-2 validity history ([[graft.operators.Merge.scd2History]]):
+      * each purchase event becomes a version of its user's state, valid
+      * until the next purchase. event_id tie-breaks equal timestamps.
+      */
+    "scd2_history" -> { (s, dir) =>
+      val purchases = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.operators.Merge.scd2History(purchases, Seq("user_id"), "ts",
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+    },
+
+    /** Single-pass column profiling ([[graft.operators.Profile.profile]]):
+      * every metric for every column in one aggregate job. Integer and
+      * string columns only here — their min/max render identically across
+      * engines (doubles would hash-mismatch on formatting).
+      */
+    "profile_table" -> { (s, dir) =>
+      graft.operators.Profile.profile(table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }
   )
 
@@ -300,6 +346,52 @@ object RelationalQueries {
     "approx_distinct" ->
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |       TRUE AS approx_ok
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "merge_changes" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'U' AS _op, 1 AS _seq
+        |  FROM orders WHERE o_orderkey % 10 < 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'Y', o_totalprice,
+        |         o_orderdate, o_orderpriority, 'U', 2
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D', 1
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, 'NEW', 'I', 1
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), winner AS (
+        |  SELECT * FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |                             ORDER BY _seq DESC, _op DESC) = 1
+        |)
+        |SELECT COALESCE(w.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       CASE WHEN w._op IS NOT NULL THEN w.o_custkey ELSE b.o_custkey END AS o_custkey,
+        |       CASE WHEN w._op IS NOT NULL THEN w.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN w._op IS NOT NULL THEN w.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+        |       CASE WHEN w._op IS NOT NULL THEN w.o_orderdate ELSE b.o_orderdate END AS o_orderdate,
+        |       CASE WHEN w._op IS NOT NULL THEN w.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+        |FROM orders b FULL JOIN winner w ON b.o_orderkey = w.o_orderkey
+        |WHERE w._op IS NULL OR w._op != 'D'""".stripMargin,
+    "scd2_history" ->
+      """SELECT user_id, event_id,
+        |       CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS valid_from,
+        |       CAST(date_trunc('microseconds', lead(ts) OVER w) AS TIMESTAMP) AS valid_to,
+        |       (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "profile_table" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |       COUNT(*) - COUNT($c) AS n_null,
+           |       COUNT(DISTINCT $c) AS n_distinct,
+           |       CAST(MIN($c) AS VARCHAR) AS min_value,
+           |       CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n")
   )
 }

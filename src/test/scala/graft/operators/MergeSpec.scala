@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)
+  ).toDF("k", "name", "v")
+
+  test("applyChanges: upsert, delete, last-seq-wins, untouched passthrough") {
+    val changes = Seq(
+      (2L, "b1", 21, "U", 1L), // superseded by seq 2
+      (2L, "b2", 22, "U", 2L), // wins for key 2
+      (3L, "c", 30, "D", 1L), // key 3 removed
+      (5L, "e", 50, "I", 1L), // new key
+      (4L, "d9", 49, "I", 1L), // I on existing key = upsert
+      (9L, "x", 0, "D", 1L) // delete of absent key = no-op
+    ).toDF("k", "name", "v", "_op", "_seq")
+    val out = Merge.applyChanges(base, changes, Seq("k"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out === Seq((1L, "a", 10), (2L, "b2", 22), (4L, "d9", 49), (5L, "e", 50)))
+  }
+
+  test("applyChanges: an op outside I/U/D fails the job naming the value") {
+    val bad = Seq((1L, "a", 11, "Z", 1L)).toDF("k", "name", "v", "_op", "_seq")
+    val e = intercept[Exception] {
+      Merge.applyChanges(base, bad, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("Z") || e.getCause.getMessage.contains("Z"))
+  }
+
+  test("applyChanges: composite primary key") {
+    val b2 = Seq((1L, "p", 10), (1L, "q", 11)).toDF("k1", "k2", "v")
+    val ch = Seq((1L, "q", 99, "U", 1L)).toDF("k1", "k2", "v", "_op", "_seq")
+    val out = Merge.applyChanges(b2, ch, Seq("k1", "k2"))
+      .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Seq((1L, "p", 10), (1L, "q", 99)))
+  }
+
+  test("scd2History: validity chains per key with tie-broken endpoints") {
+    val versions = Seq(
+      (1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L),
+      (2L, 150L, 20L),
+      (3L, 100L, 30L), (3L, 100L, 31L) // equal ts: event_id tie-breaks
+    ).toDF("k", "ts", "eid")
+    val out = Merge.scd2History(versions, Seq("k"), "ts", tieBreak = Seq("eid"))
+      .select("k", "eid", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Seq(
+      (1L, 10L, 100L, Some(200L), false),
+      (1L, 11L, 200L, Some(300L), false),
+      (1L, 12L, 300L, None, true),
+      (2L, 20L, 150L, None, true),
+      (3L, 30L, 100L, Some(100L), false),
+      (3L, 31L, 100L, None, true)))
+  }
+}
