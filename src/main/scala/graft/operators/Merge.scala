@@ -54,6 +54,40 @@ object Merge {
         when(col("_w_op").isNotNull, col(s"_w_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Inverse of [[applyChanges]]: the minimal keyed changeset that turns
+    * `oldDf` into `newDf` — 'I' for keys only in `newDf`, 'D' for keys
+    * only in `oldDf`, 'U' for keys present in both whose value columns
+    * differ (null-safe compare); unchanged keys are absent. Output is the
+    * snapshot schema plus `op` ('D' rows carry the old values, 'I'/'U'
+    * the new ones); `applyChanges(oldDf, diff.withColumn(seq, lit(1)),
+    * pk)` reproduces `newDf` exactly — the round-trip the spec pins.
+    *
+    * This is how a pipeline without an upstream CDC feed manufactures
+    * one: diff today's snapshot against yesterday's and ship the delta.
+    * Scale shape: one full-outer pk join (both sides shuffle once, or
+    * zero shuffles off pk-bucketed storage); the per-column compare is a
+    * codegen'd projection, no window, no driver state.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String],
+      op: String = "_op"): DataFrame = {
+    val valueCols = oldDf.columns.filterNot(pk.contains).toSeq
+    val o = oldDf.select(pk.map(col) ++ valueCols.map(c => col(c).as(s"_o_$c")) :+
+      lit(true).as("_in_old"): _*)
+    val n = newDf.select(pk.map(col) ++ valueCols.map(c => col(c).as(s"_n_$c")) :+
+      lit(true).as("_in_new"): _*)
+    val changed = valueCols.map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, pk, "full_outer")
+      .withColumn(op,
+        when(col("_in_old").isNull, "I")
+          .when(col("_in_new").isNull, "D")
+          .when(changed, "U"))
+      .filter(col(op).isNotNull)
+      .select(pk.map(col) ++ valueCols.map(c =>
+        when(col(op) === "D", col(s"_o_$c")).otherwise(col(s"_n_$c")).as(c)) :+
+        col(op): _*)
+  }
+
   /** Build an SCD-2 validity history from versioned records: each row
     * becomes a version valid from its own `ts` until the key's next
     * version (`valid_to` null = current). `tieBreak` columns disambiguate

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** One row per requested column: total row count, null count, exact
-    * distinct count, and min/max rendered as strings (uniform schema
-    * across column types). Pass `approxDistinct = true` to swap the
-    * exact distinct (a per-column hash aggregate — fine to a few billion
-    * distincts) for HLL sketches when cardinality itself is huge.
+  /** One row per requested column: total row count, null count, distinct
+    * count, and min/max rendered as strings (uniform schema across column
+    * types). Exact distincts plan as Spark's multi-distinct Expand — one
+    * scan, one job, but an extra distinct-key exchange carrying ~(number
+    * of profiled columns) × the row count; `approxDistinct = true` swaps
+    * them for HLL sketches, making every metric partial-aggregatable and
+    * the single-partition gather the ONLY exchange — the right setting
+    * at 100 TB, where the exact expansion is the dominant cost.
     */
   def profile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {

@@ -244,6 +244,21 @@ object RelationalQueries {
           col("valid_to"), col("is_current"))
     },
 
+    /** Snapshot diff ([[graft.operators.Merge.snapshotDiff]]): manufacture
+      * the CDC changeset between two order snapshots — deletes for one
+      * key class, updates for another, inserts under fresh keys; all
+      * value edits are string-only so the compare is float-free.
+      */
+    "snapshot_diff" -> { (s, dir) =>
+      val old = table(s, dir, "orders")
+      val next = old.filter(col("o_orderkey") % 10 =!= 4)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 5, lit("Z")).otherwise(col("o_orderstatus")))
+        .unionByName(old.filter(col("o_orderkey") % 100 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+      graft.operators.Merge.snapshotDiff(old, next, Seq("o_orderkey"))
+    },
+
     /** Single-pass column profiling ([[graft.operators.Profile.profile]]):
       * every metric for every column in one aggregate job. Integer and
       * string columns only here — their min/max render identically across
@@ -384,6 +399,32 @@ object RelationalQueries {
         |       (lead(ts) OVER w IS NULL) AS is_current
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "snapshot_diff" ->
+      """WITH next AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 5 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 != 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 1
+        |)
+        |SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |       CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+        |       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+        |       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderdate ELSE n.o_orderdate END AS o_orderdate,
+        |       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderpriority ELSE n.o_orderpriority END AS o_orderpriority,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |            WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS _op
+        |FROM orders o FULL JOIN next n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |   OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority""".stripMargin,
     "profile_table" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
       .map(c =>
         s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,

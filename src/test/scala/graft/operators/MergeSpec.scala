@@ -41,6 +41,22 @@ class MergeSpec extends SparkSpec {
     assert(out === Seq((1L, "p", 10), (1L, "q", 99)))
   }
 
+  test("snapshotDiff classifies I/U/D and round-trips through applyChanges") {
+    val next = Seq[(Long, String, Option[Int])](
+      (1L, "a", Some(10)), // unchanged -> absent from diff
+      (2L, "b9", Some(20)), // value changed -> U
+      (4L, "d", None), // null-safe change -> U
+      (5L, "e", Some(50)) // new key -> I   (key 3 dropped -> D)
+    ).toDF("k", "name", "v")
+    val diff = Merge.snapshotDiff(base, next, Seq("k"))
+    val ops = diff.select("k", "_op").as[(Long, String)].collect().sortBy(_._1)
+    assert(ops === Seq((2L, "U"), (3L, "D"), (4L, "U"), (5L, "I")))
+    val roundTrip = Merge.applyChanges(base,
+      diff.withColumn("_seq", lit(1L)), Seq("k"))
+    assert(roundTrip.as[(Long, String, Option[Int])].collect().sortBy(_._1) ===
+      next.as[(Long, String, Option[Int])].collect().sortBy(_._1))
+  }
+
   test("scd2History: validity chains per key with tie-broken endpoints") {
     val versions = Seq(
       (1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L),

@@ -195,4 +195,37 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ex.nonEmpty && ex.forall(_.output.length <= 3),
       "exchange carries partial aggregates only")
   }
+
+  test("applyChanges: no rank window, one changes shuffle + one pk join") {
+    import spark.implicits._
+    val base = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    val changes = Seq((1L, "x", "U", 1L), (200L, "y", "I", 1L))
+      .toDF("k", "v", "_op", "_seq")
+    val plan = executed(graft.operators.Merge.applyChanges(base, changes, Seq("k")))
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "last-change-wins must be the max_by aggregate, not a rank window")
+    // exchanges: changes agg + the two full-outer join sides at most
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.size <= 3, plan.toString)
+  }
+
+  test("profile computes all columns in one pass over one scan") {
+    val orders = GraftSession.table(spark, dir, "orders")
+    // exact distincts: Spark's multi-distinct Expand shape — one scan,
+    // one distinct-key exchange plus the single-partition gather
+    val exact = executed(graft.operators.Profile.profile(
+      orders, Seq("o_orderkey", "o_orderstatus")))
+    assert(collect(exact) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size === 1, "one scan for the whole profile, not one per metric")
+    assert(collect(exact) { case e: ShuffleExchangeExec => e }.size <= 2, exact.toString)
+    // HLL distincts: fully partial-aggregatable — the ONLY exchange is the
+    // one-partition gather of per-partition partials
+    val approx = executed(graft.operators.Profile.profile(
+      orders, Seq("o_orderkey", "o_orderstatus"), approxDistinct = true))
+    assert(collect(approx) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size === 1)
+    assert(collect(approx) { case e: ShuffleExchangeExec => e }.size === 1, approx.toString)
+  }
 }
