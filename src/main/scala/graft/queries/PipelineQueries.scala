@@ -70,6 +70,37 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
     },
 
+    /** Copy-on-write upsert table ([[graft.sinks.Upsert]]): orders loaded
+      * into hash-bucket generations, then two CDC batches applied — each
+      * rewriting only its dirty buckets — and read back after a vacuum.
+      * The oracle applies the same two changesets functionally; equality
+      * proves create → upsert → upsert → vacuum → read preserves exactly
+      * the expected table state. String edits only (float-free compare).
+      */
+    "upsert_bucketed" -> { (s, dir) =>
+      import graft.sinks.Upsert
+      val out = s"${sys.props("java.io.tmpdir")}/graft_upsert_table"
+      val orders = table(s, dir, "orders")
+      Upsert.create(orders, out, Seq("o_orderkey"), nBuckets = 8)
+      def change(c: DataFrame, op: String): DataFrame =
+        c.withColumn("_op", lit(op)).withColumn("_seq", lit(1L))
+      Upsert.upsert(
+        change(orders.filter(col("o_orderkey") % 10 < 2)
+            .withColumn("o_orderstatus", lit("X")), "U")
+          .unionByName(change(orders.filter(col("o_orderkey") % 10 === 7), "D")),
+        out)
+      Upsert.upsert(
+        change(orders.filter(col("o_orderkey") % 10 === 1)
+            .withColumn("o_orderstatus", lit("X"))
+            .withColumn("o_orderpriority", lit("HOT")), "U")
+          .unionByName(change(orders.filter(col("o_orderkey") % 100 === 2)
+            .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+            .withColumn("o_orderpriority", lit("NEW2")), "I")),
+        out)
+      Upsert.vacuum(s, out)
+      Upsert.read(s, out)
+    },
+
     /** Bucketed co-located join: both sides written bucketed by the join
       * key, so the join itself plans with no Exchange — the shuffle was
       * paid once at write time. The oracle is the plain join (bucketing
@@ -181,6 +212,22 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "upsert_bucketed" ->
+      """WITH s1 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 < 2 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 != 7
+        |), s2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN 'HOT' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM s1
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, 'NEW2'
+        |  FROM orders WHERE o_orderkey % 100 = 2
+        |)
+        |SELECT * FROM s2""".stripMargin,
     "iterative" ->
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'F' AS round_status
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.Upsert
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+
+  private def base = (1L to 40L).map(k => (k, s"n$k", (k % 7).toInt)).toDF("k", "name", "grp")
+
+  test("create + read round-trips the base through bucket generations") {
+    val dir = s"${tmp()}/t"
+    Upsert.create(base, dir, Seq("k"), 4)
+    val back = Upsert.read(spark, dir).as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(back === base.as[(Long, String, Int)].collect().sortBy(_._1))
+  }
+
+  test("upsert rewrites only dirty buckets and applies I/U/D") {
+    val dir = s"${tmp()}/t"
+    Upsert.create(base, dir, Seq("k"), 4)
+    def genDirs() = new java.io.File(dir).listFiles().filter(_.getName.startsWith("_bucket="))
+      .map(b => b.getName -> b.listFiles().map(_.getName).sorted.toSeq).toMap
+    val before = genDirs()
+    // one changed key (plus one insert): at most two dirty buckets
+    val changes = Seq((3L, "updated", 99, "U", 1L), (100L, "new", 1, "I", 1L))
+      .toDF("k", "name", "grp", "_op", "_seq")
+    val g = Upsert.upsert(changes, dir)
+    assert(g === 1)
+    val after = genDirs()
+    val touched = after.filter { case (b, gens) => gens != before(b) }
+    assert(touched.nonEmpty && touched.size <= 2,
+      s"only dirty buckets get a new generation: $touched")
+    val back = Upsert.read(spark, dir).as[(Long, String, Int)].collect()
+      .map { case (k, n, gp) => k -> ((n, gp)) }.toMap
+    assert(back(3L) === (("updated", 99)))
+    assert(back(100L) === (("new", 1)))
+    assert(back.size === 41)
+  }
+
+  test("deletes that empty a bucket commit an empty generation, not stale files") {
+    val dir = s"${tmp()}/t"
+    val two = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Upsert.create(two, dir, Seq("k"), 2)
+    val dels = two.withColumn("_op", lit("D")).withColumn("_seq", lit(1L))
+    Upsert.upsert(dels, dir)
+    assert(Upsert.read(spark, dir).count() === 0)
+    // and the table keeps working: a later insert lands normally
+    Upsert.upsert(Seq((9L, "z", "I", 1L)).toDF("k", "v", "_op", "_seq"), dir)
+    assert(Upsert.read(spark, dir).as[(Long, String)].collect() === Seq((9L, "z")))
+  }
+
+  test("uncommitted generations are invisible and recover() removes them") {
+    val dir = s"${tmp()}/t"
+    Upsert.create(base, dir, Seq("k"), 2)
+    val expected = Upsert.read(spark, dir).count()
+    // simulate a crash: a generation shell with data but no commit marker
+    val shell = new java.io.File(s"$dir/_bucket=0/gen=g000000005")
+    shell.mkdirs()
+    Seq((999L, "ghost", 0)).toDF("k", "name", "grp")
+      .write.mode("overwrite").parquet(s"$shell/.attempt-upsert-crashed")
+    assert(Upsert.read(spark, dir).count() === expected, "uncommitted gen must be invisible")
+    Upsert.recover(spark, dir)
+    assert(!shell.exists(), "rolled-back shell removed")
+    assert(Upsert.read(spark, dir).count() === expected)
+  }
+
+  test("vacuum drops superseded generations without changing contents") {
+    val dir = s"${tmp()}/t"
+    Upsert.create(base, dir, Seq("k"), 2)
+    Upsert.upsert(Seq((1L, "x", 0, "U", 1L)).toDF("k", "name", "grp", "_op", "_seq"), dir)
+    Upsert.upsert(Seq((1L, "y", 0, "U", 1L)).toDF("k", "name", "grp", "_op", "_seq"), dir)
+    val before = Upsert.read(spark, dir).as[(Long, String, Int)].collect().sortBy(_._1)
+    Upsert.vacuum(spark, dir)
+    val gensPerBucket = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_bucket="))
+      .map(_.listFiles().count(_.getName.startsWith("gen=")))
+    assert(gensPerBucket.forall(_ === 1), gensPerBucket.mkString(","))
+    val after = Upsert.read(spark, dir).as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(after === before)
+  }
+}
