@@ -60,16 +60,19 @@ object Upsert {
       org.apache.spark.sql.types.DataType.fromJson(kv("schema")).asInstanceOf[StructType])
   }
 
-  /** (bucket dir, latest committed gen dir) per bucket; buckets whose
-    * latest committed generation holds no data files map to None.
+  /** (bucket index, latest committed gen dir ≤ the optional name cap)
+    * per bucket; buckets with no qualifying committed generation map to
+    * None.
     */
-  private def latestGens(conf: Configuration, tableDir: String): Seq[(Int, Option[Path])] = {
+  private def latestGens(conf: Configuration, tableDir: String,
+      cap: Option[String] = None): Seq[(Int, Option[Path])] = {
     val f = fs(conf, tableDir)
     Option(f.globStatus(new Path(s"$tableDir/_bucket=*"))).getOrElse(Array.empty).toSeq
       .map { b =>
         val idx = b.getPath.getName.stripPrefix("_bucket=").toInt
         val committed = Option(f.globStatus(new Path(b.getPath, "gen=g*")))
           .getOrElse(Array.empty)
+          .filter(g => cap.forall(g.getPath.getName <= _))
           .filter(g => f.exists(new Path(g.getPath, "_GRAFT_COMMITTED")))
           .sortBy(_.getPath.getName)
         idx -> committed.lastOption.map(_.getPath)
@@ -110,13 +113,18 @@ object Upsert {
 
   /** Current table contents: union of each bucket's latest committed
     * generation. Uncommitted generations (in-flight or crashed batches)
-    * are invisible.
+    * are invisible. `asOf` time-travels: each bucket resolves its latest
+    * committed generation ≤ `asOf` instead — the state right after
+    * [[upsert]] returned that generation number (valid until a [[vacuum]]
+    * reclaims the older generations).
     */
-  def read(spark: SparkSession, tableDir: String): DataFrame = {
+  def read(spark: SparkSession, tableDir: String,
+      asOf: Option[Int] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = readMeta(conf, tableDir)
     val f = fs(conf, tableDir)
-    val paths = latestGens(conf, tableDir).flatMap(_._2).filter(hasData(f, _))
+    val cap = asOf.map("gen=g%09d".format(_))
+    val paths = latestGens(conf, tableDir, cap).flatMap(_._2).filter(hasData(f, _))
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     else spark.read.schema(meta.schema).parquet(paths.map(_.toString): _*)

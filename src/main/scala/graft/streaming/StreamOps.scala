@@ -280,6 +280,52 @@ object StreamOps {
       }
       .start()
 
+  /** Stream a CDC feed into a maintained [[graft.sinks.Upsert]] table:
+    * each micro-batch of I/U/D change rows is applied copy-on-write —
+    * only the buckets containing the batch's keys are rewritten, one
+    * transaction per batch. Create the table ([[graft.sinks.Upsert
+    * .create]]) before starting the sink.
+    *
+    * Exactly-once: an `_applied/<writerId>-<batchId>` marker records each
+    * applied batch, so a replayed batch (restart before the checkpoint
+    * advanced) is skipped; a crash between the upsert's commit and the
+    * marker write re-applies the SAME changes, which is a state no-op
+    * (same winners, same values — only a generation number is burned).
+    * The writer id hashes the CHECKPOINT path: a fresh checkpoint replays
+    * history under a new id instead of colliding with the old markers —
+    * and a full-history replay is itself idempotent as long as `seq` is
+    * globally ordered (the max-seq winner per key IS the current state).
+    */
+  def upsertSink(changes: DataFrame, tableDir: String, checkpoint: String,
+      op: String = "_op", seq: String = "_seq",
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val wid = StreamOps.writerId(checkpoint)
+        val dir = new org.apache.hadoop.fs.Path(s"$tableDir/_applied")
+        val marker = new org.apache.hadoop.fs.Path(dir, s"$wid-$batchId")
+        val f = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(tableDir), conf)
+        if (!f.exists(marker)) {
+          graft.sinks.Upsert.upsert(batch, tableDir, op, seq)
+          f.mkdirs(dir)
+          f.create(marker, true).close()
+          // only the newest marker matters for replay detection — prune
+          // this writer's older ones so the dir doesn't grow unboundedly
+          Option(f.globStatus(new org.apache.hadoop.fs.Path(dir, s"$wid-*")))
+            .getOrElse(Array.empty)
+            .filter(_.getPath.getName.stripPrefix(s"$wid-").toLong < batchId)
+            .foreach(s => f.delete(s.getPath, false))
+        }
+      }
+      .start()
+
   /** Compact an [[ingestSink]] index home: every micro-batch appends one
     * small tx dir, and after thousands of batches the per-batch listing +
     * footer reads dominate the index scan — the classic streaming

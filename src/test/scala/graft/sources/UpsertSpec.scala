@@ -68,6 +68,19 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).count() === expected)
   }
 
+  test("asOf time-travel reads the state right after each generation") {
+    val dir = s"${tmp()}/t"
+    Upsert.create(Seq((1L, "v0")).toDF("k", "v"), dir, Seq("k"), 2)
+    val g1 = Upsert.upsert(Seq((1L, "v1", "U", 1L)).toDF("k", "v", "_op", "_seq"), dir)
+    val g2 = Upsert.upsert(Seq((2L, "w", "I", 1L)).toDF("k", "v", "_op", "_seq"), dir)
+    def at(g: Int) = Upsert.read(spark, dir, asOf = Some(g))
+      .as[(Long, String)].collect().toSet
+    assert(at(0) === Set((1L, "v0")))
+    assert(at(g1) === Set((1L, "v1")))
+    assert(at(g2) === Set((1L, "v1"), (2L, "w")))
+    assert(Upsert.read(spark, dir).as[(Long, String)].collect().toSet === at(g2))
+  }
+
   test("vacuum drops superseded generations without changing contents") {
     val dir = s"${tmp()}/t"
     Upsert.create(base, dir, Seq("k"), 2)

@@ -195,6 +195,31 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("upsertSink applies CDC batches copy-on-write and skips replays") {
+    import graft.sinks.Upsert
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_sink").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Upsert.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), s"$dir/t", Seq("k"), 2)
+    val input = MemoryStream[(Long, String, String, Long)]
+    def sink() = StreamOps.upsertSink(input.toDS().toDF("k", "v", "_op", "_seq"),
+      s"$dir/t", s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    def state() = Upsert.read(spark, s"$dir/t").as[(Long, String)].collect().toSet
+    input.addData((1L, "a2", "U", 1L), (3L, "c", "I", 1L))
+    val q = sink()
+    try {
+      q.processAllAvailable()
+      assert(state() === Set((1L, "a2"), (2L, "b"), (3L, "c")))
+      input.addData((2L, "", "D", 2L))
+      q.processAllAvailable()
+      assert(state() === Set((1L, "a2"), (3L, "c")))
+    } finally q.stop()
+    // restart on the SAME checkpoint: committed batches are not re-applied
+    // (their _applied markers short-circuit), state unchanged
+    val q2 = sink()
+    try { q2.processAllAvailable(); assert(state() === Set((1L, "a2"), (3L, "c"))) }
+    finally q2.stop()
+  }
+
   test("statefulAggregate works on a batch Dataset (single-batch semantics)") {
     val ds = Seq(("x", 1), ("x", 2), ("y", 5)).toDS()
     val out = StreamOps.statefulAggregate(ds)(_._1)(0)((s, v) => s + v._2)((k, s) => (k, s))
