@@ -267,6 +267,19 @@ object NorthStarQueries {
         id = "doc_id", shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
     },
 
+    /** kNN self-join: every document's top-3 exact-Jaccard neighbors from
+      * the postings candidate graph — the batch "related documents"
+      * primitive (vs ANN's point queries). Deterministic ties (jaccard
+      * desc, neighbor asc); the oracle recomputes the full ranking.
+      */
+    "knn_join" -> { (s, dir) =>
+      graft.similarity.KnnJoin.knnJoin(
+        tableSpread(s, dir, "documents")
+          .withColumn("_toks", TextFunctions.tokens(col("text"))),
+        id = "doc_id", shingles = shingleHashesOf(col("_toks"), 5),
+        k = 3, minSim = 0.2)
+    },
+
     "dedup_embedding" -> { (s, dir) =>
       // the fixture's random vectors have no pair above 0.9 cosine (round-2
       // output was empty => vacuous verification), so plant near-dups: each
@@ -749,6 +762,41 @@ object NorthStarQueries {
         |       CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) AS jaccard
         |FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
         |WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.5""".stripMargin,
+    "knn_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
+        |), ex AS (
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT p.a, p.b,
+        |         CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) AS jaccard
+        |  FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.2
+        |), e AS (
+        |  SELECT a AS doc, b AS neighbor, jaccard FROM j
+        |  UNION ALL
+        |  SELECT b AS doc, a AS neighbor, jaccard FROM j
+        |)
+        |SELECT doc, neighbor, jaccard, rank FROM (
+        |  SELECT doc, neighbor, jaccard,
+        |         row_number() OVER (PARTITION BY doc
+        |             ORDER BY jaccard DESC, neighbor ASC) AS rank
+        |  FROM e)
+        |WHERE rank <= 3""".stripMargin,
     "ann_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -109,6 +109,28 @@ class AnnSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("knnJoin: symmetric edges, exact jaccard, deterministic top-k") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.{shingleHashesOf, tokens}
+    // doc 1 and 2 share most 2-shingles; 3 shares some; 4 is disjoint
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "e f g h p q r s"),
+      (4L, "t u v w y z m n")).toDF("doc_id", "text")
+    val out = graft.similarity.KnnJoin.knnJoin(
+      docs.withColumn("_toks", tokens(col("text"))),
+      id = "doc_id", shingles = shingleHashesOf(col("_toks"), 2), k = 2, minSim = 0.1)
+      .select("doc", "neighbor", "rank").as[(Long, Long, Int)].collect().toSet
+    // edges are symmetric: 1<->2 rank 1 both ways; 4 has no neighbor
+    assert(out.contains((1L, 2L, 1)) && out.contains((2L, 1L, 1)))
+    assert(out.contains((1L, 3L, 2)) && out.contains((3L, 1L, 1)))
+    assert(!out.exists(_._1 == 4L))
+    // rank never exceeds k and is unique per doc
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).toSeq.sorted == (1 to rs.size).toSeq && rs.size <= 2 })
+  }
+
   test("bruteForce ranks planted neighbor first") {
     val q = (0 until 8).map(i => math.sin(i + 1.0).toFloat).toArray
     val near = q.map(x => x * 1.001f)
