@@ -91,24 +91,35 @@ object Upsert {
   }
 
   /** Initial load: hash-bucket `base` by `pk` into `nBuckets` generation-0
-    * directories, one transaction. Destroys anything already at
-    * `tableDir`. (This demo build runs one filter job per bucket off a
-    * persisted base — an initial 100 TB load would use a single
-    * partitioned write plus a rename pass instead; upserts, the hot
-    * path, touch only dirty buckets either way.)
+    * directories. ONE partitioned Spark job writes every bucket into a
+    * staging dir; a driver pass renames each bucket into its gen-0 home
+    * and drops its committed marker — O(buckets) renames, the data moves
+    * once. Destroys anything already at `tableDir`; a crash mid-create
+    * leaves a partial gen-0 (re-run create — unmarked buckets are
+    * invisible to readers either way).
     */
   def create(base: DataFrame, tableDir: String, pk: Seq[String], nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val conf = base.sparkSession.sparkContext.hadoopConfiguration
     DirectOutput.setup(conf, Seq(tableDir))
-    fs(conf, tableDir).mkdirs(new Path(tableDir))
+    val f = fs(conf, tableDir)
+    f.mkdirs(new Path(tableDir))
     writeMeta(conf, tableDir, Meta(nBuckets, pk, base.schema))
-    val bucketed = base.withColumn("_b", bucketOf(pk, nBuckets)).persist()
-    try DirectOutput.write("upsert-create", s"$tableDir/_tx",
-      (0 until nBuckets).map(b => DirectOutput.Spec(
-        bucketed.filter(col("_b") === b).drop("_b"),
-        s"$tableDir/_bucket=$b/gen=$gen0")))
-    finally { bucketed.unpersist(false); () }
+    val staging = s"$tableDir/.create-stage"
+    base.withColumn("_b", bucketOf(pk, nBuckets))
+      .write.mode("overwrite").partitionBy("_b").parquet(staging)
+    (0 until nBuckets).foreach { b =>
+      val dst = new Path(s"$tableDir/_bucket=$b/gen=$gen0")
+      f.mkdirs(dst.getParent)
+      val src = new Path(s"$staging/_b=$b")
+      if (f.exists(src)) {
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"create: rename $src -> $dst failed")
+      } else f.mkdirs(dst) // bucket with no rows: empty committed gen-0
+      f.create(new Path(dst, "_GRAFT_COMMITTED"), true).close()
+    }
+    if (!f.delete(new Path(staging), true) && f.exists(new Path(staging)))
+      throw new java.io.IOException(s"create: cannot remove staging $staging")
   }
 
   /** Current table contents: union of each bucket's latest committed
@@ -156,37 +167,84 @@ object Upsert {
       if (curPaths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
       else spark.read.schema(meta.schema).parquet(curPaths.map(_.toString): _*)
-    val merged = graft.operators.Merge.applyChanges(cur, changes, meta.pk, op, seq)
-      .withColumn("_b", bucket).persist()
-    // one transaction over every dirty bucket's fresh generation dir; a
-    // bucket emptied by deletes commits an EMPTY generation — the "no
-    // rows" state is itself versioned, never a leftover of old files
-    try DirectOutput.write(s"upsert-$genName", s"$tableDir/_tx",
-      dirty.map(b => DirectOutput.Spec(
-        merged.filter(col("_b") === b).drop("_b"),
-        s"$tableDir/_bucket=$b/gen=$genName")))
-    finally { merged.unpersist(false); () }
+    // ONE partitioned job stages every dirty bucket's new generation
+    // (with 500 dirty buckets of a 10k-bucket table that is one job, not
+    // 500); the commit point is a marker file RECORDING the dirty set, so
+    // recovery can finish even buckets whose new generation is EMPTY
+    // (deletes wiped them — partitioned writes emit no dir for them)
+    val staging = s"$tableDir/.upsert-stage-$genName"
+    graft.operators.Merge.applyChanges(cur, changes, meta.pk, op, seq)
+      .withColumn("_b", bucket)
+      .write.mode("overwrite").partitionBy("_b").parquet(staging)
+    val marker = markerFor(tableDir, genName)
+    f.mkdirs(marker.getParent)
+    val out = f.create(marker, true)
+    out.write(dirty.mkString(",").getBytes("UTF-8"))
+    out.close()
+    finishCommit(f, tableDir, genName, dirty, staging)
+    f.delete(new Path(staging), true)
+    f.delete(marker, false)
     g
   }
 
-  /** Settle crashed transactions (roll forward past-commit-point batches,
-    * roll back the rest) and remove generation shells left by rollback.
-    * Call on restart before reading or writing; [[upsert]] calls it.
+  private def markerFor(tableDir: String, genName: String) =
+    new Path(s"$tableDir/_tx/upsert-$genName")
+
+  /** Post-marker half of the transaction — idempotent, so [[recover]] can
+    * re-run it after a crash: rename each dirty bucket's staged dir into
+    * its generation home (no staged dir = an emptied bucket gets an empty
+    * generation), then drop the per-generation committed marker.
+    */
+  private def finishCommit(f: FileSystem, tableDir: String, genName: String,
+      dirty: Seq[Int], staging: String): Unit =
+    dirty.foreach { b =>
+      val dst = new Path(s"$tableDir/_bucket=$b/gen=$genName")
+      if (!f.exists(new Path(dst, "_GRAFT_COMMITTED"))) {
+        val src = new Path(s"$staging/_b=$b")
+        f.mkdirs(dst.getParent)
+        if (f.exists(src)) {
+          if (f.exists(dst) && !f.delete(dst, true))
+            throw new java.io.IOException(s"upsert commit: cannot clear partial $dst")
+          if (!f.rename(src, dst))
+            throw new java.io.IOException(s"upsert commit: rename $src -> $dst failed")
+        } else if (!f.exists(dst)) f.mkdirs(dst)
+        f.create(new Path(dst, "_GRAFT_COMMITTED"), true).close()
+      }
+    }
+
+  /** Settle crashed transactions: a live marker means the batch reached
+    * its commit point — roll FORWARD by re-running [[finishCommit]] from
+    * the dirty-bucket list the marker recorded; staging dirs and
+    * generation shells with no live marker are pre-commit garbage —
+    * roll back by deleting them. Call on restart before reading or
+    * writing; [[upsert]] calls it.
     */
   def recover(spark: SparkSession, tableDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(conf, tableDir)
     if (!f.exists(new Path(tableDir))) return
-    val pending = Option(f.globStatus(new Path(s"$tableDir/_bucket=*/gen=g*")))
+    val liveGens = Option(f.globStatus(new Path(s"$tableDir/_tx/upsert-g*")))
+      .getOrElse(Array.empty).map { m =>
+        val genName = m.getPath.getName.stripPrefix("upsert-")
+        val in = f.open(m.getPath)
+        val dirty = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        finishCommit(f, tableDir, genName,
+          dirty.split(",").filter(_.nonEmpty).map(_.toInt).toSeq,
+          s"$tableDir/.upsert-stage-$genName")
+        f.delete(new Path(s"$tableDir/.upsert-stage-$genName"), true)
+        f.delete(m.getPath, false)
+        s"gen=$genName"
+      }.toSet
+    // pre-commit leftovers: staging dirs and unmarked generation shells
+    // not claimed by any live marker above
+    Option(f.globStatus(new Path(s"$tableDir/.upsert-stage-*")))
+      .getOrElse(Array.empty).foreach(s => f.delete(s.getPath, true))
+    Option(f.globStatus(new Path(s"$tableDir/_bucket=*/gen=g*")))
       .getOrElse(Array.empty)
-      .filterNot(g => f.exists(new Path(g.getPath, "_GRAFT_COMMITTED")))
-      .map(_.getPath)
-    if (pending.isEmpty) return
-    DirectOutput.recover(conf, s"$tableDir/_tx", pending.map(_.toString).toSeq,
-      txFilter = _.startsWith("upsert-"))
-    // rolled-back shells have neither marker nor attempt left — drop them
-    pending.filterNot(g => f.exists(new Path(g, "_GRAFT_COMMITTED")))
-      .foreach(g => f.delete(g, true))
+      .filterNot(g => liveGens.contains(g.getPath.getName) ||
+        f.exists(new Path(g.getPath, "_GRAFT_COMMITTED")))
+      .foreach(g => f.delete(g.getPath, true))
   }
 
   /** Delete every generation below each bucket's latest committed one.

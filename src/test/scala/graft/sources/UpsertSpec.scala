@@ -81,6 +81,30 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).as[(Long, String)].collect().toSet === at(g2))
   }
 
+  test("a live marker rolls the batch FORWARD: staged gens finish committing") {
+    val dir = s"${tmp()}/t"
+    Upsert.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"), 2)
+    val before = Upsert.read(spark, dir).as[(Long, String)].collect().toSet
+    // simulate a crash right after the commit point: staging written for
+    // bucket 0, marker live listing buckets 0 AND 1 (1's new gen is empty)
+    val genName = "g%09d".format(7)
+    Seq((5L, "staged")).toDF("k", "v")
+      .write.parquet(s"$dir/.upsert-stage-$genName/_b=0")
+    val txDir = new java.io.File(s"$dir/_tx"); txDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_tx/upsert-$genName"), "0,1".getBytes("UTF-8"))
+    Upsert.recover(spark, dir)
+    assert(!new java.io.File(s"$dir/_tx/upsert-$genName").exists())
+    assert(!new java.io.File(s"$dir/.upsert-stage-$genName").exists())
+    // bucket 0 now serves the staged row; bucket 1's gen-7 is empty — its
+    // previous contents are gone from the CURRENT view (that is what the
+    // crashed batch committed to), while asOf(0) still shows `before`
+    val now = Upsert.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(now.contains((5L, "staged")) && now.size <= before.size + 1)
+    assert(Upsert.read(spark, dir, asOf = Some(0))
+      .as[(Long, String)].collect().toSet === before)
+  }
+
   test("vacuum drops superseded generations without changing contents") {
     val dir = s"${tmp()}/t"
     Upsert.create(base, dir, Seq("k"), 2)
