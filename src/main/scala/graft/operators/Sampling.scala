@@ -66,4 +66,46 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strata: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strata, fractions, seed)
+
+  /** Temperature-weighted mixture sampling — the multilingual/multi-source
+    * corpus-balancing step: a global `budget` of records is allocated
+    * across sources ∝ count^(1/temperature) (T=1 keeps the natural
+    * distribution, larger T flattens toward uniform — the mT5 recipe),
+    * each source's allocation then taken deterministically by hash order
+    * ([[capPerGroup]]'s uniform-sample ordering), capped at the source's
+    * actual count (a starved source contributes everything it has).
+    *
+    * Determinism across engines: weights are IEEE `sqrt` when T == 2
+    * (correctly rounded, unlike `pow`) and quantized to integers at 1e-9
+    * relative precision, so the weight SUM is exact long arithmetic (no
+    * float-summation order sensitivity) and every remaining operation is
+    * a single correctly-rounded IEEE op — the allocation, and therefore
+    * the sampled row SET, is bit-reproducible anywhere. Other
+    * temperatures go through `pow`, which is only ~1-ulp reproducible
+    * across libms: fine in production, not oracle-bit-stable.
+    *
+    * Scale shape: one tiny per-source aggregate (broadcast back), one
+    * row_number window per source — the same single shuffle
+    * [[capPerGroup]] pays, with WindowGroupLimit pruning map-side.
+    */
+  def temperatureMix(df: DataFrame, source: String, id: Column, budget: Long,
+      temperature: Double): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(temperature > 0, "temperature must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = if (temperature == 2.0) sqrt(col("_n").cast("double"))
+      else pow(col("_n").cast("double"), lit(1.0 / temperature))
+    val alloc = df.groupBy(col(source)).agg(count(lit(1)).as("_n"))
+      .withColumn("_wi", floor(w * lit(1e9)).cast("long"))
+      .withColumn("_alloc", least(col("_n"),
+        floor(lit(budget.toDouble) * col("_wi") /
+          sum(col("_wi")).over(Window.partitionBy()).cast("double")).cast("long")))
+      .select(col(source), col("_alloc"))
+    val rank = Window.partitionBy(col(source))
+      .orderBy(hashBucket(id, 1 << 30).asc, id.asc)
+    df.withColumn("_rn", row_number().over(rank))
+      .join(broadcast(alloc), source)
+      .filter(col("_rn") <= col("_alloc"))
+      .drop("_rn", "_alloc")
+  }
 }

@@ -564,6 +564,18 @@ object NorthStarQueries {
         .select(col("source"), col("doc_id"))
     },
 
+    /** Temperature-weighted mixture sampling (mT5-style corpus
+      * balancing): 300 documents allocated across languages ∝ sqrt(count)
+      * (T=2), each language's share taken in deterministic hash order.
+      * Integer-quantized weights + IEEE sqrt make the allocation — and so
+      * the exact sampled row set — bit-reproducible in DuckDB.
+      */
+    "temperature_mix" -> { (s, dir) =>
+      Sampling.temperatureMix(table(s, dir, "documents"), source = "lang",
+        id = col("doc_id"), budget = 300L, temperature = 2.0)
+        .select(col("lang"), col("doc_id"))
+    },
+
     /** Stratified Bernoulli sample per language (seeded). The sampled
       * counts themselves are RNG-stream-specific, so the output is the
       * per-stratum population count plus a rate-tolerance boolean: the
@@ -902,6 +914,25 @@ object NorthStarQueries {
         |                      doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+    "temperature_mix" ->
+      """WITH n AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+        |), a AS (
+        |  SELECT lang,
+        |         LEAST(n, CAST(FLOOR(300.0 *
+        |             CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) /
+        |             CAST((SELECT SUM(CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+        |                   FROM n) AS DOUBLE)) AS BIGINT)) AS alloc
+        |  FROM n
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |             ORDER BY ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                       + (doc_id & 65535) * 2654435761) % 4294967296) % 1073741824 ASC,
+        |                      doc_id ASC) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.lang, r.doc_id FROM r JOIN a USING (lang) WHERE rn <= a.alloc""".stripMargin,
     "text_redact" ->
       """WITH t AS (
         |  SELECT doc_id,

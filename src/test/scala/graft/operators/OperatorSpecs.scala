@@ -250,6 +250,27 @@ class SamplingSpec extends graft.SparkSpec {
       .as[Long].collect())
   }
 
+  test("temperatureMix allocates by count^(1/T), flattens as T grows, deterministic") {
+    // 900 'big' + 100 'small' records
+    val df = ((0L until 900L).map(("big", _)) ++ (1000L until 1100L).map(("small", _)))
+      .toDF("src", "id")
+    def mix(t: Double) = Sampling.temperatureMix(df, "src", col("id"), budget = 200L, t)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val t1 = mix(1.0) // natural: ~180/20
+    assert(t1.values.sum <= 200 && math.abs(t1("big") - 180L) <= 2, t1.toString)
+    val t2 = mix(2.0) // sqrt-flattened: 3:1 instead of 9:1
+    assert(t2("small") > t1("small") && math.abs(t2("big") - 150L) <= 2, t2.toString)
+    // a starved source is capped at its population, never oversampled:
+    // budget 400 at ~uniform T requests ~200 from small, which has 100
+    val capped = Sampling.temperatureMix(df, "src", col("id"), budget = 400L, 1000.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(capped("small") === 100L, capped.toString)
+    // deterministic row SET, not just sizes
+    val a = Sampling.temperatureMix(df, "src", col("id"), 200L, 2.0).collect().toSet
+    val b = Sampling.temperatureMix(df, "src", col("id"), 200L, 2.0).collect().toSet
+    assert(a === b)
+  }
+
   test("capPerGroup keeps at most k per group, all of smaller groups") {
     val df = (Seq.tabulate(100)(i => ("big", i.toLong)) ++
       Seq.tabulate(3)(i => ("small", 1000L + i))).toDF("g", "id")
