@@ -106,6 +106,11 @@ object GraftExtensions {
       exprs => expression(TextFunctions.redactEmails(column(exprs.head),
         if (exprs.length > 1) strArg(exprs, 1, "redact_emails", "replacement")
         else "[EMAIL]"))),
+    ("token_chunks",
+      "token_chunks(tokens, size, stride) - overlapping token-window chunk texts",
+      exprs => expression(TextFunctions.tokenChunks(column(exprs.head),
+        intArg(exprs, 1, "token_chunks", "size"),
+        intArg(exprs, 2, "token_chunks", "stride")))),
     ("winnow_fingerprints",
       "winnow_fingerprints(text[, n[, w]]) - winnowing doc fingerprint (SIGMOD'03)",
       exprs => expression(TextFunctions.winnowFingerprints(column(exprs.head),

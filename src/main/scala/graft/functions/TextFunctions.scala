@@ -41,6 +41,22 @@ object TextFunctions {
   def shinglesOf(toks: Column, k: Int): Column =
     HashFunctions.word_shingles(toks, k)
 
+  /** Overlapping token-window chunks — the context-window preparation
+    * step of a pretraining pipeline: windows of `chunkSize` tokens every
+    * `stride` tokens (stride < chunkSize ⇒ overlap), the final window
+    * shorter when the document doesn't divide evenly. Returns
+    * `array<string>` of chunk texts; empty/null token arrays yield an
+    * empty array. Pure built-ins, so Catalyst folds it into the
+    * projection; pipelines explode it into (doc, window-start) rows.
+    */
+  def tokenChunks(toks: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), size(toks) - 1, lit(stride)),
+        i => array_join(slice(toks, i + lit(1), lit(chunkSize)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** 64-bit hashes of the word k-shingles — use instead of [[shinglesOf]]
     * wherever only shingle identity matters (candidate-generation joins):
     * same one pass, but 8-byte values instead of strings, so downstream

@@ -564,6 +564,22 @@ object NorthStarQueries {
         .select(col("source"), col("doc_id"))
     },
 
+    /** Context-window chunking: every document split into overlapping
+      * 64-token windows at stride 48 (25% overlap), keyed by window
+      * start. The oracle recomputes every window's text — byte equality
+      * proves the slicing arithmetic end to end.
+      */
+    "doc_chunks" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+        .filter(size(col("_toks")) > 0)
+      docs.select(col("doc_id"), col("_toks"),
+          explode(sequence(lit(0), size(col("_toks")) - 1, lit(48))).as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          array_join(slice(col("_toks"), col("chunk_start") + 1, lit(64)), " ").as("chunk"),
+          least(size(col("_toks")) - col("chunk_start"), lit(64)).as("n_tokens"))
+    },
+
     /** Temperature-weighted mixture sampling (mT5-style corpus
       * balancing): 300 documents allocated across languages ∝ sqrt(count)
       * (T=2), each language's share taken in deterministic hash order.
@@ -914,6 +930,16 @@ object NorthStarQueries {
         |                      doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents
+        |)
+        |SELECT doc_id, i AS chunk_start,
+        |       array_to_string(ts[i+1 : i+64], ' ') AS chunk,
+        |       LEAST(len(ts) - i, 64) AS n_tokens
+        |FROM t, UNNEST(range(0, len(ts), 48)) AS u(i)
+        |WHERE len(ts) > 0""".stripMargin,
     "temperature_mix" ->
       """WITH n AS (
         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1

@@ -22,6 +22,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq === Seq(0, 0, 1, 0))
   }
 
+  test("tokenChunks: overlapping windows, short tail, empty input") {
+    val df = Seq(
+      "a b c d e f g h i j", // 10 tokens: chunks at 0 (4) and 3 (4) and 6 (4) and 9 (1)
+      "a b", // shorter than one chunk
+      "").toDF("t")
+    val out = df.select(
+      TextFunctions.tokenChunks(TextFunctions.tokens($"t"), 4, 3).as("c"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c d", "d e f g", "g h i j", "j"))
+    assert(out(1) === Seq("a b"))
+    assert(out(2) === Seq.empty)
+  }
+
   test("langId picks the profile with most stopword hits, ties to first") {
     val df = Seq(
       "the cat and the dog in the house",   // en
