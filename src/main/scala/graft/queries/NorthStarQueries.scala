@@ -340,6 +340,26 @@ object NorthStarQueries {
           max(col("nt")).as("max_tokens"))
     },
 
+    /** End-to-end training-mix prep composing the round's sampling and
+      * chunking ops: temperature-balance the corpus across languages
+      * (T=2, budget 300), window every sampled document (64 tokens,
+      * stride 48), report the per-language training mix. The oracle
+      * chains the exact CTEs of `temperature_mix` and `doc_chunks`.
+      */
+    "flagship_training_mix" -> { (s, dir) =>
+      val sampled = Sampling.temperatureMix(table(s, dir, "documents"),
+        source = "lang", id = col("doc_id"), budget = 300L, temperature = 2.0)
+      sampled.withColumn("_toks", TextFunctions.tokens(col("text")))
+        .filter(size(col("_toks")) > 0)
+        .select(col("lang"), col("doc_id"), size(col("_toks")).as("_n"),
+          explode(sequence(lit(0), size(col("_toks")) - 1, lit(48))).as("_start"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(least(col("_n") - col("_start"), lit(64)).cast("long"))
+            .as("total_chunk_tokens"))
+    },
+
     // ---- similarity search ----------------------------------------------
     "ann_bruteforce" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
@@ -930,6 +950,36 @@ object NorthStarQueries {
         |                      doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+    "flagship_training_mix" ->
+      """WITH n AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+        |), a AS (
+        |  SELECT lang,
+        |         LEAST(n, CAST(FLOOR(300.0 *
+        |             CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) /
+        |             CAST((SELECT SUM(CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+        |                   FROM n) AS DOUBLE)) AS BIGINT)) AS alloc
+        |  FROM n
+        |), r AS (
+        |  SELECT lang, doc_id, text,
+        |         row_number() OVER (PARTITION BY lang
+        |             ORDER BY ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                       + (doc_id & 65535) * 2654435761) % 4294967296) % 1073741824 ASC,
+        |                      doc_id ASC) AS rn
+        |  FROM documents
+        |), sampled AS (
+        |  SELECT r.lang, r.doc_id,
+        |         list_filter(string_split(r.text, ' '), x -> x != '') AS ts
+        |  FROM r JOIN a USING (lang) WHERE rn <= a.alloc
+        |), chunks AS (
+        |  SELECT lang, doc_id, LEAST(len(ts) - i, 64) AS chunk_tokens
+        |  FROM sampled, UNNEST(range(0, len(ts), 48)) AS u(i)
+        |  WHERE len(ts) > 0
+        |)
+        |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens
+        |FROM chunks GROUP BY 1""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
