@@ -104,6 +104,12 @@ object Sampling {
     val rank = Window.partitionBy(col(source))
       .orderBy(hashBucket(id, 1 << 30).asc, id.asc)
     df.withColumn("_rn", row_number().over(rank))
+      // no allocation exceeds the global budget, so this CONSTANT bound is
+      // a no-op on results — but it is what lets Catalyst infer a
+      // WindowGroupLimit and prune each source to `budget` rows map-side
+      // BEFORE the window shuffle (the data-dependent _alloc bound below
+      // can't); without it the window moves the whole corpus
+      .filter(col("_rn") <= budget)
       .join(broadcast(alloc), source)
       .filter(col("_rn") <= col("_alloc"))
       .drop("_rn", "_alloc")

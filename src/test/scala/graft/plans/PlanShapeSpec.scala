@@ -209,6 +209,19 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case e: ShuffleExchangeExec => e }.size <= 3, plan.toString)
   }
 
+  test("temperatureMix prunes to the budget map-side (WindowGroupLimit)") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val plan = executed(graft.operators.Sampling.temperatureMix(
+      df, "src", col("id"), budget = 10L, temperature = 2.0))
+    val limits = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    // partial (map-side, before the exchange) + final — the constant
+    // budget bound must reach the window, or 100 TB rides the shuffle
+    assert(limits.size >= 2, plan.toString)
+  }
+
   test("profile computes all columns in one pass over one scan") {
     val orders = GraftSession.table(spark, dir, "orders")
     // exact distincts: Spark's multi-distinct Expand shape — one scan,
