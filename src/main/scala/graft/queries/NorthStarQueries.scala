@@ -520,6 +520,29 @@ object NorthStarQueries {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     },
 
+    /** Canonical selection per duplicate cluster — the step that turns
+      * the similarity graph into the kept corpus: connected components
+      * over the near-dup pairs, then per component keep the LONGEST
+      * member (doc_id tie-break); documents in no cluster keep
+      * themselves. Output: (component, n_members, keep_id).
+      */
+    "dedup_canonical" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val pairs = Dedup.ngramJaccard(docs, id = "doc_id",
+        shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
+        .select(col("a"), col("b"))
+      val comp = graft.dedup.Cluster.connectedComponents(pairs, "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"), size(col("_toks")).as("_nt"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("comp"), col("doc_id")))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("_nt"), lit(0L) - col("doc_id")))
+            .as("keep_id"))
+    },
+
     /** BM25 top-5 documents for three query terms. The float score stays
       * internal (engine ln/division ulps differ); the output contract is
       * the ranking with a deterministic id tie-break, which the DuckDB
@@ -917,6 +940,55 @@ object NorthStarQueries {
         |)
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
         |FROM reach GROUP BY src""".stripMargin,
+    "dedup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
+        |), ex AS (
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT p.a, p.b
+        |  FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.5
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src
+        |), toks AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x != '')) AS nt
+        |  FROM documents
+        |), m AS (
+        |  SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component, t.nt
+        |  FROM toks t LEFT JOIN comp c USING (doc_id)
+        |), r AS (
+        |  SELECT component, doc_id,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY nt DESC, doc_id ASC) AS rn
+        |  FROM m
+        |)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_id
+        |FROM r GROUP BY component""".stripMargin,
     "vocab_index" ->
       """WITH tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
