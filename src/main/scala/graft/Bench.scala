@@ -151,10 +151,22 @@ object Bench {
       if (failedQueries.nonEmpty) "null"
       else fmt(results.flatMap(_._2).map(_._1).sum)
     // ONE machine-parseable line, flushed before shutdown so JVM teardown
-    // or interleaved executor logs can't truncate it (bit round 2's report)
-    System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"diag":$qsDiag,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    // or interleaved executor logs can't truncate it (bit round 2's report).
+    // Field order is a capture-budget contract: the round artifact keeps a
+    // bounded HEAD of this line (r5's grew past it and silently lost
+    // queries_min), so headline first, per-query minima before medians,
+    // bulky diagnostics last — truncation then costs attribution, never
+    // the signal.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","failed":$failedJson,"queries_min":$qsMin,"queries":$qs,"diag":$qsDiag}"""
+    System.out.println(line)
     System.out.flush()
+    // belt-and-braces: the COMPLETE line also lands in a file the repo
+    // commits, so the full queries/diag maps survive any stdout capture
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST write failed: $e") }
     spark.stop()
   }
 }

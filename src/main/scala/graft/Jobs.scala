@@ -59,14 +59,26 @@ object Jobs {
       }
     })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // All-or-nothing really means NOTHING runs after a failure: when
+    // `parallelism` caps the pool, queued actions would otherwise start
+    // AFTER the caller saw the batch fail (shutdown() lets the queue
+    // drain) and submit fresh, never-cancelled jobs — a sink could write
+    // output in the background of a "failed" fan-out. The failing action
+    // itself records the root cause and flips the flag BEFORE its future
+    // completes, so a later dequeue can never miss it.
+    val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     try {
       val futures = actions.map { case (label, action) =>
         Future {
+          if (firstFailure.get() != null)
+            throw new java.util.concurrent.CancellationException(
+              s"'$label' skipped: a sibling action already failed")
           // job-group properties are per-thread: set for every action so a
           // failure in ANY sibling can cancel the whole fan-out, and the
           // Spark UI attributes stages to the sink that submitted them
           sc.setJobGroup(group, label, interruptOnCancel = true)
           try action()
+          catch { case NonFatal(e) => firstFailure.compareAndSet(null, e); throw e }
           finally sc.clearJobGroup()
         }
       }
@@ -74,9 +86,13 @@ object Jobs {
       catch {
         case NonFatal(e) =>
           // all-or-nothing: the siblings' work is unusable once one sink
-          // failed — stop burning the cluster on it
-          try sc.cancelJobGroup(group) catch { case NonFatal(_) => }
-          throw e
+          // failed — stop burning the cluster on it, including any job a
+          // still-running sibling submits between here and its skip check
+          try sc.cancelJobGroupAndFutureJobs(group) catch { case NonFatal(_) => }
+          // Future.sequence surfaces whichever future failed first in
+          // traversal order — prefer the recorded root cause over a
+          // sibling's secondary CancellationException
+          throw Option(firstFailure.get()).getOrElse(e)
       }
     } finally pool.shutdown()
   }

@@ -25,13 +25,27 @@ object Verify {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump (local iteration); unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // leak audit (CI gate): after Caches.clear NOTHING an operator
+    // persisted may remain — an untracked persist would silently tax every
+    // later query (round 4's 8-15x bench regressions). Failing the dump
+    // here surfaces the offending operator by name the day it lands.
+    var leaks = List.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally Caches.clear(spark)
+      finally {
+        Caches.clear(spark, blocking = true)
+        val left = spark.sparkContext.getPersistentRDDs
+        if (left.nonEmpty) {
+          leaks ::= name
+          System.err.println(
+            s"[verify] LEAK: $name left ${left.size} persisted RDD(s) after Caches.clear")
+          left.values.foreach(_.unpersist(true))
+        }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -49,5 +63,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (leaks.nonEmpty)
+      throw new IllegalStateException(
+        s"persisted-RDD leak in: ${leaks.distinct.sorted.mkString(", ")}")
   }
 }

@@ -112,13 +112,13 @@ object Dedup {
   /** Estimated Jaccard: fraction of equal signature positions — a single
     * codegen'd loop ([[graft.functions.SigMatchFrac]]); this sits in the
     * candidate-verification filter, the O(|pairs|·k) hot spot of every
-    * MinHash query and ingest batch. `k` is implied by the array length
-    * (always bands·rows from [[graft.functions.MinHashSignature]]); a
-    * length mismatch — index built with different bands/rows — yields
-    * null, which the ≥-threshold filter drops, poisoning visibly instead
-    * of estimating wrongly.
+    * MinHash query and ingest batch. The signature length (always
+    * bands·rows from [[graft.functions.MinHashSignature]]) is implied by
+    * the arrays; a length mismatch — index built with different
+    * bands/rows — yields null, which the ≥-threshold filter drops,
+    * poisoning visibly instead of estimating wrongly.
     */
-  private def estJaccard(a: Column, b: Column, k: Int): Column =
+  private def estJaccard(a: Column, b: Column): Column =
     graft.functions.HashFunctions.sig_match_frac(a, b)
 
   def minhashCandidates(df: DataFrame, id: String, shingles: Column,
@@ -141,7 +141,7 @@ object Dedup {
   def minhash(df: DataFrame, id: String, shingles: Column, threshold: Double,
       bands: Int = 16, rows: Int = 8, seed: Long = 42L): DataFrame =
     minhashCandidates(df, id, shingles, bands, rows, seed)
-      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), bands * rows))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select("a", "b", "est_jaccard")
 
@@ -175,7 +175,6 @@ object Dedup {
   def minhashIncremental(batch: DataFrame, index: DataFrame, id: String,
       shingles: Column, threshold: Double, bands: Int = 16, rows: Int = 8,
       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
-    val k = bands * rows
     val banded = graft.Caches.track(
       boundedBuckets(mhBanded(batch, id, shingles, bands, rows, seed),
         Seq("_band", "_bucket"), maxBucket, "minhash_inc_batch").persist())
@@ -183,12 +182,12 @@ object Dedup {
       index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
       Seq("_band", "_bucket"), maxBucket, "minhash_inc_index")
     val vsCorpus = banded.join(idx, Seq("_band", "_bucket"))
-      .filter(estJaccard(col("_sig"), col("_isig"), k) >= threshold)
+      .filter(estJaccard(col("_sig"), col("_isig")) >= threshold)
       .select(col("_id"))
     val a = banded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = banded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
     val withinBatch = a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
-      .filter(estJaccard(col("sig_a"), col("sig_b"), k) >= threshold)
+      .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("b").as("_id"))
     batch.join(vsCorpus.unionAll(withinBatch).distinct(),
       batch(id) === col("_id"), "left_anti")
@@ -294,18 +293,25 @@ object Dedup {
           "hash string ids to int64 first (e.g. xxhash64)")
     }
     val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
-    // ONE shuffle builds the postings list (shingle -> sorted doc ids); the
-    // df-cut is a filter on that same aggregation — no separate counting
-    // pass, no anti-join, and everything downstream reads aggregated data
-    // instead of the raw exploded frame. Dropped ubiquitous shingles are
-    // reported via observe, same contract as the banded dedups.
+    // Count-first df-cut: per-shingle counts partial-aggregate map-side
+    // (a ubiquitous shingle costs one long per task, never an array), and
+    // the over-bound shingles — at most |pairs|/maxShingleFreq keys —
+    // broadcast into an anti-join, so collect_list only ever runs on
+    // surviving shingles. Building the posting array first and filtering
+    // after would materialize the COMPLETE doc-id array for a boilerplate
+    // shingle appearing in 10^8 docs — a multi-GB single-group buffer the
+    // df-cut exists to prevent. Dropped shingles are reported via observe,
+    // same contract as the banded dedups.
+    val overSh = ex.groupBy(col("_sh"))
+      .agg(count(lit(1)).as("_df"))
+      .observe("ngram_postings",
+        sum(when(col("_df") > maxShingleFreq, 1L).otherwise(0L)).as("ngram_postings_dropped"))
+      .filter(col("_df") > maxShingleFreq)
+      .select(col("_sh"))
     val postings = graft.Caches.track(
-      ex.groupBy(col("_sh"))
+      ex.join(broadcast(overSh), Seq("_sh"), "left_anti")
+        .groupBy(col("_sh"))
         .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-        .withColumn("_df", size(col("_ids")))
-        .observe("ngram_postings",
-          sum(when(col("_df") > maxShingleFreq, 1).otherwise(0)).as("ngram_postings_dropped"))
-        .filter(col("_df") <= maxShingleFreq)
         .select(col("_ids"))
         .persist())
     // per-doc surviving-shingle counts (consistent with `common`)
@@ -402,17 +408,26 @@ object Dedup {
     * `<name>_dropped_rows` (plus `<name>_dropped_buckets` for the distinct
     * bucket count) so oversize buckets are visible, not silent.
     */
-  private def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
+  private[dedup] def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
       name: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val kcols = keys.map(col)
+    // Shuffle COUNTS, not rows: per-bucket sizes partial-aggregate
+    // map-side (8-byte keys + longs cross the exchange), and the
+    // over-bound keys — at most |rows|/bound by construction — broadcast
+    // into an anti-join, so rows of a pathological bucket never travel.
+    // The previous form (count(*) over a per-bucket window) routed every
+    // row of the hot bucket through ONE task's window buffer before the
+    // filter dropped it — surviving only by spilling, at the exact scale
+    // the guard exists for.
     val over = col("_bucket_size") > bound
-    df.withColumn("_bucket_size", count(lit(1)).over(w))
+    val overKeys = df.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("_bucket_size"))
       .observe(name,
-        sum(when(over, 1).otherwise(0)).as(s"${name}_dropped_rows"),
-        // each dropped bucket has `size` rows, so sum(1/size) counts buckets
-        sum(when(over, lit(1.0) / col("_bucket_size")).otherwise(0.0))
-          .as(s"${name}_dropped_buckets"))
-      .filter(!over)
-      .drop("_bucket_size")
+        sum(when(over, col("_bucket_size")).otherwise(0L))
+          .as(s"${name}_dropped_rows"),
+        sum(when(over, 1L).otherwise(0L)).as(s"${name}_dropped_buckets"))
+      .filter(over)
+      .select(kcols: _*)
+    df.join(broadcast(overKeys), keys, "left_anti")
   }
 }

@@ -159,6 +159,36 @@ class DedupSpec extends SparkSpec {
       Dedup.simhash(docs, "doc_id", TextFunctions.tokens(col("text")), maxHamming = 0))
   }
 
+  test("ngram df-cut: ubiquitous shingle never reaches the postings array") {
+    // shingle "common" appears in all 10 docs (df 10 > maxShingleFreq 5):
+    // it must be cut BEFORE collect_list (count-first), counted in the
+    // observe metric, and excluded from the Jaccard denominator — docs
+    // sharing ONLY the dropped shingle must produce no pair at all
+    val rows = Seq(
+      (0L, Seq("common", "x", "y", "z")),
+      (1L, Seq("common", "x", "y", "w"))) ++
+      (2L to 9L).map(i => (i, Seq("common", s"u$i")))
+    val df = rows.toDF("doc_id", "sh")
+    val out = Dedup.ngramJaccard(df, "doc_id", col("sh"),
+      threshold = 0.5, maxShingleFreq = 5)
+    val pairs = out.select("a", "b", "common", "na", "nb", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // only (0,1) survives: {x,y} of surviving sets {x,y,z} / {x,y,w}
+    assert(pairs.toSeq === Seq((0L, 1L, 2L, 3L, 3L, 0.5)))
+  }
+
+  test("boundedBuckets drops over-bound buckets and reports counts, row-free") {
+    val df = ((1L to 8L).map(i => (i, "hot")) ++ Seq((20L, "cold"), (21L, "cold")))
+      .toDF("_id", "_bucket")
+    val guarded = Dedup.boundedBuckets(df, Seq("_bucket"), bound = 3, "bb_spec")
+    // execute THIS Dataset (metrics accumulate per query execution)
+    assert(guarded.collect().map(_.getAs[Long]("_id")).sorted.toSeq === Seq(20L, 21L))
+    // drop accounting comes from the partial-aggregated counts, not rows
+    val m = guarded.queryExecution.observedMetrics("bb_spec")
+    assert(m.getAs[Long]("bb_spec_dropped_rows") === 8L)
+    assert(m.getAs[Long]("bb_spec_dropped_buckets") === 1L)
+  }
+
   test("minhash signature determinism across partitioning") {
     val a = Dedup.minhash(docs.repartition(1), "doc_id",
       TextFunctions.wordShingles(col("text"), 3), 0.5).collect().toSet

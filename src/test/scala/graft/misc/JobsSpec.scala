@@ -44,6 +44,22 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("sink failed"))
   }
 
+  test("failure stops queued actions from ever starting (bounded pool)") {
+    // parallelism=1 serializes the pool: "boom" fails (and records the
+    // root cause BEFORE its future completes), so the queued "late" must
+    // be skipped — the old shutdown() drained the queue and a sink could
+    // write output after the caller saw the batch fail
+    val lateRan = new AtomicInteger()
+    val e = intercept[IllegalStateException] {
+      Jobs.runAll(spark, Seq(
+        "boom" -> (() => throw new IllegalStateException("sink failed")),
+        "late" -> (() => { lateRan.incrementAndGet(); spark.range(10).count() })),
+        parallelism = 1)
+    }
+    assert(e.getMessage === "sink failed") // root cause, not a CancellationException
+    assert(lateRan.get() === 0, "queued action ran after the batch failed")
+  }
+
   test("forkBranches: one scan feeds concurrent port sinks, cache released") {
     val scans = spark.sparkContext.longAccumulator("scans")
     val base = (1 to 300).toDS().mapPartitions { it =>

@@ -144,6 +144,22 @@ class AnnSpec extends SparkSpec {
       rs.map(_._3).toSeq.sorted == (1 to rs.size).toSeq && rs.size <= 2 })
   }
 
+  test("knnJoin: ubiquitous shingle is cut and contributes no edges") {
+    import org.apache.spark.sql.functions.col
+    // "common" appears in all 12 docs (df 12 > maxShingleFreq 5): docs
+    // related ONLY through it must have no edge, and the survivors'
+    // jaccard must exclude it from the denominator
+    val docs = ((0L to 9L).map(i => (i, Seq("common", s"solo$i"))) ++ Seq(
+      (20L, Seq("common", "x", "y")),
+      (21L, Seq("common", "x", "y")))).toDF("doc_id", "sh")
+    val out = graft.similarity.KnnJoin.knnJoin(
+      docs, id = "doc_id", shingles = col("sh"), k = 2, minSim = 0.1,
+      maxShingleFreq = 5)
+      .select("doc", "neighbor", "jaccard").as[(Long, Long, Double)].collect()
+    // only the planted pair survives, at jaccard 1.0 over {x, y}
+    assert(out.toSet === Set((20L, 21L, 1.0), (21L, 20L, 1.0)))
+  }
+
   test("bruteForce ranks planted neighbor first") {
     val q = (0 until 8).map(i => math.sin(i + 1.0).toFloat).toArray
     val near = q.map(x => x * 1.001f)

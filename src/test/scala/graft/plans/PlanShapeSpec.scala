@@ -33,6 +33,19 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     collect(plan) { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
   }
 
+  /** Like [[collect]], but also descends into cached-relation subtrees —
+    * operators that persist an intermediate frame hide its plan behind an
+    * InMemoryTableScan, which `collect` treats as a leaf.
+    */
+  private def deepCollect[T](plan: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val cached = collect(plan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    collect(plan)(pf) ++ cached.flatMap(p => deepCollect(p)(pf))
+  }
+
   test("filter and projection reach the parquet scan (pushdown + pruning)") {
     val q = GraftSession.table(spark, dir, "lineitem")
       .filter(col("l_quantity") > 25)
@@ -220,6 +233,50 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // partial (map-side, before the exchange) + final — the constant
     // budget bound must reach the window, or 100 TB rides the shuffle
     assert(limits.size >= 2, plan.toString)
+  }
+
+  test("banded dedup bucket guard shuffles counts, not rows (no WindowExec)") {
+    val docs = GraftSession.table(spark, dir, "documents").limit(200)
+    val q = graft.dedup.Dedup.minhash(docs, "doc_id",
+      graft.functions.TextFunctions.wordShingles(col("text"), 3), threshold = 0.5)
+    val plan = executed(q)
+    // the old guard (count(*) over a per-bucket window) routed every row
+    // of a hot bucket through one task; the counts+anti-join form must
+    // leave NO window in the plan (including the cached banded subtree)
+    assert(deepCollect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.isEmpty, s"bucket guard still plans a window:\n$plan")
+    graft.Caches.clear(spark, blocking = true)
+  }
+
+  test("ngram postings: collect_list runs only below the df-cut anti-join") {
+    import spark.implicits._
+    // the cut must actually fire: with no over-bound shingle AQE's empty-
+    // relation propagation correctly erases the anti-join at runtime
+    val docs = ((0L to 9L).map(i => (i, Seq("common", s"u$i"))) :+
+      (10L, Seq("common", "u0"))).toDF("doc_id", "sh")
+    val q = graft.dedup.Dedup.ngramJaccard(docs, "doc_id", col("sh"),
+      threshold = 0.1, maxShingleFreq = 5)
+    val plan = executed(q)
+    val collectAggs = deepCollect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.aggregateFunction
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList]) => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if a.aggregateExpressions.exists(_.aggregateFunction
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList]) => a
+    }
+    assert(collectAggs.nonEmpty, s"no collect_list aggregate found:\n$plan")
+    // every posting-array build (partial and final alike) must sit above
+    // the ubiquitous-shingle anti-join, so over-bound shingles never
+    // materialize an array
+    for (a <- collectAggs)
+      assert(deepCollect(a: org.apache.spark.sql.execution.SparkPlan) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }.nonEmpty, s"collect_list without an upstream df-cut anti-join:\n$a")
+    graft.Caches.clear(spark, blocking = true)
   }
 
   test("profile computes all columns in one pass over one scan") {
