@@ -79,7 +79,10 @@ object PipelineQueries {
       */
     "upsert_bucketed" -> { (s, dir) =>
       import graft.sinks.Upsert
-      val out = s"${sys.props("java.io.tmpdir")}/graft_upsert_table"
+      // per-process dir: Upsert is single-writer, and the harness may run
+      // Verify (sbt) and Bench (plain java) concurrently — a shared path
+      // would be two writers racing create/recover on one table
+      val out = s"${sys.props("java.io.tmpdir")}/graft_upsert_table_${s.sparkContext.applicationId}"
       val orders = table(s, dir, "orders")
       Upsert.create(orders, out, Seq("o_orderkey"), nBuckets = 8)
       def change(c: DataFrame, op: String): DataFrame =

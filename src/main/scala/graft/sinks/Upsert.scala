@@ -15,14 +15,23 @@ import org.apache.spark.sql.types.StructType
   * bucket committed through the 3-phase transactional output
   * ([[DirectOutput]]) — one marker spans all dirty buckets, so a crash
   * either rolls the whole batch forward or leaves the previous
-  * generations untouched. Readers resolve the latest committed
-  * generation per bucket, so they never see a torn batch (generation
-  * dirs are fresh paths — there is no delete-then-rename window at all);
-  * [[vacuum]] reclaims superseded generations once no reader needs them.
+  * generations untouched. Readers resolve generations through ONE
+  * manifest file per batch (`_manifests/m-g<N>`, the full bucket→
+  * generation mapping, published atomically after every bucket is
+  * committed): a read snapshots a single manifest, so it sees all of a
+  * batch or none of it even while the next upsert is mid-commit
+  * (generation dirs are fresh paths — there is no delete-then-rename
+  * window at all). [[vacuum]] reclaims superseded generations once no
+  * reader needs them.
   *
   * Layout: `table/_bucket=<i>/gen=g<N>/part-*.parquet` (+ the
   * `_GRAFT_COMMITTED` marker per committed generation), metadata (bucket
-  * count, primary key, schema) at `table/_graft_table`.
+  * count, primary key, schema) at `table/_graft_table`, one manifest per
+  * committed batch under `table/_manifests/`. The manifest makes every
+  * metadata operation O(1) file reads — the per-bucket generation glob
+  * survives only as [[recover]]'s rebuild source, so a 10k-bucket table
+  * with deep histories costs one small file read per read/upsert, not a
+  * listing storm.
   *
   * Scale shape: an upsert costs one shuffle of the changes plus a
   * rewrite of the dirty buckets only — with B buckets and a changeset
@@ -82,12 +91,90 @@ object Upsert {
   private def hasData(f: FileSystem, gen: Path): Boolean =
     f.listStatus(gen).exists(s => s.getPath.getName.startsWith("part-") && s.getLen > 0)
 
+  // ---- manifest: one small file per committed batch --------------------
+  //
+  // `_manifests/m-g<N>` holds the COMPLETE bucket→generation mapping as of
+  // batch N, one `bucket=genName` line per bucket. Published via fresh-path
+  // create + rename after finishCommit and before the tx marker drops, so
+  // a crash window is always covered: marker live ⇒ recover re-runs
+  // finishCommit and rewrites the manifest from the authoritative glob.
+
+  private def manifestDir(tableDir: String) = new Path(s"$tableDir/_manifests")
+
+  private def writeManifest(f: FileSystem, tableDir: String, genName: String,
+      mapping: Map[Int, String]): Unit = {
+    val dir = manifestDir(tableDir)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".m-$genName.tmp")
+    val out = f.create(tmp, true)
+    out.write(mapping.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b=$g" }.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val dst = new Path(dir, s"m-$genName")
+    if (f.exists(dst) && !f.delete(dst, false)) // recover rewrite: idempotent
+      throw new java.io.IOException(s"manifest: cannot replace $dst")
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest: rename $tmp -> $dst failed")
+  }
+
+  /** Latest manifest path with generation ≤ `cap` (None = latest overall). */
+  private def manifestAt(f: FileSystem, tableDir: String,
+      cap: Option[Int]): Option[Path] = {
+    val capName = cap.map("m-g%09d".format(_))
+    Option(f.globStatus(new Path(manifestDir(tableDir), "m-g*")))
+      .getOrElse(Array.empty).map(_.getPath)
+      .filter(p => capName.forall(p.getName <= _))
+      .sortBy(_.getName).lastOption
+  }
+
+  private def readManifest(f: FileSystem, p: Path): Map[Int, String] = {
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map(_.split("=", 2)).collect {
+      case Array(b, g) => b.toInt -> g
+    }.toMap
+  }
+
+  /** Bucket → latest committed generation dir, as of `cap` (None =
+    * current): ONE manifest file read on the normal path; the per-bucket
+    * generation glob only when no manifest qualifies (legacy table, or
+    * asOf older than the retained manifests).
+    */
+  private def resolve(conf: Configuration, tableDir: String,
+      cap: Option[Int] = None): Seq[(Int, Option[Path])] = {
+    val f = fs(conf, tableDir)
+    manifestAt(f, tableDir, cap) match {
+      case Some(m) =>
+        readManifest(f, m).toSeq.sortBy(_._1).map { case (b, g) =>
+          b -> Some(new Path(s"$tableDir/_bucket=$b/gen=$g"))
+        }
+      case None => latestGens(conf, tableDir, cap.map("gen=g%09d".format(_)))
+    }
+  }
+
+  /** Rebuild the manifest from the authoritative per-bucket glob —
+    * [[recover]]'s path, and the upgrade path for a table written before
+    * manifests existed.
+    */
+  private def rebuildManifest(conf: Configuration, tableDir: String): Unit = {
+    val f = fs(conf, tableDir)
+    val mapping = latestGens(conf, tableDir).collect {
+      case (b, Some(p)) => b -> p.getName.stripPrefix("gen=")
+    }.toMap
+    if (mapping.nonEmpty)
+      writeManifest(f, tableDir, mapping.values.max, mapping)
+  }
+
   private def nextGen(conf: Configuration, tableDir: String): Int = {
     val f = fs(conf, tableDir)
-    val gens = Option(f.globStatus(new Path(s"$tableDir/_bucket=*/gen=g*")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.getName.stripPrefix("gen=g").toInt)
-    if (gens.isEmpty) 0 else gens.max + 1
+    manifestAt(f, tableDir, None) match {
+      case Some(m) => m.getName.stripPrefix("m-g").toInt + 1
+      case None =>
+        val gens = Option(f.globStatus(new Path(s"$tableDir/_bucket=*/gen=g*")))
+          .getOrElse(Array.empty)
+          .map(_.getPath.getName.stripPrefix("gen=g").toInt)
+        if (gens.isEmpty) 0 else gens.max + 1
+    }
   }
 
   /** Initial load: hash-bucket `base` by `pk` into `nBuckets` generation-0
@@ -118,24 +205,25 @@ object Upsert {
       } else f.mkdirs(dst) // bucket with no rows: empty committed gen-0
       f.create(new Path(dst, "_GRAFT_COMMITTED"), true).close()
     }
+    writeManifest(f, tableDir, gen0, (0 until nBuckets).map(_ -> gen0).toMap)
     if (!f.delete(new Path(staging), true) && f.exists(new Path(staging)))
       throw new java.io.IOException(s"create: cannot remove staging $staging")
   }
 
   /** Current table contents: union of each bucket's latest committed
-    * generation. Uncommitted generations (in-flight or crashed batches)
-    * are invisible. `asOf` time-travels: each bucket resolves its latest
-    * committed generation ≤ `asOf` instead — the state right after
-    * [[upsert]] returned that generation number (valid until a [[vacuum]]
-    * reclaims the older generations).
+    * generation, resolved through ONE manifest file — the read snapshots
+    * the mapping atomically, so it never mixes two batches even while an
+    * upsert is mid-commit (it sees the pre-batch state until the batch's
+    * manifest is published). `asOf` time-travels: the manifest of the
+    * latest batch ≤ `asOf` — the state right after [[upsert]] returned
+    * that generation number (valid until a [[vacuum]] reclaims the older
+    * generations).
     */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Int] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = readMeta(conf, tableDir)
-    val f = fs(conf, tableDir)
-    val cap = asOf.map("gen=g%09d".format(_))
-    val paths = latestGens(conf, tableDir, cap).flatMap(_._2).filter(hasData(f, _))
+    val paths = resolve(conf, tableDir, asOf).flatMap(_._2)
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     else spark.read.schema(meta.schema).parquet(paths.map(_.toString): _*)
@@ -160,7 +248,8 @@ object Upsert {
       .collect().map(_.getInt(0)).sorted.toSeq
     if (dirty.isEmpty) return g
     val f = fs(conf, tableDir)
-    val curPaths = latestGens(conf, tableDir)
+    val current = resolve(conf, tableDir)
+    val curPaths = current
       .filter { case (b, p) => dirty.contains(b) && p.exists(hasData(f, _)) }
       .flatMap(_._2)
     val cur =
@@ -182,6 +271,13 @@ object Upsert {
     out.write(dirty.mkString(",").getBytes("UTF-8"))
     out.close()
     finishCommit(f, tableDir, genName, dirty, staging)
+    // publish the batch to readers: ONE new manifest carrying the full
+    // mapping — before this rename lands, readers still resolve the
+    // previous manifest (consistent pre-batch state). Must precede the
+    // marker delete so a crash here is rolled forward by recover.
+    writeManifest(f, tableDir, genName,
+      current.collect { case (b, Some(p)) => b -> p.getName.stripPrefix("gen=") }.toMap
+        ++ dirty.map(_ -> genName))
     f.delete(new Path(staging), true)
     f.delete(marker, false)
     g
@@ -214,38 +310,66 @@ object Upsert {
 
   /** Settle crashed transactions: a live marker means the batch reached
     * its commit point — roll FORWARD by re-running [[finishCommit]] from
-    * the dirty-bucket list the marker recorded; staging dirs and
-    * generation shells with no live marker are pre-commit garbage —
-    * roll back by deleting them. Call on restart before reading or
-    * writing; [[upsert]] calls it.
+    * the dirty-bucket list the marker recorded (and republish the
+    * manifest); staging dirs with no live marker are pre-commit garbage —
+    * roll back by deleting them. With nothing in flight this is two empty
+    * globs and a return — [[upsert]] calls it every batch, so the
+    * no-crash path must not pay a per-generation listing. Orphaned
+    * UNMARKED generation shells (possible only from a crashed [[create]])
+    * are invisible to readers and reclaimed by [[vacuum]], not here.
+    * Call on restart before reading or writing; [[upsert]] calls it.
     */
   def recover(spark: SparkSession, tableDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(conf, tableDir)
     if (!f.exists(new Path(tableDir))) return
-    val liveGens = Option(f.globStatus(new Path(s"$tableDir/_tx/upsert-g*")))
-      .getOrElse(Array.empty).map { m =>
-        val genName = m.getPath.getName.stripPrefix("upsert-")
-        val in = f.open(m.getPath)
-        val dirty = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        finishCommit(f, tableDir, genName,
-          dirty.split(",").filter(_.nonEmpty).map(_.toInt).toSeq,
-          s"$tableDir/.upsert-stage-$genName")
-        f.delete(new Path(s"$tableDir/.upsert-stage-$genName"), true)
-        f.delete(m.getPath, false)
-        s"gen=$genName"
-      }.toSet
+    val markers = Option(f.globStatus(new Path(s"$tableDir/_tx/upsert-g*")))
+      .getOrElse(Array.empty)
+    val stagings = Option(f.globStatus(new Path(s"$tableDir/.upsert-stage-*")))
+      .getOrElse(Array.empty)
+    // fast path — the per-upsert case: nothing in flight means nothing to
+    // settle (generation shells only ever appear under a live marker, and
+    // they precede the marker delete), so skip the O(buckets × gens)
+    // generation sweep entirely. Only a manifest-less legacy table still
+    // pays one rebuild glob, once.
+    if (markers.isEmpty && stagings.isEmpty) {
+      if (manifestAt(f, tableDir, None).isEmpty) rebuildManifest(conf, tableDir)
+      return
+    }
+    val liveGens = markers.map { m =>
+      val genName = m.getPath.getName.stripPrefix("upsert-")
+      val in = f.open(m.getPath)
+      val dirty = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      finishCommit(f, tableDir, genName,
+        dirty.split(",").filter(_.nonEmpty).map(_.toInt).toSeq,
+        s"$tableDir/.upsert-stage-$genName")
+      f.delete(new Path(s"$tableDir/.upsert-stage-$genName"), true)
+      f.delete(m.getPath, false)
+      s"gen=$genName"
+    }.toSet
     // pre-commit leftovers: staging dirs and unmarked generation shells
     // not claimed by any live marker above
     Option(f.globStatus(new Path(s"$tableDir/.upsert-stage-*")))
       .getOrElse(Array.empty).foreach(s => f.delete(s.getPath, true))
+    sweepOrphanShells(f, tableDir, liveGens)
+    // the authoritative state settled above — republish it (covers a
+    // crash between finishCommit and the batch's manifest write)
+    rebuildManifest(conf, tableDir)
+  }
+
+  /** Delete generation shells with no committed marker (and not claimed
+    * by a live transaction): invisible to readers and self-healed by a
+    * later commit to the same generation, so reclaiming them is
+    * maintenance, not correctness — [[vacuum]]'s job on the fast path.
+    */
+  private def sweepOrphanShells(f: FileSystem, tableDir: String,
+      liveGens: Set[String]): Unit =
     Option(f.globStatus(new Path(s"$tableDir/_bucket=*/gen=g*")))
       .getOrElse(Array.empty)
       .filterNot(g => liveGens.contains(g.getPath.getName) ||
         f.exists(new Path(g.getPath, "_GRAFT_COMMITTED")))
       .foreach(g => f.delete(g.getPath, true))
-  }
 
   /** Delete every generation below each bucket's latest committed one.
     * Run only while no writer is active and no reader still holds the
@@ -255,6 +379,10 @@ object Upsert {
     val conf = spark.sparkContext.hadoopConfiguration
     recover(spark, tableDir)
     val f = fs(conf, tableDir)
+    // recover's fast path skips the orphan sweep — vacuum IS the
+    // maintenance pass, so reclaim unmarked shells (e.g. a crashed
+    // create) here unconditionally
+    sweepOrphanShells(f, tableDir, Set.empty)
     latestGens(conf, tableDir).foreach {
       case (_, Some(latest)) =>
         Option(f.globStatus(new Path(latest.getParent, "gen=g*"))).getOrElse(Array.empty)
@@ -262,6 +390,15 @@ object Upsert {
           .filter(_.getName < latest.getName)
           .foreach(p => f.delete(p, true))
       case _ => ()
+    }
+    // superseded manifests reference the generations just reclaimed:
+    // drop everything below the current one (asOf past a vacuum is
+    // documented invalid)
+    manifestAt(f, tableDir, None).foreach { cur =>
+      Option(f.globStatus(new Path(manifestDir(tableDir), "m-g*")))
+        .getOrElse(Array.empty).map(_.getPath)
+        .filter(_.getName < cur.getName)
+        .foreach(p => f.delete(p, false))
     }
   }
 }

@@ -337,10 +337,19 @@ object StreamOps {
     * partway, superseded dirs coexist with the compacted one and every
     * fingerprint merely appears twice — `exactIncremental`'s anti-join is
     * unaffected by duplicates, and the next compaction reclaims the
-    * space. No coordination with live writers is needed beyond the usual
-    * single-compactor assumption: concurrent batch appends land in new tx
-    * dirs that the compactor never touches (it snapshots the dir list
-    * before writing).
+    * space. Concurrent batch APPENDS need no coordination beyond the
+    * usual single-compactor assumption: they land in new tx dirs the
+    * compactor never touches (it snapshots the dir list before writing).
+    * A concurrent index READ is different: an ingest batch that planned
+    * its scan over the old dirs can hit FileNotFoundException when the
+    * delete pass reclaims them mid-scan. That failure is transient and
+    * SAFE — the batch commits atomically after the scan, so on
+    * restart/retry it replays against the compacted index with identical
+    * results (see the replay specs). Prefer running compaction between
+    * triggers or with the ingest query stopped; do NOT paper over the
+    * race with `ignoreMissingFiles`, which would silently drop the
+    * reclaimed dirs' fingerprints from that batch's scan and admit
+    * duplicates instead of failing recoverably.
     */
   def compactIndex(spark: SparkSession, indexHome: String,
       partitions: Int = 1): Unit = {

@@ -53,7 +53,7 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).as[(Long, String)].collect() === Seq((9L, "z")))
   }
 
-  test("uncommitted generations are invisible and recover() removes them") {
+  test("uncommitted generations are invisible; vacuum reclaims the shells") {
     val dir = s"${tmp()}/t"
     Upsert.create(base, dir, Seq("k"), 2)
     val expected = Upsert.read(spark, dir).count()
@@ -63,8 +63,12 @@ class UpsertSpec extends SparkSpec {
     Seq((999L, "ghost", 0)).toDF("k", "name", "grp")
       .write.mode("overwrite").parquet(s"$shell/.attempt-upsert-crashed")
     assert(Upsert.read(spark, dir).count() === expected, "uncommitted gen must be invisible")
+    // recover's fast path (nothing in flight) leaves the harmless shell;
+    // the maintenance pass reclaims it
     Upsert.recover(spark, dir)
-    assert(!shell.exists(), "rolled-back shell removed")
+    assert(Upsert.read(spark, dir).count() === expected)
+    Upsert.vacuum(spark, dir)
+    assert(!shell.exists(), "vacuum reclaims the orphan shell")
     assert(Upsert.read(spark, dir).count() === expected)
   }
 
@@ -103,6 +107,29 @@ class UpsertSpec extends SparkSpec {
     assert(now.contains((5L, "staged")) && now.size <= before.size + 1)
     assert(Upsert.read(spark, dir, asOf = Some(0))
       .as[(Long, String)].collect().toSet === before)
+  }
+
+  test("reads resolve through ONE manifest file; glob only as fallback") {
+    val dir = s"${tmp()}/t"
+    Upsert.create(Seq((1L, "v0")).toDF("k", "v"), dir, Seq("k"), 2)
+    val g1 = Upsert.upsert(Seq((1L, "v1", "U", 1L)).toDF("k", "v", "_op", "_seq"), dir)
+    def state() = Upsert.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(state() === Set((1L, "v1")))
+    // deleting the batch's manifest rolls readers back to the previous
+    // snapshot — read() must FOLLOW the manifest, which a per-bucket glob
+    // (that would find gen-1 committed) could not produce
+    val m1 = new java.io.File(s"$dir/_manifests/m-g%09d".format(g1))
+    assert(m1.exists(), "every committed batch publishes a manifest")
+    assert(m1.delete())
+    assert(state() === Set((1L, "v0")), "read did not resolve via the manifest")
+    // no manifest at all -> authoritative per-bucket glob fallback
+    new java.io.File(s"$dir/_manifests").listFiles().foreach(_.delete())
+    assert(state() === Set((1L, "v1")), "glob fallback must find the true latest")
+    // recover() rebuilds the manifest so later reads are O(1) again
+    Upsert.recover(spark, dir)
+    assert(new java.io.File(s"$dir/_manifests").listFiles().nonEmpty,
+      "recover rebuilds a missing manifest")
+    assert(state() === Set((1L, "v1")))
   }
 
   test("vacuum drops superseded generations without changing contents") {
