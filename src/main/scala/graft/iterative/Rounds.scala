@@ -1,6 +1,6 @@
 package graft.iterative
 
-import scala.collection.mutable
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -39,15 +39,20 @@ final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMOR
 
   checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-  private val onceCache = mutable.Map.empty[String, DataFrame]
-  private val paramCache = mutable.Map.empty[(String, String), DataFrame]
+  // concurrent maps: [[runAll]] builds rounds on Jobs' driver pool, and
+  // computeIfAbsent guarantees a NEVER/PARAMETER input is built exactly
+  // once even when every concurrent round asks for it at the same instant
+  // (late askers block on the key until the first build returns — plan
+  // construction + persist() registration, not job execution)
+  private val onceCache = new ConcurrentHashMap[String, DataFrame]()
+  private val paramCache = new ConcurrentHashMap[(String, String), DataFrame]()
   // the frames whose persist() we own (in reliable mode the HANDED-OUT
   // frame is the checkpointed one, which carries no persist of its own)
-  private val retained = mutable.Buffer.empty[DataFrame]
+  private val retained = new ConcurrentLinkedQueue[DataFrame]()
 
   private def pin(df: DataFrame): DataFrame = {
     val cached = df.persist(level)
-    retained += cached
+    retained.add(cached)
     if (checkpointDir.isEmpty) cached
     // persist-then-checkpoint: the checkpoint write reads the cache, not a
     // second run of the input's lineage
@@ -58,14 +63,14 @@ final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMOR
     * across all rounds.
     */
   def cacheOnce(name: String)(build: => DataFrame): DataFrame =
-    onceCache.getOrElseUpdate(name, pin(build))
+    onceCache.computeIfAbsent(name, _ => pin(build))
 
   /** PARAMETER-keyed input: one persisted instance per distinct value of
     * the given parameter keys.
     */
   def cacheByParameter(name: String, ctx: RoundContext, keys: Seq[String])(
       build: RoundContext => DataFrame): DataFrame =
-    paramCache.getOrElseUpdate((name, ctx.signature(keys)), pin(build(ctx)))
+    paramCache.computeIfAbsent((name, ctx.signature(keys)), _ => pin(build(ctx)))
 
   /** Run the flow once per round, in order; returns (round, result). */
   def run(rounds: Seq[Map[String, String]])(
@@ -75,12 +80,35 @@ final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMOR
       ctx -> flow(ctx, this)
     }
 
+  /** Run independent rounds CONCURRENTLY on the driver-side job pool —
+    * the reference's slot-bounded round queue
+    * (extensions/iterativebatch/runtime/core/.../IterativeBatchExecutor
+    * .scala:59-137, numSlots concurrent RoundContexts): while one
+    * round's narrow tail stages run, the next round's scans are already
+    * in flight. `flow` must run the round's ACTION (write/collect) —
+    * returning a lazy frame would move the work outside the overlap
+    * window. `parallelism` bounds in-flight rounds (0 = all); results
+    * return in round order; failure semantics are [[graft.Jobs.runAll]]'s
+    * all-or-nothing. Rounds must be independent (a sweep, not a chain) —
+    * shared NEVER/PARAMETER caches are safe, cross-round data
+    * dependencies are the sequential [[run]]'s territory.
+    */
+  def runAll[T](rounds: Seq[Map[String, String]], parallelism: Int = 0)(
+      flow: (RoundContext, Rounds) => T): Seq[(RoundContext, T)] = {
+    val ctxs = rounds.map(RoundContext(_))
+    val results = graft.Jobs.runAll(spark,
+      ctxs.zipWithIndex.map { case (c, i) =>
+        s"round-$i" -> (() => flow(c, this))
+      }, parallelism)
+    ctxs.zip(results)
+  }
+
   /** Release all cached inputs (end of the sweep). Checkpoint files are
     * left for the caller's directory lifecycle (they may back frames the
     * caller still holds).
     */
   def close(): Unit = {
-    retained.foreach(_.unpersist(false))
+    retained.forEach(_.unpersist(false))
     retained.clear()
     onceCache.clear(); paramCache.clear()
   }

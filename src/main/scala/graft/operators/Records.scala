@@ -29,6 +29,49 @@ final class BranchPorts private[graft] (val tagged: DataFrame, val tagCol: Strin
     */
   def shared(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): BranchPorts =
     new BranchPorts(tagged.persist(level), tagCol)
+
+  /** SINK fan-out in ONE Spark job: stage every port with a single
+    * `partitionBy(tagCol)` write, then move each port's partition dir to
+    * its destination through [[graft.sinks.DirectOutput]]'s transaction
+    * (marker → idempotent renames → marker delete, so all ports commit
+    * or none do, and `DirectOutput.recover` settles a crash). This is the
+    * reference's one-materialization branch fan-out
+    * (runtime/.../rdd/BranchRDDFunctions.scala:54-105, partition-range
+    * offsets through one shuffle) for the write case — where [[shared]]
+    * + concurrent port actions pay one persist + k filtered passes, the
+    * staged write pays ONE pass and zero cache.
+    *
+    * `dests` maps port tag value → destination dir (a port absent from
+    * `dests` is dropped; a listed port with no rows commits an empty
+    * marked dir). The tag column is the partition column, so — like
+    * [[port]] — it is not in the written files. Staging lives under
+    * `markerDir` and moves via rename: destinations must share its
+    * filesystem, and tag values must be filesystem/partition-safe names.
+    */
+  def writeAll(txId: String, markerDir: String, dests: Seq[(String, String)],
+      format: String = "parquet"): Unit = {
+    require(dests.nonEmpty, "no ports to write")
+    import org.apache.hadoop.fs.Path
+    val conf = tagged.sparkSession.sparkContext.hadoopConfiguration
+    val staging = s"$markerDir/.branch-stage-$txId"
+    tagged.write.mode("overwrite").format(format).partitionBy(tagCol).save(staging)
+    val f = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(staging), conf)
+    val attempts = dests.map { case (portValue, dest) =>
+      val src = new Path(s"$staging/$tagCol=$portValue")
+      val attempt = new Path(s"$dest/.attempt-$txId")
+      f.mkdirs(new Path(dest))
+      if (f.exists(src)) {
+        if (f.exists(attempt) && !f.delete(attempt, true))
+          throw new java.io.IOException(s"writeAll: cannot clear stale $attempt")
+        if (!f.rename(src, attempt))
+          throw new java.io.IOException(s"writeAll: rename $src -> $attempt failed")
+      } else f.mkdirs(attempt) // port with no rows: commit an empty dir
+      (graft.sinks.DirectOutput.Spec(tagged, dest), attempt.toString)
+    }
+    graft.sinks.DirectOutput.commitAll(conf, txId, markerDir, attempts)
+    if (!f.delete(new Path(staging), true) && f.exists(new Path(staging)))
+      throw new java.io.IOException(s"writeAll: cannot remove staging $staging")
+  }
 }
 
 /** Record-level operator algebra: the Extract / Update / Convert / Branch /

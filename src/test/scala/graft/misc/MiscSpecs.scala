@@ -294,6 +294,52 @@ class DirectOutputSpec extends SparkSpec {
   }
 }
 
+class BranchWriteAllSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Records._
+
+  test("writeAll commits a 3-port sink fan-out from ONE Spark job") {
+    val root = java.nio.file.Files.createTempDirectory("graft_branch_out").toString
+    val ports = (1 to 300).toDF("x").branch(
+      when($"x" % 3 === 0, "fizz").when($"x" % 5 === 0, "buzz").otherwise("rest"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.ListenerBusTestHook.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ports.writeAll("tx1", s"$root/_tx", Seq(
+        "fizz" -> s"$root/fizz", "buzz" -> s"$root/buzz", "rest" -> s"$root/rest"))
+      org.apache.spark.ListenerBusTestHook.waitUntilEmpty(spark.sparkContext)
+      // the reference's one-materialization fan-out: one staged
+      // partitionBy write, driver-side renames — NOT one job per port
+      assert(jobs.get() === 1, s"expected ONE staged write job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val fizz = spark.read.parquet(s"$root/fizz")
+    assert(fizz.columns.toSeq === Seq("x"), "tag column must not be in the files")
+    assert(fizz.count() === 100L)
+    assert(spark.read.parquet(s"$root/buzz").count() === 40L)
+    assert(spark.read.parquet(s"$root/rest").count() === 160L)
+    // transactional: every port carries the committed marker, staging gone
+    for (p <- Seq("fizz", "buzz", "rest"))
+      assert(new java.io.File(s"$root/$p/_GRAFT_COMMITTED").exists())
+    assert(!new java.io.File(s"$root/_tx/.branch-stage-tx1").exists())
+    assert(!new java.io.File(s"$root/_tx/.graft-tx-tx1").exists())
+  }
+
+  test("writeAll: a listed port with no rows commits an empty marked dir") {
+    val root = java.nio.file.Files.createTempDirectory("graft_branch_empty").toString
+    (1 to 10).toDF("x").branch(lit("all"))
+      .writeAll("tx1", s"$root/_tx", Seq("all" -> s"$root/all", "none" -> s"$root/none"))
+    assert(spark.read.parquet(s"$root/all").count() === 10L)
+    assert(new java.io.File(s"$root/none/_GRAFT_COMMITTED").exists())
+    assert(!new java.io.File(s"$root/none").listFiles().exists(_.getName.startsWith("part-")))
+  }
+}
+
 class RoundsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -316,6 +362,39 @@ class RoundsSpec extends SparkSpec {
       r.cacheByParameter("dim", ctx, Seq("p")) { c => builds += 1; Seq(c("p")).toDF("v") }
     }
     assert(builds === 2)
+    rounds.close()
+  }
+
+  test("runAll overlaps ALWAYS rounds and returns results in round order") {
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger()
+    val sawOverlap = new java.util.concurrent.atomic.AtomicInteger()
+    val rounds = new Rounds(spark)
+    val out = rounds.runAll(Seq(Map("x" -> "1"), Map("x" -> "2"))) { (ctx, _) =>
+      inFlight.incrementAndGet()
+      try {
+        Thread.sleep(150)
+        if (inFlight.get() > 1) sawOverlap.incrementAndGet()
+        // ALWAYS vertex: rebuilt in the round, action executed here
+        spark.range(100).filter($"id" % ctx("x").toInt === 0).count()
+      } finally { inFlight.decrementAndGet(); () }
+    }
+    assert(sawOverlap.get() > 0, "two unbounded rounds never overlapped")
+    assert(out.map { case (ctx, n) => ctx("x") -> n } === Seq("1" -> 100L, "2" -> 50L))
+    rounds.close()
+  }
+
+  test("concurrent rounds build a shared NEVER input exactly once") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger()
+    val rounds = new Rounds(spark)
+    val out = rounds.runAll((1 to 4).map(i => Map("x" -> i.toString))) { (ctx, r) =>
+      val base = r.cacheOnce("base") {
+        builds.incrementAndGet()
+        Seq(1, 2, 3, 4).toDF("n")
+      }
+      base.filter($"n" <= ctx("x").toInt).count()
+    }
+    assert(builds.get() === 1, "computeIfAbsent must build once under contention")
+    assert(out.map(_._2) === Seq(1L, 2L, 3L, 4L))
     rounds.close()
   }
 
