@@ -27,7 +27,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false: experiment knob — AQE's nondeterministic
+      // stage numbering recompiles codegen units across reruns of multi-
+      // stage plans (measured as compile-churn on the incremental dedups)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // the local SFs are MBs, not TBs: AQE's default 64 MB advisory size
       // would coalesce every exchange to ~1 partition and serialize the
       // CPU-heavy stages; target small partitions so all cores stay busy
@@ -68,6 +71,12 @@ object Bench {
     val acc = names.map { case (n, _) => n -> new Acc }.toMap
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val a = acc(name)
+      // per-query conf pins (SparkEntry.confPins): applied for the timed
+      // execution, previous values restored below so one query's pin can
+      // never leak into another's run
+      val pins = SparkEntry.confPins.getOrElse(name, Map.empty)
+      val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      pins.foreach { case (k, v) => spark.conf.set(k, v) }
       val (gc0, cc0, ct0) =
         (gcMillis(), CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
           CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount)
@@ -84,6 +93,10 @@ object Bench {
       // bench bookkeeping, not query cost. Blocking, so the removal work
       // cannot bleed into the next run's timed region.
       val dt = (System.nanoTime() - t0) / 1e9
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       Caches.clear(spark, blocking = true)
       if (ok) a.times ::= dt
       // session-reset audit: after Caches.clear NOTHING graft created may

@@ -52,4 +52,23 @@ object SparkEntry {
     (graft.queries.CoreQueries.oracles ++ graft.queries.NorthStarQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++ graft.queries.FlagshipQueries.oracles ++
       graft.queries.RelationalQueries.oracles).toMap
+
+  /** Per-query session-conf pins, applied by Bench/Verify around a
+    * query's execution (previous values restored afterwards). Results
+    * never depend on a pin — a harness that ignores them is merely
+    * slower. Currently empty; the mechanism stays for tuning decisions
+    * that survive an A/B.
+    *
+    * Closed experiment (round 6): `dedup_minhash_incremental`'s compile
+    * churn (~110-130 janino compiles per 3 runs, the highest in the set)
+    * was A/B'd with AQE pinned off — its 5-stage plan is fully static, so
+    * AQE replanning looked like the suspect. Across 6 isolated runs per
+    * arm at sf0.1, per-run minima ranged 2.4-6.9 s in BOTH arms with
+    * identical compile counts (119) and no arm consistently ahead; one
+    * early 2.4x "win" did not reproduce. The churn and the spread are
+    * environment-class (janino cache + machine load), not a plan defect
+    * and not AQE's doing — per the variance discipline, judge this query
+    * on queries_min across the full set, and don't pin.
+    */
+  def confPins: Map[String, Map[String, String]] = Map.empty
 }

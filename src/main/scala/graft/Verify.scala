@@ -31,12 +31,20 @@ object Verify {
     // here surfaces the offending operator by name the day it lands.
     var leaks = List.empty[String]
     selected.foreach { case (name, fn) =>
+      // same per-query conf pins as Bench (restored after the query)
+      val pins = SparkEntry.confPins.getOrElse(name, Map.empty)
+      val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      pins.foreach { case (k, v) => spark.conf.set(k, v) }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally {
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
         Caches.clear(spark, blocking = true)
         val left = spark.sparkContext.getPersistentRDDs
         if (left.nonEmpty) {
