@@ -23,7 +23,9 @@ object PipelineQueries {
       * round-trip wrote exactly the input.
       */
     "direct_io_roundtrip" -> { (s, dir) =>
-      val out = s"${sys.props("java.io.tmpdir")}/graft_direct_out"
+      // per-process dir: Verify (sbt) and Bench (plain java) may run
+      // concurrently, and setup/recover on a shared path would race
+      val out = s"${sys.props("java.io.tmpdir")}/graft_direct_out_${s.sparkContext.applicationId}"
       val conf = s.sparkContext.hadoopConfiguration
       DirectOutput.setup(conf, Seq(out))
       DirectOutput.recover(conf, s"$out/_tx", Seq(out))
@@ -122,6 +124,58 @@ object PipelineQueries {
         .join(Bucketed.read(s, "graft_ord_bucketed"), "l_orderkey")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    /** Branch sink fan-out in ONE Spark job
+      * ([[graft.operators.BranchPorts.writeAll]]): orders tagged by
+      * status, every port staged by a single partitionBy write and
+      * committed to its own directory through the DirectOutput
+      * transaction, then all three port dirs read back. The oracle is the
+      * source table — equality proves the fan-out wrote every row to
+      * exactly one port and lost/duplicated none.
+      */
+    "branch_writeall" -> { (s, dir) =>
+      import graft.operators.Records._
+      val root = s"${sys.props("java.io.tmpdir")}/graft_branch_fanout_${s.sparkContext.applicationId}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val dests = Seq("F", "O", "P").map(v => v -> s"$root/$v")
+      DirectOutput.setup(conf, dests.map(_._2) :+ s"$root/_tx")
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .branch(col("o_orderstatus"), tagCol = "_port")
+        .writeAll(txId = "verify", markerDir = s"$root/_tx", dests = dests)
+      s.read.parquet(dests.map(_._2): _*)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    },
+
+    /** Concurrent parameter sweep ([[Rounds.runAll]]): the same three
+      * status rounds as `iterative`, but the rounds execute concurrently
+      * on the driver job pool (the reference's slot-bounded round queue)
+      * — each round runs its OWN action inside the overlap window and
+      * returns collected rows; shared NEVER/PARAMETER caches build once
+      * under contention. The oracle is identical to `iterative`:
+      * concurrency must not change a single value.
+      */
+    "iterative_concurrent" -> { (s, dir) =>
+      val rounds = new Rounds(s)
+      val out = rounds.runAll(
+        Seq("F", "O", "P").map(v => Map("status" -> v)), parallelism = 3) { (ctx, r) =>
+        val li = r.cacheOnce("lineitem") {
+          table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        }
+        val masters = r.cacheByParameter("orders", ctx, Seq("status")) { c =>
+          table(s, dir, "orders").filter(col("o_orderstatus") === c("status"))
+            .select(col("o_orderkey"))
+        }
+        val df = li.join(masters, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+          .withColumn("round_status", lit(ctx("status")))
+        (df.schema, df.collect().toSeq) // the round's action, in-flight concurrently
+      }
+      rounds.close()
+      val (schema, _) = out.head._2
+      s.createDataFrame(
+        s.sparkContext.parallelize(out.flatMap(_._2._2), 1), schema)
     },
 
     /** Three parameter rounds (one per order status); the lineitem base
@@ -231,6 +285,17 @@ object PipelineQueries {
         |  FROM orders WHERE o_orderkey % 100 = 2
         |)
         |SELECT * FROM s2""".stripMargin,
+    "branch_writeall" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "iterative_concurrent" ->
+      """SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'F' AS round_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'O' AS round_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'P' AS round_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'P'""".stripMargin,
     "iterative" ->
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'F' AS round_status
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'
