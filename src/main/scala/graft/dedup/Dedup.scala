@@ -127,8 +127,8 @@ object Dedup {
     val banded = mhBanded(df, id, shingles, bands, rows, seed)
     // both sides of the self-join read this frame: persist so the
     // signature computation (O(n*k)) runs once, not once per side
-    val guarded = graft.Caches.track(
-      boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets").persist())
+    val guarded =
+      boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets")
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
     a.hint("merge").join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
@@ -175,12 +175,11 @@ object Dedup {
   def minhashIncremental(batch: DataFrame, index: DataFrame, id: String,
       shingles: Column, threshold: Double, bands: Int = 16, rows: Int = 8,
       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
-    val banded = graft.Caches.track(
-      boundedBuckets(mhBanded(batch, id, shingles, bands, rows, seed),
-        Seq("_band", "_bucket"), maxBucket, "minhash_inc_batch").persist())
+    val banded = boundedBuckets(mhBanded(batch, id, shingles, bands, rows, seed),
+      Seq("_band", "_bucket"), maxBucket, "minhash_inc_batch")
     val idx = boundedBuckets(
       index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
-      Seq("_band", "_bucket"), maxBucket, "minhash_inc_index")
+      Seq("_band", "_bucket"), maxBucket, "minhash_inc_index", cache = false)
     val vsCorpus = banded.join(idx, Seq("_band", "_bucket"))
       .filter(estJaccard(col("_sig"), col("_isig")) >= threshold)
       .select(col("_id"))
@@ -229,12 +228,11 @@ object Dedup {
     */
   def simhashIncremental(batch: DataFrame, index: DataFrame, id: String,
       tokens: Column, maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val banded = graft.Caches.track(
-      boundedBuckets(shBanded(batch, id, tokens, maxHamming),
-        Seq("_band", "_bucket"), maxBucket, "simhash_inc_batch").persist())
+    val banded = boundedBuckets(shBanded(batch, id, tokens, maxHamming),
+      Seq("_band", "_bucket"), maxBucket, "simhash_inc_batch")
     val idx = boundedBuckets(
       index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
-      Seq("_band", "_bucket"), maxBucket, "simhash_inc_index")
+      Seq("_band", "_bucket"), maxBucket, "simhash_inc_index", cache = false)
     val vsCorpus = banded.join(idx, Seq("_band", "_bucket"))
       .filter(bit_count(col("_sig").bitwiseXOR(col("_isig"))) <= maxHamming)
       .select(col("_id"))
@@ -257,8 +255,8 @@ object Dedup {
   def simhash(df: DataFrame, id: String, tokens: Column, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     val banded = shBanded(df, id, tokens, maxHamming)
-    val guarded = graft.Caches.track(
-      boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets").persist())
+    val guarded =
+      boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "simhash_buckets")
     val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
     val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
     a.hint("merge").join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
@@ -347,8 +345,7 @@ object Dedup {
     val ps = VectorFunctions.planes(seed, nPlanes, dim)
     val sigs = df.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
       VectorFunctions.hyperplaneSig(vec, ps).as("_bucket"))
-    val guarded = graft.Caches.track(
-      boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets").persist())
+    val guarded = boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets")
     val a = guarded.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
     val b = guarded.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
     a.hint("merge").join(b, "_bucket").filter(col("a") < col("b"))
@@ -384,12 +381,12 @@ object Dedup {
       vec: Column, threshold: Double, nPlanes: Int = 8, dim: Int = 64,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
     val ps = VectorFunctions.planes(seed, nPlanes, dim)
-    val sigs = graft.Caches.track(boundedBuckets(
+    val sigs = boundedBuckets(
       batch.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
         VectorFunctions.hyperplaneSig(vec, ps).as("_bucket")),
-      Seq("_bucket"), maxBucket, "embedding_inc_batch").persist())
+      Seq("_bucket"), maxBucket, "embedding_inc_batch")
     val idx = boundedBuckets(index.select(col("_bucket"), col("_q")),
-      Seq("_bucket"), maxBucket, "embedding_inc_index")
+      Seq("_bucket"), maxBucket, "embedding_inc_index", cache = false)
     val vsCorpus = sigs.join(idx, "_bucket")
       .filter(VectorFunctions.cosineFused(col("_v"),
         VectorFunctions.dequantizeInt8(col("_q"))) >= threshold)
@@ -409,7 +406,7 @@ object Dedup {
     * bucket count) so oversize buckets are visible, not silent.
     */
   private[dedup] def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
-      name: String): DataFrame = {
+      name: String, cache: Boolean = true): DataFrame = {
     val kcols = keys.map(col)
     // Shuffle COUNTS, not rows: per-bucket sizes partial-aggregate
     // map-side (8-byte keys + longs cross the exchange), and the
@@ -419,8 +416,22 @@ object Dedup {
     // row of the hot bucket through ONE task's window buffer before the
     // filter dropped it — surviving only by spilling, at the exact scale
     // the guard exists for.
+    //
+    // With `cache` (default), the input is persisted HERE, not by
+    // callers: the counts side and the probe side (and the self-join
+    // consumers downstream) all read one materialization of the
+    // possibly-expensive banding computation, and — critically — the
+    // cache boundary is an optimizer leaf, so PushDownLeftSemiAntiJoin
+    // cannot push the guard's anti-join below a Union inside `df`
+    // (measured: that rewrite clones the whole counts subtree, broadcast
+    // build and all, into EVERY union branch — a quadratic plan
+    // blow-up on unioned batches). Pass cache=false for single-consumer,
+    // union-free inputs where materializing would cost more than a
+    // second pass — e.g. a banded INDEX, whose per-band signature
+    // duplication makes the cache ~16x the source data.
+    val cached = if (cache) graft.Caches.track(df.persist()) else df
     val over = col("_bucket_size") > bound
-    val overKeys = df.groupBy(kcols: _*)
+    val overKeys = cached.groupBy(kcols: _*)
       .agg(count(lit(1)).as("_bucket_size"))
       .observe(name,
         sum(when(over, col("_bucket_size")).otherwise(0L))
@@ -428,6 +439,6 @@ object Dedup {
         sum(when(over, 1L).otherwise(0L)).as(s"${name}_dropped_buckets"))
       .filter(over)
       .select(kcols: _*)
-    df.join(broadcast(overKeys), keys, "left_anti")
+    cached.join(broadcast(overKeys), keys, "left_anti")
   }
 }
