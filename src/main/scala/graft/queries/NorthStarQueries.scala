@@ -28,6 +28,19 @@ object NorthStarQueries {
   private val AnnQueries = 10
   private val AnnK = 5
 
+  /** Persist a dedup index to parquet and read it back — the PRODUCTION
+    * shape of incremental dedup (the index lives on disk between
+    * ingestion batches by definition). Beyond fidelity, it matters for
+    * the plan: the guard's count pass over a parquet-backed index
+    * column-prunes to the bucket keys (16 B/row), whereas an inline
+    * index subtree would recompute the full signature chain per pass.
+    */
+  private def persistedIndex(s: SparkSession, index: DataFrame, tag: String): DataFrame = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_index_${tag}_${s.sparkContext.applicationId}"
+    index.write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
   /** Recall@k of an approximate ANN result against the exact bruteforce
     * baseline, as one oracle-checkable row: (n_queries, n_relevant,
     * recall_ok). The counts are derivable in DuckDB; recall_ok folds the
@@ -213,7 +226,8 @@ object NorthStarQueries {
         .select((col("doc_id") + 20000L).as("doc_id"), trim(col("_toks")).as("_toks"))
       val batch = batchBase.unionByName(plantsVsCorpus).unionByName(plantsWithin)
       Dedup.minhashIncremental(batch,
-          Dedup.minhashIndex(corpus, "doc_id", shinglesOf(col("_toks"), 3)),
+          persistedIndex(s,
+            Dedup.minhashIndex(corpus, "doc_id", shinglesOf(col("_toks"), 3)), "mh"),
           "doc_id", shinglesOf(col("_toks"), 3), threshold = 0.5)
         .select(col("doc_id"))
     },
@@ -236,7 +250,8 @@ object NorthStarQueries {
           .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
       val toks = TextFunctions.tokens(col("text"))
       val surv = Dedup.simhashIncremental(batch,
-        Dedup.simhashIndex(corpus, "doc_id", toks), "doc_id", toks)
+        persistedIndex(s, Dedup.simhashIndex(corpus, "doc_id", toks), "sh"),
+        "doc_id", toks)
       batch.filter(col("doc_id") >= 10000L).agg(count(lit(1)).as("n_planted"))
         .crossJoin(surv.filter(col("doc_id") >= 10000L)
           .agg(count(lit(1)).as("n_planted_surviving")))
@@ -316,7 +331,8 @@ object NorthStarQueries {
         .unionByName(scaled(corpus.filter(col("vec_id") < 20), 10000L))
         .unionByName(scaled(batchBase.filter(col("vec_id") < 420), 20000L))
       Dedup.embeddingIncremental(batch,
-          Dedup.embeddingIndex(corpus, "vec_id", col("embedding")),
+          persistedIndex(s,
+            Dedup.embeddingIndex(corpus, "vec_id", col("embedding")), "emb"),
           "vec_id", col("embedding"), threshold = 0.9)
         .select(col("vec_id"))
     },
