@@ -405,7 +405,7 @@ object Dedup {
     * `<name>_dropped_rows` (plus `<name>_dropped_buckets` for the distinct
     * bucket count) so oversize buckets are visible, not silent.
     */
-  private[dedup] def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
+  private[graft] def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
       name: String, cache: Boolean = true): DataFrame = {
     val kcols = keys.map(col)
     // Shuffle COUNTS, not rows: per-bucket sizes partial-aggregate

@@ -172,6 +172,34 @@ object TextFunctions {
   def redactEmails(text: Column, replacement: String = "[EMAIL]"): Column =
     regexp_replace(text, emailPattern, replacement)
 
+  /** Gopher-style document quality signals (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1 — the subset expressible
+    * over whitespace tokens): word count within [50, 100000], mean word
+    * length within [3, 10], ≥ 80 % of words containing an alphabetic
+    * character, and ≥ 2 English stopword hits. Returns a struct of the
+    * integer signals plus the combined `pass` flag; thresholds are
+    * integer cross-multiplications (mean ∈ [3,10] ⇔ 3n ≤ Σlen ≤ 10n,
+    * 80 % ⇔ 5·n_alpha ≥ 4·n), so oracles never compare floats.
+    *
+    * Pure built-ins (higher-order filters), per-row — fine in a filter
+    * pass; the counting work is linear in tokens like every other
+    * quality signal here.
+    */
+  def gopherSignals(toks: Column): Column = {
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val enStop = stopwords.toMap.apply("en")
+    val nStop = size(filter(toks, t => t.isin(enStop: _*))).cast("long")
+    struct(
+      n.as("n_words"), sumLen.as("sum_word_len"),
+      nAlpha.as("n_alpha_words"), nStop.as("n_stop"),
+      (n >= 50 && n <= 100000 &&
+        sumLen >= n * 3 && sumLen <= n * 10 &&
+        nAlpha * 5 >= n * 4 &&
+        nStop >= 2).as("pass"))
+  }
+
   /** Per-document token-repetition statistics (the Gopher/C4-style quality
     * signal): total tokens, distinct tokens, and the most frequent token's
     * count. Two shuffles, both with map-side partial aggregation, and only

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.{table, tableSpread}
+import graft.dedup.Decontaminate
+import graft.functions.TextFunctions
+import graft.similarity.SemDedup
+
+/** Corpus-curation operators beyond dedup proper: benchmark
+  * decontamination (n-gram leakage against an eval suite), SemDeDup
+  * semantic dedup via k-means clusters, and Gopher-rule quality
+  * filtering. Every query has an exact DuckDB oracle (decontamination
+  * replays the gram algebra in SQL; SemDeDup uses the planted-recall
+  * contract established by the MinHash/SimHash queries).
+  */
+object CurationQueries {
+
+  /** Shared decontamination fixture: benchmark = docs 0-24; batch = the
+    * remaining docs PLUS planted leaks — copies of benchmark docs 0-9
+    * truncated by their last two tokens (so they share almost every
+    * 8-gram with the benchmark but are not byte-identical, exactly the
+    * case exact dedup misses and decontamination must catch).
+    */
+  private def decontFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = tableSpread(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(col("text")))
+    val bench = docs.filter(col("doc_id") < 25).select(col("doc_id"), col("_toks"))
+    val batch = docs.filter(col("doc_id") >= 25).select(col("doc_id"), col("_toks"))
+      .unionByName(docs.filter(col("doc_id") < 10 && size(col("_toks")) >= 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          slice(col("_toks"), lit(1), size(col("_toks")) - 2).as("_toks")))
+    (bench, batch)
+  }
+
+  private val decontOracleCtes =
+    """WITH toks0 AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      |  FROM documents
+      |),
+      |toks AS (
+      |  SELECT doc_id, t FROM toks0 WHERE doc_id >= 25
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, list_slice(t, 1, len(t) - 2)
+      |  FROM toks0 WHERE doc_id < 10 AND len(t) >= 10
+      |),
+      |bench_grams AS (
+      |  SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS g
+      |  FROM toks0, UNNEST(range(1, len(t) - 6)) AS u(i)
+      |  WHERE doc_id < 25 AND len(t) >= 8
+      |),
+      |doc_grams AS (
+      |  SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+      |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      |  WHERE len(t) >= 8
+      |),
+      |hits AS (
+      |  SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits
+      |  FROM doc_grams JOIN bench_grams USING (g)
+      |  GROUP BY 1
+      |)""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    /** Benchmark decontamination report: every contaminated batch doc with
+      * its distinct-contaminated-8-gram count. The DuckDB oracle replays
+      * the gram algebra on strings; the operator joins on 64-bit gram
+      * hashes — equal counts prove the hash-side finds exactly the
+      * string-side overlaps (collisions would show as extra hits).
+      */
+    "decontaminate" -> { (s, dir) =>
+      val (bench, batch) = decontFixture(s, dir)
+      Decontaminate.flag(batch, "doc_id", col("_toks"), bench, col("_toks"), n = 8)
+    },
+
+    /** The surviving corpus after decontamination — the write-side twin of
+      * the report: batch ids minus every contaminated id.
+      */
+    "decontaminate_clean" -> { (s, dir) =>
+      val (bench, batch) = decontFixture(s, dir)
+      Decontaminate.clean(batch, "doc_id", col("_toks"), bench, col("_toks"), n = 8)
+        .select(col("doc_id"))
+    },
+
+    /** k-means totality contract: every embedding assigned exactly once,
+      * all cluster ids within [0, k). (Cluster membership itself is
+      * sketch-internal — like the LSH band structure — so the oracle pins
+      * the invariants a downstream consumer relies on.)
+      */
+    "kmeans_assign" -> { (s, dir) =>
+      val k = 8
+      val asg = SemDedup.assign(table(s, dir, "embeddings"), "vec_id", "embedding", k = k)
+      asg.agg(
+        count(lit(1)).as("n_assigned"),
+        count_distinct(col("vec_id")).as("n_vectors"),
+        sum(when(col("cluster") < 0 || col("cluster") >= k, 1L).otherwise(0L))
+          .as("n_bad_cluster"))
+    },
+
+    /** SemDeDup planted-recall: every vector 0-39 gets an identical copy
+      * at id+1e6. An identical vector assigns to the same centroid
+      * (deterministic argmax) and scores cosine 1 ≥ 0.999, so the
+      * contract is structural: n_recalled == n_planted, and the oracle
+      * recomputes n_planted from the table.
+      */
+    "semdedup" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val prs = SemDedup.pairs(emb.unionByName(planted), "vec_id", "embedding",
+        k = 8, threshold = 0.999)
+      planted.select((col("vec_id") - 1000000L).as("a"), col("vec_id").as("b"))
+        .join(prs.select(col("a"), col("b"), lit(1).as("_hit")), Seq("a", "b"), "left_outer")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_recalled"))
+    },
+
+    /** Gopher quality rules per document: integer signals + the combined
+      * pass flag, bit-exact in SQL (no float thresholds).
+      */
+    "gopher_quality" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextFunctions.gopherSignals(TextFunctions.tokens(col("text"))).as("_q"))
+        .select(col("doc_id"), col("_q.n_words"), col("_q.sum_word_len"),
+          col("_q.n_alpha_words"), col("_q.n_stop"), col("_q.pass"))
+    })
+
+  val oracles: Seq[(String, String)] = Seq(
+    "decontaminate" ->
+      s"""$decontOracleCtes
+         |SELECT doc_id, n_hits FROM hits""".stripMargin,
+    "decontaminate_clean" ->
+      s"""$decontOracleCtes
+         |SELECT doc_id FROM toks
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+    "kmeans_assign" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_assigned,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |       CAST(0 AS BIGINT) AS n_bad_cluster
+        |FROM embeddings""".stripMargin,
+    "semdedup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_recalled
+        |FROM embeddings WHERE vec_id < 40""".stripMargin,
+    "gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT)
+        |      AS sum_word_len,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha_words,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','and','of','to','in','is','you','that','it','for'], x))) AS BIGINT)
+        |      AS n_stop
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND sum_word_len BETWEEN n_words * 3 AND n_words * 10
+        |   AND n_alpha_words * 5 >= n_words * 4
+        |   AND n_stop >= 2) AS pass
+        |FROM sig""".stripMargin)
+}
