@@ -69,4 +69,21 @@ object Decontaminate {
       benchToks: Column, n: Int, broadcastBench: Boolean = true): DataFrame =
     docs.join(flag(docs, id, toks, bench, benchToks, n, broadcastBench).select(col(id)),
       Seq(id), "left_anti")
+
+  /** [[clean]] against a PREBUILT gram index (a [[benchGrams]] result,
+    * typically read back from its persisted parquet home — the production
+    * shape: the benchmark suite is hashed once, and every ingestion batch
+    * probes the 8-byte gram set without re-tokenizing the benchmark).
+    * `grams` must have been built with the same `n` and tokenization.
+    */
+  def cleanIndexed(docs: DataFrame, id: String, toks: Column, grams: DataFrame,
+      n: Int, broadcastBench: Boolean = true): DataFrame = {
+    val bg0 = grams.select(col("_g"))
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    val contaminated = docs
+      .select(col(id), explode(array_distinct(TextFunctions.shingleHashesOf(toks, n))).as("_g"))
+      .join(bg, Seq("_g"))
+      .select(col(id)).distinct()
+    docs.join(contaminated, Seq(id), "left_anti")
+  }
 }

@@ -290,6 +290,11 @@ object Dedup {
         s"ngramJaccard id column '$id' must be integral (got $t); " +
           "hash string ids to int64 first (e.g. xxhash64)")
     }
+    // NOT persisted: the counts pass and the anti-join probe each
+    // recompute this narrow chain, but the shingle expressions are
+    // one-pass codegen'd projections — measured at sf0.1, caching the
+    // exploded frame cost MORE (cache fill + columnar read) than the
+    // second pass it saves (dedup_ngram 1.5 s → 2.5 s with a cache here).
     val ex = df.select(col(id).as("_id"), explode(array_distinct(shingles)).as("_sh"))
     // Count-first df-cut: per-shingle counts partial-aggregate map-side
     // (a ubiquitous shingle costs one long per task, never an array), and
@@ -417,18 +422,25 @@ object Dedup {
     // filter dropped it — surviving only by spilling, at the exact scale
     // the guard exists for.
     //
-    // With `cache` (default), the input is persisted HERE, not by
-    // callers: the counts side and the probe side (and the self-join
-    // consumers downstream) all read one materialization of the
-    // possibly-expensive banding computation, and — critically — the
-    // cache boundary is an optimizer leaf, so PushDownLeftSemiAntiJoin
-    // cannot push the guard's anti-join below a Union inside `df`
-    // (measured: that rewrite clones the whole counts subtree, broadcast
-    // build and all, into EVERY union branch — a quadratic plan
-    // blow-up on unioned batches). Pass cache=false for single-consumer,
-    // union-free inputs where materializing would cost more than a
-    // second pass — e.g. a banded INDEX, whose per-band signature
-    // duplication makes the cache ~16x the source data.
+    // With `cache` (default), TWO frames are persisted HERE, not by
+    // callers:
+    // - the input: the counts side and the anti-join probe read one
+    //   materialization of the possibly-expensive banding computation,
+    //   and — critically — the cache boundary is an optimizer leaf, so
+    //   PushDownLeftSemiAntiJoin cannot push the guard's anti-join below
+    //   a Union inside `df` (measured: that rewrite clones the whole
+    //   counts subtree, broadcast build and all, into EVERY union
+    //   branch — a quadratic plan blow-up on unioned batches);
+    // - the guarded OUTPUT: every consumer of this frame (the callers
+    //   all self-join it, referencing it twice) reads one run of the
+    //   counts + broadcast-anti-join subtree instead of re-executing it
+    //   per reference (measured at sf0.1: output-cache removal tripled
+    //   dedup_embedding and dedup_*_incremental — the r5→r6 guard
+    //   rewrite's one regression).
+    // Pass cache=false for single-consumer, union-free inputs where
+    // materializing would cost more than a second pass — e.g. a banded
+    // INDEX, whose per-band signature duplication makes the cache ~16x
+    // the source data.
     val cached = if (cache) graft.Caches.track(df.persist()) else df
     val over = col("_bucket_size") > bound
     val overKeys = cached.groupBy(kcols: _*)
@@ -439,6 +451,7 @@ object Dedup {
         sum(when(over, 1L).otherwise(0L)).as(s"${name}_dropped_buckets"))
       .filter(over)
       .select(kcols: _*)
-    cached.join(broadcast(overKeys), keys, "left_anti")
+    val guarded = cached.join(broadcast(overKeys), keys, "left_anti")
+    if (cache) graft.Caches.track(guarded.persist()) else guarded
   }
 }

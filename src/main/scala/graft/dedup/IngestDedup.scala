@@ -64,6 +64,23 @@ object IngestDedup {
         lit(0L).as("_id"), lit(0L).as("_sig"))
   }
 
+  /** Benchmark decontamination as an ingest gate: batch docs sharing any
+    * word n-gram with the indexed benchmark suite are dropped. Unlike the
+    * dedup strategies the index is STATIC — seed the index home once with
+    * [[Decontaminate.benchGrams]] (e.g. under `tx=benchmark`); accepted
+    * batches append nothing ([[indexOf]] is empty), and batch docs never
+    * check against each other (documents don't contaminate one another).
+    */
+  def decontaminate(toks: Column, id: String, n: Int,
+      broadcastBench: Boolean = true): IngestDedup = new IngestDedup {
+    override def dedup(batch: DataFrame, index: DataFrame): DataFrame =
+      Decontaminate.cleanIndexed(batch, id, toks, index, n, broadcastBench)
+    override def indexOf(accepted: DataFrame): DataFrame =
+      accepted.sparkSession.range(0).select(col("id").as("_g"))
+    override def emptyIndex(spark: SparkSession): DataFrame =
+      spark.range(0).select(col("id").as("_g"))
+  }
+
   /** Embedding near-dup: cosine of `vec` ≥ threshold (int8 index). */
   def embedding(vec: Column, id: String, threshold: Double,
       nPlanes: Int = 8, dim: Int = 64, seed: Long = 7L,

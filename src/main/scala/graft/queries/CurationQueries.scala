@@ -83,6 +83,19 @@ object CurationQueries {
         .select(col("doc_id"))
     },
 
+    /** [[Decontaminate.cleanIndexed]] against a parquet-persisted gram
+      * index — the production shape (the benchmark suite is hashed ONCE;
+      * every ingestion batch probes the 8-byte gram set). Same oracle as
+      * `decontaminate_clean`: the index round-trip changes nothing.
+      */
+    "decontaminate_indexed" -> { (s, dir) =>
+      val (bench, batch) = decontFixture(s, dir)
+      val grams = NorthStarQueries.persistedIndex(s,
+        Decontaminate.benchGrams(bench, col("_toks"), n = 8), "benchgrams")
+      Decontaminate.cleanIndexed(batch, "doc_id", col("_toks"), grams, n = 8)
+        .select(col("doc_id"))
+    },
+
     /** k-means totality contract: every embedding assigned exactly once,
       * all cluster ids within [0, k). (Cluster membership itself is
       * sketch-internal — like the LSH band structure — so the oracle pins
@@ -132,6 +145,10 @@ object CurationQueries {
       s"""$decontOracleCtes
          |SELECT doc_id, n_hits FROM hits""".stripMargin,
     "decontaminate_clean" ->
+      s"""$decontOracleCtes
+         |SELECT doc_id FROM toks
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+    "decontaminate_indexed" ->
       s"""$decontOracleCtes
          |SELECT doc_id FROM toks
          |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,

@@ -35,7 +35,7 @@ object NorthStarQueries {
     * column-prunes to the bucket keys (16 B/row), whereas an inline
     * index subtree would recompute the full signature chain per pass.
     */
-  private def persistedIndex(s: SparkSession, index: DataFrame, tag: String): DataFrame = {
+  private[queries] def persistedIndex(s: SparkSession, index: DataFrame, tag: String): DataFrame = {
     val p = s"${sys.props("java.io.tmpdir")}/graft_index_${tag}_${s.sparkContext.applicationId}"
     index.write.mode("overwrite").parquet(p)
     s.read.parquet(p)

@@ -25,7 +25,12 @@ object KnnJoin {
   def knnJoin(df: DataFrame, id: String, shingles: Column, k: Int,
       minSim: Double, maxShingleFreq: Int = 1000): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val pairs = graft.dedup.Dedup.ngramJaccard(df, id, shingles, minSim, maxShingleFreq)
+    // persisted: the symmetric-edge union below references this frame
+    // twice, and everything upstream (postings pair emission + the
+    // O(candidate-pairs) co-occurrence aggregation) would re-execute per
+    // reference. The cache holds only surviving edges (jaccard ≥ minSim).
+    val pairs = graft.Caches.track(
+      graft.dedup.Dedup.ngramJaccard(df, id, shingles, minSim, maxShingleFreq).persist())
     // each surviving pair is an undirected edge: emit both directions and
     // rank within each doc's adjacency — the union doubles edge rows, not
     // candidate generation work

@@ -46,6 +46,15 @@ class CurationSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq === Seq(11L))
   }
 
+  test("cleanIndexed against a parquet-persisted gram index equals clean") {
+    val p = java.nio.file.Files.createTempDirectory("graft_benchgrams").toString
+    Decontaminate.benchGrams(bench, col("_toks"), n = 8)
+      .write.mode("overwrite").parquet(p)
+    val out = Decontaminate.cleanIndexed(batch, "doc_id", col("_toks"),
+      spark.read.parquet(p), n = 8)
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+  }
+
   test("docs shorter than n grams are never flagged") {
     val shortDoc = Seq((20L, "what is the capital")).toDF("doc_id", "text")
       .withColumn("_toks", TextFunctions.tokens(col("text")))

@@ -157,6 +157,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestSink with the decontaminate strategy gates batches on a static benchmark index") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft_decont_ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchDoc = "what is the capital of france the capital of france is paris"
+    val leaky = benchDoc.split(" ").dropRight(2).mkString(" ") // shares 8-grams
+    val cleanDoc = "distributed query engines schedule shuffle stages across many executor processes"
+    // seed the STATIC benchmark gram index once, before any ingestion
+    graft.dedup.Decontaminate.benchGrams(
+        Seq(Tuple1(benchDoc)).toDF("text"), tokens(col("text")), n = 8)
+      .write.parquet(s"$dir/index/tx=benchmark")
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, leaky), (2L, cleanDoc))
+    val q = StreamOps.ingestSink(input.toDS().toDF("id", "text"),
+      graft.dedup.IngestDedup.decontaminate(tokens(col("text")), "id", n = 8),
+      path = s"$dir/out", indexHome = s"$dir/index",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/batch=0").select("id").as[Long].collect() === Seq(2L))
+      // an identical clean doc is admitted AGAIN in the next batch:
+      // decontamination is a static gate, not dedup — indexOf appends
+      // nothing, so the index home stays exactly the benchmark grams
+      input.addData((3L, cleanDoc))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/batch=1").select("id").as[Long].collect() === Seq(3L))
+    } finally q.stop()
+  }
+
   test("ingestSink with the embedding strategy near-dedups and its index compacts") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_emb_ingest").toString
