@@ -88,6 +88,44 @@ object Dedup {
       .select(col("_row.*"))
   }
 
+  /** Paragraph-granularity exact dedup (the CCNet/RefinedWeb "line dedup"
+    * shape, at token-window granularity since our corpus has no line
+    * structure): each document is cut into non-overlapping `width`-token
+    * chunks; for every chunk seen anywhere in the corpus, only the FIRST
+    * occurrence — smallest (`id`, chunk index) — survives; each document
+    * is then reassembled from its surviving chunks in order. Documents
+    * whose every chunk was seen earlier disappear entirely. Returns
+    * (id, text, n_chunks_kept).
+    *
+    * Scale shape: two shuffles, one pass over the corpus. The keep-first
+    * decision is a partial-aggregated `min(struct(id, index, chunk))`
+    * keyed by the 8-byte chunk hash: a boilerplate chunk repeated 10⁸
+    * times combines map-side to ONE candidate per task (same reasoning
+    * as [[exactFingerprint]] — no hot-key window anywhere), the struct
+    * comparison decides on (id, index) before ever touching the text
+    * bytes, and carrying the text through the exchange is what lets the
+    * reassembly run directly on the winners — the alternative (hash-only
+    * agg + join back) moves the text the same number of times and adds a
+    * third shuffle plus a recompute of the chunking pass. The reassembly
+    * shuffle is keyed by document, naturally balanced by doc size.
+    */
+  def paragraphDedup(docs: DataFrame, id: String, toks: Column,
+      width: Int = 50): DataFrame = {
+    require(width >= 1, "width must be >= 1")
+    docs
+      .filter(size(toks) > 0)
+      .select(col(id).as("_id"),
+        posexplode(TextFunctions.tokenChunks(toks, width, width))
+          .as(Seq("_cidx", "_chunk")))
+      .groupBy(xxhash64(col("_chunk")).as("_h"))
+      .agg(min(struct(col("_id"), col("_cidx"), col("_chunk"))).as("_w"))
+      .groupBy(col("_w._id").as(id))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("_w._cidx"), col("_w._chunk")))),
+          c => c("_chunk")), " ").as("text"),
+        count(lit(1)).as("n_chunks_kept"))
+  }
+
   /** Candidate pairs sharing an LSH band of the MinHash signature.
     *
     * bands × rows = k; two docs with Jaccard s share ≥1 band with

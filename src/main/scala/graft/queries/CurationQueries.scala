@@ -96,6 +96,27 @@ object CurationQueries {
         .select(col("doc_id"))
     },
 
+    /** Relative quality filter: keep documents at or above their
+      * language's 25th percentile of token count — the "drop the worst
+      * quartile per language" shape every curation pipeline has, with an
+      * exact rank contract (percent_rank over a total order, doc_id
+      * tie-break) so the survivor SET is deterministic and oracle-
+      * checkable. Scale note: the window sorts within each language
+      * partition; for corpora where one language dominates, the same
+      * survivor set comes from a two-pass approx_percentile threshold +
+      * broadcast-join filter — this query pins the exact-rank contract.
+      */
+    "quality_filter_pct" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_tokens").asc, col("doc_id").asc)
+      tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("_pr", percent_rank().over(w))
+        .filter(col("_pr") >= 0.25)
+        .select(col("lang"), col("doc_id"))
+    },
+
     /** k-means totality contract: every embedding assigned exactly once,
       * all cluster ids within [0, k). (Cluster membership itself is
       * sketch-internal — like the LSH band structure — so the oracle pins
@@ -152,6 +173,18 @@ object CurationQueries {
       s"""$decontOracleCtes
          |SELECT doc_id FROM toks
          |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+    "quality_filter_pct" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |         percent_rank() OVER (PARTITION BY lang
+        |             ORDER BY n_tokens ASC, doc_id ASC) AS pr
+        |  FROM t
+        |)
+        |SELECT lang, doc_id FROM r WHERE pr >= 0.25""".stripMargin,
     "kmeans_assign" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_assigned,
         |       CAST(COUNT(*) AS BIGINT) AS n_vectors,

@@ -163,6 +163,24 @@ object NorthStarQueries {
         .select(col("keep_id"), col("n_dups"))
     },
 
+    /** Paragraph-granularity dedup ([[Dedup.paragraphDedup]]): the corpus
+      * plus planted full copies (ids shifted by 100000, so originals win
+      * every keep-first race); copies must vanish entirely and every
+      * surviving document is reassembled from its first-occurrence
+      * 10-token chunks. The oracle recomputes the chunking, the global
+      * keep-first, and the reassembly — byte equality of the rebuilt
+      * text proves the whole pipeline.
+      */
+    "dedup_paragraph" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionAll(docs.filter(col("doc_id") < 80)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.paragraphDedup(
+          all.withColumn("_toks", TextFunctions.tokens(col("text"))),
+          "doc_id", col("_toks"), width = 10)
+        .select(col("doc_id"), col("text"), col("n_chunks_kept"))
+    },
+
     /** Incremental ingestion dedup: batch = the tail of the corpus plus
       * planted collisions — copies of corpus texts (must be dropped
       * against the index) and copies of batch texts (must be dropped
@@ -779,6 +797,25 @@ object NorthStarQueries {
     },
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "dedup_paragraph" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 80
+        |), t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM all_docs
+        |), c AS (
+        |  SELECT doc_id, i // 10 AS cidx, array_to_string(ts[i+1 : i+10], ' ') AS chunk
+        |  FROM t, UNNEST(range(0, len(ts), 10)) AS u(i)
+        |  WHERE len(ts) > 0
+        |), k AS (
+        |  SELECT doc_id, cidx, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+        |  FROM c
+        |)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
         |batch AS (

@@ -63,6 +63,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    /** Pivot: one column per language of per-source document counts.
+      * The pivot values are pinned explicitly — at 100 TB an unpinned
+      * pivot first runs a full distinct job over the corpus just to plan
+      * the schema; pinning makes it a single partial-aggregated pass.
+      * A (source, lang) combination with no rows pivots to NULL.
+      */
+    "pivot_lang" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "fr", "de", "es", "zh"))
+        .agg(count(lit(1)))
+    },
+
+    /** Unpivot (melt): the wide pivot frame back to (source, lang, n)
+      * rows — the round trip pins both directions. NULL cells (absent
+      * combinations) are dropped, matching the long form.
+      */
+    "unpivot_lang" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "fr", "de", "es", "zh"))
+        .agg(count(lit(1)))
+        .unpivot(Array(col("source")),
+          Array(col("en"), col("fr"), col("de"), col("es"), col("zh")),
+          "lang", "n_docs")
+        .filter(col("n_docs").isNotNull)
+    },
+
     /** Set ops: customers-with-orders ∩/∖ customers-with-big-orders. */
     "intersect" -> { (s, dir) =>
       val all = table(s, dir, "orders").select(col("o_custkey"))
@@ -291,6 +319,18 @@ object RelationalQueries {
     "cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "pivot_lang" ->
+      """SELECT source,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+        |       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+        |       CAST(SUM(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+        |       CAST(SUM(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+        |       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+    "unpivot_lang" ->
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents WHERE lang IN ('en', 'fr', 'de', 'es', 'zh')
+        |GROUP BY source, lang""".stripMargin,
     "intersect" ->
       """SELECT o_custkey FROM orders
         |INTERSECT

@@ -30,6 +30,26 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("paragraph dedup keeps first chunk occurrences and reassembles docs") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),  // chunks "a b c d" | "e f g h"
+      (1L, "a b c d x y z w"),  // first chunk already seen in doc 0 -> only "x y z w" survives
+      (2L, "a b c d e f g h"),  // full copy of doc 0 -> vanishes entirely
+      (3L, "m n o p m n o p"),  // within-doc repeat -> one "m n o p" survives
+      (4L, "p q r")             // short tail chunk, unique -> kept whole
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(
+      d.withColumn("_toks", TextFunctions.tokens(col("text"))),
+      "doc_id", col("_toks"), width = 4)
+    val m = out.select("doc_id", "text", "n_chunks_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m === Map(
+      0L -> (("a b c d e f g h", 2L)),
+      1L -> (("x y z w", 1L)),
+      3L -> (("m n o p", 1L)),
+      4L -> (("p q r", 1L))))
+  }
+
   test("incremental dedup drops corpus collisions and within-batch dups") {
     val corpus = Seq((1L, base), (2L, distinct1)).toDF("id", "text")
     val batch = Seq(
