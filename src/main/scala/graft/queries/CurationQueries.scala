@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.{table, tableSpread}
-import graft.dedup.Decontaminate
+import graft.dedup.{Decontaminate, Substring}
 import graft.functions.TextFunctions
 import graft.similarity.SemDedup
 
@@ -61,7 +61,81 @@ object CurationQueries {
       |  GROUP BY 1
       |)""".stripMargin
 
+  /** Substring-dedup fixture: the whole corpus PLUS planted partial
+    * copies — docs 0-9 re-appear at id+1e6 truncated by their last two
+    * tokens, so each planted doc shares one long verbatim token run with
+    * its source (the exact-substring case document-level dedup misses).
+    */
+  private def substrFixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = tableSpread(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("_toks"))
+    docs.unionByName(docs.filter(col("doc_id") < 10 && size(col("_toks")) >= 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        slice(col("_toks"), lit(1), size(col("_toks")) - 2).as("_toks")))
+  }
+
+  private val substrOracleCtes =
+    """WITH toks0 AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      |  FROM documents
+      |),
+      |batch AS (
+      |  SELECT doc_id, t FROM toks0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, list_slice(t, 1, len(t) - 2)
+      |  FROM toks0 WHERE doc_id < 10 AND len(t) >= 10
+      |),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+      |  FROM batch, UNNEST(range(1, len(t) - 6)) AS u(i)
+      |  WHERE len(t) >= 8
+      |),
+      |dup AS (
+      |  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+      |),
+      |dp AS (
+      |  SELECT doc_id, pos FROM grams JOIN dup USING (g)
+      |),
+      |stats AS (
+      |  SELECT b.doc_id,
+      |         CAST(CASE WHEN len(b.t) >= 8 THEN len(b.t) - 7 ELSE 0 END AS BIGINT)
+      |           AS n_grams,
+      |         CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup
+      |  FROM batch b
+      |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n_dup FROM dp GROUP BY 1) d
+      |    USING (doc_id)
+      |)""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    /** Duplicated-substring spans (Lee et al. 2022 exact-substring dedup,
+      * gram-run form): every maximal run of corpus-duplicated 8-grams
+      * covering ≥ 12 tokens, with its 1-based start. The oracle replays
+      * the gram algebra on strings; equal spans prove the 64-bit hash
+      * side finds exactly the string-side duplicated runs.
+      */
+    "substring_spans" -> { (s, dir) =>
+      Substring.duplicatedSpans(substrFixture(s, dir), "doc_id", col("_toks"),
+        L = 8, minSpanTokens = 12)
+    },
+
+    /** Per-document duplication profile: total 8-gram positions vs
+      * corpus-duplicated positions — integer signals, bit-exact oracle.
+      */
+    "substring_stats" -> { (s, dir) =>
+      Substring.dupStats(substrFixture(s, dir), "doc_id", col("_toks"), L = 8)
+    },
+
+    /** Surviving corpus under a 20 % duplicated-gram budget (keep iff
+      * n_dup * 5 <= n_grams) — drops the planted copies AND their
+      * heavily-duplicated sources, keeps organically-unique docs.
+      */
+    "substring_clean" -> { (s, dir) =>
+      Substring.clean(substrFixture(s, dir), "doc_id", col("_toks"),
+        L = 8, num = 1, den = 5)
+        .select(col("doc_id"))
+    },
 
     /** Benchmark decontamination report: every contaminated batch doc with
       * its distinct-contaminated-8-gram count. The DuckDB oracle replays
@@ -162,6 +236,23 @@ object CurationQueries {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "substring_spans" ->
+      s"""$substrOracleCtes,
+         |runs AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dp
+         |)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |       CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+         |FROM runs GROUP BY doc_id, grp
+         |HAVING COUNT(*) + 7 >= 12""".stripMargin,
+    "substring_stats" ->
+      s"""$substrOracleCtes
+         |SELECT doc_id, n_grams, n_dup FROM stats""".stripMargin,
+    "substring_clean" ->
+      s"""$substrOracleCtes
+         |SELECT doc_id FROM stats WHERE n_dup * 5 <= n_grams""".stripMargin,
     "decontaminate" ->
       s"""$decontOracleCtes
          |SELECT doc_id, n_hits FROM hits""".stripMargin,
