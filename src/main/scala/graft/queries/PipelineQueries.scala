@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.GraftSession.table
 import graft.iterative.Rounds
-import graft.sinks.DirectOutput
+import graft.sinks.{DirectOutput, ZoneMap}
 import graft.streaming.StreamOps
 
 /** Lifecycle coverage: transactional direct output + re-input, iterative
@@ -43,6 +43,23 @@ object PipelineQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
           max(col("o_totalprice")).as("max_price"))
+    },
+
+    /** Zone-map data skipping: cluster-write lineitem on l_orderkey into
+      * 16 range-disjoint files with a footer-stats index, then answer a
+      * key-range aggregate through the pruned read (the index plans the
+      * scan over ~1/10 of the files; ZoneMapSpec pins the pruning
+      * itself). The oracle runs the same range aggregate on the source
+      * table — equality proves pruning never changes the answer.
+      */
+    "zonemap_prune" -> { (s, dir) =>
+      // per-process dir, same reasoning as direct_io_roundtrip
+      val out = s"${sys.props("java.io.tmpdir")}/graft_zonemap_${s.sparkContext.applicationId}"
+      ZoneMap.write(table(s, dir, "lineitem"), out, "l_orderkey", numFiles = 16)
+      ZoneMap.read(s, out, "l_orderkey", 1000L, 3000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"))
     },
 
     /** Arbitrary-InputFormat direct input (the reference's Hadoop
@@ -265,6 +282,11 @@ object PipelineQueries {
     "hadoop_input" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
         |FROM orders GROUP BY 1""".stripMargin,
+    "zonemap_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+        |       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
