@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftSession.table
-import graft.operators.{AsOf, RangeJoin, Skew}
+import graft.operators.{AsOf, BloomJoin, RangeJoin, Skew}
 import graft.operators.Groups.{SummarizeOp, SummarizeSpec}
 
 /** Relational operators the reference deliberately lacks (its users write
@@ -151,6 +151,24 @@ object RelationalQueries {
         keys = Seq("l_orderkey"), salt = 8)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    /** Bloom pre-filtered join: the selective dim side ('P'-status
+      * orders, ~4 % of keys) is sketched into a 1 MB bloom filter and
+      * probed map-side on the fact scan, so non-matching lineitem rows
+      * never reach the join exchange; the exact join then removes bloom
+      * false positives. Result identical to the plain join — the oracle
+      * proves it.
+      */
+    "bloom_join" -> { (s, dir) =>
+      BloomJoin.inner(
+        fact = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        dim = table(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        factKey = "l_orderkey", dimKey = "o_orderkey",
+        expectedItems = 100000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
     },
 
     /** Two-level salted aggregation for hot grouping keys. */
@@ -381,6 +399,11 @@ object RelationalQueries {
     "salted_aggregate" ->
       """SELECT event_type, COUNT(value) AS n, MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+    "bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'P'
+        |GROUP BY 1""".stripMargin,
     "session_window" ->
       """WITH gaps AS (
         |  SELECT user_id, ts,
