@@ -22,8 +22,21 @@ object Bench {
     // identical code measured 9.6x apart across rounds on single runs:
     // per-query medians over SPARK_GRAFT_RUNS (default 3) are the signal
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // shuffle/spill scratch on tmpfs when one is available: local-mode
+    // shuffle files otherwise land on disk, and the OS write-back of the
+    // heavy queries' shuffle output taxes LATER queries' timed regions —
+    // measured as 2-5x inflation of sub-second queries late in a
+    // 360-execution sequential session, collapsing back to baseline when
+    // scratch is memory-backed. A real cluster provisions executor local
+    // dirs on fast storage for exactly the same reason.
+    val localScratch = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_local"
+      else sys.props("java.io.tmpdir")
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localScratch)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
