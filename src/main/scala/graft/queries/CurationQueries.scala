@@ -224,6 +224,41 @@ object CurationQueries {
           sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_recalled"))
     },
 
+    /** Bigram-LM quality scoring (the CCNet shape: train a count LM on
+      * the corpus, score every document by how familiar its bigrams
+      * are). The model is trained and probed on 8-byte gram hashes; the
+      * oracle replays the whole train+score algebra on gram STRINGS, so
+      * equal per-doc integer evidence proves the hash-keyed model finds
+      * exactly the string-level gram statistics. The `avg_logp` ranking
+      * signal is spec-tested (floats don't hash-compare).
+      */
+    "lm_quality" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val model = graft.functions.NgramLm.train(docs, col("_toks"), minCount = 2L)
+      graft.functions.NgramLm.score(docs, model, "doc_id", col("_toks"))
+        .drop("avg_logp")
+    },
+
+    /** BPE tokenizer training + application: 50 merges trained from the
+      * corpus word counts (distributed count pass; bounded driver merge
+      * loop — the production trainer shape), applied corpus-wide with no
+      * shuffle. The oracle pins the exact word/char accounting and the
+      * merge-algebra bound n_words ≤ n_pieces ≤ n_chars (each merge
+      * joins exactly two pieces); the merge sequence itself is
+      * hand-verified in BpeSpec (SQL cannot replay an iterative argmax).
+      */
+    "bpe_stats" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val merges = graft.functions.Bpe.train(docs, col("_toks"),
+        nMerges = 50, maxWords = 50000)
+      graft.functions.Bpe.tokenStats(docs, "doc_id", col("_toks"), merges)
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          (col("n_words") <= col("n_pieces") && col("n_pieces") <= col("n_chars"))
+            .as("pieces_bounded"))
+    },
+
     /** Gopher quality rules per document: integer signals + the combined
       * pass flag, bit-exact in SQL (no float thresholds).
       */
@@ -236,6 +271,51 @@ object CurationQueries {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "bpe_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |       CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT)
+        |         AS n_chars,
+        |       TRUE AS pieces_bounded
+        |FROM toks""".stripMargin,
+    "lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |),
+        |big AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |),
+        |uni AS (
+        |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS ctx FROM pairs GROUP BY 1
+        |),
+        |model AS (
+        |  SELECT b.w1, b.w2, b.cnt, u.ctx FROM big b JOIN uni u USING (w1)
+        |),
+        |perdoc AS (
+        |  SELECT p.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(COUNT(m.cnt) AS BIGINT) AS n_hits,
+        |         CAST(COALESCE(SUM(m.cnt), 0) AS BIGINT) AS hit_cnt_sum,
+        |         CAST(COALESCE(SUM(m.ctx), 0) AS BIGINT) AS hit_ctx_sum
+        |  FROM pairs p LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(COALESCE(hit_cnt_sum, 0) AS BIGINT) AS hit_cnt_sum,
+        |       CAST(COALESCE(hit_ctx_sum, 0) AS BIGINT) AS hit_ctx_sum
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin,
     "substring_spans" ->
       s"""$substrOracleCtes,
          |runs AS (

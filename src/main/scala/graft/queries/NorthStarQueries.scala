@@ -540,6 +540,93 @@ object NorthStarQueries {
         .toDF("doc_id", "n_samples", "sample_rate", "sample_sum")
     },
 
+    /** Video pipeline with frame sampling: a deterministic container
+      * (magic + frame count + length-prefixed PNG frames) is synthesized
+      * per document and carried as an opaque binary column; the sampler
+      * then decodes ONLY every 2nd frame (ImageIO — a real codec parse)
+      * and SKIPS the others by their length prefix without decoding —
+      * the keyframe-extraction shape, where decode cost scales with
+      * sampled frames, not container size. The DuckDB oracle recomputes
+      * frame geometry and the sampled-frame pixel sum arithmetically, so
+      * a broken container write, a mis-stepped sampler, or a decode that
+      * touches the wrong frames all fail the hash compare. At 100 TB the
+      * shape is unchanged: binary column + per-partition batched codec
+      * work, no shuffle until the tiny feature frame.
+      */
+    "multimodal_video" -> { (s, dir) =>
+      import s.implicits._
+      val blobs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nFrames = (id % 7 + 2).toInt
+            val w = (id % 5 + 1).toInt
+            val h = (id % 3 + 1).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new java.io.DataOutputStream(bos)
+            out.writeInt(0x47564944) // 'GVID'
+            out.writeInt(nFrames)
+            var f = 0
+            while (f < nFrames) {
+              val c = ((id * 13 + f * 7) % 256).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (c << 16) | (c << 8) | c
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val fb = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", fb)
+              val bytes = fb.toByteArray
+              out.writeInt(bytes.length)
+              out.write(bytes)
+              f += 1
+            }
+            (id, bos.toByteArray, "video/x-graft")
+          }
+        }
+        .toDF("doc_id", "blob", "mime")
+      blobs.as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.map { case (id, bytes, _) =>
+            val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+            require(in.readInt() == 0x47564944, s"doc $id: bad container magic")
+            val nFrames = in.readInt()
+            var i = 0
+            var sampled = 0
+            var pixelSum = 0L
+            while (i < nFrames) {
+              val len = in.readInt()
+              if (i % 2 == 0) {
+                val fb = new Array[Byte](len)
+                in.readFully(fb)
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    pixelSum += (img.getRGB(x, y) >> 16) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                sampled += 1
+              } else {
+                var toSkip = len
+                while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+              }
+              i += 1
+            }
+            (id, nFrames, sampled, pixelSum)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_sampled", "pixel_sum")
+    },
+
     /** Near-dup pairs collapsed to duplicate clusters (connected
       * components over the n-gram-Jaccard similarity graph): one
       * (doc, component) row per clustered doc, component = min doc_id.
@@ -1275,6 +1362,14 @@ object NorthStarQueries {
         |       8000 AS sample_rate,
         |       CAST(list_sum(list_transform(range(0, doc_id % 100 + 1), i -> (doc_id + i) % 256)) AS BIGINT)
         |         AS sample_sum
+        |FROM documents""".stripMargin,
+    "multimodal_video" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 7 + 2 AS INTEGER) AS n_frames,
+        |       CAST((doc_id % 7 + 2 + 1) // 2 AS INTEGER) AS n_sampled,
+        |       CAST(list_sum(list_transform(range(0, doc_id % 7 + 2, 2),
+        |              i -> (doc_id % 5 + 1) * (doc_id % 3 + 1) * ((doc_id * 13 + i * 7) % 256)))
+        |         AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin
   )
 }

@@ -125,6 +125,19 @@ object RelationalQueries {
         .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
     },
 
+    /** Batch gap-based sessionization (one-day inactivity gap): every
+      * event gets a per-user session ordinal, sessions collapse to
+      * all-integer summaries — microsecond timestamps, so the DuckDB
+      * replay of the lag/cumulative-sum assignment agrees exactly. One
+      * exchange keyed by user; the lag pass, the running-sum pass and
+      * the final aggregation all reuse it.
+      */
+    "sessionize" -> { (s, dir) =>
+      graft.operators.Sessionize.sessions(table(s, dir, "events"),
+        user = "user_id", ts = "ts", gapSeconds = 86400L,
+        tieBreak = Seq("event_id"), eventType = Some("event_type"))
+    },
+
     /** As-of join: each purchase matched to the user's latest prior view
       * (single shuffle + window carry-forward, no range-join explosion).
       * DuckDB has native ASOF JOIN — exact oracle.
@@ -360,6 +373,27 @@ object RelationalQueries {
     "topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |s AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM l
+        |)
+        |SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(us) AS start_us, MAX(us) AS end_us,
+        |       MAX(us) - MIN(us) AS duration_us,
+        |       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
