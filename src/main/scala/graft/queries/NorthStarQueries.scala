@@ -708,6 +708,19 @@ object NorthStarQueries {
           max(col("tf")).as("max_tf"))
     },
 
+    /** Exact heavy hitters (terms with ≥ 1/200 of all occurrences) via
+      * per-partition Misra-Gries nomination + exact recount of the
+      * bounded candidate set — the full term distribution never
+      * shuffles, yet the result is exact, so the DuckDB oracle is the
+      * plain GROUP BY/HAVING the sketch path must reproduce verbatim.
+      */
+    "heavy_hitters" -> { (s, dir) =>
+      graft.operators.Frequency.heavyHitters(
+        tableSpread(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("t")),
+        col("t"), k = 200)
+    },
+
     /** Deterministic 80/10/10 split via explicit multiplicative hashing —
       * stable across engines and re-runs (the oracle computes the same
       * arithmetic in DuckDB and agrees exactly).
@@ -1363,6 +1376,16 @@ object NorthStarQueries {
         |       CAST(list_sum(list_transform(range(0, doc_id % 100 + 1), i -> (doc_id + i) % 256)) AS BIGINT)
         |         AS sample_sum
         |FROM documents""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tf AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |t2 AS (SELECT term FROM tf WHERE term <> ''),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t2)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       (SELECT n FROM tot) AS total
+        |FROM t2 GROUP BY 1
+        |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)""".stripMargin,
     "multimodal_video" ->
       """SELECT doc_id,
         |       CAST(doc_id % 7 + 2 AS INTEGER) AS n_frames,
