@@ -195,6 +195,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case e: ShuffleExchangeExec => e }.size === 1, plan.toString)
   }
 
+  test("sessionize: lag, session counter and aggregation share ONE exchange") {
+    val q = graft.operators.Sessionize.sessions(
+      GraftSession.table(spark, dir, "events"),
+      user = "user_id", ts = "ts", gapSeconds = 86400L,
+      tieBreak = Seq("event_id"), eventType = Some("event_type"))
+    val plan = executed(q)
+    // both window passes and the per-session aggregate reuse the
+    // user_id partitioning — a second exchange means a window spec
+    // drifted off the shared (user, order) sort
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.size === 1, plan.toString)
+  }
+
   test("groupBy partial-aggregates map-side before the exchange") {
     val q = GraftSession.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
