@@ -58,6 +58,12 @@ object Bench {
       // driver serving a query mix wants the same headroom.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      // the codegen stage ID in generated class names makes otherwise
+      // IDENTICAL code cache-miss whenever AQE renumbers stages — the
+      // multi-stage incremental dedups re-paid ~30 janino compiles per
+      // rerun. Without the ID the cache keys on the code itself.
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "false"))
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -31,6 +31,12 @@ object GraftSession {
       // fixture events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
       // type — read as long and convert in `table` below
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // identical generated code must HIT the codegen cache even when AQE
+      // renumbers stages between plans/reruns; the stage ID in the class
+      // name exists for stack-trace readability, and with it the cache
+      // keys on the ID too — multi-stage plans re-paid ~30 janino
+      // compiles per execution (measured on the incremental dedups)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 

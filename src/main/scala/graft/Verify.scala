@@ -17,6 +17,9 @@ object Verify {
       // (see Bench.scala; default 64m is right at production scale)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // identical generated code should hit the codegen cache across AQE
+      // stage renumbering (see GraftSession.builder)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
