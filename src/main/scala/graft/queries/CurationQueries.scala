@@ -259,6 +259,37 @@ object CurationQueries {
             .as("pieces_bounded"))
     },
 
+    /** End-to-end curation flagship: Gopher quality rules ∧ bigram-LM
+      * familiarity (≥ half of a doc's bigrams in the pruned model) ∧
+      * exact-dedup keeper, then the engine-stable 80/10/10 split and
+      * per-(lang, split) corpus accounting — the full curation funnel in
+      * ONE plan, every stage integer-exact so the DuckDB oracle replays
+      * the whole funnel verbatim. Scale shape: the model/dedup passes are
+      * the partial-aggregated shuffles of their standalone queries; the
+      * three evidence joins key on doc_id; the split adds no shuffle.
+      */
+    "flagship_curation" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val model = graft.functions.NgramLm.train(docs, col("_toks"), minCount = 2L)
+      val lm = graft.functions.NgramLm.score(docs, model, "doc_id", col("_toks"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_hits"))
+      val gopherPass = docs
+        .select(col("doc_id"), TextFunctions.gopherSignals(col("_toks")).as("_q"))
+        .filter(col("_q.pass")).select(col("doc_id"))
+      val keepers = graft.dedup.Dedup.exact(docs, Seq("text"), "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(keepers, "doc_id")
+        .join(gopherPass, "doc_id")
+        .join(lm, "doc_id")
+        .filter(col("n_hits") * 2 >= col("n_bigrams"))
+      graft.operators.Sampling.deterministicSplit(survivors, col("doc_id"),
+          weights = Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+
     /** Gopher quality rules per document: integer signals + the combined
       * pass flag, bit-exact in SQL (no float thresholds).
       */
@@ -271,6 +302,69 @@ object CurationQueries {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "flagship_curation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT)
+        |      AS sum_word_len,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha_words,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','and','of','to','in','is','you','that','it','for'], x))) AS BIGINT)
+        |      AS n_stop
+        |  FROM toks
+        |),
+        |gpass AS (
+        |  SELECT doc_id FROM sig
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND sum_word_len BETWEEN n_words * 3 AND n_words * 10
+        |    AND n_alpha_words * 5 >= n_words * 4
+        |    AND n_stop >= 2
+        |),
+        |keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        |),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |),
+        |big AS (
+        |  SELECT w1, w2 FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |),
+        |perdoc AS (
+        |  SELECT p.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(COUNT(b.w1) AS BIGINT) AS n_hits
+        |  FROM pairs p LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  GROUP BY 1
+        |),
+        |surv AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars
+        |  FROM documents d
+        |  JOIN keep k USING (doc_id)
+        |  JOIN gpass g USING (doc_id)
+        |  LEFT JOIN perdoc l USING (doc_id)
+        |  WHERE COALESCE(l.n_hits, 0) * 2 >= COALESCE(l.n_bigrams, 0)
+        |),
+        |b AS (
+        |  SELECT lang, n_chars,
+        |         ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + (doc_id & 65535) * 2654435761) % 4294967296) % 100 AS bucket
+        |  FROM surv
+        |)
+        |SELECT lang,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "bpe_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
