@@ -125,6 +125,27 @@ object RelationalQueries {
         .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
     },
 
+    /** Declarative data-quality gate (the pre-commit check a production
+      * ingest runs): four row rules in ONE aggregate pass, a counts-only
+      * uniqueness check, and a keys-only referential-integrity anti-join
+      * — (check_name, n_bad, ok) per constraint, every count exact.
+      */
+    "quality_checks" -> { (s, dir) =>
+      import graft.operators.Checks
+      val li = table(s, dir, "lineitem")
+      val ord = table(s, dir, "orders")
+      Checks.report(
+        Checks.rowChecks(li, Seq(
+          Checks.RowRule("l_quantity_positive", col("l_quantity") > 0),
+          Checks.RowRule("l_shipdate_nonnull", col("l_shipdate").isNotNull),
+          Checks.RowRule("l_discount_range",
+            col("l_discount") >= 0.0 && col("l_discount") <= 1.0),
+          Checks.RowRule("l_price_nonnegative", col("l_extendedprice") >= 0.0))),
+        Checks.uniqueCheck(ord, Seq("o_orderkey"), "o_orderkey_unique"),
+        Checks.referenceCheck(li, Seq("l_orderkey"), ord, Seq("o_orderkey"),
+          "lineitem_orders_fk"))
+    },
+
     /** Batch gap-based sessionization (one-day inactivity gap): every
       * event gets a per-user session ordinal, sessions collapse to
       * all-integer summaries — microsecond timestamps, so the DuckDB
@@ -373,6 +394,37 @@ object RelationalQueries {
     "topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "quality_checks" ->
+      """SELECT 'l_quantity_positive' AS check_name,
+        |       CAST(COUNT(*) FILTER (WHERE (l_quantity > 0) IS NOT TRUE) AS BIGINT) AS n_bad,
+        |       COUNT(*) FILTER (WHERE (l_quantity > 0) IS NOT TRUE) = 0 AS ok
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate_nonnull',
+        |       CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT),
+        |       COUNT(*) FILTER (WHERE l_shipdate IS NULL) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount_range',
+        |       CAST(COUNT(*) FILTER (WHERE (l_discount BETWEEN 0.0 AND 1.0) IS NOT TRUE) AS BIGINT),
+        |       COUNT(*) FILTER (WHERE (l_discount BETWEEN 0.0 AND 1.0) IS NOT TRUE) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_price_nonnegative',
+        |       CAST(COUNT(*) FILTER (WHERE (l_extendedprice >= 0.0) IS NOT TRUE) AS BIGINT),
+        |       COUNT(*) FILTER (WHERE (l_extendedprice >= 0.0) IS NOT TRUE) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'o_orderkey_unique',
+        |       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |       COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) = 0
+        |FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk',
+        |       CAST(COUNT(*) AS BIGINT),
+        |       COUNT(*) = 0
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
