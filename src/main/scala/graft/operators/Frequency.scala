@@ -25,7 +25,13 @@ object Frequency {
   /** Terms occurring at least `1/k` of all term occurrences: exact
     * (term, cnt, total) rows. Two passes over the exploded term column:
     * the Misra-Gries nomination pass (also counts N per partition) and
-    * the recount pass filtered to candidates map-side.
+    * the recount pass filtered to candidates map-side. Partition
+    * summaries combine through the MERGEABLE-summary reduction (Agarwal
+    * et al., Mergeable Summaries, PODS'12): keywise sum, then subtract
+    * the (c+1)-largest count and drop non-positives — so the driver
+    * receives ONE summary of ≤ 2k terms no matter how many partitions
+    * the corpus has, and the merged error stays ≤ N/(2k+1) < N/k,
+    * preserving completeness.
     */
   def heavyHitters(df: DataFrame, term: Column, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
@@ -33,8 +39,17 @@ object Frequency {
     import sp.implicits._
     val terms = df.select(term.cast("string").as("_t")).as[String]
     val capacity = 2 * k
-    // pass 1: per-partition Misra-Gries summaries + per-partition sizes
-    val summaries: Array[(Seq[String], Long)] = terms.rdd.mapPartitions { it =>
+    def shrink(m: scala.collection.mutable.HashMap[String, Long]): Unit =
+      if (m.size > capacity) {
+        // subtract the (capacity+1)-largest count; ≥ capacity survivors
+        // would each need count > that bound — impossible, so ≤ capacity
+        val bound = m.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+        val dead = m.collect { case (key, c) if c - bound <= 0L => key }.toList
+        m.mapValuesInPlace((_, c) => c - bound)
+        dead.foreach(m.remove)
+      }
+    // pass 1: per-partition Misra-Gries summaries, tree-merged to ONE
+    val (summary, total) = terms.rdd.mapPartitions { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       var n = 0L
       it.foreach { t =>
@@ -53,10 +68,19 @@ object Frequency {
             }
         }
       }
-      Iterator.single((counts.keys.toSeq, n))
-    }.collect()
-    val total = summaries.map(_._2).sum
-    val candidates = summaries.flatMap(_._1).distinct.toSeq
+      Iterator.single((counts, n))
+    }.treeAggregate((scala.collection.mutable.HashMap.empty[String, Long], 0L))(
+      seqOp = { case ((a, na), (b, nb)) =>
+        b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+        shrink(a)
+        (a, na + nb)
+      },
+      combOp = { case ((a, na), (b, nb)) =>
+        b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+        shrink(a)
+        (a, na + nb)
+      })
+    val candidates = summary.keys.toSeq
     // pass 2: exact recount of candidates only — the candidate set
     // (bounded by partitions × 2k) broadcasts into a semi-join probed
     // map-side, so non-candidate terms never reach the exchange

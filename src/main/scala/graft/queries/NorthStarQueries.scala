@@ -617,7 +617,12 @@ object NorthStarQueries {
                 sampled += 1
               } else {
                 var toSkip = len
-                while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+                while (toSkip > 0) {
+                  val s = in.skipBytes(toSkip)
+                  if (s <= 0) throw new java.io.EOFException(
+                    s"doc $id: truncated container (frame $i, $toSkip bytes short)")
+                  toSkip -= s
+                }
               }
               i += 1
             }
