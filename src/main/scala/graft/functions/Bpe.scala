@@ -24,12 +24,19 @@ object Bpe {
   /** Learned merge table: rank-ordered symbol pairs. */
   final case class Merge(rank: Int, left: String, right: String)
 
-  /** Per-word symbol split under a merge list, memoized per partition. */
+  /** Per-word symbol split under a merge list, memoized per partition.
+    * The memo is bounded (an access-ordered LRU of 64k words): corpora
+    * follow Zipf, so the hot words hit while a pathological partition of
+    * all-distinct words cannot grow the map without bound.
+    */
   private final class Encoder(merges: Seq[Merge]) extends Serializable {
     private val rank: Map[(String, String), Int] =
       merges.map(m => (m.left, m.right) -> m.rank).toMap
     @transient private lazy val memo =
-      new java.util.HashMap[String, Array[String]]()
+      new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 65536
+      }
 
     def encode(word: String): Array[String] = {
       val hit = memo.get(word)
