@@ -89,6 +89,64 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
     },
 
+    /** Avro round-trip through the arbitrary-InputFormat path: orders
+      * written as Avro container files (AvroKeyOutputFormat, schema via
+      * job conf), read back with [[graft.sources.Sources.hadoop]] +
+      * AvroKeyInputFormat and the reader schema as per-source extra
+      * configuration — the reference's Direct I/O per-source conf shape.
+      * GenericRecords are copied field-by-field inside the scan task
+      * (Avro readers reuse the datum instance). The oracle aggregates
+      * the source table: equality proves the Avro boundary preserved
+      * every record and type (long / string / double).
+      */
+    "avro_roundtrip" -> { (s, dir) =>
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericRecord}
+      import org.apache.avro.mapred.AvroKey
+      import org.apache.hadoop.io.NullWritable
+      val schemaJson =
+        """{"type":"record","name":"Order","fields":[
+          |{"name":"o_orderkey","type":"long"},
+          |{"name":"o_orderstatus","type":"string"},
+          |{"name":"o_totalprice","type":"double"}]}""".stripMargin
+      val out = s"${sys.props("java.io.tmpdir")}/graft_avro_${s.sparkContext.applicationId}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(s.sparkContext.hadoopConfiguration)
+      org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job,
+        new Schema.Parser().parse(schemaJson))
+      table(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice").rdd
+        .mapPartitions { it =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          it.map { r =>
+            val rec = new GenericData.Record(schema)
+            rec.put("o_orderkey", r.getLong(0))
+            rec.put("o_orderstatus", r.getString(1))
+            rec.put("o_totalprice", r.getDouble(2))
+            (new AvroKey[GenericRecord](rec), NullWritable.get())
+          }
+        }
+        .saveAsNewAPIHadoopFile(out,
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[GenericRecord]],
+          job.getConfiguration)
+      graft.sources.Sources.hadoop(s, out,
+        classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType))),
+        conf = Map("avro.schema.input.key" -> schemaJson))(
+        (k, _) => org.apache.spark.sql.Row(
+          k.datum().get("o_orderkey").asInstanceOf[Long],
+          k.datum().get("o_orderstatus").toString,
+          k.datum().get("o_totalprice").asInstanceOf[Double]))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+
     /** Copy-on-write upsert table ([[graft.sinks.Upsert]]): orders loaded
       * into hash-bucket generations, then two CDC batches applied — each
       * rewriting only its dirty buckets — and read back after a vacuum.
@@ -281,6 +339,10 @@ object PipelineQueries {
         |FROM orders GROUP BY 1""".stripMargin,
     "hadoop_input" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1""".stripMargin,
+    "avro_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
     "zonemap_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
