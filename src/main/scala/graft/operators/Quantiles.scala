@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group quantile thresholds WITHOUT a row-level sort: the scale
+  * path for "drop the worst q-fraction per group" when one group
+  * dominates the corpus (the exact-rank window in `quality_filter_pct`
+  * sorts every row of the dominant group in one partition's window —
+  * correct, but the sort is the bottleneck at 100 TB).
+  *
+  * Two passes, counts only: (group, value) frequencies partial-aggregate
+  * map-side — the exchange carries one row per DISTINCT value per group,
+  * not one per row — then a window over that (small) frequency frame
+  * finds each group's threshold, and the thresholds broadcast back into
+  * a map-side filter join. Value-level semantics: the threshold is the
+  * smallest value whose cumulative frequency reaches `q`, and EVERY row
+  * at or above it survives (ties share a fate — there is no doc-id rank
+  * inside equal values, which is what makes the filter expressible
+  * without sorting rows).
+  */
+object Quantiles {
+
+  /** One row per group: the smallest `value` v with
+    * |rows ≤ v| ≥ q · |group|. `q` is a ratio given as (num, den) so the
+    * comparison stays in exact integer arithmetic (cumCount · den ≥
+    * n · num) — no float quantile boundary ambiguity between engines.
+    */
+  def valueThresholds(df: DataFrame, group: String, value: Column,
+      qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen, s"q must be in (0,1]: $qNum/$qDen")
+    val counts = df.groupBy(col(group), value.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(group)).orderBy(col("_v"))
+    val cum = counts
+      .withColumn("_cle", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col(group))))
+    cum.filter(col("_cle") * qDen >= col("_n") * qNum)
+      .groupBy(col(group)).agg(min(col("_v")).as("_threshold"))
+  }
+
+  /** Rows whose `value` is at least their group's q-quantile threshold
+    * — the "keep everything above the worst q-fraction" filter. The
+    * threshold frame is group-cardinality-sized, so Spark broadcasts it
+    * and the filter runs map-side on the corpus scan.
+    */
+  def filterAtLeast(df: DataFrame, group: String, value: Column,
+      qNum: Int, qDen: Int): DataFrame = {
+    val thr = valueThresholds(df, group, value, qNum, qDen)
+    df.withColumn("_v", value)
+      .join(broadcast(thr), Seq(group))
+      .filter(col("_v") >= col("_threshold"))
+      .drop("_v", "_threshold")
+  }
+}

@@ -240,6 +240,22 @@ object CurationQueries {
         .drop("avg_logp")
     },
 
+    /** Value-level per-language quantile filter — the scale-path twin of
+      * `quality_filter_pct` (which pins the exact row-rank contract via a
+      * per-language sort window): counts-only threshold discovery, then a
+      * broadcast map-side filter. Integer-ratio quantile arithmetic makes
+      * the survivor SET engine-exact. At 100 TB the exchange carries one
+      * row per distinct (lang, token-count), never one per document.
+      */
+    "quality_filter_threshold" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Quantiles.filterAtLeast(docs, "lang", col("n_tokens"),
+          qNum = 1, qDen = 4)
+        .select(col("lang"), col("doc_id"))
+    },
+
     /** BPE tokenizer training + application: 50 merges trained from the
       * corpus word counts (distributed count pass; bounded driver merge
       * loop — the production trainer shape), applied corpus-wide with no
@@ -365,6 +381,22 @@ object CurationQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "quality_filter_threshold" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split(text, ' '), x -> x != '')) AS v
+        |  FROM documents
+        |),
+        |counts AS (SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         SUM(c) OVER (PARTITION BY lang ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS cle,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM counts
+        |),
+        |thr AS (SELECT lang, MIN(v) AS t FROM cum WHERE cle * 4 >= n * 1 GROUP BY 1)
+        |SELECT lang, doc_id FROM tc JOIN thr USING (lang) WHERE v >= t""".stripMargin,
     "bpe_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
