@@ -207,6 +207,39 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case e: ShuffleExchangeExec => e }.size === 1, plan.toString)
   }
 
+  test("quantile threshold filter: window sorts counts, never corpus rows") {
+    val docs = GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val q = graft.operators.Quantiles.filterAtLeast(docs, "lang", col("n_chars"), 1, 4)
+    val plan = executed(q)
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // every window input must already be the (group, value, count)
+    // aggregate — a window whose child carries doc_id is sorting the
+    // corpus, the exact plan this operator exists to avoid
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.map(_.name).contains("doc_id"),
+        s"window over corpus rows: ${w.child.output.map(_.name)}")
+    }
+    // thresholds reach the corpus through a broadcast join
+    assert(collect(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty, plan.toString)
+  }
+
+  test("heavy hitters: candidate recount probes a broadcast, corpus never shuffles rows") {
+    val df = GraftSession.table(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val q = graft.operators.Frequency.heavyHitters(df, col("t"), k = 100)
+    val plan = executed(q)
+    // the semi-join against the bounded candidate set must be broadcast
+    // (map-side probe); a shuffled semi-join would move the full term
+    // distribution — the cost the sketch pass exists to avoid
+    val bjoins = collect(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bjoins.exists(_.joinType.sql == "LEFT SEMI"), plan.toString)
+    assert(collect(plan) { case s: SortMergeJoinExec => s }.isEmpty, plan.toString)
+  }
+
   test("groupBy partial-aggregates map-side before the exchange") {
     val q = GraftSession.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
