@@ -147,6 +147,33 @@ object PipelineQueries {
           max(col("o_totalprice")).as("max_price"))
     },
 
+    /** ORC round-trip through the transactional direct sink: the 3-phase
+      * commit is format-agnostic (Spec.format), so the same setup →
+      * prepare → commit path that writes parquet writes ORC; read back as
+      * a direct input, aggregate. The oracle aggregates the source table
+      * — equality proves the ORC boundary preserved every record and
+      * type (long / string / double).
+      */
+    "orc_roundtrip" -> { (s, dir) =>
+      // per-process dir, same reasoning as direct_io_roundtrip
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orc_${s.sparkContext.applicationId}"
+      val conf = s.sparkContext.hadoopConfiguration
+      DirectOutput.setup(conf, Seq(out))
+      DirectOutput.recover(conf, s"$out/_tx", Seq(out))
+      DirectOutput.write(
+        txId = "verify-orc",
+        markerDir = s"$out/_tx",
+        specs = Seq(DirectOutput.Spec(
+          table(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(4),
+          out, format = "orc")))
+      graft.sources.Sources.direct(s, "orc", out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+
     /** Copy-on-write upsert table ([[graft.sinks.Upsert]]): orders loaded
       * into hash-bucket generations, then two CDC batches applied — each
       * rewriting only its dirty buckets — and read back after a vacuum.
@@ -341,6 +368,10 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
         |FROM orders GROUP BY 1""".stripMargin,
     "avro_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "orc_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,

@@ -159,6 +159,23 @@ object RelationalQueries {
         tieBreak = Seq("event_id"), eventType = Some("event_type"))
     },
 
+    /** Fixed-interval resampling with gap fill ([[graft.operators
+      * .Resample.resampleFill]]): 6-hour buckets per user over the
+      * 30-day event stream densified to one row per bucket — silent
+      * buckets appear with n_events = 0 and the last observed max
+      * carried forward. The raw stream crosses one exchange; the grid
+      * generation and fill run over the bucketed frame.
+      */
+    "resample_fill" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      graft.operators.Resample.resampleFill(ev, keys = Seq("user_id"),
+          tsUs = col("us"), intervalUs = 21600000000L,
+          aggs = Seq(count(lit(1)).as("n_events"), max(col("value")).as("v_fill")),
+          fillCols = Seq("v_fill"), gapDefaults = Map("n_events" -> lit(0L)))
+        .select(col("user_id"), col("bucket_us"), col("n_events"), col("v_fill"))
+    },
+
     /** As-of join: each purchase matched to the user's latest prior view
       * (single shuffle + window carry-forward, no range-join explosion).
       * DuckDB has native ASOF JOIN — exact oracle.
@@ -337,6 +354,58 @@ object RelationalQueries {
         .unionByName(old.filter(col("o_orderkey") % 100 === 1)
           .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
       graft.operators.Merge.snapshotDiff(old, next, Seq("o_orderkey"))
+    },
+
+    /** Incremental sum/count maintenance ([[graft.operators.Maintain
+      * .refreshAdditive]]): a per-part quantity aggregate built over the
+      * pre-1998 slice is refreshed from a signed changeset — inserts for
+      * the post-1998 rows, retractions for returned pre-1998 rows — with
+      * NO rescan of the base. The oracle aggregates the final base
+      * directly: equality proves delta maintenance lands exactly on the
+      * recompute. Quantities cast to decimal — float sums are not
+      * incrementally maintainable (see the operator doc).
+      */
+    "agg_refresh" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+        col("l_shipdate"), col("l_returnflag"))
+      val cutoff = lit("1998-01-01").cast(TimestampType)
+      val old = li.filter(col("l_shipdate") < cutoff)
+      val aggTable = old.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
+      val delta = old.filter(col("l_returnflag") === "R").withColumn("_op", lit("D"))
+        .unionByName(li.filter(col("l_shipdate") >= cutoff).withColumn("_op", lit("I")))
+        .select(col("l_partkey"), col("qty"), col("_op"))
+      graft.operators.Maintain.refreshAdditive(aggTable, delta, Seq("l_partkey"),
+          sums = Seq("sum_qty" -> col("qty")), countCol = "n")
+        .select(col("l_partkey"),
+          // exact decimal maintenance, DOUBLE only for canonical rendering
+          // (multiples of 0.01 far below 2^53 — the cast is lossless)
+          col("sum_qty").cast(DecimalType(18, 2)).cast(DoubleType).as("sum_qty"),
+          col("n"))
+    },
+
+    /** Non-invertible aggregate maintenance ([[graft.operators.Maintain
+      * .refreshGroups]]): a stale per-part min/max/count over the
+      * pre-change snapshot is refreshed by re-aggregating ONLY the groups
+      * a small changeset touched (early returned rows retracted, a late
+      * month inserted — ~60 % of parts stay untouched and keep their
+      * stale rows). The oracle recomputes everything from the final
+      * base: equality proves partial re-aggregation equals the full one.
+      */
+    "agg_refresh_rescan" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val delD = col("l_returnflag") === "R" &&
+        col("l_shipdate") < lit("1995-02-01").cast(TimestampType)
+      val insI = col("l_shipdate") >= lit("2001-10-01").cast(TimestampType)
+      val aggs = Seq(min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"), count(lit(1)).as("n"))
+      val stale = li.filter(!insI).groupBy(col("l_partkey"))
+        .agg(aggs.head, aggs.tail: _*)
+      graft.operators.Maintain.refreshGroups(
+        base = li.filter(!delD), agg = stale,
+        touched = li.filter(delD || insI).select("l_partkey"),
+        groups = Seq("l_partkey"), aggs = aggs)
     },
 
     /** Single-pass column profiling ([[graft.operators.Profile.profile]]):
@@ -541,6 +610,39 @@ object RelationalQueries {
         |       CASE WHEN w._op IS NOT NULL THEN w.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
         |FROM orders b FULL JOIN winner w ON b.o_orderkey = w.o_orderkey
         |WHERE w._op IS NULL OR w._op != 'D'""".stripMargin,
+    "agg_refresh" ->
+      """SELECT l_partkey,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE NOT (l_shipdate < TIMESTAMP '1998-01-01' AND l_returnflag = 'R')
+        |GROUP BY l_partkey""".stripMargin,
+    "agg_refresh_rescan" ->
+      """SELECT l_partkey, MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R' AND l_shipdate < TIMESTAMP '1995-02-01')
+        |GROUP BY l_partkey""".stripMargin,
+    "resample_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value FROM events
+        |),
+        |agg AS (
+        |  SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MAX(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |),
+        |span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, COALESCE(a.n_events, 0) AS n_events, a.v
+        |  FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+        |)
+        |SELECT user_id, bucket * 21600000000 AS bucket_us, n_events,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM j""".stripMargin,
     "scd2_history" ->
       """SELECT user_id, event_id,
         |       CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS valid_from,

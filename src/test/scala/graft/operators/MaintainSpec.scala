@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSpec
+
+class MaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base rows (g, v); maintained aggregate = sum(v), count per g
+  private def base = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 10), ("c", 5))
+    .toDF("g", "v").withColumn("v", col("v").cast(DecimalType(10, 2)))
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("g").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+
+  private def resultMap(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("g"), col("s").cast("double"), col("n"))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+  test("refreshAdditive equals recompute: inserts, retractions, new and vanished groups") {
+    val delta = Seq(
+      ("a", 2, "D"),   // retract one 'a' row
+      ("b", 10, "D"),  // 'b' vanishes entirely
+      ("c", 7, "I"),   // grow 'c'
+      ("d", 4, "I"), ("d", 6, "I")) // brand-new group
+      .toDF("g", "v", "_op").withColumn("v", col("v").cast(DecimalType(10, 2)))
+    val refreshed = Maintain.refreshAdditive(aggOf(base), delta, Seq("g"),
+      sums = Seq("s" -> col("v")), countCol = "n")
+    val expected = aggOf(Seq(("a", 1), ("a", 3), ("c", 5), ("c", 7), ("d", 4), ("d", 6))
+      .toDF("g", "v").withColumn("v", col("v").cast(DecimalType(10, 2))))
+    assert(resultMap(refreshed) === resultMap(expected))
+  }
+
+  test("refreshAdditive: empty delta is identity") {
+    val delta = Seq.empty[(String, Int, String)].toDF("g", "v", "_op")
+      .withColumn("v", col("v").cast(DecimalType(10, 2)))
+    val refreshed = Maintain.refreshAdditive(aggOf(base), delta, Seq("g"),
+      sums = Seq("s" -> col("v")), countCol = "n")
+    assert(resultMap(refreshed) === resultMap(aggOf(base)))
+  }
+
+  test("refreshAdditive fails the job on an invalid op") {
+    val delta = Seq(("a", 1, "X")).toDF("g", "v", "_op")
+      .withColumn("v", col("v").cast(DecimalType(10, 2)))
+    val e = intercept[Exception] {
+      Maintain.refreshAdditive(aggOf(base), delta, Seq("g"),
+        sums = Seq("s" -> col("v")), countCol = "n").collect()
+    }
+    assert(e.getMessage.contains("invalid _op") || e.getCause != null)
+  }
+
+  test("refreshAdditive fails the job when a count would go negative") {
+    val delta = Seq(("b", 10, "D"), ("b", 10, "D")).toDF("g", "v", "_op")
+      .withColumn("v", col("v").cast(DecimalType(10, 2)))
+    val e = intercept[Exception] {
+      Maintain.refreshAdditive(aggOf(base), delta, Seq("g"),
+        sums = Seq("s" -> col("v")), countCol = "n").collect()
+    }
+    assert(e.getMessage.contains("count below zero") || e.getCause != null)
+  }
+
+  test("refreshGroups: touched groups recomputed, untouched keep stale rows, both match recompute") {
+    def mm(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+    val oldBase = Seq(("a", 1), ("a", 9), ("b", 5), ("c", 3)).toDF("g", "v")
+    // change: drop (a,9), add (c,8) and new group (d,2)
+    val newBase = Seq(("a", 1), ("b", 5), ("c", 3), ("c", 8), ("d", 2)).toDF("g", "v")
+    val touched = Seq("a", "c", "d").toDF("g")
+    val refreshed = Maintain.refreshGroups(newBase, mm(oldBase), touched, Seq("g"),
+      aggs = Seq(min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n")))
+    val got = refreshed.as[(String, Int, Int, Long)].collect().sortBy(_._1)
+    val want = mm(newBase).as[(String, Int, Int, Long)].collect().sortBy(_._1)
+    assert(got === want)
+  }
+
+  test("refreshGroups: a fully-deleted touched group disappears") {
+    def mm(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(max(col("v")).as("hi"), count(lit(1)).as("n"))
+    val oldBase = Seq(("a", 1), ("b", 5)).toDF("g", "v")
+    val newBase = Seq(("a", 1)).toDF("g", "v")
+    val refreshed = Maintain.refreshGroups(newBase, mm(oldBase),
+      Seq("b").toDF("g"), Seq("g"),
+      aggs = Seq(max(col("v")).as("hi"), count(lit(1)).as("n")))
+    assert(refreshed.select("g").as[String].collect().toSeq === Seq("a"))
+  }
+}

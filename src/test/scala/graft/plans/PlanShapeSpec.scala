@@ -240,6 +240,40 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case s: SortMergeJoinExec => s }.isEmpty, plan.toString)
   }
 
+  test("refreshAdditive: changeset partial-aggregates before one full-outer join, no window") {
+    val li = GraftSession.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("decimal(12,2)").as("qty"))
+    val agg = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("s"), count(lit(1)).as("n"))
+    val delta = li.limit(100).withColumn("_op", lit("I"))
+    val plan = executed(graft.operators.Maintain.refreshAdditive(
+      agg, delta, Seq("l_partkey"), sums = Seq("s" -> col("qty")), countCol = "n"))
+    // the delta exchange must carry one partial-aggregated row per touched
+    // group, not one row per change: a partial HashAggregate sits below
+    // every shuffle on the delta branch
+    val smj = collect(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.exists(_.joinType.sql == "FULL OUTER"), plan.toString)
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+  }
+
+  test("refreshGroups: base probed by broadcast semi-join, stale agg by broadcast anti-join") {
+    val li = GraftSession.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"))
+    val agg = li.groupBy(col("l_partkey"))
+      .agg(max(col("l_quantity")).as("hi"), count(lit(1)).as("n"))
+    val touched = li.limit(50).select("l_partkey")
+    val plan = executed(graft.operators.Maintain.refreshGroups(
+      li, agg, touched, Seq("l_partkey"),
+      aggs = Seq(max(col("l_quantity")).as("hi"), count(lit(1)).as("n"))))
+    // neither big side may shuffle for its probe: both joins broadcast
+    val bjoins = collect(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bjoins.exists(_.joinType.sql == "LEFT SEMI"), plan.toString)
+    assert(bjoins.exists(_.joinType.sql == "LEFT ANTI"), plan.toString)
+    assert(collect(plan) { case s: SortMergeJoinExec => s }.isEmpty, plan.toString)
+  }
+
   test("groupBy partial-aggregates map-side before the exchange") {
     val q = GraftSession.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
