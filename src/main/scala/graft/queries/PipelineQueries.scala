@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.GraftSession.table
 import graft.iterative.Rounds
-import graft.sinks.{DirectOutput, ZoneMap}
+import graft.sinks.{DirectOutput, ZoneMap, ZOrder}
 import graft.streaming.StreamOps
 
 /** Lifecycle coverage: transactional direct output + re-input, iterative
@@ -60,6 +60,25 @@ object PipelineQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
           min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"))
+    },
+
+    /** Z-order multi-column data skipping ([[graft.sinks.ZOrder]]):
+      * lineitem clustered on the interleaved bits of (l_orderkey,
+      * l_partkey) into 16 files, then a conjunctive range aggregate
+      * answered through the pruned read — BOTH dimensions prune, which
+      * no single-column sort can give (ZOrderSpec pins the pruning).
+      * The oracle runs the same range aggregate on the source table —
+      * equality proves pruning never changes the answer.
+      */
+    "zorder_prune" -> { (s, dir) =>
+      // per-process dir, same reasoning as direct_io_roundtrip
+      val out = s"${sys.props("java.io.tmpdir")}/graft_zorder_${s.sparkContext.applicationId}"
+      ZOrder.write(table(s, dir, "lineitem"), out,
+        Seq("l_orderkey", "l_partkey"), numFiles = 16)
+      ZOrder.read(s, out, Seq(("l_orderkey", 1000L, 3000L), ("l_partkey", 0L, 500L)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"), max(col("l_partkey")).as("max_part"))
     },
 
     /** Arbitrary-InputFormat direct input (the reference's Hadoop
@@ -375,6 +394,12 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "zorder_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+        |       MIN(l_orderkey) AS min_key, MAX(l_partkey) AS max_part
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_partkey BETWEEN 0 AND 500
+        |GROUP BY 1""".stripMargin,
     "zonemap_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
         |       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key

@@ -272,6 +272,26 @@ object RelationalQueries {
           percentile(col("l_quantity").cast(DoubleType), lit(0.75)).as("p75"))
     },
 
+    /** Scale-path percentile: `percentile_approx` keeps a bounded,
+      * map-side-mergeable Greenwald–Khanna sketch per group where the
+      * exact aggregate buffers every value — at 100 TB a hot group's
+      * exact buffer is an OOM, the sketch is a few KB. Verified like
+      * `approx_distinct`: the hash-compared columns are exact (the p50
+      * the oracle recomputes), and the sketch result is asserted into an
+      * exact-quantile envelope (rank ±2 % ≫ the sketch's 1/accuracy
+      * bound) reported as a boolean the oracle expects TRUE.
+      */
+    "approx_percentile" -> { (s, dir) =>
+      val v = col("l_quantity").cast(DoubleType)
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(v, lit(0.5)).as("p50"),
+          percentile_approx(v, lit(0.5), lit(10000))
+            .between(percentile(v, lit(0.48)), percentile(v, lit(0.52)))
+            .as("approx_ok"))
+    },
+
     /** Interval join via [[graft.operators.RangeJoin]]: views of the same
       * user in the hour before each purchase, counted per purchase. The
       * bucketed rewrite keeps it a single equi-join shuffle (no per-key
@@ -534,6 +554,11 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+    "approx_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+        |       TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "percentile" ->
       """SELECT l_returnflag,
         |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
