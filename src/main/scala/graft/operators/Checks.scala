@@ -62,4 +62,32 @@ object Checks {
   /** Combine reports (each one row per constraint) into one frame. */
   def report(parts: DataFrame*): DataFrame =
     parts.reduce(_ unionByName _)
+
+  /** Order-independent table checksum over integral columns: per row a
+    * modular polynomial over `cols` (coefficients 1000003^i mod p,
+    * p = 2^31 − 1), summed in DECIMAL(38,0) so the total never
+    * overflows at any row count. Two tables with equal (fingerprint, n)
+    * on the same columns are equal on them with collision probability
+    * ~2⁻³¹ per differing row pair — the cheap cross-stage / cross-
+    * replica integrity check (one partial-aggregated pass, two numbers
+    * to the driver, no sort, no shuffle of anything but partials).
+    * Engine-portable by construction: plain integer arithmetic, so any
+    * SQL engine reproduces it — unlike built-in hash functions, which
+    * differ per engine. Columns must be integral and non-null (nulls
+    * fail the job by name rather than silently fingerprinting as zero).
+    */
+  def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint: no columns")
+    val p = 2147483647L // 2^31 - 1
+    val rowHash = cols.zipWithIndex.map { case (c, i) =>
+      val coef = Iterator.iterate(1L)(x => x * 1000003L % p).drop(i).next()
+      val checked = when(col(c).isNull, raise_error(
+        lit(s"fingerprint: null in column '$c'")).cast("long"))
+        .otherwise(col(c).cast("long"))
+      pmod(checked, lit(p)) * coef % p
+    }.reduce((a, b) => (a + b) % p)
+    df.agg(
+      sum(rowHash.cast("decimal(38,0)")).as("fingerprint"),
+      count(lit(1)).as("n"))
+  }
 }

@@ -62,6 +62,27 @@ object PipelineQueries {
           min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"))
     },
 
+    /** Transactional small-file compaction ([[graft.sinks.Compact]]):
+      * orders decayed into 24 KB-sized files, compacted back to one
+      * target-sized file — large files never rewritten, swap crash-safe
+      * (roll-forward/rollback pinned by CompactSpec). The oracle
+      * aggregates the source table: equality proves compaction preserved
+      * every row.
+      */
+    "compact_files" -> { (s, dir) =>
+      // per-process dir, same reasoning as direct_io_roundtrip
+      val out = s"${sys.props("java.io.tmpdir")}/graft_compact_${s.sparkContext.applicationId}"
+      table(s, dir, "orders").repartition(24)
+        .write.mode("overwrite").parquet(out)
+      val stats = graft.sinks.Compact.compact(s, out,
+        targetBytes = 1L << 30, smallBytes = 1L << 30)
+      assert(stats.compacted == 24 && stats.written >= 1)
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+
     /** Z-order multi-column data skipping ([[graft.sinks.ZOrder]]):
       * lineitem clustered on the interleaved bits of (l_orderkey,
       * l_partkey) into 16 files, then a conjunctive range aggregate
@@ -391,6 +412,10 @@ object PipelineQueries {
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
     "orc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "compact_files" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,

@@ -146,6 +146,21 @@ object RelationalQueries {
           "lineitem_orders_fk"))
     },
 
+    /** Order-independent table checksum ([[graft.operators.Checks
+      * .fingerprint]]): one partial-aggregated pass reduces the whole
+      * table to (fingerprint, n) — the cheap "did this copy/stage/
+      * replica preserve the data" check. Modular integer arithmetic
+      * only, so the DuckDB oracle reproduces it digit-for-digit (engine
+      * hash builtins never agree across engines).
+      */
+    "table_fingerprint" -> { (s, dir) =>
+      graft.operators.Checks.fingerprint(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_partkey"))
+        // BIGINT for canonical rendering (exact up to ~4e9 rows; the
+        // operator's DECIMAL(38,0) is the no-overflow form)
+        .select(col("fingerprint").cast(LongType).as("fingerprint"), col("n"))
+    },
+
     /** Batch gap-based sessionization (one-day inactivity gap): every
       * event gets a per-user session ordinal, sessions collapse to
       * all-integer summaries — microsecond timestamps, so the DuckDB
@@ -514,6 +529,13 @@ object RelationalQueries {
         |       COUNT(*) = 0
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderkey IS NULL""".stripMargin,
+    "table_fingerprint" ->
+      """SELECT CAST(SUM((((l_orderkey % 2147483647) * 1 % 2147483647
+        |          + (l_linenumber % 2147483647) * 1000003 % 2147483647) % 2147483647
+        |          + (l_partkey % 2147483647) * 1426104154 % 2147483647) % 2147483647)
+        |         AS BIGINT) AS fingerprint,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events

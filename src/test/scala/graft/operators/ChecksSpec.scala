@@ -40,4 +40,19 @@ class ChecksSpec extends SparkSpec {
     assert(rep.filter(!col("ok")).count() === 0L)
     assert(rep.count() === 3L)
   }
+
+  test("fingerprint: order-independent, change-sensitive, null-hostile") {
+    def fp(rows: Seq[(Long, Long)]) =
+      Checks.fingerprint(rows.toDF("a", "b"), Seq("a", "b"))
+        .as[(java.math.BigDecimal, Long)].collect().head
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+    assert(fp(base) === fp(base.reverse))             // order-independent
+    assert(fp(base) !== fp(Seq((1L, 10L), (2L, 20L), (3L, 31L)))) // 1-value change
+    assert(fp(base)._2 === 3L)
+    val e = intercept[Exception] {
+      Checks.fingerprint(
+        Seq((Some(1L), 1L), (None, 2L)).toDF("a", "b"), Seq("a", "b")).collect()
+    }
+    assert(e.getMessage.contains("null in column") || e.getCause != null)
+  }
 }
