@@ -62,6 +62,26 @@ object PipelineQueries {
           min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"))
     },
 
+    /** Per-file Bloom point-lookup index ([[graft.sinks.BloomIndex]]):
+      * lineitem HASH-clustered by order key (every file spans the full
+      * key range — zone maps admit all 16 files), then one order's lines
+      * fetched through the bloom-pruned read (~1 admitted file;
+      * BloomIndexSpec pins the pruning and the fail-open contract for
+      * unindexed files). The oracle runs the same point filter on the
+      * source table — pruning never changes the answer.
+      */
+    "bloom_lookup" -> { (s, dir) =>
+      // per-process dir, same reasoning as direct_io_roundtrip
+      val out = s"${sys.props("java.io.tmpdir")}/graft_bloomidx_${s.sparkContext.applicationId}"
+      table(s, dir, "lineitem").repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      graft.sinks.BloomIndex.build(s, out, "l_orderkey",
+        expectedItemsPerFile = 8192)
+      graft.sinks.BloomIndex.read(s, out, "l_orderkey", 1994L)
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_partkey")).as("min_part"), max(col("l_suppkey")).as("max_supp"))
+    },
+
     /** Transactional small-file compaction ([[graft.sinks.Compact]]):
       * orders decayed into 24 KB-sized files, compacted back to one
       * target-sized file — large files never rewritten, swap crash-safe
@@ -415,6 +435,10 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "bloom_lookup" ->
+      """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+        |       MIN(l_partkey) AS min_part, MAX(l_suppkey) AS max_supp
+        |FROM lineitem WHERE l_orderkey = 1994""".stripMargin,
     "compact_files" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
