@@ -383,6 +383,23 @@ object PipelineQueries {
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
     },
 
+    /** Streaming resample + gap fill ([[StreamOps.resampleStream]]):
+      * the batch `resample_fill` series produced incrementally with
+      * event-time timers — silent buckets emit on watermark passage even
+      * when no record triggers them (ResampleParitySpec pins the timer
+      * flush and batch parity). The oracle is the batch dense-grid SQL
+      * restricted to watermark-final buckets (end ≤ max event time).
+      */
+    "stream_resample" -> { (s, dir) =>
+      val raw = StreamOps.parquetStream(s, s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val out = StreamOps.resampleStream(raw, keyCol = "user_id",
+        tsCol = "ts", valueCol = "value", intervalUs = 21600000000L)
+      StreamOps.drainToBatch(out.toDF(), outputMode = "append", statePartitions = 8)
+        .select(col("key").as("user_id"), col("bucket_us"),
+          col("n_events"), col("v_fill"))
+    },
+
     /** Stream-stream interval join: clicks joined to same-user purchases
       * within 30 minutes, both sides watermarked so join state is evicted
       * (bounded memory on unbounded streams). The fixture loads as one
@@ -494,6 +511,28 @@ object PipelineQueries {
         |UNION ALL
         |SELECT COUNT(*) AS n, SUM(l_quantity) AS qty, 'P' AS round_status
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'P'""".stripMargin,
+    "stream_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value FROM events
+        |),
+        |agg AS (
+        |  SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MAX(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |),
+        |span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, COALESCE(a.n_events, 0) AS n_events, a.v
+        |  FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+        |)
+        |SELECT user_id, bucket * 21600000000 AS bucket_us, n_events,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM j
+        |WHERE bucket * 21600000000 + 21600000000 <=
+        |      (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin,
     "stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       COUNT(*) AS n,

@@ -88,6 +88,86 @@ object StreamOps {
       keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** One densified row per (key, interval bucket) of [[graft.operators
+    * .Resample.resampleFill]], streaming: silent buckets emit with
+    * n_events = 0 and the last observed max carried forward, driven by
+    * EVENT-TIME TIMERS — a gap bucket must emit even when no record
+    * arrives to trigger it, which plain windowed aggregation cannot do.
+    * A bucket is final (and emitted, Append mode) once the watermark
+    * passes its end; per key, emission runs from the first occupied
+    * bucket to the last occupied one (matching the batch grid — trailing
+    * silence is unbounded in a stream, so it is not emitted).
+    *
+    * Scale shape: state per key is the carry value plus ONLY the
+    * not-yet-final occupied buckets inside the watermark horizon —
+    * bounded by horizon/interval, independent of stream length; gap
+    * buckets hold no state at all. The same span guard as batch
+    * (`maxBucketsPerKey`) fails a pathological key by name instead of
+    * emitting an unbounded backlog in one invocation.
+    */
+  // the watermarked timestamp column must survive into the stateful
+  // operator's input (the analyzer ties event-time timeout to it), so
+  // the event type carries it alongside the integer microseconds
+  final case class ResampleEvent(key: Long, us: Long, v: Double,
+      ts: java.sql.Timestamp)
+  final case class ResampleState(nextBucket: Long, carry: Double,
+      counts: Map[Long, Long], maxs: Map[Long, Double])
+  final case class ResampleOut(key: Long, bucket_us: Long, n_events: Long,
+      v_fill: Double)
+
+  def resampleStream(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, intervalUs: Long, watermarkDelay: String = "0 seconds",
+      maxBucketsPerKey: Long = 1L << 21): org.apache.spark.sql.Dataset[ResampleOut] = {
+    require(intervalUs > 0, s"resampleStream: intervalUs must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("us"), col(valueCol).cast("double").as("v"),
+        col(tsCol).as("ts"))
+      .as[ResampleEvent]
+    typed.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[ResampleEvent], state: GroupState[ResampleState]) =>
+        val st = state.getOption.getOrElse(
+          ResampleState(Long.MinValue, Double.NaN, Map.empty, Map.empty))
+        var counts = st.counts
+        var maxs = st.maxs
+        rows.foreach { e =>
+          val b = e.us - java.lang.Math.floorMod(e.us, intervalUs)
+          counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+          maxs = maxs.updated(b,
+            math.max(maxs.getOrElse(b, Double.NegativeInfinity), e.v))
+        }
+        var next =
+          if (st.nextBucket != Long.MinValue) st.nextBucket
+          else if (counts.nonEmpty) counts.keys.min
+          else Long.MinValue
+        var carry = st.carry
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val out = Seq.newBuilder[ResampleOut]
+        if (next != Long.MinValue && counts.nonEmpty) {
+          val maxPending = counts.keys.max
+          if ((maxPending - next) / intervalUs >= maxBucketsPerKey)
+            throw new IllegalStateException(
+              s"resampleStream: key $key spans more than $maxBucketsPerKey buckets")
+          while (next <= maxPending && next + intervalUs <= wmUs) {
+            val n = counts.getOrElse(next, 0L)
+            if (n > 0) { carry = maxs(next); counts -= next; maxs -= next }
+            out += ResampleOut(key, next, n, carry)
+            next += intervalUs
+          }
+        }
+        state.update(ResampleState(next, carry, counts, maxs))
+        // a pending bucket needs a timer so its gap predecessors emit
+        // even if no further record ever arrives for this key
+        if (counts.nonEmpty)
+          state.setTimeoutTimestamp((next + intervalUs) / 1000L + 1L)
+        out.result().iterator
+    }
+  }
+
   /** Custom stateful processing: per-key state folded over arriving
     * records, updated state emitted each batch (Update mode). The
     * Spark-native form of "user code with state per key" —
