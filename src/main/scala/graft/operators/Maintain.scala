@@ -104,4 +104,30 @@ object Maintain {
       .agg(aggs.head, aggs.tail: _*)
     agg.join(keys, groups, "left_anti").unionByName(recomputed)
   }
+
+  /** Refresh MERGEABLE sketch aggregates (HLL distinct counts) with an
+    * append-only changeset: the third maintenance class — distinct
+    * counts cannot be retracted like sums ([[refreshAdditive]]) and
+    * need no base rescan like min/max ([[refreshGroups]]), because HLL
+    * sketches UNION. Each `(name, value)` in `sketches` maintains a
+    * stored `hll_sketch_agg` binary column: the changeset is sketched
+    * per group (map-side merged — one sketch per touched group crosses
+    * the exchange) and unioned into the stored sketch. Append-only by
+    * nature: a sketch never forgets, so deletions require a
+    * [[refreshGroups]]-style rebuild of the touched groups instead.
+    * Read estimates with `hll_sketch_estimate`; sketches from different
+    * lgConfigK do not union — keep the build parameters stable.
+    */
+  def refreshMergeable(agg: DataFrame, delta: DataFrame, groups: Seq[String],
+      sketches: Seq[(String, Column)]): DataFrame = {
+    require(sketches.nonEmpty, "refreshMergeable: no sketch columns")
+    val dAgg = delta.groupBy(groups.map(col): _*)
+      .agg(hll_sketch_agg(sketches.head._2).as(s"_d_${sketches.head._1}"),
+        sketches.tail.map { case (n, v) => hll_sketch_agg(v).as(s"_d_$n") }: _*)
+    agg.join(dAgg, groups, "full_outer")
+      .select(groups.map(col) ++ sketches.map { case (n, _) =>
+        val a = col(n); val d = col(s"_d_$n")
+        when(a.isNull, d).when(d.isNull, a).otherwise(hll_union(a, d)).as(n)
+      }: _*)
+  }
 }

@@ -174,6 +174,33 @@ object RelationalQueries {
         tieBreak = Seq("event_id"), eventType = Some("event_type"))
     },
 
+    /** Mergeable-sketch maintenance ([[graft.operators.Maintain
+      * .refreshMergeable]]): per-part distinct-supplier HLL sketches
+      * built over the pre-1998 slice, refreshed by UNIONING the
+      * post-1998 changeset's sketches — no retraction, no rescan, the
+      * third maintenance class. Verified like `approx_distinct`: the
+      * hash-compared count is exact, the sketch estimate is asserted
+      * into a ±10 % envelope the oracle expects TRUE.
+      */
+    "agg_refresh_sketch" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"))
+      val cutoff = lit("1998-01-01").cast(TimestampType)
+      val aggTable = li.filter(col("l_shipdate") < cutoff)
+        .groupBy(col("l_partkey"))
+        .agg(hll_sketch_agg(col("l_suppkey")).as("supp_sketch"))
+      val refreshed = graft.operators.Maintain.refreshMergeable(
+        aggTable, li.filter(col("l_shipdate") >= cutoff), Seq("l_partkey"),
+        sketches = Seq("supp_sketch" -> col("l_suppkey")))
+      li.groupBy(col("l_partkey"))
+        .agg(count_distinct(col("l_suppkey")).as("n_supp"))
+        .join(refreshed, Seq("l_partkey"))
+        .select(col("l_partkey"), col("n_supp"),
+          (abs(hll_sketch_estimate(col("supp_sketch")) - col("n_supp")) <=
+            greatest(lit(1L), (col("n_supp") * 0.1).cast(LongType)))
+            .as("approx_ok"))
+    },
+
     /** Fixed-interval resampling with gap fill ([[graft.operators
       * .Resample.resampleFill]]): 6-hour buckets per user over the
       * 30-day event stream densified to one row per bucket — silent
@@ -664,6 +691,10 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE NOT (l_shipdate < TIMESTAMP '1998-01-01' AND l_returnflag = 'R')
         |GROUP BY l_partkey""".stripMargin,
+    "agg_refresh_sketch" ->
+      """SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |       TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "agg_refresh_rescan" ->
       """SELECT l_partkey, MIN(l_extendedprice) AS min_price,
         |       MAX(l_extendedprice) AS max_price, CAST(COUNT(*) AS BIGINT) AS n

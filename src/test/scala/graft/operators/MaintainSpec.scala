@@ -76,6 +76,18 @@ class MaintainSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("refreshMergeable: unioned sketch estimates equal a from-scratch build") {
+    val oldBase = Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("g", "v")
+    val delta = Seq(("a", 2L), ("a", 3L), ("c", 99L)).toDF("g", "v") // overlap + new group
+    val aggTable = oldBase.groupBy("g").agg(hll_sketch_agg(col("v")).as("sk"))
+    val refreshed = Maintain.refreshMergeable(aggTable, delta, Seq("g"),
+      sketches = Seq("sk" -> col("v")))
+      .select(col("g"), hll_sketch_estimate(col("sk")).as("est"))
+      .as[(String, Long)].collect().toMap
+    // small cardinalities: HLL is exact here
+    assert(refreshed === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("refreshGroups: a fully-deleted touched group disappears") {
     def mm(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("g").agg(max(col("v")).as("hi"), count(lit(1)).as("n"))
