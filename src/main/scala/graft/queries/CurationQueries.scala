@@ -240,6 +240,44 @@ object CurationQueries {
         .drop("avg_logp")
     },
 
+    /** DSIR importance scoring ([[graft.operators.Dsir]], Xie et al.
+      * 2023): target model = English documents, raw model = the whole
+      * corpus, unigram+bigram features. The models are fit and probed on
+      * (order, 8-byte hash) keys; the oracle replays the entire
+      * fit-and-score algebra on gram STRINGS, so equal per-doc integer
+      * evidence proves the hash-keyed models reproduce the string-level
+      * statistics. The float `log_w` ranking signal and the Gumbel draw
+      * are pinned by DsirSpec (floats don't hash-compare); `dsir_select`
+      * checks the end-to-end selection contract.
+      */
+    "dsir_score" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val t = graft.operators.Dsir.fit(docs.filter(col("lang") === "en"), col("_toks"))
+      val r = graft.operators.Dsir.fit(docs, col("_toks"))
+      graft.operators.Dsir.score(docs, "doc_id", col("_toks"), t, r).drop("log_w")
+    },
+
+    /** End-to-end DSIR selection: Gumbel-top-100 against the English
+      * target. The selected SET rides on float weights (engine-specific),
+      * so the oracle pins the invariants instead: exactly k rows drawn,
+      * and the draw is overwhelmingly English — the importance weights
+      * separate on/off-target docs by tens of nats while Gumbel noise is
+      * O(1), so ≥ 90 % English is structural, not statistical luck.
+      */
+    "dsir_select" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val t = graft.operators.Dsir.fit(docs.filter(col("lang") === "en"), col("_toks"))
+      val r = graft.operators.Dsir.fit(docs, col("_toks"))
+      val scored = graft.operators.Dsir.score(docs, "doc_id", col("_toks"), t, r)
+      val picked = graft.operators.Dsir.resample(scored, col("doc_id"), k = 100, seed = 11L)
+      picked.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .agg(count(lit(1)).as("n_selected"),
+          (sum(when(col("lang") === "en", 1L).otherwise(0L)) >=
+            count(lit(1)) * 9 / 10).as("mostly_target"))
+    },
+
     /** Value-level per-language quantile filter — the scale-path twin of
       * `quality_filter_pct` (which pins the exact row-rank contract via a
       * per-language sort window): counts-only threshold discovery, then a
@@ -407,6 +445,48 @@ object CurationQueries {
         |         AS n_chars,
         |       TRUE AS pieces_bounded
         |FROM toks""".stripMargin,
+    "dsir_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, lang, 1 AS n, t[i] AS g
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, lang, 2 AS n, t[i] || ' ' || t[i + 1] AS g
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |),
+        |tmodel AS (
+        |  SELECT n, g, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM grams WHERE lang = 'en' GROUP BY 1, 2
+        |),
+        |rmodel AS (
+        |  SELECT n, g, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM grams GROUP BY 1, 2
+        |),
+        |perdoc AS (
+        |  SELECT gr.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |         CAST(COUNT(t.cnt) AS BIGINT) AS t_hits,
+        |         CAST(COUNT(r.cnt) AS BIGINT) AS r_hits,
+        |         CAST(COALESCE(SUM(t.cnt), 0) AS BIGINT) AS t_hit_sum,
+        |         CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS r_hit_sum
+        |  FROM grams gr
+        |  LEFT JOIN tmodel t ON gr.n = t.n AND gr.g = t.g
+        |  LEFT JOIN rmodel r ON gr.n = r.n AND gr.g = r.g
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+        |       CAST(COALESCE(t_hits, 0) AS BIGINT) AS t_hits,
+        |       CAST(COALESCE(r_hits, 0) AS BIGINT) AS r_hits,
+        |       CAST(COALESCE(t_hit_sum, 0) AS BIGINT) AS t_hit_sum,
+        |       CAST(COALESCE(r_hit_sum, 0) AS BIGINT) AS r_hit_sum
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin,
+    "dsir_select" ->
+      "SELECT CAST(100 AS BIGINT) AS n_selected, TRUE AS mostly_target",
     "lm_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
