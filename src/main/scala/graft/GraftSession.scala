@@ -46,23 +46,37 @@ object GraftSession {
     s
   }
 
-  /** Load one of the fixture tables from a scale-factor directory.
-    *
-    * Nanosecond parquet timestamps (events.ts) arrive as long when
-    * `nanosAsLong` is set; convert to Spark's microsecond TimestampType
-    * with integer division (float division would lose precision above
-    * 2^53 ns).
+  /** Normalize an event-time column to Spark's session-zoned
+    * microsecond TimestampType regardless of how the parquet writer
+    * encoded it:
+    *   - TIMESTAMP(NANOS) read as long under `nanosAsLong` → integer
+    *     division to micros (float division would lose precision above
+    *     2^53 ns);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) read as
+    *     TIMESTAMP_NTZ → cast (the session time zone is pinned to UTC
+    *     everywhere, so the instant is unchanged and deterministic);
+    *   - already TimestampType → untouched.
+    * Fixture generators have used both physical encodings across rounds;
+    * every graft read path funnels through this so a re-encoded input
+    * never changes query semantics.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
-      case (d, f) if f.name == "ts" && f.dataType == LongType =>
-        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case (d, _) => d
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
     }
   }
+
+  /** Load one of the fixture tables from a scale-factor directory, with
+    * the `ts` column normalized via [[normalizeTs]].
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `table` + round-robin repartition to the session's parallelism.
     *

@@ -57,6 +57,9 @@ object RangeJoin {
       import org.apache.spark.sql.types._
       df.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
+        // TIMESTAMP_NTZ compares as its UTC-interpreted instant — the
+        // session zone is pinned UTC engine-wide (GraftSession.normalizeTs)
+        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
         case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
         case t => throw new IllegalArgumentException(
           s"rangeJoin time/band column '$c' has unsupported type $t: " +

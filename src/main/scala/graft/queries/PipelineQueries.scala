@@ -372,8 +372,8 @@ object PipelineQueries {
       * sink drain); oracle is the equivalent batch GROUP BY date_trunc.
       */
     "stream_window" -> { (s, dir) =>
-      val raw = StreamOps.parquetStream(s, s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
       val agg = StreamOps.windowedAgg(raw, "ts", "1 hour", "2 hours",
         keys = Seq("event_type"),
         aggs = Seq(count(lit(1)).as("n"),
@@ -391,8 +391,8 @@ object PipelineQueries {
       * restricted to watermark-final buckets (end ≤ max event time).
       */
     "stream_resample" -> { (s, dir) =>
-      val raw = StreamOps.parquetStream(s, s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
       val out = StreamOps.resampleStream(raw, keyCol = "user_id",
         tsCol = "ts", valueCol = "value", intervalUs = 21600000000L)
       StreamOps.drainToBatch(out.toDF(), outputMode = "append", statePartitions = 8)
@@ -408,8 +408,8 @@ object PipelineQueries {
       */
     "stream_join" -> { (s, dir) =>
       def side(tpe: String, prefix: String) =
-        StreamOps.parquetStream(s, s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        graft.GraftSession.normalizeTs(
+          StreamOps.parquetStream(s, s"$dir/events.parquet"))
           .filter(col("event_type") === tpe)
           .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
             col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
@@ -427,8 +427,8 @@ object PipelineQueries {
       * projects the keys only and the oracle is SELECT DISTINCT.
       */
     "stream_dedup" -> { (s, dir) =>
-      val raw = StreamOps.parquetStream(s, s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
       val deduped = StreamOps.dedupStream(raw, "ts", watermark = "2 hours",
         keys = Seq("user_id", "event_type"))
       StreamOps.drainToBatch(deduped, outputMode = "append", statePartitions = 8)

@@ -124,7 +124,7 @@ object StreamOps {
     val typed = events
       .withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).cast("long").as("key"),
-        unix_micros(col(tsCol)).as("us"), col(valueCol).cast("double").as("v"),
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType)).as("us"), col(valueCol).cast("double").as("v"),
         col(tsCol).as("ts"))
       .as[ResampleEvent]
     typed.groupByKey(_.key).flatMapGroupsWithState(
