@@ -46,4 +46,50 @@ object Profile {
     }
     row.select(explode(array(stacked: _*)).as("_p")).select(col("_p.*"))
   }
+
+  /** Key-skew diagnostic: the pre-flight a 100 TB join or aggregation
+    * runs on its key before choosing between a plain shuffle, AQE skew
+    * handling, and explicit salting ([[graft.operators.Salt]]). One row:
+    * total rows, distinct keys, the heaviest key's count, exact count
+    * percentiles, and `skew_x1000` = max-count ÷ mean-count ×1000 in
+    * integer arithmetic (engine-exact; ≳8000 — the heaviest key 8× the
+    * mean — is where one task's partition outweighs its peers enough
+    * that salting pays).
+    *
+    * Scale shape: per-key counts partial-aggregate map-side (keys +
+    * longs cross the one real exchange). Percentiles then come from the
+    * COUNT-OF-COUNTS frame — one tiny row per distinct count value —
+    * via a cumulative sum, never a sort of the per-key frame: the
+    * count-distribution percentile at rank ⌈q·n_keys⌉ is the smallest
+    * count value whose cumulative key population reaches the rank. The
+    * windowed cumsum runs on the counts-of-counts frame (|distinct
+    * count values| rows, ≤ a few thousand even at 10¹⁰ keys — bounded
+    * by the heaviest count, not the key space).
+    */
+  def keySkew(df: DataFrame, keys: Seq[String],
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(keys.nonEmpty, "keySkew: no key columns")
+    require(percentiles.forall(p => p >= 1 && p <= 100), "keySkew: percentiles in 1..100")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
+    val cc = counts.groupBy(col("_cnt")).agg(count(lit(1)).as("_nk"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_cnt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cc.withColumn("_cum", sum(col("_nk")).over(w))
+    val totals = cum.agg(
+      sum(col("_cnt") * col("_nk")).as("n_rows"),
+      sum(col("_nk")).as("n_keys"),
+      max(col("_cnt")).as("max_cnt"))
+    // percentile at rank ⌈p/100 · n_keys⌉ = smallest count whose
+    // cumulative key population reaches the rank; `cum ≥ ⌈p·n_keys/100⌉`
+    // over integers ⇔ `cum·100 ≥ p·n_keys` (no float, no rounding mode)
+    val pcols = percentiles.map { p =>
+      min(when(col("_cum") * 100 >= col("n_keys") * p, col("_cnt"))).as(s"p${p}_cnt")
+    }
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("n_rows"), col("n_keys"), col("max_cnt"))
+      .agg(pcols.head, pcols.tail: _*)
+      .withColumn("skew_x1000",
+        expr("max_cnt * 1000L * n_keys div n_rows"))
+  }
 }

@@ -114,4 +114,46 @@ object Sampling {
       .filter(col("_rn") <= col("_alloc"))
       .drop("_rn", "_alloc")
   }
+
+  /** Token-budget mixture sampling — [[temperatureMix]] with the budget
+    * in TOKENS, which is what a training run actually provisions (a
+    * 100-doc allocation means nothing when one source's documents are
+    * 100× longer than another's): each source gets a token allocation
+    * ∝ total_tokens^(1/temperature), then contributes whole documents in
+    * deterministic hash order until the NEXT document would cross its
+    * allocation. Same integer-quantized weight algebra as
+    * [[temperatureMix]], so the selected document SET is bit-reproducible
+    * across engines for T = 2.
+    *
+    * Scale shape: the running token sum is a window over a METADATA
+    * projection — (source, id, token count) rows, never document text —
+    * and the selected ids semi-join back to the corpus, so the only
+    * full-width movement is the final join's build side of selected ids.
+    * A running-sum window admits no WindowGroupLimit prune (every row's
+    * cumsum depends on all predecessors), which is exactly why the frame
+    * it sorts must be the 24-byte metadata row, not the document.
+    */
+  def tokenBudgetMix(df: DataFrame, source: String, idCol: String, tokens: Column,
+      budgetTokens: Long, temperature: Double): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(temperature > 0, "temperature must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val meta = df.select(col(source), col(idCol), tokens.cast("long").as("_tok"))
+    val w = if (temperature == 2.0) sqrt(col("_n").cast("double"))
+      else pow(col("_n").cast("double"), lit(1.0 / temperature))
+    val alloc = meta.groupBy(col(source)).agg(sum(col("_tok")).as("_n"))
+      .withColumn("_wi", floor(w * lit(1e9)).cast("long"))
+      .withColumn("_alloc", least(col("_n"),
+        floor(lit(budgetTokens.toDouble) * col("_wi") /
+          sum(col("_wi")).over(Window.partitionBy()).cast("double")).cast("long")))
+      .select(col(source), col("_alloc"))
+    val cum = Window.partitionBy(col(source))
+      .orderBy(hashBucket(col(idCol), 1 << 30).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = meta.withColumn("_cum", sum(col("_tok")).over(cum))
+      .join(broadcast(alloc), source)
+      .filter(col("_cum") <= col("_alloc"))
+      .select(col(idCol))
+    df.join(picked, idCol)
+  }
 }

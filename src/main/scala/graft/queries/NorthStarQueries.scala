@@ -774,6 +774,20 @@ object NorthStarQueries {
         .select(col("lang"), col("doc_id"))
     },
 
+    /** Token-budget mixture ([[Sampling.tokenBudgetMix]]): 20k TOKENS
+      * allocated across languages ∝ sqrt(per-language token totals),
+      * whole documents taken in hash order until the next would cross
+      * the allocation — the budget a training run actually provisions.
+      * Same integer-quantized weight algebra as `temperature_mix`, so
+      * the DuckDB replay selects the identical document set.
+      */
+    "token_budget_mix" -> { (s, dir) =>
+      Sampling.tokenBudgetMix(table(s, dir, "documents"), source = "lang",
+        idCol = "doc_id", tokens = tokenCount(col("text")),
+        budgetTokens = 20000L, temperature = 2.0)
+        .select(col("lang"), col("doc_id"))
+    },
+
     /** Stratified Bernoulli sample per language (seeded). The sampled
       * counts themselves are RNG-stream-specific, so the output is the
       * per-stratum population count plus a rate-tolerance boolean: the
@@ -1239,6 +1253,30 @@ object NorthStarQueries {
         |  FROM documents
         |)
         |SELECT r.lang, r.doc_id FROM r JOIN a USING (lang) WHERE rn <= a.alloc""".stripMargin,
+    "token_budget_mix" ->
+      """WITH tk AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS tok
+        |  FROM documents
+        |), n AS (
+        |  SELECT lang, CAST(SUM(tok) AS BIGINT) AS n FROM tk GROUP BY 1
+        |), a AS (
+        |  SELECT lang,
+        |         LEAST(n, CAST(FLOOR(20000.0 *
+        |             CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) /
+        |             CAST((SELECT SUM(CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+        |                   FROM n) AS DOUBLE)) AS BIGINT)) AS alloc
+        |  FROM n
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |         SUM(tok) OVER (PARTITION BY lang
+        |             ORDER BY ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                       + (doc_id & 65535) * 2654435761) % 4294967296) % 1073741824 ASC,
+        |                      doc_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk
+        |)
+        |SELECT r.lang, r.doc_id FROM r JOIN a USING (lang) WHERE cum <= a.alloc""".stripMargin,
     "text_redact" ->
       """WITH t AS (
         |  SELECT doc_id,

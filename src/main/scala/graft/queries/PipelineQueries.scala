@@ -234,6 +234,110 @@ object PipelineQueries {
           max(col("o_totalprice")).as("max_price"))
     },
 
+    /** CSV Direct I/O round-trip: transactional write (header, explicit
+      * delimiter) then schema-declared read-back — the reference's
+      * directio-csv surface. Schema on read is REQUIRED (inference is a
+      * full extra scan of a 100 TB source); decimals ride as strings in
+      * csv, so the price column re-enters as DECIMAL via the declared
+      * schema, not a lossy double parse.
+      */
+    "csv_roundtrip" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_csv_${s.sparkContext.applicationId}"
+      val conf = s.sparkContext.hadoopConfiguration
+      DirectOutput.setup(conf, Seq(out))
+      DirectOutput.recover(conf, s"$out/_tx", Seq(out))
+      DirectOutput.write(
+        txId = "verify-csv",
+        markerDir = s"$out/_tx",
+        specs = Seq(DirectOutput.Spec(
+          table(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(4),
+          out, format = "csv",
+          options = Map("header" -> "true", "delimiter" -> "|"))))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      graft.sources.Sources.direct(s, "csv", out, Some(schema),
+          Map("header" -> "true", "delimiter" -> "|"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+
+    /** JSON-lines Direct I/O round-trip: same transactional path, schema
+      * declared on read (same 100 TB no-inference rule as csv).
+      */
+    "json_roundtrip" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_json_${s.sparkContext.applicationId}"
+      val conf = s.sparkContext.hadoopConfiguration
+      DirectOutput.setup(conf, Seq(out))
+      DirectOutput.recover(conf, s"$out/_tx", Seq(out))
+      DirectOutput.write(
+        txId = "verify-json",
+        markerDir = s"$out/_tx",
+        specs = Seq(DirectOutput.Spec(
+          table(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(4),
+          out, format = "json")))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      graft.sources.Sources.direct(s, "json", out, Some(schema))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+
+    /** Hive-style partitioned write + partition-directory pruning: events
+      * land partitioned by day (`partitionBy` → one directory per date),
+      * and the read of TWO days must scan only those directories — the
+      * coarsest and cheapest file-skipping layer (before zone maps or
+      * blooms), and the layout every 100 TB fact table uses for its time
+      * dimension. PlanShapeSpec pins the PartitionFilters push; the
+      * oracle recomputes the same two days from the raw table.
+      */
+    "partitioned_prune" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_partitioned_${s.sparkContext.applicationId}"
+      table(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_date").isin("2024-01-05", "2024-01-06"))
+        .groupBy(col("event_date").cast(StringType).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+    },
+
+    /** Semi-structured extraction: typed fields pulled out of a JSON
+      * string column (`get_json_object` — codegen'd path evaluation, no
+      * UDF) and aggregated. At scale the lesson is WHERE the parse runs:
+      * per-row in the scan stage, map-side combined — only (event_type,
+      * partial sums) cross the exchange, never the JSON text.
+      */
+    "json_props" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    },
+
+    /** Key-skew pre-flight ([[graft.operators.Profile.keySkew]]): exact
+      * count percentiles + max/mean ratio for the orders-per-customer
+      * key, from one keys+longs exchange and a counts-of-counts cumsum —
+      * the diagnostic that decides plain shuffle vs AQE skew split vs
+      * explicit salting before a big join runs. All-integer output.
+      */
+    "key_skew" -> { (s, dir) =>
+      graft.operators.Profile.keySkew(
+        table(s, dir, "orders"), keys = Seq("o_custkey"))
+    },
+
     /** Copy-on-write upsert table ([[graft.sinks.Upsert]]): orders loaded
       * into hash-bucket generations, then two CDC batches applied — each
       * rewriting only its dirty buckets — and read back after a vacuum.
@@ -452,6 +556,43 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "partitioned_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events
+        |-- not IN (...): the harness DuckDB returns zero rows for
+        |-- date-typed IN lists here while plain equality works
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |   OR CAST(ts AS DATE) = DATE '2024-01-06'
+        |GROUP BY 1, 2""".stripMargin,
+    "json_props" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "key_skew" ->
+      """WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+        |cc AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nk FROM c GROUP BY 1),
+        |cum AS (SELECT cnt, SUM(nk) OVER (ORDER BY cnt) AS cum FROM cc),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |               CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |               CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c)
+        |SELECT n_rows, n_keys, max_cnt,
+        |  (SELECT CAST(MIN(cnt) AS BIGINT) FROM cum WHERE cum * 100 >= tot.n_keys * 50) AS p50_cnt,
+        |  (SELECT CAST(MIN(cnt) AS BIGINT) FROM cum WHERE cum * 100 >= tot.n_keys * 90) AS p90_cnt,
+        |  (SELECT CAST(MIN(cnt) AS BIGINT) FROM cum WHERE cum * 100 >= tot.n_keys * 99) AS p99_cnt,
+        |  CAST(max_cnt * 1000 * n_keys // n_rows AS BIGINT) AS skew_x1000
+        |FROM tot""".stripMargin,
     "bloom_lookup" ->
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
         |       MIN(l_partkey) AS min_part, MAX(l_suppkey) AS max_supp

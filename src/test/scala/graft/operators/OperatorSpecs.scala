@@ -271,6 +271,31 @@ class SamplingSpec extends graft.SparkSpec {
     assert(a === b)
   }
 
+  test("tokenBudgetMix: whole docs until the allocation, never past it") {
+    // 'big': 90 docs × 100 tokens (9000); 'small': 100 docs × 10 tokens (1000)
+    val df = ((0L until 90L).map(i => ("big", i, 100L)) ++
+      (1000L until 1100L).map(i => ("small", i, 10L))).toDF("src", "id", "tok")
+    val mixed = Sampling.tokenBudgetMix(df, "src", "id", col("tok"),
+      budgetTokens = 2000L, temperature = 2.0)
+    val toks = mixed.groupBy("src").agg(sum("tok").as("t")).as[(String, Long)]
+      .collect().toMap
+    // T=2 weights √9000 : √1000 = 3 : 1 → allocations ~1500 / ~500 tokens
+    // (integer weight quantization can shave one unit off an allocation);
+    // whole-document taking undershoots by < one document, never overshoots
+    assert(toks("big") <= 1500L && toks("big") >= 1400L, toks.toString)
+    assert(toks("small") <= 500L && toks("small") >= 480L, toks.toString)
+    // a starved source contributes everything it has
+    val capped = Sampling.tokenBudgetMix(df, "src", "id", col("tok"),
+      budgetTokens = 100000L, temperature = 2.0)
+      .groupBy("src").agg(sum("tok").as("t")).as[(String, Long)].collect().toMap
+    assert(capped("small") === 1000L, capped.toString)
+    // deterministic SET
+    val a = mixed.collect().toSet
+    val b = Sampling.tokenBudgetMix(df, "src", "id", col("tok"), 2000L, 2.0)
+      .collect().toSet
+    assert(a === b)
+  }
+
   test("capPerGroup keeps at most k per group, all of smaller groups") {
     val df = (Seq.tabulate(100)(i => ("big", i.toLong)) ++
       Seq.tabulate(3)(i => ("small", 1000L + i))).toDF("g", "id")

@@ -377,4 +377,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.size === 1)
     assert(collect(approx) { case e: ShuffleExchangeExec => e }.size === 1, approx.toString)
   }
+
+  test("partitioned write: a date filter prunes to the named partition dirs") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_partprune_spec"
+    GraftSession.table(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val q = spark.read.parquet(out)
+      .filter(col("event_date").isin("2024-01-05", "2024-01-06"))
+      .groupBy(col("event_date")).agg(count(lit(1)).as("n"))
+    val scan = scans(q).head
+    // the filter must land on partitionFilters (directory pruning), not
+    // as a post-scan data filter over all 30 day-dirs
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"expected 2 pruned day-dirs, scanned ${scan.selectedPartitions.partitionCount}")
+  }
 }
