@@ -504,6 +504,27 @@ object PipelineQueries {
           col("n_events"), col("v_fill"))
     },
 
+    /** Streaming gap-sessionization ([[StreamOps.sessionizeStream]], on
+      * the `transformWithState` arbitrary-state API with event-time
+      * timers + RocksDB state): the batch `sessionize` sessions produced
+      * incrementally — a session emits once the watermark passes its end
+      * by more than the gap, via timer even for keys that never see
+      * another record. The oracle is the batch lag/cumsum replay
+      * restricted to watermark-final sessions (end + gap < final
+      * watermark, ms-floored exactly as Spark tracks event time).
+      */
+    "stream_sessionize" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val out = StreamOps.sessionizeStream(raw, keyCol = "user_id",
+        tsCol = "ts", gapSeconds = 86400L)
+      StreamOps.drainToBatch(out.toDF(), outputMode = "append", statePartitions = 8,
+          confOverrides = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .select(col("key").as("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+    },
+
     /** Stream-stream interval join: clicks joined to same-user purchases
       * within 30 minutes, both sides watermarked so join state is evicted
       * (bounded memory on unbounded streams). The fixture loads as one
@@ -674,6 +695,30 @@ object PipelineQueries {
         |FROM j
         |WHERE bucket * 21600000000 + 21600000000 <=
         |      (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |s AS (
+        |  SELECT user_id, us,
+        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM l
+        |),
+        |sess AS (
+        |  SELECT user_id, seq, MIN(us) AS start_us, MAX(us) AS end_us,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, start_us, end_us, n_events FROM sess
+        |WHERE end_us + 86400000000 <
+        |      (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events)""".stripMargin,
     "stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       COUNT(*) AS n,

@@ -168,6 +168,110 @@ object StreamOps {
     }
   }
 
+  // ---- streaming sessionization (transformWithState) --------------------
+
+  final case class SessEvent(key: Long, us: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  final case class SessionOut(key: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Gap-session state machine for [[sessionizeStream]], on the
+    * `transformWithState` API (Spark 4's arbitrary-state operator:
+    * named state variables, event-time timers, RocksDB-backed).
+    *
+    * State per key: the OPEN (non-final) sessions only, as (start, end,
+    * count) aggregates — O(open sessions), never the events. A session is
+    * FINAL once the watermark passes its end by more than the gap (the
+    * watermark guarantees no older event can arrive to extend or bridge
+    * it); final sessions emit either on the batch that advances the
+    * watermark or on the event-time timer kept at the earliest open
+    * session's deadline — a key that never sees another record still
+    * flushes, exactly like [[resampleStream]]'s silent buckets.
+    *
+    * Batch parity: an event within `gapUs` (inclusive) of a session
+    * extends it and may bridge two neighbours — the same strictly-greater
+    * break rule as [[graft.operators.Sessionize]], so the emitted
+    * (start, end, count) set equals the batch operator's restricted to
+    * watermark-final sessions (SessionizeParity in StreamingSpec).
+    */
+  private class GapSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessEvent, SessionOut] {
+    import org.apache.spark.sql.streaming._
+
+    @transient private var sessions: ListState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState("sessions",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    /** Coalesce a (startUs, endUs)-sorted session list: neighbours whose
+      * inter-session gap is ≤ gapUs merge (counts add).
+      */
+    private def coalesce(sorted: List[OpenSession]): List[OpenSession] =
+      sorted.foldLeft(List.empty[OpenSession]) {
+        case (prev :: acc, cur) if cur.startUs - prev.endUs <= gapUs =>
+          OpenSession(prev.startUs, math.max(prev.endUs, cur.endUs),
+            prev.n + cur.n) :: acc
+        case (acc, cur) => cur :: acc
+      }.reverse
+
+    /** Split final vs open at the CURRENT watermark, persist the open
+      * tail (+ its wake-up timer), emit the final head.
+      */
+    private def flush(key: Long, merged: List[OpenSession],
+        wmUs: Long): Iterator[SessionOut] = {
+      val (fin, open) = merged.partition(_.endUs + gapUs < wmUs)
+      sessions.clear()
+      if (open.nonEmpty) {
+        sessions.put(open.toArray)
+        // ms ceiling: the session becomes final strictly AFTER its
+        // deadline ms, so wake at deadline-ms + 1
+        getHandle.registerTimer((open.map(_.endUs).min + gapUs) / 1000L + 1L)
+      }
+      fin.sortBy(_.startUs)
+        .map(s => SessionOut(key, s.startUs, s.endUs, s.n)).iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val incoming = rows.map(e => OpenSession(e.us, e.us, 1L)).toList
+      val all = (sessions.get().toList ++ incoming)
+        .sortBy(s => (s.startUs, s.endUs))
+      flush(key, coalesce(all), tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      flush(key, sessions.get().toList, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** Streaming gap-sessionization — the incremental twin of
+    * [[graft.operators.Sessionize.sessions]] (counts only; the batch
+    * operator's distinct-type/seq columns need the closed-world corpus).
+    * Emits one row per FINAL session (Append mode): a session is final
+    * when the event-time watermark has passed its end by more than the
+    * gap. Requires the RocksDB state store provider
+    * (`transformWithState`'s backing store — pass it via
+    * [[drainToBatch]]'s `confOverrides` or set it on the session).
+    */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long, watermarkDelay: String = "0 seconds"):
+      org.apache.spark.sql.Dataset[SessionOut] = {
+    require(gapSeconds > 0, "sessionizeStream: gapSeconds must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val typed = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType)).as("us"),
+        col(tsCol).cast(org.apache.spark.sql.types.TimestampType).as("ts"))
+      .as[SessEvent]
+    typed.groupByKey(_.key).transformWithState(
+      new GapSessionProcessor(gapSeconds * 1000000L),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Custom stateful processing: per-key state folded over arriving
     * records, updated state emitted each batch (Update mode). The
     * Spark-native form of "user code with state per key" —
@@ -196,9 +300,14 @@ object StreamOps {
     * "append" for plain transforms, "update" for stateful operators.
     */
   def drainToBatch(stream: DataFrame, outputMode: String = "complete",
-      statePartitions: Int = -1): DataFrame = {
+      statePartitions: Int = -1,
+      confOverrides: Map[String, String] = Map.empty): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    // session confs a stateful operator needs at query START (e.g. the
+    // RocksDB provider transformWithState requires); restored after
+    val savedConf = confOverrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
     // The stateful-operator partition count is a first-class streaming
     // knob: it is frozen into the checkpoint at first start and every
     // micro-batch commits one state-store delta PER partition PER stateful
@@ -229,6 +338,10 @@ object StreamOps {
       q.awaitTermination()
     } finally {
       if (statePartitions > 0) spark.conf.set(key, prev)
+      savedConf.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       // best-effort cleanup so repeated drains don't fill the tmpfs
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
