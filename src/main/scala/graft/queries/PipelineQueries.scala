@@ -525,6 +525,24 @@ object PipelineQueries {
           col("n_events"))
     },
 
+    /** Streaming per-key quota ([[StreamOps.quotaStream]]): each user's
+      * first 10 events in event-time order, emitted as their rank becomes
+      * watermark-final — the streaming twin of `sample_per_group`'s
+      * deterministic cap, bounding any one key's ingest contribution.
+      * State is ≤ quota-many (us, id) pairs + one counter per key, never
+      * the key's history.
+      */
+    "stream_quota" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val out = StreamOps.quotaStream(raw, keyCol = "user_id", tsCol = "ts",
+        idCol = "event_id", k = 10)
+      StreamOps.drainToBatch(out.toDF(), outputMode = "append", statePartitions = 8,
+          confOverrides = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .select(col("key").as("user_id"), col("us"), col("event_id"))
+    },
+
     /** Stream-stream interval join: clicks joined to same-user purchases
       * within 30 minutes, both sides watermarked so join state is evicted
       * (bounded memory on unbounded streams). The fixture loads as one
@@ -695,6 +713,18 @@ object PipelineQueries {
         |FROM j
         |WHERE bucket * 21600000000 + 21600000000 <=
         |      (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin,
+    "stream_quota" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |),
+        |r AS (
+        |  SELECT user_id, event_id, us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id, us, event_id FROM r
+        |WHERE rn <= 10
+        |  AND us < (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events)""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events

@@ -272,6 +272,104 @@ object StreamOps {
       TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ---- streaming per-key quota (transformWithState) ----------------------
+
+  final case class QuotaEvent(key: Long, us: Long, eventId: Long,
+      ts: java.sql.Timestamp)
+  final case class QuotaOut(key: Long, us: Long, event_id: Long)
+
+  /** Per-key quota state machine for [[quotaStream]]: emit each key's
+    * FIRST `k` events in event-time order (ties by event id) — the
+    * streaming twin of [[graft.operators.Sampling.capPerGroup]]'s
+    * deterministic per-group cap, for pipelines that must bound how much
+    * any one key (user, domain, device) contributes to an ingest.
+    *
+    * An event's rank among its key's events is final once the watermark
+    * passes its timestamp (nothing earlier can still arrive), so the
+    * operator buffers only the NOT-YET-FINAL events that could still rank
+    * ≤ k — at most `k` candidates plus the in-flight horizon — and a
+    * count of already-emitted rows. Keys at quota with no pending
+    * candidates drop to an 8-byte counter; the buffer never holds a
+    * key's full history.
+    */
+  private class QuotaProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, QuotaEvent, QuotaOut] {
+    import org.apache.spark.sql.streaming._
+
+    @transient private var emitted: ValueState[Long] = _
+    @transient private var pending: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      emitted = getHandle.getValueState("emitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      pending = getHandle.getListState("pending",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    private def flush(key: Long, merged: List[(Long, Long)], doneSoFar: Long,
+        wmUs: Long): Iterator[QuotaOut] = {
+      // candidates sorted (us, id); final prefix = events the watermark
+      // has passed — their rank can no longer change
+      val (fin, open) = merged.partition { case (us, _) => us < wmUs }
+      val take = math.min(fin.size.toLong, k - doneSoFar).toInt.max(0)
+      val out = fin.take(take)
+      val done = doneSoFar + take
+      emitted.update(done)
+      pending.clear()
+      // open events beyond the remaining quota can never emit (everything
+      // ahead of them already outranks them) — cap the buffer at what can
+      // still matter
+      val keep = open.take((k - done).toInt.max(0))
+      if (keep.nonEmpty) {
+        pending.put(keep.toArray)
+        getHandle.registerTimer(keep.head._1 / 1000L + 1L)
+      }
+      out.map { case (us, id) => QuotaOut(key, us, id) }.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[QuotaEvent],
+        tv: TimerValues): Iterator[QuotaOut] = {
+      val doneSoFar = Option(emitted.get()).getOrElse(0L)
+      if (doneSoFar >= k) return Iterator.empty // at quota: counter only
+      val incoming = rows.map(e => (e.us, e.eventId)).toList
+      val merged = (pending.get().toList ++ incoming).sorted
+      flush(key, merged, doneSoFar, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[QuotaOut] = {
+      val doneSoFar = Option(emitted.get()).getOrElse(0L)
+      if (doneSoFar >= k) return Iterator.empty
+      flush(key, pending.get().toList.sorted, doneSoFar,
+        tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** Streaming per-key quota: each key's first `k` events in event-time
+    * order (ties by event id), emitted as soon as their rank is final
+    * w.r.t. the watermark. Same state-store requirements as
+    * [[sessionizeStream]] (RocksDB provider).
+    */
+  def quotaStream(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, k: Int, watermarkDelay: String = "0 seconds"):
+      org.apache.spark.sql.Dataset[QuotaOut] = {
+    require(k > 0, "quotaStream: k must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val typed = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType)).as("us"),
+        col(idCol).cast("long").as("eventId"),
+        col(tsCol).cast(org.apache.spark.sql.types.TimestampType).as("ts"))
+      .as[QuotaEvent]
+    typed.groupByKey(_.key).transformWithState(
+      new QuotaProcessor(k), TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Custom stateful processing: per-key state folded over arriving
     * records, updated state emitted each batch (Update mode). The
     * Spark-native form of "user code with state per key" —
