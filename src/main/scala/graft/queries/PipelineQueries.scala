@@ -82,6 +82,33 @@ object PipelineQueries {
           min(col("l_partkey")).as("min_part"), max(col("l_suppkey")).as("max_supp"))
     },
 
+    /** Write-side file sizing ([[graft.sinks.Sized.rebalancedWrite]]):
+      * lineitem spread over 32 shuffle partitions lands as a handful of
+      * size-targeted files because AQE's rebalance picks the output
+      * partition count from measured bytes, not the task count — the
+      * PREVENTIVE answer to the small-files problem `compact_files`
+      * repairs after the fact. The output folds the written file count
+      * into a band boolean (1 ≤ files < 32: fewer than the input
+      * partitions, at least one), so a write that stops coalescing fails
+      * the hash compare; SizedWriteSpec pins the monotone size→count
+      * relationship and the split of an oversized single partition.
+      */
+    "rebalanced_write" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_sized_${s.sparkContext.applicationId}"
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(32)
+      graft.sinks.Sized.rebalancedWrite(li, out, targetShuffleBytes = 1L << 20)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .count(st => st.getPath.getName.startsWith("part-"))
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .withColumn("files_sized", lit(nFiles >= 1 && nFiles < 32))
+    },
+
     /** Transactional small-file compaction ([[graft.sinks.Compact]]):
       * orders decayed into 24 KB-sized files, compacted back to one
       * target-sized file — large files never rewritten, swap crash-safe
@@ -636,6 +663,10 @@ object PipelineQueries {
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
         |       MIN(l_partkey) AS min_part, MAX(l_suppkey) AS max_supp
         |FROM lineitem WHERE l_orderkey = 1994""".stripMargin,
+    "rebalanced_write" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |       SUM(l_quantity) AS sum_qty, TRUE AS files_sized
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "compact_files" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price

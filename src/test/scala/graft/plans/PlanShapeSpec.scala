@@ -314,6 +314,27 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(limits.size >= 2, plan.toString)
   }
 
+  test("tokenBudgetMix: the running-sum window sorts metadata, never document text") {
+    val docs = GraftSession.table(spark, dir, "documents")
+    val plan = executed(graft.operators.Sampling.tokenBudgetMix(
+      docs, "lang", "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      budgetTokens = 5000L, temperature = 2.0))
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, plan.toString)
+    // the cumsum window's input schema must be the (source, id, tokens)
+    // projection — if `text` reaches it, the whole corpus body rides the
+    // window exchange
+    windows.foreach { w =>
+      val inCols = w.child.output.map(_.name).toSet
+      assert(!inCols.contains("text"), s"document text in window input: $inCols")
+    }
+    // the allocation side joins broadcast, not shuffled
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+  }
+
   test("banded dedup bucket guard shuffles counts, not rows (no WindowExec)") {
     val docs = GraftSession.table(spark, dir, "documents").limit(200)
     val q = graft.dedup.Dedup.minhash(docs, "doc_id",
