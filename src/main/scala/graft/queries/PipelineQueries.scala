@@ -552,6 +552,55 @@ object PipelineQueries {
           col("n_events"))
     },
 
+    /** Streaming approximate distinct (HLL inside a watermarked window
+      * aggregation): daily unique users computed by sketch — at 100 TB/day
+      * the per-window state is a fixed-size sketch instead of a distinct
+      * user set. Same verification contract as `approx_distinct`: the
+      * drained result joins the batch exact counts and the estimate must
+      * land within 10 % — a broken sketch fails the hash compare.
+      */
+    "stream_distinct_users" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val agg = StreamOps.windowedAgg(raw, "ts", "1 day", "2 hours",
+        keys = Seq(),
+        aggs = Seq(approx_count_distinct(col("user_id")).as("approx_users")))
+      val drained = StreamOps.drainToBatch(agg, statePartitions = 8)
+        .select(col("window.start").as("day_start"), col("approx_users"))
+      val exact = table(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day_start"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+      drained.join(exact, "day_start")
+        .select(col("day_start"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")) <=
+            greatest(lit(1L), (col("n_users") * 0.1).cast(LongType)))
+            .as("approx_ok"))
+    },
+
+    /** Stream-static enrichment join — the canonical "enrich events with
+      * a dimension" production shape: the event stream joins a BATCH
+      * dimension table (broadcast — the dim rides to every task once, no
+      * stream-side shuffle, no join state to store or watermark), then a
+      * watermarked daily window aggregates per segment. At 100 TB/day the
+      * stream side never pauses for the dim: only dim refreshes re-ship
+      * the broadcast.
+      */
+    "stream_enrich" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = raw.join(broadcast(dim), raw("user_id") === dim("c_custkey"))
+      val agg = StreamOps.windowedAgg(joined, "ts", "1 day", "2 hours",
+        keys = Seq("c_mktsegment"),
+        aggs = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
+            .cast(DoubleType).as("sum_v")))
+      StreamOps.drainToBatch(agg, statePartitions = 8)
+        .select(col("window.start").as("day_start"), col("c_mktsegment"),
+          col("n"), col("sum_v"))
+    },
+
     /** Streaming per-key quota ([[StreamOps.quotaStream]]): each user's
       * first 10 events in event-time order, emitted as their rank becomes
       * watermark-final — the streaming twin of `sample_per_group`'s
@@ -744,6 +793,17 @@ object PipelineQueries {
         |FROM j
         |WHERE bucket * 21600000000 + 21600000000 <=
         |      (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin,
+    "stream_distinct_users" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    "stream_enrich" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, c_mktsegment,
+        |       COUNT(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "stream_quota" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
