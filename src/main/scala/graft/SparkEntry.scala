@@ -70,5 +70,13 @@ object SparkEntry {
     * and not AQE's doing — per the variance discipline, judge this query
     * on queries_min across the full set, and don't pin.
     */
-  def confPins: Map[String, Map[String, String]] = Map.empty
+  def confPins: Map[String, Map[String, String]] = Map(
+    // footer-only aggregation: COUNT/MIN/MAX from parquet row-group stats.
+    // aggregatePushdown only exists on the DSv2 read path, so parquet is
+    // removed from the v1 fallback list FOR THIS QUERY ONLY; values are
+    // exact with or without the pins (the v1 path computes the same
+    // answer from data pages — slower, never different)
+    "metadata_agg" -> Map(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> ""))
 }

@@ -82,6 +82,21 @@ object PipelineQueries {
           min(col("l_partkey")).as("min_part"), max(col("l_suppkey")).as("max_supp"))
     },
 
+    /** Footer-only aggregation (parquet aggregate pushdown, DSv2):
+      * COUNT/MIN/MAX answered from row-group statistics without reading a
+      * single data page — the 100 TB "how big is this table" query at
+      * metadata cost. Enabled per-query via `SparkEntry.confPins`
+      * (aggregatePushdown + the DSv2 read path); the values are exact
+      * either way, so a harness that ignores the pins is merely slower.
+      * MetadataAggSpec pins PushedAggregation in the scan.
+      */
+    "metadata_agg" -> { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"))
+    },
+
     /** Write-side file sizing ([[graft.sinks.Sized.rebalancedWrite]]):
       * lineitem spread over 32 shuffle partitions lands as a handful of
       * size-targeted files because AQE's rebalance picks the output
@@ -712,6 +727,11 @@ object PipelineQueries {
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
         |       MIN(l_partkey) AS min_part, MAX(l_suppkey) AS max_supp
         |FROM lineitem WHERE l_orderkey = 1994""".stripMargin,
+    "metadata_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part
+        |FROM lineitem""".stripMargin,
     "rebalanced_write" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |       SUM(l_quantity) AS sum_qty, TRUE AS files_sized
