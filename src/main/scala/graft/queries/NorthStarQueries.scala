@@ -713,6 +713,29 @@ object NorthStarQueries {
           max(col("tf")).as("max_tf"))
     },
 
+    /** Per-document keyword extraction (doc tagging): top-3 terms per doc
+      * ranked by the INTEGER proxy of tf-idf — highest in-doc frequency,
+      * then rarest in the corpus, then term — so the selected set is
+      * engine-exact (no float log; `text_bm25` carries the float-ranked
+      * contract). The df side joins broadcast off a counts-only
+      * aggregate; the top-3 window prunes map-side (WindowGroupLimit),
+      * so per-doc term lists never sort globally.
+      */
+    "doc_keywords" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(broadcast(df), "term")
+        .withColumn("_rank", row_number().over(w))
+        .filter(col("_rank") <= 3)
+        .select(col("doc_id"), col("_rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"))
+    },
+
     /** Exact heavy hitters (terms with ≥ 1/200 of all occurrences) via
       * per-partition Misra-Gries nomination + exact recount of the
       * bounded candidate set — the full term distribution never
@@ -1172,6 +1195,24 @@ object NorthStarQueries {
         |       CAST(SUM(tf) AS BIGINT) AS total_tf,
         |       CAST(MAX(tf) AS BIGINT) AS max_tf
         |FROM tf GROUP BY 1""".stripMargin,
+    "doc_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2
+        |),
+        |df AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3""".stripMargin,
     "train_test_split" ->
       """WITH b AS (
         |  SELECT ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536

@@ -82,6 +82,32 @@ object PipelineQueries {
           min(col("l_partkey")).as("min_part"), max(col("l_suppkey")).as("max_supp"))
     },
 
+    /** Schema evolution across ingest batches: batch 1 lands without a
+      * column that batch 2 adds (the normal drift of a long-lived feed);
+      * a `mergeSchema` read reconciles the union schema, old rows
+      * surfacing NULL for the new column. The aggregation separates the
+      * batches so a read that silently dropped either schema (parquet's
+      * default picks ONE footer) fails the hash compare, not just a
+      * count. At 100 TB, merge-on-read is for the transition window —
+      * the steady state backfills or pins a reader schema; footers are
+      * all that is read to reconcile, never data.
+      */
+    "schema_evolution" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_evolve_${s.sparkContext.applicationId}"
+      val orders = table(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("batch"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), count(col("o_totalprice")).as("n_priced"),
+          max(col("o_totalprice")).as("max_price"))
+        .withColumn("batch", col("batch").cast(LongType))
+    },
+
     /** Footer-only aggregation (parquet aggregate pushdown, DSv2):
       * COUNT/MIN/MAX answered from row-group statistics without reading a
       * single data page — the 100 TB "how big is this table" query at
@@ -727,6 +753,13 @@ object PipelineQueries {
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
         |       MIN(l_partkey) AS min_part, MAX(l_suppkey) AS max_supp
         |FROM lineitem WHERE l_orderkey = 1994""".stripMargin,
+    "schema_evolution" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS batch,
+        |       o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS BIGINT)
+        |         AS n_priced,
+        |       MAX(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS max_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "metadata_agg" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
