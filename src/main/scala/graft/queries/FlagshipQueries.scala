@@ -128,10 +128,67 @@ object FlagshipQueries {
         .groupBy(col("n_name"))
         .agg(sum(col("revenue")).cast(DecimalType(28, 4)).cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
+    },
+
+    /** Event-analytics capstone chaining this round's surface: JSON
+      * payload extraction (codegen'd path eval in the scan stage) →
+      * broadcast dimension enrichment → gap-sessionization (one
+      * user-keyed exchange) → per-segment session quality stats, all
+      * integer/exact. Plan shape at 100 TB: scan-stage parse, one
+      * broadcast join, ONE shuffle (by user) feeding lag + cumsum +
+      * session aggregation, then a segment-keyed partial aggregation of
+      * session-count-sized data.
+      */
+    "flagship_events" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val sessions = graft.operators.Sessionize.assign(ev,
+          user = "user_id", ts = "ts", gapSeconds = 86400L,
+          tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      sessions.join(broadcast(dim), "user_id")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("sum_k")).as("sum_k"))
     }
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "flagship_events" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, event_id, us, k,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |s AS (
+        |  SELECT user_id, k,
+        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM l
+        |),
+        |sess AS (
+        |  SELECT user_id, seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(k) AS BIGINT) AS sum_k
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+        |       CAST(SUM(sum_k) AS BIGINT) AS sum_k
+        |FROM sess JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "flagship_attribution" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
