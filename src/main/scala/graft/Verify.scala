@@ -25,6 +25,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-drift tripwire: the driver regenerates the testdata between
+    // rounds and has changed physical encodings before (events.ts
+    // nanos-long → timestamp[us] in r6, which broke 7 queries) — log each
+    // table's schema so the NEXT drift is one grep away, not a debugging
+    // session
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")) {
+      try {
+        val sch = spark.read.parquet(s"$sfDir/$t.parquet").schema
+        System.err.println(s"[verify] fixture $t: " +
+          sch.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] fixture $t: unreadable (${e.getMessage})")
+      }
+    }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump (local iteration); unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
