@@ -618,6 +618,33 @@ object PipelineQueries {
             .as("approx_ok"))
     },
 
+    /** Streaming CDC feed into the copy-on-write upsert table
+      * ([[StreamOps.upsertSink]] — previously spec-only, now under the
+      * oracle): a change batch (updates + deletes) streams through
+      * foreachBatch into [[graft.sinks.Upsert]], rewriting only dirty
+      * buckets with an `_applied` marker per batch for exactly-once
+      * replay; the read-back table must equal the functional replay of
+      * the changes. The crash/replay matrix lives in StreamingSpec.
+      */
+    "stream_upsert" -> { (s, dir) =>
+      import graft.sinks.Upsert
+      val base = s"${sys.props("java.io.tmpdir")}/graft_supsert_${s.sparkContext.applicationId}"
+      val tableDir = s"$base/table"
+      val orders = table(s, dir, "orders")
+      Upsert.create(orders, tableDir, Seq("o_orderkey"), nBuckets = 8)
+      def change(c: DataFrame, op: String): DataFrame =
+        c.withColumn("_op", lit(op)).withColumn("_seq", lit(1L))
+      change(orders.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_orderstatus", lit("X")), "U")
+        .unionByName(change(orders.filter(col("o_orderkey") % 10 === 7), "D"))
+        .write.mode("overwrite").parquet(s"$base/changes")
+      val q = StreamOps.upsertSink(
+        StreamOps.parquetStream(s, s"$base/changes"),
+        tableDir, checkpoint = s"$base/ckpt")
+      q.awaitTermination()
+      Upsert.read(s, tableDir)
+    },
+
     /** Stream-static enrichment join — the canonical "enrich events with
       * a dimension" production shape: the event stream joins a BATCH
       * dimension table (broadcast — the dim rides to every task once, no
@@ -857,6 +884,12 @@ object PipelineQueries {
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_v
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+    "stream_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 < 2 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 != 7""".stripMargin,
     "stream_quota" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
