@@ -72,6 +72,39 @@ object GraftSession {
     }
   }
 
+  /** Event-time column as epoch microseconds, accepting only TIMESTAMP /
+    * TIMESTAMP_NTZ. A LongType column is REJECTED rather than cast:
+    * `cast(long as timestamp)` reinterprets the value as epoch SECONDS,
+    * which would turn a nanos-as-long fixture column into silently
+    * absurd timestamps — route raw reads through [[normalizeTs]] first.
+    */
+  private[graft] def eventTimeMicros(df: DataFrame, colName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(TimestampType) => unix_micros(col(colName))
+      case Some(TimestampNTZType) => unix_micros(col(colName).cast(TimestampType))
+      case t => throw new IllegalArgumentException(
+        s"event-time column '$colName' has type ${t.map(_.simpleString).getOrElse("<absent>")}: " +
+          "use timestamp/timestamp_ntz (normalize raw long encodings via GraftSession.normalizeTs)")
+    }
+  }
+
+  /** Run `body` with session confs pinned, restoring previous values
+    * (or unsetting) afterwards — the shared form of the save/set/try/
+    * finally-restore pattern the sinks and streaming drains need around
+    * plan-time settings.
+    */
+  def withConfs[A](spark: SparkSession, pins: Map[String, String])(body: => A): A = {
+    val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Load one of the fixture tables from a scale-factor directory, with
     * the `ts` column normalized via [[normalizeTs]].
     */

@@ -69,6 +69,7 @@ object Profile {
   def keySkew(df: DataFrame, keys: Seq[String],
       percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(keys.nonEmpty, "keySkew: no key columns")
+    require(percentiles.nonEmpty, "keySkew: no percentiles requested")
     require(percentiles.forall(p => p >= 1 && p <= 100), "keySkew: percentiles in 1..100")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
     val cc = counts.groupBy(col("_cnt")).agg(count(lit(1)).as("_nk"))
@@ -89,7 +90,11 @@ object Profile {
     cum.crossJoin(broadcast(totals))
       .groupBy(col("n_rows"), col("n_keys"), col("max_cnt"))
       .agg(pcols.head, pcols.tail: _*)
+      // DECIMAL(38,0) intermediate: max_cnt·1000·n_keys overflows BIGINT
+      // exactly in the regime this diagnostic exists for (10¹⁰ keys with
+      // a 10⁶-row heavy key is ~10¹⁹ > 2⁶³) — a wrapped-negative skew
+      // ratio would corrupt the salting decision silently
       .withColumn("skew_x1000",
-        expr("max_cnt * 1000L * n_keys div n_rows"))
+        expr("CAST((CAST(max_cnt AS DECIMAL(38,0)) * 1000 * n_keys) DIV n_rows AS BIGINT)"))
   }
 }

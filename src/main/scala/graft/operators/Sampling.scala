@@ -154,6 +154,10 @@ object Sampling {
       .join(broadcast(alloc), source)
       .filter(col("_cum") <= col("_alloc"))
       .select(col(idCol))
-    df.join(picked, idCol)
+    // broadcast-pinned by construction: without the hint a conservative
+    // size estimate could plan a sort-merge join and shuffle the full-
+    // width corpus (text included) — the exact movement the metadata
+    // window exists to avoid. `picked` is ≤ budget/min-doc-tokens ids.
+    df.join(broadcast(picked), idCol)
   }
 }

@@ -38,7 +38,8 @@ object Sessionize {
     require(gapSeconds > 0, s"gapSeconds must be positive (got $gapSeconds)")
     val order: Seq[Column] = col(ts) +: tieBreak.map(col)
     val w = Window.partitionBy(col(user)).orderBy(order: _*)
-    val tsUs = unix_micros(col(ts).cast(org.apache.spark.sql.types.TimestampType))
+    // type-checked: a raw long ts is rejected, not reinterpreted as seconds
+    val tsUs = graft.GraftSession.eventTimeMicros(events, ts)
     val prevUs = lag(tsUs, 1).over(w)
     val isBreak =
       when(prevUs.isNull || tsUs - prevUs > gapSeconds * 1000000L, 1L).otherwise(0L)
@@ -56,7 +57,7 @@ object Sessionize {
   def sessions(events: DataFrame, user: String, ts: String, gapSeconds: Long,
       tieBreak: Seq[String] = Nil, eventType: Option[String] = None): DataFrame = {
     val assigned = assign(events, user, ts, gapSeconds, tieBreak)
-    val tsUs = unix_micros(col(ts).cast(org.apache.spark.sql.types.TimestampType))
+    val tsUs = graft.GraftSession.eventTimeMicros(events, ts)
     val aggs = Seq(
       count(lit(1)).as("n_events"),
       min(tsUs).as("start_us"),

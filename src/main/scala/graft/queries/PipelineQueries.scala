@@ -139,7 +139,16 @@ object PipelineQueries {
       val li = table(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_returnflag")
         .repartition(32)
-      graft.sinks.Sized.rebalancedWrite(li, out, targetShuffleBytes = 1L << 20)
+      // target scales with the INPUT (≈1/8 of the source file), so the
+      // expected output file count is SF-independent — a fixed byte
+      // target would blow past the 32-file band at large scale factors
+      // even though the sizing worked exactly as designed
+      val srcBytes = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet"))
+        .getLength
+      graft.sinks.Sized.rebalancedWrite(li, out,
+        targetShuffleBytes = math.max(srcBytes / 8, 64L << 10))
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(out))
@@ -305,9 +314,10 @@ object PipelineQueries {
     /** CSV Direct I/O round-trip: transactional write (header, explicit
       * delimiter) then schema-declared read-back — the reference's
       * directio-csv surface. Schema on read is REQUIRED (inference is a
-      * full extra scan of a 100 TB source); decimals ride as strings in
-      * csv, so the price column re-enters as DECIMAL via the declared
-      * schema, not a lossy double parse.
+      * full extra scan of a 100 TB source). The price column is DOUBLE
+      * end to end, matching the fixture's storage type — a money column
+      * stored as DECIMAL would declare DECIMAL here so the text parse
+      * is exact rather than a double round-trip.
       */
     "csv_roundtrip" -> { (s, dir) =>
       val out = s"${sys.props("java.io.tmpdir")}/graft_csv_${s.sparkContext.applicationId}"
@@ -386,11 +396,16 @@ object PipelineQueries {
       * partial sums) cross the exchange, never the JSON text.
       */
     "json_props" -> { (s, dir) =>
+      // n_k counts the RAW extracted string (presence of the key), not the
+      // long cast — the oracle's COUNT(json_extract_string(...)) does the
+      // same, so a future fixture with a non-numeric k diverges in sum/min/
+      // max (visible) rather than silently in the presence count
       table(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          get_json_object(col("props"), "$.k").as("k_raw"))
+        .withColumn("k", col("k_raw").cast(LongType))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        .agg(count(lit(1)).as("n"), count(col("k_raw")).as("n_k"),
           sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
     },
@@ -774,7 +789,7 @@ object PipelineQueries {
         |  (SELECT CAST(MIN(cnt) AS BIGINT) FROM cum WHERE cum * 100 >= tot.n_keys * 50) AS p50_cnt,
         |  (SELECT CAST(MIN(cnt) AS BIGINT) FROM cum WHERE cum * 100 >= tot.n_keys * 90) AS p90_cnt,
         |  (SELECT CAST(MIN(cnt) AS BIGINT) FROM cum WHERE cum * 100 >= tot.n_keys * 99) AS p99_cnt,
-        |  CAST(max_cnt * 1000 * n_keys // n_rows AS BIGINT) AS skew_x1000
+        |  CAST(CAST(max_cnt AS HUGEINT) * 1000 * n_keys // n_rows AS BIGINT) AS skew_x1000
         |FROM tot""".stripMargin,
     "bloom_lookup" ->
       """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,

@@ -31,17 +31,12 @@ object Sized {
       options: Map[String, String] = Map.empty): Unit = {
     require(targetShuffleBytes > 0, "rebalancedWrite: target must be positive")
     val spark = df.sparkSession
-    val pins = Map(
+    graft.GraftSession.withConfs(spark, Map(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> targetShuffleBytes.toString,
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
-        math.max(targetShuffleBytes / 4, 1L).toString)
-    val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    pins.foreach { case (k, v) => spark.conf.set(k, v) }
-    try df.hint("rebalance").write.mode("overwrite")
-      .format(format).options(options).save(path)
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+        math.max(targetShuffleBytes / 4, 1L).toString)) {
+      df.hint("rebalance").write.mode("overwrite")
+        .format(format).options(options).save(path)
     }
   }
 }

@@ -124,7 +124,8 @@ object StreamOps {
     val typed = events
       .withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).cast("long").as("key"),
-        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType)).as("us"), col(valueCol).cast("double").as("v"),
+        graft.GraftSession.eventTimeMicros(events, tsCol).as("us"),
+        col(valueCol).cast("double").as("v"),
         col(tsCol).as("ts"))
       .as[ResampleEvent]
     typed.groupByKey(_.key).flatMapGroupsWithState(
@@ -264,7 +265,7 @@ object StreamOps {
     val typed = events
       .withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).cast("long").as("key"),
-        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType)).as("us"),
+        graft.GraftSession.eventTimeMicros(events, tsCol).as("us"),
         col(tsCol).cast(org.apache.spark.sql.types.TimestampType).as("ts"))
       .as[SessEvent]
     typed.groupByKey(_.key).transformWithState(
@@ -362,7 +363,7 @@ object StreamOps {
     val typed = events
       .withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).cast("long").as("key"),
-        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType)).as("us"),
+        graft.GraftSession.eventTimeMicros(events, tsCol).as("us"),
         col(idCol).cast("long").as("eventId"),
         col(tsCol).cast(org.apache.spark.sql.types.TimestampType).as("ts"))
       .as[QuotaEvent]
@@ -402,21 +403,20 @@ object StreamOps {
       confOverrides: Map[String, String] = Map.empty): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    // session confs a stateful operator needs at query START (e.g. the
-    // RocksDB provider transformWithState requires); restored after
-    val savedConf = confOverrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    // The stateful-operator partition count is a first-class streaming
-    // knob: it is frozen into the checkpoint at first start and every
-    // micro-batch commits one state-store delta PER partition PER stateful
-    // operator, so it must be sized to state volume (keys in the watermark
-    // horizon), not to the batch shuffle default — tiny local streams wear
-    // 32 near-empty store commits per batch otherwise; a 100 TB/day stream
-    // sizes it up instead. Applied via the session conf (what streaming
-    // reads at query start) and restored after the drain.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    // Pinned for the query's START, restored after (GraftSession.withConfs):
+    // - confOverrides: what a stateful operator needs at start (e.g. the
+    //   RocksDB provider transformWithState requires);
+    // - shuffle partitions: the stateful-operator partition count is a
+    //   first-class streaming knob — frozen into the checkpoint at first
+    //   start, and every micro-batch commits one state-store delta PER
+    //   partition PER stateful operator, so it must be sized to state
+    //   volume (keys in the watermark horizon), not the batch shuffle
+    //   default; tiny local streams wear 32 near-empty store commits per
+    //   batch otherwise, a 100 TB/day stream sizes it up instead.
+    val pins = confOverrides ++
+      (if (statePartitions > 0)
+        Map("spark.sql.shuffle.partitions" -> statePartitions.toString)
+      else Map.empty)
     // the drain is a synchronous test/verify sink, so its checkpoint needs
     // no durability — put state-store deltas on the RAM disk when one
     // exists (a production stream would point checkpointLocation at
@@ -425,7 +425,7 @@ object StreamOps {
     val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_")
-    try {
+    try graft.GraftSession.withConfs(spark, pins) {
       val q = stream.writeStream
         .outputMode(outputMode)
         .format("memory")
@@ -435,11 +435,6 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally {
-      if (statePartitions > 0) spark.conf.set(key, prev)
-      savedConf.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
       // best-effort cleanup so repeated drains don't fill the tmpfs
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

@@ -331,8 +331,10 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       val inCols = w.child.output.map(_.name).toSet
       assert(!inCols.contains("text"), s"document text in window input: $inCols")
     }
-    // the allocation side joins broadcast, not shuffled
-    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+    // BOTH joins broadcast (allocation + selected-ids join-back): a sort-
+    // merge join anywhere would shuffle the full-width corpus
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.size >= 2, plan.toString)
+    assert(collect(plan) { case j: SortMergeJoinExec => j }.isEmpty, plan.toString)
   }
 
   test("banded dedup bucket guard shuffles counts, not rows (no WindowExec)") {
