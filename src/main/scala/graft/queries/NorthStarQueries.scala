@@ -713,6 +713,33 @@ object NorthStarQueries {
           max(col("tf")).as("max_tf"))
     },
 
+    /** Tokenizer-vocabulary coverage: the OOV-rate report a tokenizer
+      * rollout runs before committing to a vocab — top-1000 corpus terms
+      * by (frequency, term) form the vocabulary (deterministic cut), and
+      * each language reports its token count, OOV count, and OOV rate
+      * against it. Scale shape: the vocab is a counts-only top-k
+      * (TakeOrdered semantics via the window prune) broadcast into a
+      * left-anti-style membership probe — the corpus never shuffles for
+      * membership, and the ratio is one IEEE division of two exact longs.
+      */
+    "oov_rate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = tableSpread(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("_n"))
+      val vocab = counts
+        .withColumn("_r", row_number().over(
+          Window.orderBy(col("_n").desc, col("term").asc)))
+        .filter(col("_r") <= 1000)
+        .select(col("term"), lit(1).as("_in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+    },
+
     /** Per-document keyword extraction (doc tagging): top-3 terms per doc
       * ranked by the INTEGER proxy of tf-idf — highest in-doc frequency,
       * then rarest in the corpus, then term — so the selected set is
@@ -1195,6 +1222,26 @@ object NorthStarQueries {
         |       CAST(SUM(tf) AS BIGINT) AS total_tf,
         |       CAST(MAX(tf) AS BIGINT) AS max_tf
         |FROM tf GROUP BY 1""".stripMargin,
+    "oov_rate" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |t AS (SELECT lang, term FROM toks WHERE term <> ''),
+        |counts AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1
+        |),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+        |    FROM counts
+        |  ) WHERE r <= 1000
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+        |         CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM t LEFT JOIN vocab v USING (term)
+        |GROUP BY 1""".stripMargin,
     "doc_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
