@@ -66,4 +66,35 @@ class QuotaParitySpec extends SparkSpec {
       saved.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
     }
   }
+
+  test("quotaStream: equal timestamps break ties by event id") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long, Long)]
+    val stream = StreamOps.quotaStream(
+      input.toDS().toDF("user_id", "sec", "event_id")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      keyCol = "user_id", tsCol = "ts", idCol = "event_id", k = 2)
+    val q = stream.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tws_quota_ties")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // three events at the SAME second — ids 30, 10, 20 in arrival
+      // order; quota 2 must keep ids 10 and 20 (smallest ids), not the
+      // first two arrivals
+      input.addData((1L, 1000L, 30L), (1L, 1000L, 10L), (1L, 1000L, 20L))
+      q.processAllAvailable()
+      input.addData((9L, 9000L, 99L)) // advance watermark to finalize
+      q.processAllAvailable()
+      val got = spark.table("tws_quota_ties")
+        .as[(Long, Long, Long)].collect().toSeq.filter(_._1 == 1L).map(_._3).sorted
+      assert(got === Seq(10L, 20L), got.toString)
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
 }

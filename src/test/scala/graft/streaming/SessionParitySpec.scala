@@ -104,4 +104,37 @@ class SessionParitySpec extends SparkSpec {
       saved.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
     }
   }
+
+  test("sessionizeStream: a late event (behind the watermark) is dropped, not merged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val stream = StreamOps.sessionizeStream(
+      input.toDS().toDF("user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      keyCol = "user_id", tsCol = "ts", gapSeconds = 300L)
+    val q = stream.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tws_sessions_late")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, 1000L), (2L, 5000L))
+      q.processAllAvailable()
+      // watermark is now 5000 s (delay 0): a user-1 event at 1100 s is
+      // LATE — the operator must drop it, and the finality rule is sound
+      // exactly because it does (a finalized rank/session never changes)
+      input.addData((1L, 1100L), (9L, 20000L))
+      q.processAllAvailable()
+      val got = spark.table("tws_sessions_late")
+        .as[(Long, Long, Long, Long)].collect().toSeq.filter(_._1 == 1L)
+      val S = 1000000L
+      assert(got === Seq((1L, 1000L * S, 1000L * S, 1L)),
+        s"late event must not extend the session: $got")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
 }
