@@ -500,6 +500,65 @@ object NorthStarQueries {
         .toDF("doc_id", "width", "height", "red_sum")
     },
 
+    /** Image resize over real codec bytes: the PNG fixture of
+      * `multimodal_features` decoded (actual codec parse) and
+      * nearest-neighbor downscaled to the ceil-half grid inside the scan
+      * partition — blob bytes never cross an exchange; only (id, dims,
+      * checksum) leave the task. Constant-color planting makes the
+      * resized red-sum exactly out_w·out_h·c, so the resize arithmetic
+      * (target dims + source-pixel sampling) is oracle-checked, not just
+      * exercised.
+      */
+    "multimodal_resize" -> { (s, dir) =>
+      import s.implicits._
+      val blobs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val w = (nChars % 31 + 1).toInt
+            val h = (id % 17 + 1).toInt
+            val c = (id * 7 % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (c << 16) | (c << 8) | c
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }
+        .toDF("doc_id", "blob")
+      blobs.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (tw, th) = ((w + 1) / 2, (h + 1) / 2)
+            // nearest-neighbor: target pixel (x,y) samples source
+            // (x·w/tw, y·h/th) — integer arithmetic, no codec resampler
+            var sum = 0L
+            var y = 0
+            while (y < th) {
+              val sy = y * h / th
+              var x = 0
+              while (x < tw) {
+                sum += (img.getRGB(x * w / tw, sy) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, tw, th, sum)
+          }
+        }
+        .toDF("doc_id", "out_width", "out_height", "red_sum")
+    },
+
     /** Audio pipeline with a REAL decode step: unsigned 8-bit mono PCM WAV
       * synthesized per document, decoded via javax.sound.sampled (actual
       * RIFF header parse), reduced to sample stats the oracle recomputes.
@@ -1474,6 +1533,13 @@ object NorthStarQueries {
         |       CAST(n_chars % 31 + 1 AS INT) AS width,
         |       CAST(doc_id % 17 + 1 AS INT) AS height,
         |       CAST((n_chars % 31 + 1) * (doc_id % 17 + 1) * (doc_id * 7 % 256) AS BIGINT) AS red_sum
+        |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |       CAST((n_chars % 31 + 2) // 2 AS INT) AS out_width,
+        |       CAST((doc_id % 17 + 2) // 2 AS INT) AS out_height,
+        |       CAST(((n_chars % 31 + 2) // 2) * ((doc_id % 17 + 2) // 2) *
+        |            (doc_id * 7 % 256) AS BIGINT) AS red_sum
         |FROM documents""".stripMargin,
     // the oracle is the naive single-window formulation the distributed
     // two-level prefix sum must equal bit-for-bit
