@@ -90,6 +90,25 @@ object GraftSession {
     }
   }
 
+  /** [[normalizeTs]] for operator inputs: TIMESTAMP passes through,
+    * TIMESTAMP_NTZ is cast under the pinned UTC zone, and anything else —
+    * including LongType — is REJECTED (same reasoning as
+    * [[eventTimeMicros]]: a long reinterpreted as epoch seconds is a
+    * silent corruption, not a conversion).
+    */
+  private[graft] def normalizeTsStrict(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(TimestampType) => df
+      case Some(TimestampNTZType) =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case t => throw new IllegalArgumentException(
+        s"event-time column '$colName' has type ${t.map(_.simpleString).getOrElse("<absent>")}: " +
+          "use timestamp/timestamp_ntz (normalize raw long encodings via GraftSession.normalizeTs)")
+    }
+  }
+
   /** Run `body` with session confs pinned, restoring previous values
     * (or unsetting) afterwards — the shared form of the save/set/try/
     * finally-restore pattern the sinks and streaming drains need around

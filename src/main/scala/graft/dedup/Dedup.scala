@@ -24,6 +24,18 @@ import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
   */
 object Dedup {
 
+  /** Internal working columns must not collide with the caller's schema —
+    * a colliding `_h1`/`_h2` would be silently overwritten in the
+    * surviving rows, a colliding `_id` makes the final anti-join's
+    * reference ambiguous. Rejected loudly instead.
+    */
+  private def requireNoInternal(df: DataFrame, names: Seq[String],
+      allow: Set[String] = Set.empty): Unit = {
+    val clash = names.filterNot(allow).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input schema uses reserved internal column(s) ${clash.mkString(", ")} — rename them")
+  }
+
   /** Exact dedup: group identical `on` values, keep the smallest `id`.
     * Returns (keep_id, n_dups, <on columns>)-shaped frame. One shuffle,
     * partial-aggregated map-side.
@@ -77,6 +89,7 @@ object Dedup {
     */
   def exactIncremental(batch: DataFrame, index: DataFrame,
       on: Seq[String], id: String): DataFrame = {
+    requireNoInternal(batch, Seq("_h1", "_h2"))
     val cols = on.map(col)
     val outCols = batch.columns.toSeq
     batch
@@ -117,7 +130,13 @@ object Dedup {
       .select(col(id).as("_id"),
         posexplode(TextFunctions.tokenChunks(toks, width, width))
           .as(Seq("_cidx", "_chunk")))
-      .groupBy(xxhash64(col("_chunk")).as("_h"))
+      // two-seed 128-bit key, same construction as [[exactFingerprint]]:
+      // a single 64-bit hash collides at the birthday bound (~2^32 chunks,
+      // far below a real corpus) and a collision here MERGES two distinct
+      // chunks — every occurrence of the loser silently deleted from its
+      // documents
+      .groupBy(xxhash64(col("_chunk")).as("_h1"),
+        xxhash64(lit(0x5eed), col("_chunk")).as("_h2"))
       .agg(min(struct(col("_id"), col("_cidx"), col("_chunk"))).as("_w"))
       .groupBy(col("_w._id").as(id))
       .agg(
@@ -213,6 +232,7 @@ object Dedup {
   def minhashIncremental(batch: DataFrame, index: DataFrame, id: String,
       shingles: Column, threshold: Double, bands: Int = 16, rows: Int = 8,
       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    requireNoInternal(batch, Seq("_id"), allow = Set(id))
     val banded = boundedBuckets(mhBanded(batch, id, shingles, bands, rows, seed),
       Seq("_band", "_bucket"), maxBucket, "minhash_inc_batch")
     val idx = boundedBuckets(
@@ -266,6 +286,7 @@ object Dedup {
     */
   def simhashIncremental(batch: DataFrame, index: DataFrame, id: String,
       tokens: Column, maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    requireNoInternal(batch, Seq("_id"), allow = Set(id))
     val banded = boundedBuckets(shBanded(batch, id, tokens, maxHamming),
       Seq("_band", "_bucket"), maxBucket, "simhash_inc_batch")
     val idx = boundedBuckets(
@@ -423,6 +444,7 @@ object Dedup {
   def embeddingIncremental(batch: DataFrame, index: DataFrame, id: String,
       vec: Column, threshold: Double, nPlanes: Int = 8, dim: Int = 64,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
+    requireNoInternal(batch, Seq("_id"), allow = Set(id))
     val ps = VectorFunctions.planes(seed, nPlanes, dim)
     val sigs = boundedBuckets(
       batch.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),

@@ -167,7 +167,14 @@ object DirectOutput {
       }
       files.filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
         .zipWithIndex.foreach { case (st, i) =>
-          f.rename(st.getPath, new Path(dir, pattern.render(values, i)))
+          val dest = new Path(dir, pattern.render(values, i))
+          // same rule as commitOne: a false rename silently leaves the
+          // part- name in place and every pattern-matching consumer
+          // misses those rows — fail loudly instead
+          if (!f.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"writeGrouped: rename ${st.getPath} -> $dest failed " +
+                "(destination exists? pattern must render unique names per file)")
         }
     }
     walk(new Path(spec.path), Map.empty)
@@ -185,6 +192,14 @@ object DirectOutput {
     * cannot delete each other's in-flight transaction mid-commit and turn
     * its roll-forward into a rollback. The permissive default is correct
     * only under single-writer-per-path discipline.
+    *
+    * CONTRACT: `paths` must cover EVERY dataset an in-scope transaction
+    * writes (the same set its `write(...)` call listed). The marker is
+    * deleted after the scan, so a partial path list would roll forward
+    * only the covered datasets and leave the rest's attempts markerless
+    * — a later recover would roll them BACK: a partial commit of a
+    * multi-dataset transaction. Every graft call site passes the full
+    * spec list (setup/write/recover are always path-for-path aligned).
     */
   def recover(conf: Configuration, markerDir: String, paths: Seq[String],
       txFilter: String => Boolean = _ => true): Unit = {

@@ -191,6 +191,8 @@ object Upsert {
     DirectOutput.setup(conf, Seq(tableDir))
     val f = fs(conf, tableDir)
     f.mkdirs(new Path(tableDir))
+    require(!base.columns.contains("_b"),
+      "create: '_b' is the reserved bucket column — rename it in the base frame")
     writeMeta(conf, tableDir, Meta(nBuckets, pk, base.schema))
     val staging = s"$tableDir/.create-stage"
     base.withColumn("_b", bucketOf(pk, nBuckets))
@@ -240,13 +242,21 @@ object Upsert {
     val conf = spark.sparkContext.hadoopConfiguration
     recover(spark, tableDir)
     val meta = readMeta(conf, tableDir)
+    require(!changes.columns.contains("_b"),
+      "upsert: '_b' is the reserved bucket column — rename it in the changes frame")
     val g = nextGen(conf, tableDir)
     val genName = "g%09d".format(g)
     val bucket = bucketOf(meta.pk, meta.nBuckets)
-    // dirty-bucket set: bounded by nBuckets, so the collect is a few ints
-    val dirty = changes.select(bucket.as("_b")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    if (dirty.isEmpty) return g
+    // ONE evaluation of the changes plan: the dirty-set collect and the
+    // staged merge below must see the SAME rows — a nondeterministic
+    // changes frame re-executed could stage buckets outside the marker's
+    // recorded dirty set, whose rows finishCommit would silently drop
+    val pinned = graft.Caches.track(changes.persist())
+    try {
+      // dirty-bucket set: bounded by nBuckets, so the collect is a few ints
+      val dirty = pinned.select(bucket.as("_b")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (dirty.isEmpty) return g
     val f = fs(conf, tableDir)
     val current = resolve(conf, tableDir)
     val curPaths = current
@@ -262,7 +272,7 @@ object Upsert {
     // recovery can finish even buckets whose new generation is EMPTY
     // (deletes wiped them — partitioned writes emit no dir for them)
     val staging = s"$tableDir/.upsert-stage-$genName"
-    graft.operators.Merge.applyChanges(cur, changes, meta.pk, op, seq)
+    graft.operators.Merge.applyChanges(cur, pinned, meta.pk, op, seq)
       .withColumn("_b", bucket)
       .write.mode("overwrite").partitionBy("_b").parquet(staging)
     val marker = markerFor(tableDir, genName)
@@ -281,6 +291,7 @@ object Upsert {
     f.delete(new Path(staging), true)
     f.delete(marker, false)
     g
+    } finally { pinned.unpersist(false); () }
   }
 
   private def markerFor(tableDir: String, genName: String) =

@@ -33,9 +33,18 @@ object StreamOps {
       schema: org.apache.spark.sql.types.StructType,
       maxFilesPerTrigger: Int): DataFrame = {
     // file streams require a directory source; for a single-file path,
-    // stream the parent directory with a glob filter on the file name
-    val p = new java.io.File(path)
-    val (dir, glob) = if (p.isFile) (p.getParent, Some(p.getName)) else (path, None)
+    // stream the parent directory with a glob filter on the file name.
+    // Hadoop FS check, not java.io.File: the path may be hdfs://, s3a://,
+    // etc. — a local-only check would silently take the directory branch
+    // for a remote single file and fail to open the stream
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      hp.toUri, spark.sparkContext.hadoopConfiguration)
+    val isFile = try hfs.getFileStatus(hp).isFile catch {
+      case _: java.io.FileNotFoundException => false
+    }
+    val (dir, glob) =
+      if (isFile) (hp.getParent.toString, Some(hp.getName)) else (path, None)
     val r = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir)
@@ -262,11 +271,17 @@ object StreamOps {
     require(gapSeconds > 0, "sessionizeStream: gapSeconds must be positive")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val typed = events
+    // normalize ts BEFORE the watermark and pass the attribute through
+    // UNCAST: a real cast (TIMESTAMP_NTZ input) would mint a new
+    // attribute without the event-time metadata the watermark attached,
+    // and transformWithState would then silently skip late-row filtering
+    // — a late event could re-open an already-emitted session
+    val ev = graft.GraftSession.normalizeTsStrict(events, tsCol)
+    val typed = ev
       .withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).cast("long").as("key"),
-        graft.GraftSession.eventTimeMicros(events, tsCol).as("us"),
-        col(tsCol).cast(org.apache.spark.sql.types.TimestampType).as("ts"))
+        unix_micros(col(tsCol)).as("us"),
+        col(tsCol).as("ts"))
       .as[SessEvent]
     typed.groupByKey(_.key).transformWithState(
       new GapSessionProcessor(gapSeconds * 1000000L),
@@ -360,12 +375,17 @@ object StreamOps {
     require(k > 0, "quotaStream: k must be positive")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val typed = events
+    // same pre-watermark normalization as sessionizeStream: the cast-free
+    // ts passthrough keeps the watermark's event-time metadata alive into
+    // the stateful operator (late-row filtering is what makes a
+    // finalized rank immutable)
+    val ev = graft.GraftSession.normalizeTsStrict(events, tsCol)
+    val typed = ev
       .withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).cast("long").as("key"),
-        graft.GraftSession.eventTimeMicros(events, tsCol).as("us"),
+        unix_micros(col(tsCol)).as("us"),
         col(idCol).cast("long").as("eventId"),
-        col(tsCol).cast(org.apache.spark.sql.types.TimestampType).as("ts"))
+        col(tsCol).as("ts"))
       .as[QuotaEvent]
     typed.groupByKey(_.key).transformWithState(
       new QuotaProcessor(k), TimeMode.EventTime(), OutputMode.Append())
@@ -538,7 +558,14 @@ object StreamOps {
         val target = s"$path/batch=$batchId"
         val idxTarget = s"$indexHome/tx=$txPrefix-$batchId-${StreamOps.writerId(path)}"
         val conf = spark.sparkContext.hadoopConfiguration
-        val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(target), conf)
+        // per-path filesystems: data and index may live on DIFFERENT
+        // stores (hot data on HDFS, small index on object storage) — one
+        // FileSystem bound to the data URI would throw "Wrong FS" on
+        // every index operation
+        def fsOf(p: String) = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(p), conf)
+        val fs = fsOf(target)
+        val idxFs = fsOf(indexHome)
         // roll this batch's own crashed transaction forward/back first;
         // other writers' transactions are untouched (txFilter)
         graft.sinks.DirectOutput.recover(conf, s"$path/_tx", Seq(target, idxTarget),
@@ -547,13 +574,13 @@ object StreamOps {
         if (!fs.exists(committed)) {
           // pre-commit leftovers from a crash between rename and marker:
           // clear both targets, the checkpoint replays deterministically
-          Seq(target, idxTarget).foreach { t =>
+          Seq(target -> fs, idxTarget -> idxFs).foreach { case (t, f) =>
             val p = new org.apache.hadoop.fs.Path(t)
-            if (fs.exists(p)) fs.delete(p, true)
+            if (f.exists(p)) f.delete(p, true)
           }
           val idxPath = new org.apache.hadoop.fs.Path(indexHome)
           val index =
-            if (fs.exists(idxPath) && fs.listStatus(idxPath).nonEmpty)
+            if (idxFs.exists(idxPath) && idxFs.listStatus(idxPath).nonEmpty)
               spark.read.parquet(indexHome)
             else strategy.emptyIndex(spark)
           val survivors = strategy.dedup(batch, index).persist()
@@ -646,8 +673,15 @@ object StreamOps {
     // snapshot BEFORE reading: appends racing the compaction stay live.
     // A previous compaction's own tx= dir is a normal member of the
     // snapshot — it gets folded in and reclaimed like any other.
+    // COMMITTED dirs only: a tx dir without _GRAFT_COMMITTED is a LIVE or
+    // crashed transaction — folding it would read a partial rename and
+    // deleting it would destroy the attempt recover() needs, silently
+    // losing fingerprints (duplicates re-admitted forever after). Such a
+    // dir is skipped now and folded by a later compaction once committed
+    // (or reclaimed by recover's rollback).
     val old = fs.listStatus(home).filter(s => s.isDirectory &&
-      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") &&
+      fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_GRAFT_COMMITTED")))
       .map(_.getPath).toSeq
     if (old.isEmpty) return
     // same `tx=` partition key as the appends: mixed key names under one

@@ -86,12 +86,27 @@ class StreamingSpec extends SparkSpec {
     val idxDirs = new java.io.File(s"$dir/index").listFiles().filter(_.isDirectory)
     assert(idxDirs.length === 2 &&
       idxDirs.forall(d => new java.io.File(d, "_GRAFT_COMMITTED").exists()))
+    // an UNCOMMITTED tx dir (a live/crashed transaction: fingerprints
+    // present, no _GRAFT_COMMITTED) must survive compaction untouched —
+    // folding would read a partial rename, deleting would destroy the
+    // attempt recover() needs and silently re-admit those duplicates
+    val liveTx = new java.io.File(s"$dir/index/tx=live-crashed")
+    liveTx.mkdirs()
+    spark.range(1).selectExpr("id AS _h1", "id AS _h2")
+      .write.mode("overwrite").parquet(s"$dir/index/tx=live-crashed/.attempt-live")
     // compaction folds the per-batch tx dirs into one; the fingerprint SET
     // is unchanged
     StreamOps.compactIndex(spark, s"$dir/index")
+    assert(liveTx.isDirectory && new java.io.File(liveTx, ".attempt-live").isDirectory,
+      "compaction must not touch an uncommitted transaction dir")
     assert(new java.io.File(s"$dir/index").listFiles()
-      .count(f => f.isDirectory && !f.getName.startsWith("_")) === 1)
+      .count(f => f.isDirectory && !f.getName.startsWith("_")) === 2) // compacted + live
     assert(spark.read.parquet(s"$dir/index").select("_h1").distinct().count() === 3)
+    // clean the synthetic live tx so the replay below sees the real index
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete(); ()
+    }
+    rmAll(liveTx)
     // restart with a fresh checkpoint: the whole history replays as one new
     // batch and EVERYTHING is dropped against the (compacted) index
     val input2 = MemoryStream[(Long, String)]
