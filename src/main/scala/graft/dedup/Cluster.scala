@@ -67,10 +67,18 @@ object Cluster {
         val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         (cached.checkpoint(false), () => { cached.unpersist(false); () })
       } else {
-        val before = sc.getPersistentRDDs.keySet
         val out = df.localCheckpoint(false)
-        val ids = sc.getPersistentRDDs.keySet.toSet -- before
-        (out, () => ids.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(false))))
+        // the checkpointed internal RDD sits inside the returned plan as
+        // a LogicalRDD leaf — pull it out DIRECTLY and release exactly
+        // that. (The previous form diffed the JVM-global persistent-RDD
+        // registry around the call, which captured any RDD a CONCURRENT
+        // driver thread persisted in the window — Rounds.runAll,
+        // forkBranches, a streaming query — and later unpersisted it
+        // mid-computation under that thread's feet.)
+        val ckRdds = out.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+        (out, () => ckRdds.foreach(_.unpersist(false)))
       }
 
     // materialize the (possibly expensive) edge pipeline ONCE before the

@@ -44,8 +44,17 @@ final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMOR
   // once even when every concurrent round asks for it at the same instant
   // (late askers block on the key until the first build returns — plan
   // construction + persist() registration, not job execution)
-  private val onceCache = new ConcurrentHashMap[String, DataFrame]()
-  private val paramCache = new ConcurrentHashMap[(String, String), DataFrame]()
+  // values are lazy holders so the USER BUILD CLOSURE runs OUTSIDE the
+  // map's computeIfAbsent critical section: a build that itself calls
+  // cacheOnce (deriving one NEVER input from another) would otherwise be
+  // a recursive update on the same map — IllegalStateException or a
+  // livelock depending on bin collisions. computeIfAbsent only installs
+  // the holder (cheap, non-reentrant); `value` then memoizes the build
+  // with plain lazy-val semantics (late askers block on the holder, and
+  // re-entrant asks target a different, already-installed holder).
+  private final class Memo(build: () => DataFrame) { lazy val value: DataFrame = build() }
+  private val onceCache = new ConcurrentHashMap[String, Memo]()
+  private val paramCache = new ConcurrentHashMap[(String, String), Memo]()
   // the frames whose persist() we own (in reliable mode the HANDED-OUT
   // frame is the checkpointed one, which carries no persist of its own)
   private val retained = new ConcurrentLinkedQueue[DataFrame]()
@@ -63,14 +72,15 @@ final class Rounds(spark: SparkSession, level: StorageLevel = StorageLevel.MEMOR
     * across all rounds.
     */
   def cacheOnce(name: String)(build: => DataFrame): DataFrame =
-    onceCache.computeIfAbsent(name, _ => pin(build))
+    onceCache.computeIfAbsent(name, _ => new Memo(() => pin(build))).value
 
   /** PARAMETER-keyed input: one persisted instance per distinct value of
     * the given parameter keys.
     */
   def cacheByParameter(name: String, ctx: RoundContext, keys: Seq[String])(
       build: RoundContext => DataFrame): DataFrame =
-    paramCache.computeIfAbsent((name, ctx.signature(keys)), _ => pin(build(ctx)))
+    paramCache.computeIfAbsent((name, ctx.signature(keys)),
+      _ => new Memo(() => pin(build(ctx)))).value
 
   /** Run the flow once per round, in order; returns (round, result). */
   def run(rounds: Seq[Map[String, String]])(

@@ -67,15 +67,26 @@ object Packing {
             "(null ids would silently collapse into one bucket)")))
           .otherwise(Sampling.hashBucket(id, OrdRing)))
       .withColumn("_graft_bkt", (col("_graft_ord") / width).cast("long"))
-      .withColumn("_graft_val", value.cast("long"))
+      .withColumn("_graft_val",
+        when(value.isNull, raise_error(lit(
+          "prefixSumBefore: null value violates the integral-value contract " +
+            "(a null would silently drop the row from its pack/position)")))
+          .otherwise(value.cast("long")))
+      // ONE materialization feeding both levels: the windowed side and the
+      // bucket-offset side must see the SAME row set — re-executing a
+      // nondeterministic upstream (sample, limit) for each level would
+      // make offsets disagree with within-bucket sums, silently corrupting
+      // positions. Tracked: Caches.clear releases it between batches.
+      .persist()
+    val dT = graft.Caches.track(d)
     // level 1: running sum within each bucket (parallel, one shuffle)
     val w = Window.partitionBy("_graft_bkt").orderBy(col("_graft_ord"), id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = d.withColumn("_graft_in", sum(col("_graft_val")).over(w) - col("_graft_val"))
+    val within = dT.withColumn("_graft_in", sum(col("_graft_val")).over(w) - col("_graft_val"))
     // level 2: exclusive bucket offsets over the <= `buckets`-row aggregate
     // (the unpartitioned window is single-task by design — it sees only
     // bucket subtotals, never records)
-    val offsets = d.groupBy("_graft_bkt").agg(sum("_graft_val").as("_graft_tot"))
+    val offsets = dT.groupBy("_graft_bkt").agg(sum("_graft_val").as("_graft_tot"))
       .withColumn("_graft_off", coalesce(
         sum("_graft_tot").over(Window.orderBy("_graft_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -49,9 +49,14 @@ object Quantiles {
   def filterAtLeast(df: DataFrame, group: String, value: Column,
       qNum: Int, qDen: Int): DataFrame = {
     val thr = valueThresholds(df, group, value, qNum, qDen)
+      .withColumnRenamed(group, "_graft_g")
+    // NULL-SAFE join key: valueThresholds computes a threshold row for a
+    // null group (docs with failed language detection etc.), and a plain
+    // equi-join would silently drop every null-group row — neither kept
+    // nor reported
     df.withColumn("_v", value)
-      .join(broadcast(thr), Seq(group))
+      .join(broadcast(thr), col(group) <=> col("_graft_g"))
       .filter(col("_v") >= col("_threshold"))
-      .drop("_v", "_threshold")
+      .drop("_v", "_threshold", "_graft_g")
   }
 }

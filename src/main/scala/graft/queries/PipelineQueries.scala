@@ -172,7 +172,7 @@ object PipelineQueries {
       table(s, dir, "orders").repartition(24)
         .write.mode("overwrite").parquet(out)
       val stats = graft.sinks.Compact.compact(s, out,
-        targetBytes = 1L << 30, smallBytes = 1L << 30)
+        targetBytes = 1L << 30, smallBytes = 1L << 29)
       assert(stats.compacted == 24 && stats.written >= 1)
       s.read.parquet(out)
         .groupBy(col("o_orderstatus"))

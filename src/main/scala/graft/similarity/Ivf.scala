@@ -42,9 +42,21 @@ object Ivf {
     val filtered = corpus
       .select(col(idCol).cast("string").as("_id"), col(vecCol).cast("array<double>").as("_v"))
       .filter(if (sampleMod <= 1) lit(true) else pmod(xxhash64(col("_id")), lit(sampleMod)) === 0)
-    val sample = filtered.orderBy(col("_id")).limit(sampleN).collect()
-      .map(_.getSeq[Double](1).toArray).map(normalize)
+    val rows = filtered.orderBy(col("_id")).limit(sampleN).collect()
+    val sample = rows.map { r =>
+      val seq = r.getSeq[Double](1)
+      require(seq != null,
+        s"trainCentroids: null $vecCol for id ${r.getString(0)} — " +
+          "filter null embeddings before training")
+      normalize(seq.toArray)
+    }
     require(sample.length >= nCells, s"sample ${sample.length} < nCells $nCells")
+    val dim = sample.head.length
+    sample.zip(rows).foreach { case (v, r) =>
+      require(v.length == dim,
+        s"trainCentroids: ragged embedding for id ${r.getString(0)} " +
+          s"(${v.length} vs $dim) — mixed embedding versions cannot share an index")
+    }
     // seeded init: pick nCells distinct sample indices by hash order
     var centroids = sample.indices
       .sortBy(i => Hash64.mix(seed + i))
@@ -88,13 +100,22 @@ object Ivf {
     best
   }
 
-  private[similarity] def nearestN(v: Array[Double], cs: Array[Array[Double]], n: Int): Array[Int] =
+  private[similarity] def nearestN(v: Array[Double], cs: Array[Array[Double]], n: Int): Array[Int] = {
+    // a longer vector would crash with a bare AIOOBE; a SHORTER one would
+    // silently score truncated dot products and assign wrong cells —
+    // mixed embedding versions must fail by name (same contract as
+    // VectorFunctions.hyperplaneSig)
+    if (v.length != cs(0).length)
+      throw new IllegalArgumentException(
+        s"IVF: vector dim ${v.length} != centroid dim ${cs(0).length} — " +
+          "mixed embedding versions cannot share an index")
     cs.indices.map { c =>
       var dot = 0.0
       var j = 0
       while (j < v.length) { dot += v(j) * cs(c)(j); j += 1 }
       (-dot, c)
     }.sorted.take(n).map(_._2).toArray
+  }
 
   /** `nProbe` nearest cell ids for a vector (nProbe=1 → corpus
     * assignment). Centroids ride inside the expression (small matrix).

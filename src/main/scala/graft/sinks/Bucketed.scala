@@ -18,10 +18,15 @@ object Bucketed {
       sortBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     // a stale location from a previous session (dir exists, table not in
-    // this catalog) makes saveAsTable fail even in overwrite mode
-    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // this catalog) makes saveAsTable fail even in overwrite mode.
+    // Resolve the identifier + location through the CATALOG: building
+    // warehousePath/<name> by hand ignores the current database — under
+    // `USE mydb` it would delete DEFAULT.<name>'s live data and miss the
+    // actual stale dir (warehouse/mydb.db/<name>)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, tableName.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")

@@ -41,6 +41,11 @@ object Compact {
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20, smallBytes: Long = 32L << 20): Stats = {
     require(targetBytes > 0 && smallBytes > 0, "Compact: sizes must be positive")
+    // outputs are sized ~targetBytes; if they could re-qualify as small,
+    // every maintenance run would rewrite the whole table forever
+    require(smallBytes * 2 <= targetBytes,
+      s"Compact: smallBytes ($smallBytes) must be <= targetBytes/2 " +
+        s"($targetBytes/2) or compacted output re-qualifies as small (churn loop)")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir)
     val all = dataFiles(fs, dir)
@@ -49,7 +54,11 @@ object Compact {
     val txId = java.util.UUID.randomUUID().toString.take(12)
     val attempt = new Path(dir, s".compact-attempt-$txId")
     val nOut = math.max(1, math.ceil(smalls.map(_._2).sum.toDouble / targetBytes).toInt)
-    spark.read.parquet(smalls.map(_._1.toString): _*)
+    // mergeSchema: on a schema-evolved table the smalls may carry
+    // DIFFERENT schemas — a single inferred footer would silently drop
+    // the columns it lacks, and finish() deletes the originals (the only
+    // copies) right after
+    spark.read.option("mergeSchema", "true").parquet(smalls.map(_._1.toString): _*)
       .coalesce(nOut)
       .write.mode("overwrite").parquet(attempt.toString)
     // marker written AFTER the attempt job succeeded: its existence means
