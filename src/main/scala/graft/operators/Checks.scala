@@ -65,16 +65,22 @@ object Checks {
 
   /** Order-independent table checksum over integral columns: per row a
     * modular polynomial over `cols` (coefficients 1000003^i mod p,
-    * p = 2^31 − 1), summed in DECIMAL(38,0) so the total never
-    * overflows at any row count. Two tables with equal (fingerprint, n)
-    * on the same columns are equal on them with collision probability
-    * ~2⁻³¹ per differing row pair — the cheap cross-stage / cross-
-    * replica integrity check (one partial-aggregated pass, two numbers
-    * to the driver, no sort, no shuffle of anything but partials).
-    * Engine-portable by construction: plain integer arithmetic, so any
-    * SQL engine reproduces it — unlike built-in hash functions, which
-    * differ per engine. Columns must be integral and non-null (nulls
-    * fail the job by name rather than silently fingerprinting as zero).
+    * p = 2^31 − 1) passed through a QUADRATIC mix (h → h² + h mod p)
+    * before the order-independent sum, accumulated in DECIMAL(38,0) so
+    * the total never overflows at any row count.
+    *
+    * The quadratic mix is what makes the sum detect REARRANGEMENT, not
+    * just replacement: a purely linear row hash decomposes the total
+    * into per-column value sums, so offsetting one row's value up and
+    * another's down (or swapping values across rows within a column) —
+    * the classic structured-corruption shapes — would collide with
+    * probability 1. With the nonlinear per-row mix those rearrangements
+    * shift the total; random corruption collides with probability
+    * ~2⁻³¹. Engine-portable by construction: plain integer arithmetic
+    * (h < 2³¹ so h² fits in 64 bits), so any SQL engine reproduces it
+    * digit for digit — unlike built-in hash functions, which differ per
+    * engine. Columns must be integral and non-null (nulls fail the job
+    * by name rather than silently fingerprinting as zero).
     */
   def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "fingerprint: no columns")
@@ -86,8 +92,9 @@ object Checks {
         .otherwise(col(c).cast("long"))
       pmod(checked, lit(p)) * coef % p
     }.reduce((a, b) => (a + b) % p)
+    val mixed = (rowHash * rowHash + rowHash) % p
     df.agg(
-      sum(rowHash.cast("decimal(38,0)")).as("fingerprint"),
+      sum(mixed.cast("decimal(38,0)")).as("fingerprint"),
       count(lit(1)).as("n"))
   }
 }

@@ -37,7 +37,14 @@ object Frequency {
     require(k >= 2, s"k must be >= 2 (got $k)")
     val sp = df.sparkSession
     import sp.implicits._
-    val terms = df.select(term.cast("string").as("_t")).as[String]
+    // null terms are EXCLUDED from both passes (documented): pass 1's
+    // HashMap would nominate null, but the recount's equi-join can never
+    // match it — counting nulls in one pass and not the other would
+    // silently drop a genuine heavy hitter from an output documented as
+    // exact. Count nulls upstream if they matter (they are a data-quality
+    // signal, not a term).
+    val terms = df.select(term.cast("string").as("_t"))
+      .filter(col("_t").isNotNull).as[String]
     val capacity = 2 * k
     def shrink(m: scala.collection.mutable.HashMap[String, Long]): Unit =
       if (m.size > capacity) {

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Maintain {
 
+  /** A null group key fails by name: the refresh joins treat null keys
+    * as unequal to everything, so a null group's delta would never merge
+    * into its stored row (duplicate/stale rows instead of maintenance).
+    */
+  private def guardKeys(df: DataFrame, keys: Seq[String], where: String): DataFrame =
+    keys.foldLeft(df)((d, k) =>
+      d.withColumn(k, when(col(k).isNull, raise_error(lit(
+        s"$where: null in group column '$k' (null keys cannot join; " +
+          "filter or canonicalize them first)"))).otherwise(col(k))))
+
   /** Refresh a sum/count aggregate with a signed changeset, touching only
     * affected groups. `delta` carries the base-row schema plus `op`:
     * 'I' rows add into their group, 'D' rows retract previously-inserted
@@ -45,13 +55,17 @@ object Maintain {
   def refreshAdditive(agg: DataFrame, delta: DataFrame, groups: Seq[String],
       sums: Seq[(String, Column)], countCol: String,
       op: String = "_op"): DataFrame = {
-    require(sums.nonEmpty || countCol.nonEmpty, "refreshAdditive: nothing to maintain")
+    // the count column is mandatory: the zero-count drop and the
+    // negative-count retraction guard both depend on it
+    require(countCol.nonEmpty, "refreshAdditive: countCol is required")
+    val aggG = guardKeys(agg, groups, "refreshAdditive")
+    val deltaG = guardKeys(delta, groups, "refreshAdditive")
     val badOp = raise_error(concat(
       lit(s"refreshAdditive: invalid $op value '"), col(op),
       lit("' (expected I or D)")))
     val sign = when(col(op) === "I", lit(1L))
       .when(col(op) === "D", lit(-1L)).otherwise(badOp.cast("long"))
-    val dAgg = delta
+    val dAgg = deltaG
       .groupBy(groups.map(col): _*)
       .agg(sum(sign).as("_d_cnt"),
         sums.map { case (n, v) =>
@@ -67,7 +81,7 @@ object Maintain {
       concat_ws(",", groups.map(g => col(g).cast("string")): _*),
       lit(") — changeset retracts rows the aggregate never absorbed")))
       .cast("long")).otherwise(newCnt)
-    agg.join(dAgg, groups, "full_outer")
+    aggG.join(dAgg, groups, "full_outer")
       .select(groups.map(col) ++
         sums.map { case (n, _) => add(col(n), col(s"_d_$n")).as(n) } :+
         guardedCnt.as(countCol): _*)
@@ -97,12 +111,15 @@ object Maintain {
       groups: Seq[String], aggs: Seq[Column],
       broadcastTouched: Boolean = true): DataFrame = {
     require(aggs.nonEmpty, "refreshGroups: no aggregates to maintain")
-    val keys0 = touched.select(groups.map(col): _*).distinct()
+    val baseG = guardKeys(base, groups, "refreshGroups")
+    val aggG = guardKeys(agg, groups, "refreshGroups")
+    val touchedG = guardKeys(touched, groups, "refreshGroups")
+    val keys0 = touchedG.select(groups.map(col): _*).distinct()
     val keys = if (broadcastTouched) broadcast(keys0) else keys0
-    val recomputed = base.join(keys, groups, "left_semi")
+    val recomputed = baseG.join(keys, groups, "left_semi")
       .groupBy(groups.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    agg.join(keys, groups, "left_anti").unionByName(recomputed)
+    aggG.join(keys, groups, "left_anti").unionByName(recomputed)
   }
 
   /** Refresh MERGEABLE sketch aggregates (HLL distinct counts) with an
@@ -121,10 +138,12 @@ object Maintain {
   def refreshMergeable(agg: DataFrame, delta: DataFrame, groups: Seq[String],
       sketches: Seq[(String, Column)]): DataFrame = {
     require(sketches.nonEmpty, "refreshMergeable: no sketch columns")
-    val dAgg = delta.groupBy(groups.map(col): _*)
+    val aggG = guardKeys(agg, groups, "refreshMergeable")
+    val deltaG = guardKeys(delta, groups, "refreshMergeable")
+    val dAgg = deltaG.groupBy(groups.map(col): _*)
       .agg(hll_sketch_agg(sketches.head._2).as(s"_d_${sketches.head._1}"),
         sketches.tail.map { case (n, v) => hll_sketch_agg(v).as(s"_d_$n") }: _*)
-    agg.join(dAgg, groups, "full_outer")
+    aggG.join(dAgg, groups, "full_outer")
       .select(groups.map(col) ++ sketches.map { case (n, _) =>
         val a = col(n); val d = col(s"_d_$n")
         when(a.isNull, d).when(d.isNull, a).otherwise(hll_union(a, d)).as(n)

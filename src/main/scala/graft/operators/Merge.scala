@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Replace each key column with a null-checked copy that raises by
+    * name — the keyed join algebra below treats null keys as unequal to
+    * everything, which silently corrupts merge semantics.
+    */
+  private def guardKeys(df: DataFrame, keys: Seq[String], where: String): DataFrame =
+    keys.foldLeft(df)((d, k) =>
+      d.withColumn(k, when(col(k).isNull, raise_error(lit(
+        s"$where: null in key column '$k' (null keys cannot join; " +
+          "filter or canonicalize them first)"))).otherwise(col(k))))
+
   /** Apply a keyed changeset to a base snapshot: per primary key the
     * change with the highest `seq` wins (ties broken by `op` descending —
     * deterministic, but give changes unique seqs per key); a winning
@@ -35,6 +45,11 @@ object Merge {
     */
   def applyChanges(base: DataFrame, changes: DataFrame, pk: Seq[String],
       op: String = "_op", seq: String = "_seq"): DataFrame = {
+    // null pk fails by name: null never equals null in the merge join, so
+    // a null-keyed change would DUPLICATE the base's null-keyed row
+    // instead of updating it, and a 'D' would delete nothing — silently
+    val baseG = guardKeys(base, pk, "applyChanges")
+    val changesG = guardKeys(changes, pk, "applyChanges")
     val valueCols = base.columns.filterNot(pk.contains).toSeq
     val opChecked = when(col(op).isin("I", "U", "D"), col(op))
       .otherwise(raise_error(concat(
@@ -42,13 +57,13 @@ object Merge {
         lit("' (expected I, U or D)"))))
     // latest change per key, one aggregate: max_by over (seq, op) keeps
     // the whole winning row without a rank-window second pass
-    val winner = changes
+    val winner = changesG
       .groupBy(pk.map(col): _*)
       .agg(max_by(struct(opChecked.as(op) +: valueCols.map(col): _*),
         struct(col(seq), col(op))).as("_w"))
       .select(pk.map(col) ++ valueCols.map(c => col(s"_w.$c").as(s"_w_$c")) :+
         col(s"_w.$op").as("_w_op"): _*)
-    base.join(winner, pk, "full_outer")
+    baseG.join(winner, pk, "full_outer")
       .filter(col("_w_op").isNull || col("_w_op") =!= "D")
       .select(pk.map(col) ++ valueCols.map(c =>
         when(col("_w_op").isNotNull, col(s"_w_$c")).otherwise(col(c)).as(c)): _*)
@@ -70,10 +85,14 @@ object Merge {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String],
       op: String = "_op"): DataFrame = {
+    // same null-pk rule as applyChanges: an unjoinable null key would
+    // emit a spurious I+D pair for an unchanged row
+    val oldG = guardKeys(oldDf, pk, "snapshotDiff")
+    val newG = guardKeys(newDf, pk, "snapshotDiff")
     val valueCols = oldDf.columns.filterNot(pk.contains).toSeq
-    val o = oldDf.select(pk.map(col) ++ valueCols.map(c => col(c).as(s"_o_$c")) :+
+    val o = oldG.select(pk.map(col) ++ valueCols.map(c => col(c).as(s"_o_$c")) :+
       lit(true).as("_in_old"): _*)
-    val n = newDf.select(pk.map(col) ++ valueCols.map(c => col(c).as(s"_n_$c")) :+
+    val n = newG.select(pk.map(col) ++ valueCols.map(c => col(c).as(s"_n_$c")) :+
       lit(true).as("_in_new"): _*)
     val changed = valueCols.map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -557,12 +557,15 @@ object RelationalQueries {
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderkey IS NULL""".stripMargin,
     "table_fingerprint" ->
-      """SELECT CAST(SUM((((l_orderkey % 2147483647) * 1 % 2147483647
+      """WITH h AS (
+        |  SELECT (((l_orderkey % 2147483647) * 1 % 2147483647
         |          + (l_linenumber % 2147483647) * 1000003 % 2147483647) % 2147483647
-        |          + (l_partkey % 2147483647) * 1426104154 % 2147483647) % 2147483647)
-        |         AS BIGINT) AS fingerprint,
+        |          + (l_partkey % 2147483647) * 1426104154 % 2147483647) % 2147483647 AS rh
+        |  FROM lineitem
+        |)
+        |SELECT CAST(SUM((rh * rh + rh) % 2147483647) AS BIGINT) AS fingerprint,
         |       CAST(COUNT(*) AS BIGINT) AS n
-        |FROM lineitem""".stripMargin,
+        |FROM h""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events

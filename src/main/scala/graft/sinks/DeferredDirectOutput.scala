@@ -58,10 +58,28 @@ final class DeferredDirectOutput(txId: String, markerDir: String) {
 
   /** Eager rollback: delete every staged attempt (equivalent to what
     * recovery would do for a marker-less crash).
+    *
+    * Scoped to THIS transaction (`txFilter`): the permissive recover
+    * default would delete CONCURRENT writers' live markers in a shared
+    * marker dir, turning their crash-recovery roll-forward into a
+    * rollback. And if this transaction's OWN marker is already live, the
+    * commit point has passed — recover would roll the remaining attempts
+    * FORWARD (publishing everything) while the caller believes it
+    * aborted; refuse instead and let the caller complete via
+    * commit()/recover().
     */
   def abort(): Unit = synchronized {
-    if (!done && conf != null)
-      DirectOutput.recover(conf, markerDir, staged.map(_._1.path).toSeq)
+    if (!done && conf != null) {
+      val marker = new org.apache.hadoop.fs.Path(markerDir, s".graft-tx-$txId")
+      val mfs = marker.getFileSystem(conf)
+      if (mfs.exists(marker))
+        throw new IllegalStateException(
+          s"abort: transaction $txId already passed its commit point " +
+            "(marker live) — aborting now would PUBLISH the remaining " +
+            "attempts; re-run recover/commit to complete it instead")
+      DirectOutput.recover(conf, markerDir, staged.map(_._1.path).toSeq,
+        txFilter = _ == txId)
+    }
     staged.clear()
     done = true
   }

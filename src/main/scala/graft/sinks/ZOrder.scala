@@ -161,14 +161,19 @@ object ZOrder {
     require(missing.isEmpty,
       s"ZOrder.selectFiles: column(s) ${missing.mkString(", ")} not in the index " +
         s"(indexed: ${indexed.mkString(", ")})")
-    val hit = preds.map { case (c, lo, hi) =>
-      col("zcol") === c && col("max_v") >= lo && col("min_v") <= hi
-    }.reduce(_ || _)
+    // count DISTINCT SATISFIED PREDICATES per file, not matching index
+    // rows: two predicates on the SAME column share one (file, zcol) row,
+    // and a row-count compare would cap their contribution at 1 —
+    // under-admitting every file and returning a wrong (empty) answer
+    val hits = preds.zipWithIndex.map { case ((c, lo, hi), i) =>
+      sum(when(col("zcol") === c && col("max_v") >= lo && col("min_v") <= hi,
+        1).otherwise(0)).as(s"_hit_$i")
+    }
     index(spark, dir)
       .filter(col("zcol").isin(preds.map(_._1): _*))
       .groupBy(col("file"))
-      .agg(sum(when(hit, 1).otherwise(0)).as("_hits"))
-      .filter(col("_hits") === preds.size)
+      .agg(hits.head, hits.tail: _*)
+      .filter(preds.indices.map(i => col(s"_hit_$i") >= 1).reduce(_ && _))
       .select("file").collect().map(_.getString(0)).toSeq
   }
 
