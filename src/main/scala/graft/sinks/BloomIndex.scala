@@ -76,16 +76,19 @@ object BloomIndex {
   def selectFiles(spark: SparkSession, dir: String, column: String,
       value: Long): Seq[String] = {
     import spark.implicits._
-    val probed = spark.read.parquet(s"$dir/${indexDir(column)}")
+    // ONE index scan + ONE job: each row yields (file, mightContain), so
+    // the probed and indexed sets come from the same pass — the previous
+    // two-scan form doubled per-lookup index I/O on the hot path
+    val probes = spark.read.parquet(s"$dir/${indexDir(column)}")
       .select(col("file"), col("bloom"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.collect { case (f, bytes)
-        if BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-          .mightContainLong(value) => f
+      .mapPartitions(_.map { case (f, bytes) =>
+        (f, BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(value))
       })
-      .collect().toSet
-    val indexed = spark.read.parquet(s"$dir/${indexDir(column)}")
-      .select("file").as[String].collect().toSet
+      .collect()
+    val probed = probes.collect { case (f, true) => f }.toSet
+    val indexed = probes.map(_._1).toSet
     val all = dataFiles(spark, dir)
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
     all.filter(f => probed.contains(base(f)) || !indexed.contains(base(f)))
@@ -101,12 +104,6 @@ object BloomIndex {
     else spark.read.parquet(files: _*).filter(col(column) === value)
   }
 
-  private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
-  }
+  private def dataFiles(spark: SparkSession, dir: String): Seq[String] =
+    IndexUtil.dataFiles(spark, dir)
 }

@@ -97,20 +97,13 @@ object ZOrder {
   def buildIndex(spark: SparkSession, dir: String, zCols: Seq[String]): Unit = {
     import spark.implicits._
     val files = dataFiles(spark, dir)
-    val confBytes = {
-      val out = new java.io.ByteArrayOutputStream()
-      val dos = new java.io.DataOutputStream(out)
-      spark.sparkContext.hadoopConfiguration.write(dos)
-      dos.flush(); out.toByteArray
-    }
+    val sconf = new IndexUtil.SerializableConf(spark.sparkContext.hadoopConfiguration)
     val cols = zCols
     val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     val index = spark.createDataset(files)
       .repartition(slices)
       .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        conf.readFields(new java.io.DataInputStream(
-          new java.io.ByteArrayInputStream(confBytes)))
+        val conf = sconf.conf
         paths.flatMap { p =>
           val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
           try {
@@ -192,12 +185,6 @@ object ZOrder {
     else spark.read.parquet(files: _*).filter(exact)
   }
 
-  private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
-  }
+  private def dataFiles(spark: SparkSession, dir: String): Seq[String] =
+    IndexUtil.dataFiles(spark, dir)
 }

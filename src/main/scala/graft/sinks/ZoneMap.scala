@@ -40,19 +40,6 @@ object ZoneMap {
 
   private val IndexDirName = "_zonemap"
 
-  /** Hadoop `Configuration` is not `java.io.Serializable`; this is the
-    * standard Writable-over-Java-serialization envelope so executors can
-    * open footers against the driver's filesystem configuration.
-    */
-  private final class SerializableConf(@transient var conf: Configuration)
-      extends Serializable {
-    private def writeObject(out: ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); conf.write(out)
-    }
-    private def readObject(in: ObjectInputStream): Unit = {
-      in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
-    }
-  }
 
   /** Cluster `df` on `zoneCol` and write it as `numFiles` range-disjoint
     * parquet files under `dir`, then build the zone-map index. Range
@@ -78,7 +65,7 @@ object ZoneMap {
   def buildIndex(spark: SparkSession, dir: String, zoneCol: String): Unit = {
     import spark.implicits._
     val files = dataFiles(spark, dir)
-    val conf = new SerializableConf(spark.sparkContext.hadoopConfiguration)
+    val conf = new IndexUtil.SerializableConf(spark.sparkContext.hadoopConfiguration)
     val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     val index = spark.createDataset(files)
       .repartition(slices)
@@ -145,12 +132,6 @@ object ZoneMap {
     else spark.read.parquet(files: _*).filter(pred)
   }
 
-  private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
-  }
+  private def dataFiles(spark: SparkSession, dir: String): Seq[String] =
+    IndexUtil.dataFiles(spark, dir)
 }
