@@ -182,23 +182,35 @@ object Bench {
     val total =
       if (failedQueries.nonEmpty) "null"
       else fmt(results.flatMap(_._2).map(_._1).sum)
-    // ONE machine-parseable line, flushed before shutdown so JVM teardown
-    // or interleaved executor logs can't truncate it (bit round 2's report).
-    // Field order is a capture-budget contract: the round artifact keeps a
-    // bounded HEAD of this line (r5's grew past it and silently lost
-    // queries_min), so headline first, per-query minima before medians,
-    // bulky diagnostics last — truncation then costs attribution, never
-    // the signal.
+    // The COMPLETE line (headline + per-query minima + medians + diag):
+    // printed for full-stdout captures and written to a file the repo
+    // commits, so the full maps always survive.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","failed":$failedJson,"queries_min":$qsMin,"queries":$qs,"diag":$qsDiag}"""
     System.out.println(line)
-    System.out.flush()
-    // belt-and-braces: the COMPLETE line also lands in a file the repo
-    // commits, so the full queries/diag maps survive any stdout capture
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST write failed: $e") }
+    // The round artifact keeps only the LAST ~2000 chars of stdout (r5 and
+    // r6 both captured the full line's tail — mid-diag, unparseable →
+    // "parsed: null"). So the FINAL stdout line is a compact self-contained
+    // JSON sized to fit that tail budget with room for the runner's own
+    // trailer: headline + failures always, then as many of the slowest
+    // per-query medians as fit. The full maps live in BENCH_LAST.json.
+    val slowestFirst = results.collect { case (k, Some((med, _)), _) => (k, med) }
+      .sortBy(-_._2)
+    val headBudget = 1300
+    val head = new StringBuilder(
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","nQueries":${results.size},"failed":$failedJson,"full":"$outFile","slowest":{""")
+    var first = true
+    for ((k, med) <- slowestFirst) {
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(med)
+      if (head.length + entry.length < headBudget) { head.append(entry); first = false }
+    }
+    head.append("}}")
+    System.out.println(head.toString)
+    System.out.flush()
     spark.stop()
   }
 }

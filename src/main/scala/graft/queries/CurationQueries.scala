@@ -261,32 +261,48 @@ object CurationQueries {
     /** End-to-end DSIR selection: Gumbel-top-100 against the English
       * target. The selected SET rides on float weights (engine-specific),
       * so the oracle pins the invariants instead: exactly k rows drawn,
-      * and the draw must close ≥ 30 % of the HEADROOM between the
-      * target language's corpus base rate and 1.0 (selected fraction ≥
-      * base + 0.3·(1 − base)). (The r6 contract was an absolute ≥ 90 %
-      * bar — false at sf0.1, where even the NOISELESS top-100 is 79 %
-      * English; a plain ratio bar (≥ 1.5× base) has the mirror flaw —
-      * unattainable whenever base > 2/3. The headroom form is achievable
-      * at every base rate and still demands real selection. Measured at
-      * temperature 0.25: selected 0.71-0.96 vs bars 0.57-0.61 across
-      * SFs and seeds.)
+      * and the draw's English fraction must close at least HALF of the gap
+      * between the corpus base rate and the NOISELESS top-k's fraction on
+      * the SAME data (selected ≥ base + 0.5·(topk − base)). The bar is
+      * data-ADAPTIVE on purpose: r6's fixed headroom bar
+      * (base + 0.3·(1 − base)) hash-flaked when a regenerated fixture's
+      * signal landed near the constant — anchoring to what hard top-k
+      * actually achieves on the fixture at hand makes the contract hold on
+      * any fixture where selection does anything at all, while still
+      * failing if the Gumbel draw ignores the weights (a uniform draw
+      * concentrates at base, far below the midpoint). Measured at
+      * temperature 0.25 across SFs and seeds: selected tracks topk within
+      * a few points, midpoint bar ≥ 10 points below.
       */
     "dsir_select" -> { (s, dir) =>
       val docs = tableSpread(s, dir, "documents")
         .withColumn("_toks", TextFunctions.tokens(col("text")))
       val t = graft.operators.Dsir.fit(docs.filter(col("lang") === "en"), col("_toks"))
       val r = graft.operators.Dsir.fit(docs, col("_toks"))
-      val scored = graft.operators.Dsir.score(docs, "doc_id", col("_toks"), t, r)
+      // scored feeds the Gumbel draw AND the noiseless top-k anchor, and
+      // the downstream fraction aggregates are broadcast subtrees that
+      // execute EAGERLY in parallel — a lazy persist would be filled by
+      // all of them at once, each recomputing the fit+score joins
+      // (measured 13 s vs ~2 s at sf0.1). Materialize once, up front.
+      // `lang` rides the cached frame so every downstream aggregate (draw
+      // fraction, top-k anchor, base rate) reads the cache with no joins.
+      val scored = graft.Caches.track(
+        graft.operators.Dsir.score(docs, "doc_id", col("_toks"), t, r)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .persist())
+      scored.count()
+      val en = when(col("lang") === "en", 1.0).otherwise(0.0)
       val picked = graft.operators.Dsir.resample(scored, col("doc_id"), k = 100,
         seed = 11L, temperature = 0.25)
-      val base = broadcast(docs.agg(
-        (sum(when(col("lang") === "en", 1.0).otherwise(0.0)) / count(lit(1)))
-          .as("_base_en")))
-      picked.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .crossJoin(base)
-        .agg(count(lit(1)).as("n_selected"),
-          (sum(when(col("lang") === "en", 1.0).otherwise(0.0)) / count(lit(1)) >=
-            first(col("_base_en")) + (lit(1.0) - first(col("_base_en"))) * 0.3)
+      val topk = scored
+        .orderBy(col("log_w").desc_nulls_last, col("doc_id").asc).limit(100)
+      picked.agg(count(lit(1)).as("n_selected"),
+          (sum(en) / count(lit(1))).as("_sel_en"))
+        .crossJoin(broadcast(topk.agg((sum(en) / count(lit(1))).as("_topk_en"))))
+        .crossJoin(broadcast(scored.agg((sum(en) / count(lit(1))).as("_base_en"))))
+        .select(col("n_selected"),
+          (col("_sel_en") >=
+            col("_base_en") + (col("_topk_en") - col("_base_en")) * 0.5)
             .as("target_enriched"))
     },
 
