@@ -43,7 +43,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.CoreQueries.queries ++ graft.queries.NorthStarQueries.queries ++
       graft.queries.PipelineQueries.queries ++ graft.queries.FlagshipQueries.queries ++
-      graft.queries.RelationalQueries.queries ++ graft.queries.CurationQueries.queries).toMap
+      graft.queries.RelationalQueries.queries ++ graft.queries.CurationQueries.queries ++
+      graft.queries.AnalyticsQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -51,7 +52,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (graft.queries.CoreQueries.oracles ++ graft.queries.NorthStarQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++ graft.queries.FlagshipQueries.oracles ++
-      graft.queries.RelationalQueries.oracles ++ graft.queries.CurationQueries.oracles).toMap
+      graft.queries.RelationalQueries.oracles ++ graft.queries.CurationQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles).toMap
 
   /** Per-query session-conf pins, applied by Bench/Verify around a
     * query's execution (previous values restored afterwards). Results

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance-1 similarity join via deletion neighborhoods (the
+  * FastSS / SymSpell blocking scheme, Bocek et al. 2007, "Fast Similarity
+  * Search in Large Dictionaries"): every string generates itself plus its
+  * |s| single-character deletions as candidate keys; two strings within
+  * Levenshtein distance 1 ALWAYS share a key (substitution at i → both
+  * deletion-at-i variants equal; insertion/deletion → one side's variant
+  * equals the other's full string; equality → full keys equal), so the
+  * blocking is exact — candidate generation can only over-produce, and a
+  * `levenshtein ≤ 1` verification on the candidates reproduces the
+  * brute-force cross-join answer with no misses. The typo-level
+  * record-linkage / near-key dedup primitive.
+  *
+  * Scale shape: only 8-byte key HASHES and ids cross the candidate
+  * shuffle — a string of length L emits L+1 (hash, id) pairs, and the
+  * verification pulls strings back by id through two hash joins of the
+  * (small) candidate-pair set. Hash collisions only ever ADD candidates,
+  * which verification removes. Ubiquitous keys (mass-duplicated strings)
+  * are capped by the same counts-first bucket guard the banded dedups use
+  * ([[graft.dedup.Dedup.boundedBuckets]]; drops reported via observe
+  * metric `fuzzy_buckets`).
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs (a, b), a < b by id, with
+    * `levenshtein(strOf(a), strOf(b)) <= 1`. Output: (a, b, a_str,
+    * b_str, dist). `maxBucket` bounds one deletion-key's candidate list;
+    * buckets past it are dropped and counted in the `fuzzy_buckets`
+    * observe metric.
+    */
+  def selfJoinDist1(df: DataFrame, id: Column, str: Column,
+      maxBucket: Int = 1000): DataFrame = {
+    val base = df.select(id.as("_id"), str.as("_s"))
+    // deletion neighborhood: the string itself (deletion position -1)
+    // plus each single-char deletion, keyed by 64-bit hash. The position
+    // is NOT part of the key: distance-1 pairs may share the variant
+    // STRING at different positions (e.g. "aab"/"ab").
+    val keyed = base.select(col("_id"),
+        explode(concat(array(col("_s")),
+          transform(sequence(lit(0), length(col("_s")) - 1),
+            i => concat(substring_index_safe(col("_s"), i),
+              suffixFrom(col("_s"), i + 2))))).as("_v"))
+      .select(col("_id"), xxhash64(col("_v")).as("_k"))
+      .distinct()
+    // cache=true: the guard's counts pass, and the a/b sides of the
+    // candidate self-join below, would otherwise each recompute the
+    // explode+distinct subtree (4 runs of its shuffle); the cached frame
+    // is (id, 8-byte hash) pairs — small by construction
+    val guarded = graft.dedup.Dedup.boundedBuckets(keyed, Seq("_k"), maxBucket,
+      "fuzzy_buckets")
+    val a = guarded.select(col("_k"), col("_id").as("a"))
+    val b = guarded.select(col("_k"), col("_id").as("b"))
+    val pairs = a.join(b, "_k").filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(base.select(col("_id").as("a"), col("_s").as("a_str")), "a")
+      .join(base.select(col("_id").as("b"), col("_s").as("b_str")), "b")
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str")))
+      .filter(col("dist") <= 1)
+      .select(col("a"), col("b"), col("a_str"), col("b_str"), col("dist"))
+  }
+
+  // substr(s, 1, i): chars before the deleted position (1-based SQL)
+  private def substring_index_safe(s: Column, i: Column): Column =
+    s.substr(lit(1), i)
+
+  // substr(s, from, rest): chars after the deleted position
+  private def suffixFrom(s: Column, from: Column): Column =
+    s.substr(from, length(s))
+}

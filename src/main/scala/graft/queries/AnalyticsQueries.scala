@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+import graft.operators.{Cohorts, Funnel, FuzzyJoin, Sequences}
+
+/** Ordered-event product analytics (funnel, cohort retention, path
+  * transitions), the edit-distance-1 similarity join, and Merkle-style
+  * replica reconciliation — capabilities a warehouse engine grows the day
+  * an event stream lands next to the fact tables, plus the typo-level
+  * record-linkage and copy-drift primitives adjacent to the dedup family.
+  * Every query reduces to integer/string evidence, so the DuckDB oracle
+  * reproduces it digit-for-digit.
+  */
+object AnalyticsQueries {
+
+  private val weekUs = 7L * 86400L * 1000000L
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    /** Three-step conversion funnel (view → click → purchase, each step
+      * strictly after the previous, converted within 7 days of the first
+      * view) — [[graft.operators.Funnel.reach]]. k chained min-reductions
+      * keyed by user: (user, min_ts) pairs cross the exchanges, never
+      * events, so no per-user buffer exists at any scale.
+      */
+    "funnel_steps" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      Funnel.reach(ev, col("user_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts"),
+        steps = Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        windowUs = Some(weekUs))
+    },
+
+    /** Weekly cohort retention triangle ([[graft.operators.Cohorts
+      * .retention]]): cohort = the user's first-seen 7-day bucket, one
+      * row per (cohort, offset) with distinct active users. Two
+      * counts-only exchanges; floor-division bucket arithmetic in pure
+      * integers.
+      */
+    "cohort_retention" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      Cohorts.retention(ev, col("user_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts"), bucketUs = weekUs)
+    },
+
+    /** First-order event-path matrix ([[graft.operators.Sequences
+      * .transitions]]): per-user (ts, event_id)-ordered adjacent
+      * event-type bigrams, counted corpus-wide. One exchange keyed by
+      * user shared by the lag pass and the (≤ |types|²-key) aggregation.
+      */
+    "path_transitions" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      Sequences.transitions(ev, col("user_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts"), col("event_type"),
+        tieBreak = Seq(col("event_id")))
+    },
+
+    /** Edit-distance-1 self-join on customer names ([[graft.operators
+      * .FuzzyJoin.selfJoinDist1]], FastSS deletion-neighborhood
+      * blocking): the candidate shuffle carries 8-byte variant hashes +
+      * ids only; the oracle is the brute-force length-banded cross join,
+      * so a hash match proves the blocking missed nothing.
+      */
+    "fuzzy_join" -> { (s, dir) =>
+      FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+        col("c_custkey"), col("c_name"))
+    },
+
+    /** Merkle-style replica reconciliation ([[graft.operators.Repair
+      * .diff]]): orders vs a drifted copy (updates + deletes + inserts);
+      * bucket fingerprints disagree first, then the exact row diff runs
+      * over dirty buckets only — clean buckets never cross an exchange.
+      * The oracle is the brute-force symmetric EXCEPT, so a hash match
+      * proves dirty-bucket restriction dropped nothing.
+      */
+    "replica_diff" -> { (s, dir) =>
+      val l = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val r = l.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 < 2, "X").otherwise(col("o_orderpriority")))
+        .unionByName(l.filter(col("o_orderkey") % 100 === 2)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            col("o_orderstatus"), lit("NEW").as("o_orderpriority")))
+      graft.operators.Repair.diff(l, r, keys = Seq("o_orderkey"),
+        compare = Seq("o_orderstatus", "o_orderpriority"))
+    })
+
+  val oracles: Seq[(String, String)] = Seq(
+    "funnel_steps" ->
+      s"""WITH e AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ts, event_type FROM events
+        |),
+        |s1 AS (
+        |  SELECT u, MIN(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.u, FIRST(s1.t0) AS t0, MIN(e.ts) AS t1
+        |  FROM e JOIN s1 USING (u)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t0
+        |    AND e.ts <= s1.t0 + $weekUs
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.u, MIN(e.ts) AS t2
+        |  FROM e JOIN s2 USING (u)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+        |    AND e.ts <= s2.t0 + $weekUs
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INT) AS step_seq, 'view' AS step_name,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)""".stripMargin,
+    "cohort_retention" ->
+      s"""WITH e AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ts FROM events
+        |),
+        |f AS (
+        |  SELECT u, MIN(ts) // $weekUs AS cohort FROM e GROUP BY 1
+        |),
+        |cells AS (
+        |  SELECT DISTINCT e.u, f.cohort, e.ts // $weekUs - f.cohort AS bucket_offset
+        |  FROM e JOIN f USING (u)
+        |)
+        |SELECT cohort AS cohort_bucket, bucket_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+    "path_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS to_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events
+        |)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "fuzzy_join" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |       a.c_name AS a_str, b.c_name AS b_str,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "replica_diff" ->
+      """WITH l AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |),
+        |r AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 < 2 THEN 'X'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_orderstatus, 'NEW'
+        |  FROM orders WHERE o_orderkey % 100 = 2
+        |)
+        |SELECT 'L' AS side, * FROM (SELECT * FROM l EXCEPT SELECT * FROM r)
+        |UNION ALL
+        |SELECT 'R' AS side, * FROM (SELECT * FROM r EXCEPT SELECT * FROM l)""".stripMargin)
+}
