@@ -88,4 +88,67 @@ object RangeJoin {
       .drop(col("_rj_l._bucket")).drop(col("_rj_l._t_micros"))
       .drop(col("_rj_r._rbucket")).drop(col("_rj_r._rt_micros"))
   }
+
+  /** Interval-OVERLAP join: pair left and right records of the same key
+    * whose intervals `[leftStart, leftEnd]` and `[rightStart, rightEnd]`
+    * intersect (closed endpoints). The interval-interval generalization
+    * of [[rangeJoin]]'s point-in-window shape — "which incident windows
+    * touched this session".
+    *
+    * Same bucket-quantization rewrite, with BOTH sides exploded to the
+    * buckets their interval covers; a pair overlapping several buckets
+    * would duplicate, so each pair is attributed to exactly ONE bucket —
+    * the bucket of `max(leftStart, rightStart)`, the first bucket the
+    * two intervals share — making the join duplicate-free with no
+    * distinct pass. `bucketMicros` trades explosion (⌈span/width⌉+1
+    * copies per row) against candidate precision; it must be ≥ the
+    * TYPICAL interval span to keep the copy count small.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketMicros: Long, joinType: String = "inner"): DataFrame = {
+    require(bucketMicros > 0, "intervalJoin: bucketMicros must be positive")
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(bucketMicros - 1, 1L))
+    def scalar(df: DataFrame, c: String): Column = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+        case t => throw new IllegalArgumentException(
+          s"intervalJoin column '$c' has unsupported type $t: " +
+            "use timestamp or an integral type (pre-scale fractional values)")
+      }
+    }
+    // an inverted interval (start > end) would make sequence() DESCEND —
+    // a silent near-unbounded explosion — so it fails the job by name
+    def buckets(s: Column, e: Column, side: String): Column =
+      explode(when(s > e, raise_error(concat(
+          lit(s"intervalJoin: inverted $side interval (start="), s,
+          lit(" > end="), e, lit(")"))).cast("array<bigint>"))
+        .otherwise(sequence(shiftright(s, shift), shiftright(e, shift))))
+    val l = left
+      .withColumn("_ls", scalar(left, leftStart))
+      .withColumn("_le", scalar(left, leftEnd))
+      .withColumn("_bucket", buckets(col("_ls"), col("_le"), "left"))
+      .alias("_ij_l")
+    val r = right
+      .withColumn("_rs", scalar(right, rightStart))
+      .withColumn("_re", scalar(right, rightEnd))
+      .withColumn("_rbucket", buckets(col("_rs"), col("_re"), "right"))
+      .alias("_ij_r")
+    val (ls, le) = (col("_ij_l._ls"), col("_ij_l._le"))
+    val (rs, re) = (col("_ij_r._rs"), col("_ij_r._re"))
+    val overlap = ls <= re && rs <= le
+    // one-bucket attribution: max(ls, rs) lies in both intervals whenever
+    // they overlap, so its bucket is shared — and unique per pair
+    val owner = col("_ij_l._bucket") === shiftright(greatest(ls, rs), shift)
+    val cond = (keys.map(k => col(s"_ij_l.$k") === col(s"_ij_r.$k")) :+
+      (col("_ij_l._bucket") === col("_ij_r._rbucket")) :+
+      (overlap && owner)).reduce(_ && _)
+    l.join(r, cond, joinType)
+      .drop(col("_ij_l._bucket")).drop(col("_ij_l._ls")).drop(col("_ij_l._le"))
+      .drop(col("_ij_r._rbucket")).drop(col("_ij_r._rs")).drop(col("_ij_r._re"))
+  }
 }

@@ -90,6 +90,50 @@ object AnalyticsQueries {
             col("o_orderstatus"), lit("NEW").as("o_orderpriority")))
       graft.operators.Repair.diff(l, r, keys = Seq("o_orderkey"),
         compare = Seq("o_orderstatus", "o_orderpriority"))
+    },
+
+    /** Interval-OVERLAP join ([[graft.operators.RangeJoin.intervalJoin]]):
+      * per-user purchase windows [ts, ts+2 h] × error windows [ts−1 h,
+      * ts+1 h]; overlapping errors counted per purchase. Both sides
+      * explode to time-grid cells, the pair is attributed to exactly ONE
+      * shared cell (bucket of max(start, start)) — a plain equi-join with
+      * no distinct pass and no per-key nested loop.
+      */
+    "interval_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val us = graft.GraftSession.eventTimeMicros(ev, "ts")
+      val hour = 3600L * 1000000L
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          us.as("_ps"), (us + 2 * hour).as("_pe"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), (us - hour).as("_es"), (us + hour).as("_ee"))
+      graft.operators.RangeJoin.intervalJoin(p, e, keys = Seq("user_id"),
+          leftStart = "_ps", leftEnd = "_pe",
+          rightStart = "_es", rightEnd = "_ee", bucketMicros = 2 * hour)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_err"))
+    },
+
+    /** Time-RANGE rolling window (not row-based): per user, the trailing
+      * 24-hour event count and purchase count at every event — the
+      * rolling-feature shape ML feature pipelines ask of an event log.
+      * One user-keyed exchange; the range frame slides over the
+      * in-partition sort, never buffering more than the frame.
+      */
+    "rolling_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      val dayUs = 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-(dayUs - 1), 0)
+      ev.select(col("event_id"), col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("ts_us"),
+          col("event_type"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w).as("n_purchase_24h"))
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -166,5 +210,27 @@ object AnalyticsQueries {
         |)
         |SELECT 'L' AS side, * FROM (SELECT * FROM l EXCEPT SELECT * FROM r)
         |UNION ALL
-        |SELECT 'R' AS side, * FROM (SELECT * FROM r EXCEPT SELECT * FROM l)""".stripMargin)
+        |SELECT 'R' AS side, * FROM (SELECT * FROM r EXCEPT SELECT * FROM l)""".stripMargin,
+    "interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'purchase'
+        |),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'error'
+        |)
+        |SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_err
+        |FROM p JOIN e ON p.user_id = e.user_id
+        | AND p.ts <= e.ts + 3600000000
+        | AND e.ts - 3600000000 <= p.ts + 7200000000
+        |GROUP BY 1""".stripMargin,
+    "rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |            OVER w AS BIGINT) AS n_purchase_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin)
 }
