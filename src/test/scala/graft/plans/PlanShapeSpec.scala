@@ -416,4 +416,72 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scan.selectedPartitions.partitionCount === 2,
       s"expected 2 pruned day-dirs, scanned ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("intervalJoin plans as an equi-join, never a nested loop") {
+    val ev = GraftSession.table(spark, dir, "events")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val hour = 3600L * 1000000L
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), us.as("_ps"), (us + 2 * hour).as("_pe"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), (us - hour).as("_es"), (us + hour).as("_ee"))
+    val q = graft.operators.RangeJoin.intervalJoin(p, e, Seq("user_id"),
+      "_ps", "_pe", "_es", "_ee", bucketMicros = 2 * hour)
+    val plan = executed(q)
+    val loops = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty, s"interval join fell back to a nested loop:\n$plan")
+    assert(collect(plan) { case j: SortMergeJoinExec => j }.nonEmpty ||
+      collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+  }
+
+  test("rolling range-frame window: one user-keyed exchange, frame-bounded") {
+    val ev = GraftSession.table(spark, dir, "events")
+    val dayUs = 86400L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-(dayUs - 1), 0)
+    val q = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_24h"))
+    val plan = executed(q)
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.size === 1, plan.toString)
+  }
+
+  test("replica diff: dirty-bucket restriction is a broadcast, rows never cross for it") {
+    val l = GraftSession.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    val r = l.filter(col("o_orderkey") % 10 =!= 7)
+    val q = graft.operators.Repair.diff(l, r, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_orderpriority"))
+    val plan = executed(q)
+    // the dirty-bucket set joins both replica sides as a BROADCAST —
+    // a shuffled join here would move every replica row to guard buckets
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      plan.toString)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, plan.toString)
+  }
+
+  test("fuzzy join: candidate generation joins on hashes, text stays out of the exchange") {
+    val q = graft.operators.FuzzyJoin.selfJoinDist1(
+      GraftSession.table(spark, dir, "customer"), col("c_custkey"), col("c_name"))
+    val plan = executed(q)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, plan.toString)
+    // exchanges upstream of the candidate join must carry only the
+    // (id, hash) pair — c_name appears in an exchange only for the final
+    // by-id string fetch, which is keyed on the id, not the variant
+    val exchanges = deepCollect(plan) { case e: ShuffleExchangeExec => e }
+    val variantExchanges = exchanges.filter(e =>
+      e.output.exists(_.name == "_k") && e.output.exists(_.name == "_v"))
+    assert(variantExchanges.isEmpty,
+      s"variant STRINGS crossed an exchange:\n$plan")
+  }
 }
