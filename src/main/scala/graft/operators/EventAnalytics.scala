@@ -109,9 +109,14 @@ object Sequences {
     */
   def transitions(events: DataFrame, user: Column, tsUs: Column,
       typeCol: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
-    val w = Window.partitionBy(col("_u")).orderBy(col("_ts") +: tieBreak: _*)
+    // tie-breaks are aliased like every other projected column, so
+    // arbitrary EXPRESSIONS work and caller names can't collide with the
+    // payload columns
+    val tbs = tieBreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }
+    val tbCols = tieBreak.indices.map(i => col(s"_tb$i"))
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ts") +: tbCols: _*)
     events.select(Seq(user.as("_u"), tsUs.as("_ts"),
-        typeCol.as("to_type")) ++ tieBreak: _*)
+        typeCol.as("to_type")) ++ tbs: _*)
       .withColumn("from_type", lag(col("to_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))

@@ -20,6 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Timestamps compare in epoch micros; integral columns join on their
+    * own scale — the same bucketing covers numeric band joins ("ids/
+    * positions within ±delta"). Fractional types are rejected rather
+    * than silently truncated (a double position 510.9 must not pass a
+    * ±10 band around 500); scale them to an integral column first.
+    */
+  private def scalar(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      // TIMESTAMP_NTZ compares as its UTC-interpreted instant — the
+      // session zone is pinned UTC engine-wide (GraftSession.normalizeTs)
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"range/interval join column '$c' has unsupported type $t: " +
+          "use timestamp or an integral type (pre-scale fractional values)")
+    }
+  }
+
+  /** Bucket width rounds up to a power of two and buckets are computed
+    * with an arithmetic right shift: exact integral floor-division at any
+    * magnitude. A double-precision `/` would mis-bucket keys above 2^53
+    * (snowflake-scale ids) and silently drop matching pairs.
+    */
+  private def widthShift(width: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(width - 1, 1L))
+
+
   /** @param lowerMicros window start offset relative to the left time
     *                    (microseconds, typically negative)
     * @param upperMicros window end offset
@@ -41,31 +70,9 @@ object RangeJoin {
       includeLower: Boolean = true, includeUpper: Boolean = true,
       joinType: String = "inner"): DataFrame = {
     require(upperMicros >= lowerMicros, "empty window")
-    // bucket width rounds up to a power of two and buckets are computed
-    // with an arithmetic right shift: exact integral floor-division at any
-    // magnitude. A double-precision `/` would mis-bucket keys above 2^53
-    // (snowflake-scale ids) and silently drop matching pairs.
-    val rawWidth = if (bucketMicros > 0) bucketMicros
-      else math.max(upperMicros - lowerMicros, 1L)
-    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(rawWidth - 1, 1L))
-    // timestamps compare in epoch micros; integral columns join on their
-    // own scale — the same bucketing covers numeric band joins ("ids/
-    // positions within ±delta"). Fractional types are rejected rather
-    // than silently truncated (a double position 510.9 must not pass a
-    // ±10 band around 500); scale them to an integral column first.
-    def scalar(df: DataFrame, c: String): Column = {
-      import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        // TIMESTAMP_NTZ compares as its UTC-interpreted instant — the
-        // session zone is pinned UTC engine-wide (GraftSession.normalizeTs)
-        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
-        case t => throw new IllegalArgumentException(
-          s"rangeJoin time/band column '$c' has unsupported type $t: " +
-            "use timestamp or an integral type (pre-scale fractional values)")
-      }
-    }
+    val shift = widthShift(
+      if (bucketMicros > 0) bucketMicros
+      else math.max(upperMicros - lowerMicros, 1L))
     // plan aliases (not DataFrame-instance refs) keep the key equality
     // unambiguous when both inputs derive from the same scan (self-join)
     val l = left
@@ -109,18 +116,12 @@ object RangeJoin {
       rightStart: String, rightEnd: String,
       bucketMicros: Long, joinType: String = "inner"): DataFrame = {
     require(bucketMicros > 0, "intervalJoin: bucketMicros must be positive")
-    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(bucketMicros - 1, 1L))
-    def scalar(df: DataFrame, c: String): Column = {
-      import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
-        case t => throw new IllegalArgumentException(
-          s"intervalJoin column '$c' has unsupported type $t: " +
-            "use timestamp or an integral type (pre-scale fractional values)")
-      }
-    }
+    require(joinType.toLowerCase.replace("_", "") == "inner",
+      "intervalJoin: only inner joins — the one-bucket pair attribution " +
+        "makes MATCHES duplicate-free, but an outer join would null-extend " +
+        "every non-owner bucket copy of an unmatched row (use rangeJoin's " +
+        "documented aggregate-after pattern for outer semantics)")
+    val shift = widthShift(bucketMicros)
     // an inverted interval (start > end) would make sequence() DESCEND —
     // a silent near-unbounded explosion — so it fails the job by name
     def buckets(s: Column, e: Column, side: String): Column =

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: pass 1 is one partial-aggregated shuffle of (bucket,
   * sum, count) — longs only, no rows. The dirty-bucket set (tiny by
   * construction: at most one bucket per differing row) broadcasts into
-  * row filters, so the row-level anti-joins SHUFFLE only dirty-bucket
-  * rows; clean buckets never cross an exchange. Scans stay full-table
+  * row filters, so the row-level compare — per-tuple multiplicities
+  * full-outer-joined null-safely — SHUFFLES only dirty-bucket tuples;
+  * clean buckets never cross an exchange. Scans stay full-table
   * unless the storage layout is bucket-clustered (compose with
   * [[graft.sinks.Bucketed]] / [[graft.sinks.Upsert]] to prune reads
   * too). A bucket fingerprint is an order-independent DECIMAL(38,0) sum
@@ -29,10 +30,14 @@ object Repair {
   /** Row-level diff of two replicas. `keys` locate a row (bucket
     * assignment uses only them, so an updated row's bucket dirties on
     * both sides); `compare` are the value columns included in the diff.
-    * Output: one row per (tuple present on one side only) — `side` "L"
-    * for left-only, "R" for right-only — plus the key and compare
-    * columns. An update surfaces as an L/R pair sharing keys; a
-    * delete/insert as a lone L/R.
+    * Output: one row per DRIFTED TUPLE per side — `side` "L" when the
+    * tuple's left multiplicity exceeds its right multiplicity, "R" for
+    * the converse — plus the key and compare columns. An update surfaces
+    * as an L/R pair sharing keys; a delete/insert as a lone L/R; a
+    * duplicate-count drift of an identical tuple as the side holding the
+    * extra copies (emitted ONCE — the output is the drifted-tuple SET,
+    * equal to the symmetric EXCEPT on duplicate-free inputs). NULLs in
+    * any column compare as equal (null-safe), matching SQL EXCEPT.
     */
   def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
       compare: Seq[String], nBuckets: Int = 1 << 12): DataFrame = {
@@ -58,12 +63,23 @@ object Repair {
       .filter(col("_lfp").isNull || col("_rfp").isNull ||
         col("_lfp") =!= col("_rfp") || col("_ln") =!= col("_rn"))
       .select(col("_b"))
-    val lDirty = l.join(broadcast(dirty), "_b").drop("_h")
-    val rDirty = r.join(broadcast(dirty), "_b").drop("_h")
-    val onlyL = lDirty.join(rDirty, cols, "left_anti")
-      .select(lit("L").as("side") +: cols.map(col): _*)
-    val onlyR = rDirty.join(lDirty, cols, "left_anti")
-      .select(lit("R").as("side") +: cols.map(col): _*)
-    onlyL.unionAll(onlyR)
+    // per-tuple multiplicities within the dirty buckets, then one
+    // null-safe full-outer join: count drift on either side surfaces —
+    // an anti-join would miss equal-tuple-different-count drift and would
+    // treat NULL keys as unequal (falsely diffing identical null rows)
+    def counted(df: DataFrame) = df.join(broadcast(dirty), "_b")
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("_cnt"))
+    val lc = counted(l).alias("_rp_l")
+    val rc = counted(r).alias("_rp_r")
+    val joinCond = cols.map(c => col(s"_rp_l.$c") <=> col(s"_rp_r.$c"))
+      .reduce(_ && _)
+    val ln = coalesce(col("_rp_l._cnt"), lit(0L))
+    val rn = coalesce(col("_rp_r._cnt"), lit(0L))
+    val joined = lc.join(rc, joinCond, "full_outer")
+    def sideRows(tag: String, more: Column) =
+      joined.filter(more)
+        .select(lit(tag).as("side") +:
+          cols.map(c => coalesce(col(s"_rp_l.$c"), col(s"_rp_r.$c")).as(c)): _*)
+    sideRows("L", ln > rn).unionAll(sideRows("R", rn > ln))
   }
 }

@@ -70,6 +70,18 @@ class EventAnalyticsSpec extends SparkSpec {
       .orderBy("from_type", "to_type").as[(String, String, Long)].collect()
     assert(out === Array(("a", "b", 1L), ("b", "a", 2L)))
   }
+
+  test("transitions: expression tie-breaks and colliding names are safe") {
+    val events = spark.createDataFrame(Seq(
+      (1L, 10L, 4L, "b"), (1L, 10L, 5L, "a")
+    )).toDF("u", "ts", "to_type_src", "t")
+    // tie-break is an EXPRESSION (negated id → descending), and its input
+    // column name shares a prefix with the payload alias
+    val out = Sequences.transitions(events, col("u"), col("ts"), col("t"),
+        tieBreak = Seq(-col("to_type_src")))
+      .as[(String, String, Long)].collect()
+    assert(out === Array(("a", "b", 1L)))
+  }
 }
 
 class FuzzyJoinSpec extends SparkSpec {

@@ -32,6 +32,16 @@ class IntervalJoinSpec extends SparkSpec {
     assert(out.count() === 1L)
   }
 
+  test("outer join types are rejected (non-owner copies would null-extend)") {
+    val l = iv((1L, 1L, 0L, 10L))
+    val r = iv((1L, 2L, 20L, 30L))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(l, r.withColumnRenamed("id", "rid"),
+        Seq("k"), "s", "e", "s", "e", bucketMicros = 8, joinType = "left_outer")
+    }
+    assert(e.getMessage.contains("only inner"))
+  }
+
   test("inverted interval fails by name, not by explosion") {
     val l = iv((1L, 1L, 50L, 10L))
     val r = iv((1L, 2L, 0L, 100L))

@@ -25,6 +25,25 @@ class RepairSpec extends SparkSpec {
     assert(Repair.diff(l, l, Seq("k"), Seq("v"), nBuckets = 4).count() === 0L)
   }
 
+  test("identical rows with NULL values never diff (null-safe compare)") {
+    // k=1 has a null v on BOTH sides; k=2 genuinely differs, dirtying a
+    // bucket — with nBuckets=1 the null row shares the dirty bucket and
+    // must still compare equal (a null-unsafe join would emit it L and R)
+    val l = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "v")
+    val r = Seq((1L, Option.empty[String]), (2L, Some("y"))).toDF("k", "v")
+    val out = Repair.diff(l, r, Seq("k"), Seq("v"), nBuckets = 1)
+      .as[(String, Long, Option[String])].collect().toSet
+    assert(out === Set(("L", 2L, Some("x")), ("R", 2L, Some("y"))))
+  }
+
+  test("duplicate-count drift of an identical tuple surfaces on the heavier side") {
+    val l = tbl((1L, "a"), (1L, "a"), (2L, "b"))
+    val r = tbl((1L, "a"), (2L, "b"), (2L, "b"))
+    val out = Repair.diff(l, r, Seq("k"), Seq("v"), nBuckets = 1)
+      .as[(String, Long, String)].collect().toSet
+    assert(out === Set(("L", 1L, "a"), ("R", 2L, "b")))
+  }
+
   test("small nBuckets still finds every difference (many rows per bucket)") {
     val l = tbl((1L to 200L).map(i => (i, s"v$i")): _*)
     val r = tbl((1L to 200L).map(i =>

@@ -475,13 +475,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty, plan.toString)
-    // exchanges upstream of the candidate join must carry only the
-    // (id, hash) pair — c_name appears in an exchange only for the final
-    // by-id string fetch, which is keyed on the id, not the variant
+    // exchanges of the candidate stage must carry only the (id, hash)
+    // pair: no variant STRING (_v) may appear in any exchange, and every
+    // exchange carrying the variant hash (_k) must be string-free —
+    // c_name crosses an exchange only for the final by-id string fetch
     val exchanges = deepCollect(plan) { case e: ShuffleExchangeExec => e }
-    val variantExchanges = exchanges.filter(e =>
-      e.output.exists(_.name == "_k") && e.output.exists(_.name == "_v"))
-    assert(variantExchanges.isEmpty,
+    assert(exchanges.nonEmpty, plan.toString)
+    assert(!exchanges.exists(_.output.exists(_.name == "_v")),
       s"variant STRINGS crossed an exchange:\n$plan")
+    val hashExchanges = exchanges.filter(_.output.exists(_.name == "_k"))
+    assert(hashExchanges.nonEmpty, s"no candidate-hash exchange found:\n$plan")
+    assert(hashExchanges.forall(_.output.forall(a =>
+        a.dataType != org.apache.spark.sql.types.StringType)),
+      s"a string column rode the candidate-hash exchange:\n$plan")
   }
 }
