@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectOptimizerRule(_ => graft.plans.TopOneWindowToAggregate)
+    e.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
   }
 }
 
@@ -132,8 +133,9 @@ object GraftExtensions {
 
   /** Enable the graft optimizer rules on an already-built session. */
   def enableOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.TopOneWindowToAggregate,
+      graft.plans.MaterializedViewRewrite)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(graft.plans.TopOneWindowToAggregate))
-      spark.experimental.extraOptimizations = cur :+ graft.plans.TopOneWindowToAggregate
+    spark.experimental.extraOptimizations = cur ++ rules.filterNot(cur.contains)
   }
 }

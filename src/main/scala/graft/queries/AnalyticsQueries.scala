@@ -115,6 +115,25 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_err"))
     },
 
+    /** Transparent materialized-view rewrite ([[graft.plans
+      * .MaterializedViewRewrite]]): the priority aggregate is registered
+      * as a view, then REBUILT from the base table — the optimizer swaps
+      * in the view parquet (plan-identity match on the canonicalized
+      * optimized plan; MaterializedViewSpec pins that the scan actually
+      * reads the view). The oracle aggregates the BASE table, so a hash
+      * match proves the rewrite is result-preserving.
+      */
+    "mv_rewrite" -> { (s, dir) =>
+      graft.GraftExtensions.enableOptimizations(s)
+      def agg = table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mv_${s.sparkContext.applicationId}"
+      graft.plans.MaterializedViews.register(s, "orders_by_priority", agg, path)
+      agg
+    },
+
     /** Time-RANGE rolling window (not row-based): per user, the trailing
       * 24-hour event count and purchase count at every event — the
       * rolling-feature shape ML feature pipelines ask of an event log.
@@ -225,6 +244,10 @@ object AnalyticsQueries {
         | AND p.ts <= e.ts + 3600000000
         | AND e.ts - 3600000000 <= p.ts + 7200000000
         |GROUP BY 1""".stripMargin,
+    "mv_rewrite" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1""".stripMargin,
     "rolling_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
