@@ -41,6 +41,14 @@ object MaterializedViews {
 
   private val registry = new ConcurrentHashMap[String, Entry]()
 
+  // register() computes the definition with the rewrite SUSPENDED on this
+  // thread: a re-registration's definition matches the registry's previous
+  // entry, and rewriting it would (a) read the stale view instead of
+  // recomputing from base — a refresh that refreshes nothing — and
+  // (b) self-overwrite the parquet dir it is concurrently reading
+  private val registering = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  private[plans] def suspended: Boolean = registering.get()
+
   /** Write `definition`'s result to `path` and register it for rewrite.
     * Returns the view reader. The definition is stored as its optimized
     * canonical plan; the replacement is the parquet read-back, column
@@ -50,19 +58,29 @@ object MaterializedViews {
     */
   def register(spark: SparkSession, name: String, definition: DataFrame,
       path: String): DataFrame = {
-    definition.write.mode("overwrite").parquet(path)
-    val scan = spark.read.parquet(path)
-    val defOut = definition.queryExecution.analyzed.output
-    val scanOut = scan.queryExecution.analyzed.output
-    require(scanOut.map(_.name) == defOut.map(_.name) &&
-      scanOut.map(_.dataType) == defOut.map(_.dataType),
-      s"materialized view '$name': parquet round-trip changed the schema " +
-        s"(${defOut.map(a => s"${a.name}:${a.dataType.simpleString}")} -> " +
-        s"${scanOut.map(a => s"${a.name}:${a.dataType.simpleString}")})")
-    val defnOptimized = definition.queryExecution.optimizedPlan
-    registry.put(name, Entry(name, defnOptimized.canonicalized,
-      defnOptimized.getClass, scan.queryExecution.analyzed))
-    scan
+    // the whole registration runs suspended: definition.queryExecution
+    // .optimizedPlan is LAZY, and letting the rewrite fire on it would
+    // store a canonical form that already contains the (stale) view scan
+    registering.set(true)
+    try {
+      definition.write.mode("overwrite").parquet(path)
+      // re-registration at the same path: drop the session's cached file
+      // listing/footers, or the new scan would serve the OVERWRITTEN
+      // (deleted) files and fail mid-read
+      spark.catalog.refreshByPath(path)
+      val scan = spark.read.parquet(path)
+      val defOut = definition.queryExecution.analyzed.output
+      val scanOut = scan.queryExecution.analyzed.output
+      require(scanOut.map(_.name) == defOut.map(_.name) &&
+        scanOut.map(_.dataType) == defOut.map(_.dataType),
+        s"materialized view '$name': parquet round-trip changed the schema " +
+          s"(${defOut.map(a => s"${a.name}:${a.dataType.simpleString}")} -> " +
+          s"${scanOut.map(a => s"${a.name}:${a.dataType.simpleString}")})")
+      val defnOptimized = definition.queryExecution.optimizedPlan
+      registry.put(name, Entry(name, defnOptimized.canonicalized,
+        defnOptimized.getClass, scan.queryExecution.analyzed))
+      scan
+    } finally registering.set(false)
   }
 
   def deregister(name: String): Unit = registry.remove(name)
@@ -76,7 +94,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val views = MaterializedViews.entries
-    if (views.isEmpty) plan
+    if (views.isEmpty || MaterializedViews.suspended) plan
     else plan.transformUp {
       case p => rewriteNode(p, views).getOrElse(p)
     }

@@ -115,6 +115,18 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_err"))
     },
 
+    /** Triangle counting over the edit-distance-1 name graph
+      * ([[graft.operators.Graphs.triangleCount]], degree-ordered
+      * orientation): wedges enumerate only at their ≺-minimal apex with
+      * O(√m)-bounded out-degrees, one semi-join closes them. The oracle
+      * is the brute-force a&lt;b&lt;c triple join over the same edge set.
+      */
+    "triangle_count" -> { (s, dir) =>
+      val pairs = FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+        col("c_custkey"), col("c_name"))
+      graft.operators.Graphs.triangleCount(pairs, "a", "b")
+    },
+
     /** Transparent materialized-view rewrite ([[graft.plans
       * .MaterializedViewRewrite]]): the priority aggregate is registered
       * as a view, then REBUILT from the base table — the optimizer swaps
@@ -244,6 +256,21 @@ object AnalyticsQueries {
         | AND p.ts <= e.ts + 3600000000
         | AND e.ts - 3600000000 <= p.ts + 7200000000
         |GROUP BY 1""".stripMargin,
+    "triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |   AND levenshtein(a.c_name, b.c_name) <= 1
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |          (SELECT a AS x FROM pairs UNION SELECT b FROM pairs)) AS n_nodes,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT)
+        |        FROM pairs e1
+        |        JOIN pairs e2 ON e1.b = e2.a
+        |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
     "mv_rewrite" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key

@@ -75,6 +75,22 @@ class MaterializedViewSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally MaterializedViews.deregister("spec_mv")
   }
 
+  test("re-registration refreshes from base (no self-read of the stale view)") {
+    GraftExtensions.enableOptimizations(spark)
+    try {
+      // three cycles at ONE path: each refresh recomputes the definition
+      // from the base table while the registry still holds the previous
+      // entry — a rewrite firing during registration would read the view
+      // dir being overwritten (FILE_NOT_EXIST) or freeze stale contents
+      for (_ <- 1 to 3) {
+        MaterializedViews.register(spark, "spec_mv", agg(), mvPath)
+        val q = agg()
+        assert(readsMv(q))
+        assert(q.count() === 5L)
+      }
+    } finally MaterializedViews.deregister("spec_mv")
+  }
+
   test("deregistered views stop rewriting") {
     GraftExtensions.enableOptimizations(spark)
     MaterializedViews.register(spark, "spec_mv", agg(), mvPath)
