@@ -59,4 +59,35 @@ object Quantiles {
       .filter(col("_v") >= col("_threshold"))
       .drop("_v", "_threshold", "_graft_g")
   }
+
+  /** Exact equi-depth histogram: `nBins` buckets of (as close as ties
+    * allow) equal row counts, computed counts-only — the exchange and
+    * the (single-partition) cumulative window carry one row per DISTINCT
+    * value, never one per row. A distinct value v lands in bin
+    * ⌈cum(v)·nBins / n⌉ (cum(v) = rows with value ≤ v), so ties never
+    * split across bins and the assignment is pure integer arithmetic —
+    * any engine reproduces it digit-for-digit, unlike float quantile
+    * boundaries. Output: one row per non-empty bin — (bin, lo, hi,
+    * n_rows, n_distinct). Null values are excluded (they have no rank).
+    */
+  def equidepthHistogram(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins > 0, s"equidepthHistogram: nBins must be positive (got $nBins)")
+    val counts = df.select(value.as("_v")).filter(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_v"))
+    val cum = counts
+      .withColumn("_cle", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // ceil division in EXACT integer arithmetic: bin = (cle·nBins−1) div n
+    // + 1, with the floor-div via pmod so the double division is over an
+    // exact multiple (a bare `/` could round x.9999 up across a boundary)
+    val a = col("_cle") * nBins - 1
+    cum.withColumn("bin",
+        ((a - pmod(a, col("_n"))) / col("_n")).cast("long") + 1)
+      .groupBy(col("bin"))
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        sum(col("_c")).as("n_rows"), count(lit(1)).as("n_distinct"))
+  }
 }

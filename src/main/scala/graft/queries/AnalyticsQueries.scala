@@ -115,6 +115,17 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_err"))
     },
 
+    /** Exact equi-depth histogram ([[graft.operators.Quantiles
+      * .equidepthHistogram]]): 8 near-equal-count buckets of lineitem
+      * quantities, counts-only — the exchange and the cumulative window
+      * carry one row per DISTINCT value; bin assignment is pure integer
+      * ceil-division, so the oracle replays it digit-for-digit.
+      */
+    "equidepth_hist" -> { (s, dir) =>
+      graft.operators.Quantiles.equidepthHistogram(
+        table(s, dir, "lineitem"), col("l_quantity").cast("long"), nBins = 8)
+    },
+
     /** Triangle counting over the edit-distance-1 name graph
       * ([[graft.operators.Graphs.triangleCount]], degree-ordered
       * orientation): wedges enumerate only at their ≺-minimal apex with
@@ -256,6 +267,22 @@ object AnalyticsQueries {
         | AND p.ts <= e.ts + 3600000000
         | AND e.ts - 3600000000 <= p.ts + 7200000000
         |GROUP BY 1""".stripMargin,
+    "equidepth_hist" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+        |),
+        |cum AS (
+        |  SELECT v, c,
+        |         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cle,
+        |         SUM(c) OVER () AS n
+        |  FROM c
+        |)
+        |SELECT CAST((cle * 8 - 1) // n + 1 AS BIGINT) AS bin,
+        |       MIN(v) AS lo, MAX(v) AS hi,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM cum GROUP BY 1""".stripMargin,
     "triangle_count" ->
       """WITH pairs AS (
         |  SELECT a.c_custkey AS a, b.c_custkey AS b

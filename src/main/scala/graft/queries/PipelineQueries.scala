@@ -702,6 +702,27 @@ object PipelineQueries {
         .select(col("key").as("user_id"), col("us"), col("event_id"))
     },
 
+    /** Streaming conversion funnel ([[graft.streaming.StreamOps
+      * .funnelStream]], transformWithState): per-user view→click→purchase
+      * outcome (strictly-after chaining, 7-day conversion window),
+      * emitted once the watermark closes the user's window — state is
+      * the in-window step events plus a tombstone, never a user's
+      * history. Oracle: the batch chained-min replay restricted to
+      * watermark-final users.
+      */
+    "stream_funnel" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val out = StreamOps.funnelStream(raw, keyCol = "user_id", tsCol = "ts",
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowUs = 7L * 86400L * 1000000L)
+      StreamOps.drainToBatch(out.toDF(), outputMode = "append", statePartitions = 8,
+          confOverrides = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .select(col("key").as("user_id"), col("steps_reached"), col("t0_us"))
+    },
+
     /** Stream-stream interval join: clicks joined to same-user purchases
       * within 30 minutes, both sides watermarked so join state is evicted
       * (bounded memory on unbounded streams). The fixture loads as one
@@ -917,6 +938,37 @@ object PipelineQueries {
         |SELECT user_id, us, event_id FROM r
         |WHERE rn <= 10
         |  AND us < (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events)""".stripMargin,
+    "stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ts, event_type FROM events
+        |),
+        |wm AS (
+        |  SELECT (MAX(ts) // 1000) * 1000 AS w FROM e
+        |),
+        |s1 AS (
+        |  SELECT u, MIN(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.u, MIN(e.ts) AS t1
+        |  FROM e JOIN s1 USING (u)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t0
+        |    AND e.ts <= s1.t0 + 604800000000
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.u, MIN(e.ts) AS t2
+        |  FROM e JOIN s2 USING (u) JOIN s1 USING (u)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+        |    AND e.ts <= s1.t0 + 604800000000
+        |  GROUP BY 1
+        |)
+        |SELECT s1.u AS user_id,
+        |       CAST(CASE WHEN s3.u IS NOT NULL THEN 3
+        |                 WHEN s2.u IS NOT NULL THEN 2
+        |                 ELSE 1 END AS INT) AS steps_reached,
+        |       s1.t0 AS t0_us
+        |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u, wm
+        |WHERE s1.t0 + 604800000000 < wm.w""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events

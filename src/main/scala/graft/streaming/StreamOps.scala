@@ -391,6 +391,129 @@ object StreamOps {
       new QuotaProcessor(k), TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ---- streaming conversion funnel (transformWithState) ------------------
+
+  final case class FunnelEvent(key: Long, us: Long, mask: Int,
+      ts: java.sql.Timestamp)
+  final case class FunnelOut(key: Long, steps_reached: Int, t0_us: Long)
+
+  /** Per-key funnel state machine for [[funnelStream]] — the streaming
+    * twin of [[graft.operators.Funnel.reach]]. A key's funnel anchors at
+    * t0 = the earliest step-1 event; each later step is the earliest
+    * matching event strictly after the previous step's time, within
+    * `windowUs` of t0. The outcome is FINAL once the watermark passes
+    * t0 + window: t0 itself can no longer decrease (later arrivals have
+    * ts ≥ watermark) and every event that could participate is already
+    * final — one row (key, steps_reached, t0_us) emits, a tombstone
+    * replaces the state, and the key goes quiet.
+    *
+    * State bound: before t0 is known, only events the watermark hasn't
+    * passed are kept (an earlier t0 can still arrive, but only at
+    * ts ≥ watermark); once a t0 candidate exists, only step-2+ events
+    * with ts ≤ t0cand + window are kept — t0 only ever DECREASES, so the
+    * window end tightens monotonically and the buffer is bounded by the
+    * window span plus the in-flight horizon, never a key's history.
+    */
+  private class FunnelProcessor(nSteps: Int, windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, FunnelOut] {
+    import org.apache.spark.sql.streaming._
+
+    @transient private var done: ValueState[Boolean] = _
+    @transient private var t0: ValueState[Long] = _
+    @transient private var buf: ListState[(Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      done = getHandle.getValueState("done",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+      t0 = getHandle.getValueState("t0",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      buf = getHandle.getListState("buf",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaInt), TTLConfig.NONE)
+    }
+
+    private def step(key: Long, incoming: List[(Long, Int)],
+        wmUs: Long): Iterator[FunnelOut] = {
+      val stored: Long = Option(t0.get()).getOrElse(Long.MaxValue)
+      val incomingMin: Long = incoming.filter(e => (e._2 & 1) == 1).map(_._1)
+        .reduceOption((a: Long, b: Long) => math.min(a, b))
+        .getOrElse(Long.MaxValue)
+      val t0cand = math.min(stored, incomingMin)
+      val laterSteps = (buf.get().toList ++ incoming.filter(e => (e._2 & ~1) != 0))
+        .filter(e =>
+          if (t0cand == Long.MaxValue) e._1 >= wmUs
+          else e._1 <= t0cand + windowUs)
+      if (t0cand != Long.MaxValue && t0cand + windowUs < wmUs) {
+        // final: replay the chained strictly-after scan over the (now
+        // complete and immutable) in-window events
+        var t = t0cand
+        var reached = 1
+        for ((us, mask) <- laterSteps.sorted
+            if reached < nSteps && us > t && ((mask >> reached) & 1) == 1) {
+          t = us; reached += 1
+        }
+        buf.clear(); t0.clear(); done.update(true)
+        Iterator.single(FunnelOut(key, reached, t0cand))
+      } else {
+        buf.clear()
+        if (laterSteps.nonEmpty) buf.put(laterSteps.toArray)
+        if (t0cand != Long.MaxValue) {
+          t0.update(t0cand)
+          // ms ceiling, as in GapSessionProcessor: final strictly after
+          getHandle.registerTimer((t0cand + windowUs) / 1000L + 1L)
+        }
+        Iterator.empty
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[FunnelOut] = {
+      if (done.exists()) return Iterator.empty
+      step(key, rows.map(e => (e.us, e.mask)).toList,
+        tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelOut] = {
+      if (done.exists()) return Iterator.empty
+      step(key, Nil, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** Streaming conversion funnel: one row (key, steps_reached, t0_us)
+    * per key whose funnel window has closed under the watermark — the
+    * incremental twin of [[graft.operators.Funnel.reach]] (which returns
+    * the aggregated per-step counts; `count(steps_reached >= i)` over
+    * this output restricted to watermark-final keys equals it). Same
+    * state-store requirements as [[sessionizeStream]] (RocksDB).
+    */
+  def funnelStream(events: DataFrame, keyCol: String, tsCol: String,
+      steps: Seq[org.apache.spark.sql.Column], windowUs: Long,
+      watermarkDelay: String = "0 seconds"):
+      org.apache.spark.sql.Dataset[FunnelOut] = {
+    require(steps.size >= 2, "funnelStream: need at least 2 steps")
+    require(windowUs > 0, "funnelStream: windowUs must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val mask = steps.zipWithIndex
+      .map { case (p, i) => when(p, 1 << i).otherwise(0) }
+      .reduce(_ + _)
+    val ev = graft.GraftSession.normalizeTsStrict(events, tsCol)
+    val typed = ev
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("us"),
+        mask.cast("int").as("mask"),
+        col(tsCol).as("ts"))
+      .filter(col("mask") =!= 0)
+      .as[FunnelEvent]
+    typed.groupByKey(_.key).transformWithState(
+      new FunnelProcessor(steps.size, windowUs),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Custom stateful processing: per-key state folded over arriving
     * records, updated state emitted each batch (Update mode). The
     * Spark-native form of "user code with state per key" —

@@ -31,4 +31,24 @@ class QuantilesSpec extends SparkSpec {
       .as[(String, Int)].collect().toMap
     assert(t === Map("a" -> 8, "b" -> 7))
   }
+
+  test("equidepthHistogram: near-equal bins, ties never split, exact counts") {
+    // values 1..10, value v appearing v times: 55 rows
+    val data = (1 to 10).flatMap(v => Seq.fill(v)(v.toLong)).toDF("x")
+    val h = Quantiles.equidepthHistogram(data, col("x"), nBins = 4)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect()
+    assert(h.map(_._4).sum === 55L)                        // rows preserved
+    assert(h.map(_._5).sum === 10L)                        // each value once
+    for (Array(a, b) <- h.sliding(2)) assert(a._3 < b._2)  // contiguous bins
+    // boundary spot-check: value 7 has cum=28 → bin ceil(28·4/55) = 3
+    val bin3 = h.find(_._1 == 3L).get
+    assert(bin3._2 <= 7L && 7L <= bin3._3)
+  }
+
+  test("equidepthHistogram: nulls excluded, single value collapses to one bin") {
+    val data = Seq[Option[Long]](Some(5L), Some(5L), None, Some(5L)).toDF("x")
+    val h = Quantiles.equidepthHistogram(data, col("x"), nBins = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(h.toSeq === Seq((3L, 5L, 5L, 3L, 1L)))
+  }
 }
