@@ -38,9 +38,14 @@ object Graphs {
         .filter(col("u").isNotNull && col("v").isNotNull)
         .distinct()
         .persist())
-    e.count()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("_d"))
+    val nEdges = e.count()
+    // cached: both join branches of the orientation read it, and the node
+    // count folds off it driver-side
+    val deg = graft.Caches.track(
+      e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("_d"))
+        .persist())
+    val nNodes = deg.count()
     // orient by (degree, id): lexicographic compare needs no global rank —
     // a row_number over all nodes would be a single-task sort at scale
     val withDeg = e
@@ -72,8 +77,7 @@ object Graphs {
     // would undercount — so count wedge rows surviving the semi-join,
     // which is exactly one per triangle (unique apex per triangle)
     triangles.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_triangles"))
   }
 }

@@ -80,12 +80,12 @@ object Quantiles {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_n", sum(col("_c")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    // ceil division in EXACT integer arithmetic: bin = (cle·nBins−1) div n
-    // + 1, with the floor-div via pmod so the double division is over an
-    // exact multiple (a bare `/` could round x.9999 up across a boundary)
-    val a = col("_cle") * nBins - 1
+    // ceil division in EXACT integer arithmetic: bin = (cle·nBins−1)
+    // div n + 1 — SQL's integral `div`, never a double `/` (exactness
+    // would silently end at 2^53, and a float x.9999 could round across
+    // a bin boundary); both operands are non-negative so div = floor
     cum.withColumn("bin",
-        ((a - pmod(a, col("_n"))) / col("_n")).cast("long") + 1)
+        expr(s"(_cle * $nBins - 1) div _n") + 1)
       .groupBy(col("bin"))
       .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
         sum(col("_c")).as("n_rows"), count(lit(1)).as("n_distinct"))

@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -35,7 +36,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object MaterializedViews {
 
-  private[plans] final case class Entry(name: String,
+  private[plans] final case class Entry(name: String, path: String,
       defnCanonical: LogicalPlan, defnClass: Class[_],
       replacement: LogicalPlan)
 
@@ -58,9 +59,18 @@ object MaterializedViews {
     */
   def register(spark: SparkSession, name: String, definition: DataFrame,
       path: String): DataFrame = {
-    // the whole registration runs suspended: definition.queryExecution
-    // .optimizedPlan is LAZY, and letting the rewrite fire on it would
-    // store a canonical form that already contains the (stale) view scan
+    // Evict any entry served from this path BEFORE the overwrite: the
+    // ThreadLocal suspension below only covers THIS thread, and a query
+    // optimizing concurrently (e.g. Jobs' Future-per-sink submission)
+    // must not be rewritten onto a directory being deleted. A query that
+    // already HOLDS an optimized plan over the old files races the
+    // overwrite exactly as it would with any non-transactional parquet
+    // rewrite — callers needing full isolation refresh into a NEW path.
+    registry.entrySet.removeIf(e =>
+      e.getValue.name == name || e.getValue.path == path)
+    // the rest runs suspended: definition.queryExecution.optimizedPlan is
+    // LAZY, and letting the rewrite fire on it would store a canonical
+    // form that already contains the (stale) view scan
     registering.set(true)
     try {
       definition.write.mode("overwrite").parquet(path)
@@ -76,8 +86,14 @@ object MaterializedViews {
         s"materialized view '$name': parquet round-trip changed the schema " +
           s"(${defOut.map(a => s"${a.name}:${a.dataType.simpleString}")} -> " +
           s"${scanOut.map(a => s"${a.name}:${a.dataType.simpleString}")})")
-      val defnOptimized = definition.queryExecution.optimizedPlan
-      registry.put(name, Entry(name, defnOptimized.canonicalized,
+      // canonicalize a FRESH execution of the definition's logical plan:
+      // the caller's Dataset may have been executed before this call, and
+      // its cached optimizedPlan could then already contain the previous
+      // registration's view scan (the identity Project of select("*") is
+      // collapsed away by the optimizer, so the canonical form is the
+      // definition's own)
+      val defnOptimized = definition.select(col("*")).queryExecution.optimizedPlan
+      registry.put(name, Entry(name, path, defnOptimized.canonicalized,
         defnOptimized.getClass, scan.queryExecution.analyzed))
       scan
     } finally registering.set(false)

@@ -154,6 +154,11 @@ object AnalyticsQueries {
           max(col("o_orderkey")).as("max_key"))
       val path = s"${sys.props("java.io.tmpdir")}/graft_mv_${s.sparkContext.applicationId}"
       graft.plans.MaterializedViews.register(s, "orders_by_priority", agg, path)
+      // registration is a session-global optimizer side effect — release
+      // it with the caches so later queries neither pay the rule's
+      // canonicalization probes nor silently read this /tmp view
+      graft.Caches.trackRelease(() =>
+        graft.plans.MaterializedViews.deregister("orders_by_priority"))
       agg
     },
 

@@ -494,6 +494,9 @@ object StreamOps {
       watermarkDelay: String = "0 seconds"):
       org.apache.spark.sql.Dataset[FunnelOut] = {
     require(steps.size >= 2, "funnelStream: need at least 2 steps")
+    require(steps.size <= 31,
+      "funnelStream: at most 31 steps (the step mask is a 32-bit int; " +
+        "1 << 32 would alias step 33 into step 1)")
     require(windowUs > 0, "funnelStream: windowUs must be positive")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
