@@ -149,4 +149,52 @@ object Maintain {
         when(a.isNull, d).when(d.isNull, a).otherwise(hll_union(a, d)).as(n)
       }: _*)
   }
+
+  /** Refresh a materialized JOIN view `V = A ⋈ B` from a changeset on A
+    * — the join-view branch of incremental view maintenance
+    * (ΔV = old rows of changed A-keys retracted, upserted A-rows
+    * re-joined; Gupta & Mumick 1995). `deltaLeft` carries A's row schema
+    * plus `op`: 'U' upserts (insert or replace the A-row identified by
+    * `leftPk`), 'D' deletes; any other op fails the job naming the
+    * offender. `joined` must reproduce V's plan given an A-side frame —
+    * the same function that built the stored view builds the delta's
+    * patch rows, so the two cannot drift.
+    *
+    * `leftPk` must be A's primary key: V rows are retracted per pk, so a
+    * pk with multiple live A-rows would over-retract. V must carry the
+    * pk columns (the retraction anti-joins on them).
+    *
+    * Scale shape: the changed-pk set (one row per changed A-row, pk
+    * columns only) is broadcast; the stored view is scanned once with a
+    * map-side anti-join probe — no shuffle of V. The patch side joins
+    * only the upserted A-rows against B: churn-sized work, plus whatever
+    * `joined` itself shuffles (broadcast-able B makes the whole refresh
+    * shuffle-free). Nothing rescans A.
+    */
+  def refreshJoin(view: DataFrame, deltaLeft: DataFrame, leftPk: Seq[String],
+      op: String = "_op")(joined: DataFrame => DataFrame): DataFrame = {
+    require(leftPk.nonEmpty, "refreshJoin: leftPk is required")
+    val deltaG = guardKeys(deltaLeft, leftPk, "refreshJoin")
+    val badOp = raise_error(concat(
+      lit(s"refreshJoin: invalid $op value '"), col(op),
+      lit("' (expected U or D)")))
+    val checked0 = deltaG.withColumn(op,
+      when(col(op).isin("U", "D"), col(op)).otherwise(badOp.cast("string")))
+    // one op per pk, or the changeset is ambiguous (a U+D pair for the
+    // same key has no defined order here — sequence-ordered streams
+    // belong in [[Merge.applyChanges]] first)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(leftPk.map(col): _*)
+    val checked = checked0.withColumn("_npk", count(lit(1)).over(w))
+      .withColumn(op, when(col("_npk") > 1, raise_error(concat(
+        lit("refreshJoin: multiple changeset rows for pk ("),
+        concat_ws(",", leftPk.map(k => col(k).cast("string")): _*),
+        lit(") — collapse the changeset (e.g. Merge.applyChanges) first")))
+        .cast("string")).otherwise(col(op)))
+      .drop("_npk")
+    val changedPks = broadcast(checked.select(leftPk.map(col): _*).distinct())
+    val upserts = checked.filter(col(op) === "U").drop(op)
+    view.join(changedPks, leftPk, "left_anti")
+      .unionByName(joined(upserts))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group z-score outlier flagging in EXACT integer algebra. The
+  * float form ((x − μ)/σ > k) puts a float boundary in the middle of a
+  * filter — two engines (or two partition orders of one engine) can
+  * disagree about rows sitting on it. Multiplying through by n² removes
+  * the divisions:
+  *
+  *   z² > k²  ⟺  (n·x − S)² · kDen² > kNum² · (n·SS − S²)
+  *
+  * with S = Σx, SS = Σx², k = kNum/kDen — every term integral, so the
+  * flagged SET is a deterministic dataset property, reproducible
+  * digit-for-digit by any engine (the quality-gate analogue of the
+  * integer-evidence contracts across the curation family).
+  *
+  * Scale shape: one partial-aggregated counts-only exchange for the
+  * per-group (n, S, SS) moments, then a co-partitioned join back — the
+  * group-moments side carries one row per group. Intermediates run in
+  * DECIMAL(38,0), and the envelope is n·max|x| ≤ ~10¹⁸ (a trillion rows
+  * of million-scale values): the worst term (n·x − S)²·kDen² then stays
+  * inside 38 digits — the same headroom DuckDB's HUGEINT gives the
+  * oracle. Beyond the envelope Spark's decimal arithmetic nulls out
+  * (non-ANSI overflow), which would silently unflag — so the deviation
+  * magnitude is guarded and the job fails loudly instead.
+  */
+object Outliers {
+
+  /** Flag rows whose value sits more than kNum/kDen standard deviations
+    * from its group mean. `value` must be integral-valued (fails the job
+    * otherwise — float measurements are not exactly comparable).
+    * Output: input columns + `_n` (group size, BIGINT) + `is_outlier`.
+    * Constant groups (σ = 0) flag nothing; null values flag nothing and
+    * are excluded from the moments.
+    */
+  def zscore(df: DataFrame, keys: Seq[String], value: Column,
+      kNum: Int, kDen: Int): DataFrame = {
+    require(kNum > 0 && kDen > 0, "zscore: need kNum, kDen > 0")
+    val d19 = "decimal(19,0)"
+    val xi = when(value.isNotNull &&
+        value.cast(d19).cast("double") =!= value.cast("double"),
+      raise_error(lit("zscore: non-integral value (exact z-score algebra " +
+        "needs integral measurements; scale to fixed-point first)"))
+        .cast(d19))
+      .otherwise(value.cast(d19))
+    val in = df.withColumn("_x", xi)
+    val stats = in.filter(col("_x").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(d19).as("_gn"),
+        sum(col("_x")).cast(d19).as("_gs"),
+        sum(col("_x") * col("_x")).cast("decimal(38,0)").as("_gss"))
+    val lhs0 = (col("_gn") * col("_x") - col("_gs"))
+    // |n·x − S| < 10¹⁸ keeps lhs²·kDen² inside DECIMAL(38,0); overflow
+    // would null the comparison and silently UNFLAG, so fail loudly
+    val lhs = when(abs(lhs0) >= lit("1000000000000000000").cast("decimal(19,0)"),
+      raise_error(lit("zscore: deviation magnitude exceeds the exact-" +
+        "arithmetic envelope (n*max|x| must stay below ~1e18)"))
+        .cast("decimal(38,0)"))
+      .otherwise(lhs0.cast("decimal(38,0)"))
+    val varN2 = (col("_gn") * col("_gss") -
+      (col("_gs") * col("_gs")).cast("decimal(38,0)"))
+    val flagged = lhs * lhs * lit(kDen.toLong * kDen) >
+      lit(kNum.toLong * kNum).cast("decimal(19,0)") * varN2
+    in.join(stats, keys)
+      .withColumn("_n", col("_gn").cast("long"))
+      .withColumn("is_outlier",
+        col("_x").isNotNull && coalesce(flagged, lit(false)))
+      .drop("_x", "_gn", "_gs", "_gss")
+  }
+}

@@ -181,6 +181,34 @@ object AnalyticsQueries {
           count(lit(1)).over(w).as("n_24h"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .over(w).as("n_purchase_24h"))
+    },
+
+    /** Fixed-point integer PageRank ([[graft.operators.Graphs.pageRank]],
+      * 5 iterations, damping 0.85 in ppm) over the same edit-distance-1
+      * customer-name graph as `triangle_count`, symmetrized. The exact
+      * floor-division algebra makes the rank vector engine-identical, so
+      * the oracle replays all five iterations as unrolled CTEs and the
+      * full per-node rank table hash-matches — an iterative graph
+      * algorithm under a digit-exact differential check.
+      */
+    "pagerank" -> { (s, dir) =>
+      val pairs = FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+        col("c_custkey"), col("c_name"))
+      graft.operators.Graphs.pageRank(pairs, "a", "b", iterations = 5)
+    },
+
+    /** Two-dimensional skyline ([[graft.operators.Skyline.minimize2]]):
+      * the Pareto frontier of parts minimizing (price, size). Prices ride
+      * as integer cents (ROUND(x*100) — half-away-from-zero on positive
+      * doubles in both engines), so the frontier SET is exact. The oracle
+      * is the textbook quadratic NOT-EXISTS dominance test; the engine
+      * path is the counts-only distinct-x reduction + running strict-min.
+      */
+    "skyline" -> { (s, dir) =>
+      val p = table(s, dir, "part").select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      graft.operators.Skyline.minimize2(p, col("price_c"), col("size"))
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -307,6 +335,45 @@ object AnalyticsQueries {
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY 1""".stripMargin,
+    "pagerank" -> {
+      // one CTE per iteration: contrib = Σ ⌊r/deg⌋ over in-edges, then
+      // the decomposed ⌊contrib·850000/1000000⌋ — the same exact integer
+      // algebra as Graphs.pageRank, digit for digit
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT t.v, 150000 + (t.c // 1000000) * 850000
+           |         + ((t.c % 1000000) * 850000) // 1000000 AS r
+           |  FROM (SELECT e.v, SUM(r.r // d.deg) AS c
+           |        FROM e JOIN r${i - 1} r ON e.u = r.v
+           |               JOIN deg d ON e.u = d.u
+           |        GROUP BY 1) t
+           |)"""
+      s"""WITH pairs AS (
+         |  SELECT a.c_custkey AS a, b.c_custkey AS b
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey < b.c_custkey
+         |   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+         |   AND levenshtein(a.c_name, b.c_name) <= 1
+         |),
+         |e AS (SELECT a AS u, b AS v FROM pairs
+         |      UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT v AS node, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin
+    },
+    "skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part
+        |)
+        |SELECT p_partkey, price_c, size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.size <= a.size
+        |    AND (b.price_c < a.price_c OR b.size < a.size))""".stripMargin,
     "rolling_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,

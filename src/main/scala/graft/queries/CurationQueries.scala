@@ -385,6 +385,42 @@ object CurationQueries {
           TextFunctions.gopherSignals(TextFunctions.tokens(col("text"))).as("_q"))
         .select(col("doc_id"), col("_q.n_words"), col("_q.sum_word_len"),
           col("_q.n_alpha_words"), col("_q.n_stop"), col("_q.pass"))
+    },
+
+    /** EXACT set-similarity self-join ([[graft.operators.SetJoin
+      * .prefixJaccard]], AllPairs/PPJoin prefix filtering): every
+      * document pair with token-set Jaccard ≥ 3/5, with true
+      * intersection/union sizes — the exactness-guaranteed complement to
+      * the probabilistic MinHash and df-cut n-gram paths. The oracle is
+      * the brute-force all-pairs postings join on a deterministic ∣5
+      * slice of the corpus (the quadratic oracle needs the cap; the
+      * engine path does not — its candidates come only from
+      * rarest-token prefix collisions).
+      */
+    "ssjoin_prefix" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      graft.operators.SetJoin.prefixJaccard(docs, col("doc_id"), col("_toks"),
+        num = 3, den = 5)
+    },
+
+    /** Per-language length-anomaly flags ([[graft.operators.Outliers
+      * .zscore]], k = 2): documents whose character count sits more than
+      * two standard deviations from their language's mean, decided in
+      * exact integer moment algebra — (n·x−S)²·kDen² > kNum²·(n·SS−S²) —
+      * so the flagged set hash-matches an oracle that replays the same
+      * integer inequality (no float boundary anywhere).
+      */
+    "outlier_docs" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Outliers.zscore(docs, Seq("lang"), col("n_chars"),
+          kNum = 2, kDen = 1)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("_n"),
+          col("is_outlier"))
+        .filter(col("is_outlier"))
+        .drop("is_outlier")
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -624,5 +660,36 @@ object CurationQueries {
         |   AND sum_word_len BETWEEN n_words * 3 AND n_words * 10
         |   AND n_alpha_words * 5 >= n_words * 4
         |   AND n_stop >= 2) AS pass
-        |FROM sig""".stripMargin)
+        |FROM sig""".stripMargin,
+    "ssjoin_prefix" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (
+        |  SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |        FROM d)
+        |),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l FROM tk GROUP BY 1),
+        |it AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tk a JOIN tk b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, inter,
+        |       sa.l + sb.l - inter AS uni
+        |FROM it JOIN sz sa ON it.id_a = sa.doc_id
+        |        JOIN sz sb ON it.id_b = sb.doc_id
+        |WHERE 5 * inter >= 3 * (sa.l + sb.l - inter)""".stripMargin,
+    "outlier_docs" ->
+      """WITH m AS (
+        |  SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+        |         CAST(SUM(n_chars) AS HUGEINT) AS s,
+        |         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ss
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT d.lang, d.doc_id, d.n_chars, CAST(m.n AS BIGINT) AS _n
+        |FROM documents d JOIN m USING (lang)
+        |WHERE (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s)
+        |      > 4 * (m.n * m.ss - m.s * m.s)""".stripMargin)
 }

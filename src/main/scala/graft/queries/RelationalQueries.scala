@@ -447,6 +447,36 @@ object RelationalQueries {
           col("n"))
     },
 
+    /** Incremental JOIN-view maintenance ([[graft.operators.Maintain
+      * .refreshJoin]]): a materialized orders⋈customer view built over an
+      * initial snapshot (keys ∤97) is refreshed from an orders changeset —
+      * upserts re-adding the ∣97 keys and rush-flagging the ∣91 keys,
+      * deletes removing the ∣89 keys — without rescanning orders: the
+      * changed-pk set broadcasts into an anti-join over the stored view,
+      * and only upserted rows re-join customer. The oracle joins the
+      * FINAL base state directly: equality proves the delta algebra lands
+      * exactly on the recompute.
+      */
+    "join_refresh" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val cust = table(s, dir, "customer")
+      def joined(a: DataFrame): DataFrame =
+        a.join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            col("c_mktsegment"))
+      val view = joined(orders.filter(col("o_orderkey") % 97 =!= 0))
+      val delta = orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("_op", lit("D"))
+        .unionByName(orders
+          .filter((col("o_orderkey") % 97 === 0 || col("o_orderkey") % 91 === 0) &&
+            col("o_orderkey") % 89 =!= 0)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 91 === 0, lit("0-RUSH"))
+              .otherwise(col("o_orderpriority")))
+          .withColumn("_op", lit("U")))
+      graft.operators.Maintain.refreshJoin(view, delta, Seq("o_orderkey"))(joined)
+    },
+
     /** Non-invertible aggregate maintenance ([[graft.operators.Maintain
       * .refreshGroups]]): a stale per-part min/max/count over the
       * pre-change snapshot is refreshed by re-aggregating ONLY the groups
@@ -698,6 +728,13 @@ object RelationalQueries {
       """SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
         |       TRUE AS approx_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "join_refresh" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CASE WHEN o.o_orderkey % 91 = 0 THEN '0-RUSH'
+        |            ELSE o.o_orderpriority END AS o_orderpriority,
+        |       c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 89 != 0""".stripMargin,
     "agg_refresh_rescan" ->
       """SELECT l_partkey, MIN(l_extendedprice) AS min_price,
         |       MAX(l_extendedprice) AS max_price, CAST(COUNT(*) AS BIGINT) AS n

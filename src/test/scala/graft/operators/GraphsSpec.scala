@@ -34,4 +34,47 @@ class GraphsSpec extends SparkSpec {
     val edges = (2L to 50L).map(i => (1L, i)) :+ (2L, 3L)
     assert(tri(edges: _*) === ((50L, 50L, 1L)))
   }
+
+  // the same fixed-point algebra as Graphs.pageRank, sequentially
+  private def naivePr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, v) <- sym) contrib(v) += r(u) / deg(u)
+      r = contrib.map { case (v, c) =>
+        v -> (150000L + (c / 1000000L) * 850000L +
+          ((c % 1000000L) * 850000L) / 1000000L)
+      }.toMap
+    }
+    r
+  }
+
+  private def pr(iters: Int, edges: (Long, Long)*): Map[Long, Long] =
+    Graphs.pageRank(g(edges: _*), "s", "d", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pageRank matches the sequential fixed-point replay exactly") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L),
+      (5L, 6L), (6L, 1L), (3L, 6L))
+    for (iters <- Seq(1, 3, 5))
+      assert(pr(iters, edges: _*) === naivePr(edges, iters))
+  }
+
+  test("pageRank: star center outranks every leaf; leaves tie") {
+    val star = (2L to 20L).map(i => (1L, i))
+    val ranks = pr(5, star: _*)
+    val leaves = (2L to 20L).map(ranks)
+    assert(leaves.distinct.size === 1)
+    assert(ranks(1L) > leaves.head)
+  }
+
+  test("pageRank: self-loops and duplicate/reversed edges collapse") {
+    val clean = pr(3, (1L, 2L), (2L, 3L))
+    val noisy = pr(3, (1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (1L, 1L))
+    assert(clean === noisy)
+  }
 }

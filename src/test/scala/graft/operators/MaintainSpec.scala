@@ -98,4 +98,68 @@ class MaintainSpec extends SparkSpec {
       aggs = Seq(max(col("v")).as("hi"), count(lit(1)).as("n")))
     assert(refreshed.select("g").as[String].collect().toSeq === Seq("a"))
   }
+
+  // ---- refreshJoin: join-view maintenance ------------------------------
+
+  // A (pk, fk, payload) joined to B (fk, attr)
+  private def bSide = Seq((10, "x"), (20, "y"), (30, "z")).toDF("fk", "attr")
+
+  private def joinedOf(a: org.apache.spark.sql.DataFrame) =
+    a.join(bSide, "fk").select(col("pk"), col("fk"), col("p"), col("attr"))
+
+  private def vRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("pk", "fk", "p", "attr").as[(Int, Int, String, String)]
+      .collect().toSet
+
+  test("refreshJoin equals recompute: replace, delete, insert in one changeset") {
+    val a0 = Seq((1, 10, "p1"), (2, 20, "p2"), (3, 30, "p3")).toDF("pk", "fk", "p")
+      .select(col("fk"), col("pk"), col("p"))
+    val view = joinedOf(a0)
+    val delta = Seq(
+      (2, 10, "p2b", "U"),  // replace pk 2, moving it to fk 10
+      (3, 30, "p3", "D"),   // delete pk 3
+      (4, 20, "p4", "U"))   // brand-new pk
+      .toDF("pk", "fk", "p", "_op")
+    val refreshed = Maintain.refreshJoin(view, delta, Seq("pk"))(joinedOf)
+    val aFinal = Seq((1, 10, "p1"), (2, 10, "p2b"), (4, 20, "p4"))
+      .toDF("pk", "fk", "p")
+    assert(vRows(refreshed) === vRows(joinedOf(aFinal)))
+  }
+
+  test("refreshJoin: delete of an absent pk is a no-op; empty changeset is identity") {
+    val a0 = Seq((1, 10, "p1")).toDF("pk", "fk", "p")
+    val view = joinedOf(a0)
+    val ghost = Seq((99, 10, "?", "D")).toDF("pk", "fk", "p", "_op")
+    assert(vRows(Maintain.refreshJoin(view, ghost, Seq("pk"))(joinedOf)) ===
+      vRows(view))
+    val empty = Seq.empty[(Int, Int, String, String)].toDF("pk", "fk", "p", "_op")
+    assert(vRows(Maintain.refreshJoin(view, empty, Seq("pk"))(joinedOf)) ===
+      vRows(view))
+  }
+
+  test("refreshJoin: an upsert whose fk has no B match drops the row (inner-join view)") {
+    val a0 = Seq((1, 10, "p1")).toDF("pk", "fk", "p")
+    val delta = Seq((1, 99, "p1b", "U")).toDF("pk", "fk", "p", "_op")
+    val refreshed = Maintain.refreshJoin(joinedOf(a0), delta, Seq("pk"))(joinedOf)
+    assert(refreshed.count() === 0L)
+  }
+
+  test("refreshJoin fails the job on a duplicate pk in the changeset") {
+    val a0 = Seq((1, 10, "p1")).toDF("pk", "fk", "p")
+    val delta = Seq((1, 10, "p1b", "U"), (1, 10, "p1c", "D"))
+      .toDF("pk", "fk", "p", "_op")
+    val e = intercept[Exception] {
+      Maintain.refreshJoin(joinedOf(a0), delta, Seq("pk"))(joinedOf).collect()
+    }
+    assert(e.getMessage.contains("multiple changeset rows") || e.getCause != null)
+  }
+
+  test("refreshJoin fails the job on an invalid op") {
+    val a0 = Seq((1, 10, "p1")).toDF("pk", "fk", "p")
+    val delta = Seq((2, 10, "p2", "Z")).toDF("pk", "fk", "p", "_op")
+    val e = intercept[Exception] {
+      Maintain.refreshJoin(joinedOf(a0), delta, Seq("pk"))(joinedOf).collect()
+    }
+    assert(e.getMessage.contains("invalid _op") || e.getCause != null)
+  }
 }

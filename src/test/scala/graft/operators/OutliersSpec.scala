@@ -1,0 +1,68 @@
+package graft.operators
+
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flags(k: (Int, Int), rows: (String, Long)*): Set[(String, Long)] =
+    Outliers.zscore(rows.toSeq.toDF("g", "v"), Seq("g"), col("v"),
+        kNum = k._1, kDen = k._2)
+      .filter(col("is_outlier"))
+      .select("g", "v").as[(String, Long)].collect().toSet
+
+  test("flags exactly the values beyond k sigma, per group") {
+    // group a: nine 10s and one 100 — the 100 is way out; the 10s are not
+    // group b: symmetric pair — neither is an outlier at k=2 (z = 1 each)
+    val rows = (1 to 9).map(_ => ("a", 10L)) ++ Seq(("a", 100L)) ++
+      Seq(("b", 0L), ("b", 10L))
+    assert(flags((2, 1), rows: _*) === Set(("a", 100L)))
+  }
+
+  test("matches the float z-score away from boundaries") {
+    val rows = (1L to 50L).map(v => ("g", v)) :+ (("g", 500L))
+    val vals = rows.map(_._2.toDouble)
+    val n = vals.size
+    val mu = vals.sum / n
+    val sigma = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / n)
+    val expected = rows.filter { case (_, v) =>
+      math.abs(v - mu) / sigma > 3.0
+    }.toSet
+    assert(flags((3, 1), rows: _*) === expected)
+  }
+
+  test("constant groups and singletons flag nothing") {
+    assert(flags((1, 1), ("a", 5L), ("a", 5L), ("a", 5L), ("b", 7L)) ===
+      Set.empty)
+  }
+
+  test("null values are excluded from moments and never flagged") {
+    val df = ((1 to 9).map(_ => ("a", Some(10L))) ++
+      Seq(("a", None), ("a", Some(100L)))).toDF("g", "v")
+    val out = Outliers.zscore(df, Seq("g"), col("v"), 2, 1)
+    assert(out.filter(col("is_outlier")).select("v").as[Option[Long]]
+      .collect().toSet === Set(Some(100L)))
+    // _n counts only non-null measurements
+    assert(out.select("_n").distinct().as[Long].head() === 10L)
+  }
+
+  test("non-integral values fail the job by name") {
+    val df = Seq(("a", 1.5), ("a", 2.0)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Outliers.zscore(df, Seq("g"), col("v"), 2, 1).collect()
+    }
+    assert(e.getMessage.contains("non-integral"))
+  }
+
+  test("integral doubles are accepted") {
+    val df = Seq(("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0),
+      ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0),
+      ("a", 100.0)).toDF("g", "v")
+    val out = Outliers.zscore(df, Seq("g"), col("v"), 2, 1)
+      .filter(col("is_outlier")).select("v").as[Double].collect().toSet
+    assert(out === Set(100.0))
+  }
+}
