@@ -118,24 +118,51 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
       .distinct()
-    // cached: read every iteration (the join probe) and for degrees
+    // cached + filled eagerly: read every iteration (the join probe) —
+    // and each round materializes, so a lazy leaf here would re-derive
+    // the possibly-expensive edge source under the first round
     val e = graft.Caches.track(
       undir.union(undir.select(col("v").as("u"), col("u").as("v"))).persist())
+    e.count()
+    // degrees ride the edge frame itself (one extra column via a window
+    // would shuffle again; a counts-only aggregate + co-partitioned join
+    // is the same exchange the contribution pass needs anyway)
     val deg = graft.Caches.track(
       e.groupBy(col("u")).agg(count(lit(1)).as("_deg")).persist())
     var ranks = deg.select(col("u").as("_n"), lit(scale).as("rank_fp"))
+    // per-round plan-TRUNCATING checkpoint (the CC rounds pattern,
+    // Cluster.connectedComponents): a persist alone leaves the logical
+    // plan nesting every previous round, so analysis + codegen re-walk a
+    // growing tree each iteration (measured: round time tripling by
+    // round 5 at sf0.1). localCheckpoint cuts the lineage to a LogicalRDD
+    // leaf; each round releases its predecessor's blocks, and the LAST
+    // round's blocks are handed to Caches so the session-level clear
+    // frees them after the caller consumes the result.
+    def lcp(df: DataFrame): (DataFrame, () => Unit) = {
+      val out = df.localCheckpoint(false)
+      val ck = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (out, () => ck.foreach(_.unpersist(false)))
+    }
+    var release: () => Unit = () => ()
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("_n", "u"), "u")
         .join(deg, "u")
         .select(col("v"), expr("rank_fp DIV _deg").as("_c"))
         .groupBy(col("v")).agg(sum(col("_c")).as("_contrib"))
-      ranks = contrib.select(col("v").as("_n"),
+      val (next, nextRelease) = lcp(contrib.select(col("v").as("_n"),
         (lit(scale - damp) +
           expr(s"_contrib DIV ${scale}L") * lit(damp) +
           expr(s"((_contrib % ${scale}L) * ${damp}L) DIV ${scale}L"))
-          .as("rank_fp"))
+          .as("rank_fp")))
+      next.count()
+      release()
+      ranks = next
+      release = nextRelease
     }
+    graft.Caches.trackRelease(release)
     ranks.select(col("_n").as("node"), col("rank_fp"))
   }
 }
