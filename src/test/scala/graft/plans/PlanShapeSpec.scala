@@ -489,4 +489,78 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         a.dataType != org.apache.spark.sql.types.StringType)),
       s"a string column rode the candidate-hash exchange:\n$plan")
   }
+
+  test("skyline: the global-sort window sees distinct-x rows only; rows return via broadcast semi-join") {
+    val p = GraftSession.table(spark, dir, "part").select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("pc"),
+      col("p_size").cast("long").as("sz"))
+    val plan = executed(graft.operators.Skyline.minimize2(p, col("pc"), col("sz")))
+    // exactly one window, and a partial aggregate sits below it — the
+    // frontier sort touches one row per DISTINCT x, never the input
+    val wins = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size === 1, plan.toString)
+    val partialAggsBelow = collect(wins.head) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partialAggsBelow.nonEmpty, wins.head.toString)
+    // original rows come back through a broadcast semi-join of the
+    // (small) frontier — the input is never shuffled for it
+    val bjoins = collect(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bjoins.exists(_.joinType.sql == "LEFT SEMI"), plan.toString)
+    assert(collect(plan) { case s: SortMergeJoinExec => s }.isEmpty, plan.toString)
+  }
+
+  test("refreshJoin: the stored view is probed by a broadcast anti-join, never shuffled") {
+    val orders = GraftSession.table(spark, dir, "orders")
+    val cust = GraftSession.table(spark, dir, "customer")
+    def joined(a: DataFrame) = a.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+    val view = joined(orders).localCheckpoint() // a stored table stand-in
+    val delta = orders.limit(20).withColumn("_op", lit("D"))
+    val plan = executed(graft.operators.Maintain.refreshJoin(
+      view, delta, Seq("o_orderkey"))(joined))
+    val bjoins = deepCollect(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bjoins.exists(_.joinType.sql == "LEFT ANTI"), plan.toString)
+    // no shuffle may carry the view's payload column — the view is read
+    // once, map-side probed, and unioned straight through
+    val exchanges = deepCollect(plan) { case e: ShuffleExchangeExec => e }
+    assert(!exchanges.exists(_.output.exists(_.name == "c_mktsegment")),
+      s"the stored view crossed an exchange:\n$plan")
+  }
+
+  test("prefixJaccard: no all-pairs fallback — candidates come from an equi-join, no nested loop") {
+    val docs = GraftSession.table(spark, dir, "documents")
+      .withColumn("_toks", graft.functions.TextFunctions.tokens(col("text")))
+    val plan = executed(graft.operators.SetJoin.prefixJaccard(
+      docs, col("doc_id"), col("_toks"), num = 3, den = 5))
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, plan.toString)
+    // no window anywhere: candidate generation and verification are
+    // joins + aggregates only
+    assert(deepCollect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+  }
+
+  test("zscore: group moments partial-aggregate before the exchange; no window") {
+    val docs = GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val plan = executed(graft.operators.Outliers.zscore(
+      docs, Seq("lang"), col("n_chars"), 2, 1))
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+    val partialAggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partialAggs.nonEmpty, plan.toString)
+  }
 }
