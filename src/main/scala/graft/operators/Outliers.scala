@@ -35,16 +35,21 @@ object Outliers {
     * Constant groups (σ = 0) flag nothing; null values flag nothing and
     * are excluded from the moments.
     */
+  private def integralOrDie(value: Column, where: String): Column = {
+    val d19 = "decimal(19,0)"
+    when(value.isNotNull &&
+        value.cast(d19).cast("double") =!= value.cast("double"),
+      raise_error(lit(s"$where: non-integral value (exact outlier algebra " +
+        "needs integral measurements; scale to fixed-point first)"))
+        .cast(d19))
+      .otherwise(value.cast(d19))
+  }
+
   def zscore(df: DataFrame, keys: Seq[String], value: Column,
       kNum: Int, kDen: Int): DataFrame = {
     require(kNum > 0 && kDen > 0, "zscore: need kNum, kDen > 0")
     val d19 = "decimal(19,0)"
-    val xi = when(value.isNotNull &&
-        value.cast(d19).cast("double") =!= value.cast("double"),
-      raise_error(lit("zscore: non-integral value (exact z-score algebra " +
-        "needs integral measurements; scale to fixed-point first)"))
-        .cast(d19))
-      .otherwise(value.cast(d19))
+    val xi = integralOrDie(value, "zscore")
     val in = df.withColumn("_x", xi)
     val stats = in.filter(col("_x").isNotNull)
       .groupBy(keys.map(col): _*)
@@ -68,5 +73,43 @@ object Outliers {
       .withColumn("is_outlier",
         col("_x").isNotNull && coalesce(flagged, lit(false)))
       .drop("_x", "_gn", "_gs", "_gss")
+  }
+
+  /** Robust per-group outlier flags via median absolute deviation — the
+    * resistant twin of [[zscore]] (one extreme value drags a mean and
+    * explodes a variance; it barely moves a median). A row is flagged
+    * when kDen·|x − med| > kNum·MAD, where med is the group's LOWER
+    * median (smallest v with 2·|rows ≤ v| ≥ n — an exact rank property,
+    * not an interpolated float) and MAD the lower median of |x − med|.
+    * Every comparison is integer arithmetic, so the flagged set is
+    * engine-exact. Note MAD = 0 (over half the group at one value) flags
+    * every deviating row — the conventional degenerate-MAD behavior.
+    *
+    * Scale shape: both medians come from [[Quantiles.valueThresholds]] —
+    * counts-only exchanges and windows over DISTINCT values, never rows —
+    * and join back broadcast (one row per group). The corpus is scanned
+    * twice (once per median pass) and shuffled zero times.
+    */
+  def mad(df: DataFrame, key: String, value: Column,
+      kNum: Int, kDen: Int): DataFrame = {
+    require(kNum > 0 && kDen > 0, "mad: need kNum, kDen > 0")
+    val in = df.withColumn("_x", integralOrDie(value, "mad"))
+    val med = Quantiles.valueThresholds(in.filter(col("_x").isNotNull),
+        key, col("_x"), 1, 2)
+      .select(col(key).as("_graft_mk"), col("_threshold").as("_med"))
+    val withDev = in
+      .join(broadcast(med), col(key) <=> col("_graft_mk"), "left")
+      .withColumn("_dev", abs(col("_x") - col("_med")))
+    val madThr = Quantiles.valueThresholds(withDev.filter(col("_dev").isNotNull),
+        key, col("_dev"), 1, 2)
+      .select(col(key).as("_graft_dk"), col("_threshold").as("_mad"))
+    withDev
+      .join(broadcast(madThr), col(key) <=> col("_graft_dk"), "left")
+      .withColumn("is_outlier", col("_dev").isNotNull &&
+        col("_dev").cast("decimal(38,0)") * lit(kDen.toLong) >
+          col("_mad").cast("decimal(38,0)") * lit(kNum.toLong))
+      .withColumn("med", col("_med").cast("long"))
+      .withColumn("mad", col("_mad").cast("long"))
+      .drop("_x", "_dev", "_med", "_mad", "_graft_mk", "_graft_dk")
   }
 }

@@ -209,6 +209,33 @@ object AnalyticsQueries {
         round(col("p_retailprice") * 100).cast("long").as("price_c"),
         col("p_size").cast("long").as("size"))
       graft.operators.Skyline.minimize2(p, col("price_c"), col("size"))
+    },
+
+    /** Window-2 token co-occurrence with complete PMI evidence: for every
+      * unordered word pair within two positions, corpus-wide pair count
+      * plus both unigram counts — the exact integer inputs to PMI
+      * (log(N·n_xy/(n_x·n_y)) is one map-side float away; the EVIDENCE is
+      * what must be engine-exact). Pairs are generated PER ROW by a
+      * nested array transform — a codegen'd expression, no positions
+      * table and no self-join — so nothing shuffles until the
+      * partial-aggregated pair counts; a df-cut (n_xy ≥ 5) bounds the
+      * output the same way at any corpus size.
+      */
+    "cooccur_pmi" -> { (s, dir) =>
+      val docs = graft.GraftSession.tableSpread(s, dir, "documents")
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("_t"))
+      val pairs = docs.select(explode(flatten(transform(col("_t"),
+          (w, i) => transform(slice(col("_t"), i + lit(2), lit(2)),
+            w2 => struct(least(w, w2).as("w1"), greatest(w, w2).as("w2"))))))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val uni = docs.select(explode(col("_t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("n").as("n_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n").as("n_y")), "w2")
+        .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"))
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -362,6 +389,31 @@ object AnalyticsQueries {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT v AS node, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin
     },
+    "cooccur_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT ROW_NUMBER() OVER () AS did, t FROM toks
+        |),
+        |w AS (
+        |  SELECT did, i, t[i] AS w
+        |  FROM pos, UNNEST(range(1, len(t) + 1)) AS u(i)
+        |),
+        |pairs AS (
+        |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |  FROM w a JOIN w b ON a.did = b.did AND b.i > a.i AND b.i <= a.i + 2
+        |),
+        |co AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
+        |)
+        |SELECT co.w1, co.w2, co.n_xy, u1.n AS n_x, u2.n AS n_y
+        |FROM co JOIN uni u1 ON co.w1 = u1.w JOIN uni u2 ON co.w2 = u2.w""".stripMargin,
     "skyline" ->
       """WITH p AS (
         |  SELECT p_partkey,

@@ -421,6 +421,26 @@ object CurationQueries {
           col("is_outlier"))
         .filter(col("is_outlier"))
         .drop("is_outlier")
+    },
+
+    /** Robust per-language length anomalies ([[graft.operators.Outliers
+      * .mad]], k = 3): the median-absolute-deviation twin of
+      * `outlier_docs` (k = 2 here too: the synthetic length distribution
+      * is tight enough that 3 MADs flags nothing) — a handful of giant
+      * documents can drag a mean and
+      * inflate a variance until z-scores miss them; the median barely
+      * moves. Lower-median rank arithmetic keeps every comparison
+      * integral, so the flagged set plus each language's (med, mad)
+      * evidence hash-match the SQL replay of the same rank algebra.
+      */
+    "outlier_mad" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Outliers.mad(docs, "lang", col("n_chars"),
+          kNum = 2, kDen = 1)
+        .filter(col("is_outlier"))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("med"),
+          col("mad"))
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -691,5 +711,35 @@ object CurationQueries {
         |SELECT d.lang, d.doc_id, d.n_chars, CAST(m.n AS BIGINT) AS _n
         |FROM documents d JOIN m USING (lang)
         |WHERE (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s)
-        |      > 4 * (m.n * m.ss - m.s * m.s)""".stripMargin)
+        |      > 4 * (m.n * m.ss - m.s * m.s)""".stripMargin,
+    "outlier_mad" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT lang, v, SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cle,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM c
+        |),
+        |med AS (
+        |  SELECT lang, MIN(v) AS med FROM cum WHERE 2 * cle >= n GROUP BY 1
+        |),
+        |dev AS (
+        |  SELECT d.lang, d.doc_id, d.n_chars, m.med,
+        |         abs(d.n_chars - m.med) AS dv
+        |  FROM documents d JOIN med m USING (lang)
+        |),
+        |dc AS (SELECT lang, dv, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+        |dcum AS (
+        |  SELECT lang, dv, SUM(c) OVER (PARTITION BY lang ORDER BY dv) AS cle,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM dc
+        |),
+        |mad AS (
+        |  SELECT lang, MIN(dv) AS mad FROM dcum WHERE 2 * cle >= n GROUP BY 1
+        |)
+        |SELECT dev.lang, dev.doc_id, dev.n_chars,
+        |       CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
+        |FROM dev JOIN mad USING (lang)
+        |WHERE dev.dv > 2 * mad.mad""".stripMargin)
 }

@@ -57,6 +57,52 @@ class OutliersSpec extends SparkSpec {
     assert(e.getMessage.contains("non-integral"))
   }
 
+  private def madFlags(k: (Int, Int), rows: (String, Long)*): Set[(String, Long)] =
+    Outliers.mad(rows.toSeq.toDF("g", "v"), "g", col("v"),
+        kNum = k._1, kDen = k._2)
+      .filter(col("is_outlier"))
+      .select("g", "v").as[(String, Long)].collect().toSet
+
+  // lower-median convention: smallest v with 2*|rows <= v| >= n
+  private def lowerMedian(vs: Seq[Long]): Long = {
+    val sorted = vs.sorted
+    sorted((vs.size - 1) / 2)
+  }
+
+  test("mad matches the sequential lower-median replay") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("a", 100L), ("b", 5L), ("b", 6L), ("b", 7L), ("b", 8L))
+    val expected = rows.groupBy(_._1).flatMap { case (g, grp) =>
+      val vs = grp.map(_._2)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      grp.filter { case (_, v) => math.abs(v - med) > 2 * mad }
+    }.toSet
+    assert(madFlags((2, 1), rows: _*) === expected)
+    assert(madFlags((2, 1), rows: _*) === Set(("a", 100L)))
+  }
+
+  test("mad is robust where the mean is dragged: extreme value still flagged") {
+    // the 1e6 drags the mean to ~91k and inflates sigma so its z is only
+    // ~sqrt(n-1) bounded; MAD stays 1 and flags it cleanly
+    val rows = (1 to 10).map(i => ("a", 10L + (i % 3))) :+ (("a", 1000000L))
+    assert(madFlags((3, 1), rows: _*) === Set(("a", 1000000L)))
+  }
+
+  test("mad degenerate (MAD = 0): every deviating row flags") {
+    val rows = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L), ("a", 6L))
+    assert(madFlags((3, 1), rows: _*) === Set(("a", 6L)))
+  }
+
+  test("mad reports the group's med and mad evidence") {
+    val out = Outliers.mad(Seq(("a", 1L), ("a", 3L), ("a", 9L)).toDF("g", "v"),
+      "g", col("v"), 2, 1)
+    val row = out.select("med", "mad").distinct()
+      .as[(Long, Long)].collect().toSet
+    // med = 3 (lower median), deviations {2, 0, 6} -> mad = 2
+    assert(row === Set((3L, 2L)))
+  }
+
   test("integral doubles are accepted") {
     val df = Seq(("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0),
       ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0),
