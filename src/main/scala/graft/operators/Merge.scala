@@ -125,4 +125,52 @@ object Merge {
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Golden-record survivorship: merge the same entity from several
+    * sources into one row per key, FIELD BY FIELD — each field takes its
+    * value from the highest-priority source where it is non-null (the
+    * master-data-management "most trusted source wins, fall back on
+    * gaps" rule). `sources` is priority-ordered, most trusted first;
+    * every frame must carry `pk` and all of `fields`. A key absent from
+    * the leading sources still yields a row (fields from wherever it
+    * exists); a field null in EVERY source stays null.
+    *
+    * Scale shape: one union (no join chain — k sources would otherwise
+    * cost k−1 outer joins) and ONE partial-aggregated shuffle keyed by
+    * pk: each field is `min_by(field, rank-where-non-null)`, and min_by
+    * skips rows whose ordering key is null, which encodes "first
+    * non-null by priority" as a plain aggregate. The exchange carries
+    * one combiner row per (pk, source-subset), never the full source
+    * rows of hot keys.
+    */
+  def survivorship(sources: Seq[DataFrame], pk: Seq[String],
+      fields: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "survivorship: at least one source")
+    require(fields.nonEmpty, "survivorship: at least one field")
+    val ranked = sources.zipWithIndex.map { case (src, rank) =>
+      guardKeys(src, pk, "survivorship")
+        .select((pk.map(col) ++ fields.map(col) :+ lit(rank).as("_rank")): _*)
+    }.reduce(_ unionByName _)
+    val merged = ranked.groupBy(pk.map(col): _*)
+      .agg(
+        min_by(col(fields.head),
+          when(col(fields.head).isNotNull, col("_rank"))).as(fields.head),
+        fields.tail.map(f =>
+          min_by(col(f), when(col(f).isNotNull, col("_rank"))).as(f)) ++
+          // duplicate detection rides the same aggregate: a pk with more
+          // rows than distinct source ranks appears twice in one source,
+          // which would make every min_by tie arbitrary — fail by name
+          Seq(count(lit(1)).as("_nr"),
+            count_distinct(col("_rank")).as("_nd")): _*)
+    val dupGuard = when(col("_nr") > col("_nd"), raise_error(concat(
+      lit("survivorship: key ("),
+      concat_ws(",", pk.map(k => col(k).cast("string")): _*),
+      lit(") appears more than once within a single source — " +
+        "dedupe each source (e.g. Merge.applyChanges) first"))))
+    merged
+      .select((pk.map(col) :+
+        coalesce(dupGuard.cast(merged.schema(fields.head).dataType),
+          col(fields.head)).as(fields.head)) ++
+        fields.tail.map(col): _*)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index search over a tokenized corpus — the read-side
+  * counterpart of the BM25 ranking and vocab/postings statistics
+  * queries: boolean retrieval (conjunction + exclusion) and exact
+  * phrase matching over positional postings.
+  *
+  * Scale shape: everything is an equi-join on (token) or
+  * (doc, position) keys. Boolean conjunction is ONE grouped count over
+  * the must-term postings (a doc matches iff it holds all |must|
+  * distinct terms — no |must|-way self-join), exclusion is one
+  * anti-join; phrase matching chains |phrase|−1 co-partitioned
+  * (doc, pos) joins, each narrowing the candidate set, with positions as
+  * 8-byte integers — document text never crosses an exchange.
+  */
+object Search {
+
+  /** Positional postings: one row per token occurrence —
+    * (doc_id `id`, `token`, 1-based `pos`).
+    */
+  def positionalPostings(docs: DataFrame, id: Column, tokens: Column): DataFrame =
+    docs.select(id.as("doc_id"), posexplode(tokens).as(Seq("_p0", "token")))
+      .select(col("doc_id"), col("token"), (col("_p0") + 1).as("pos"))
+
+  /** Documents containing ALL of `must` and NONE of `mustNot`.
+    * Output: matching doc_ids.
+    */
+  def boolean(postings: DataFrame, must: Seq[String],
+      mustNot: Seq[String] = Seq.empty): DataFrame = {
+    require(must.nonEmpty, "search: at least one must-term")
+    val hits = postings
+      .filter(col("token").isin(must: _*))
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_nt"))
+      .filter(col("_nt") === must.size)
+      .select(col("doc_id"))
+    if (mustNot.isEmpty) hits
+    else hits.join(
+      postings.filter(col("token").isin(mustNot: _*)).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Exact phrase occurrences: documents containing `phrase` as adjacent
+    * tokens, with the match count per document. Output:
+    * (doc_id, n_occurrences).
+    */
+  def phrase(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase: at least two tokens")
+    val first = postings.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    // chain: survivors after step i are phrase-prefix matches of length
+    // i+1, keyed by (doc, start position) — each join aligns the next
+    // word's position back to the start
+    val matches = phrase.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (w, i)) =>
+        val next = postings.filter(col("token") === w)
+          .select(col("doc_id").as("_d"), (col("pos") - (i + 1)).as("_p"))
+        acc.join(next, acc("doc_id") === col("_d") && acc("pos") === col("_p"))
+          .select(acc("doc_id"), acc("pos"))
+    }
+    matches.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+}

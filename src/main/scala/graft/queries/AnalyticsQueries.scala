@@ -236,6 +236,53 @@ object AnalyticsQueries {
         .join(uni.select(col("w").as("w1"), col("n").as("n_x")), "w1")
         .join(uni.select(col("w").as("w2"), col("n").as("n_y")), "w2")
         .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"))
+    },
+
+    /** Boolean retrieval over the inverted index ([[graft.operators
+      * .Search.boolean]]): documents containing BOTH "hash" and "join"
+      * but never "stream" — conjunction as one grouped distinct-term
+      * count (no |query|-way self-join), exclusion as one anti-join.
+      */
+    "search_boolean" -> { (s, dir) =>
+      val docs = graft.GraftSession.tableSpread(s, dir, "documents")
+      val postings = graft.operators.Search.positionalPostings(docs,
+        col("doc_id"), graft.functions.TextFunctions.tokens(col("text")))
+      graft.operators.Search.boolean(postings,
+        must = Seq("hash", "join"), mustNot = Seq("stream"))
+    },
+
+    /** Exact phrase search over positional postings ([[graft.operators
+      * .Search.phrase]]): every document containing the adjacent pair
+      * "table hash", with its occurrence count — chained (doc, position)
+      * equi-joins, document text never in an exchange.
+      */
+    "search_phrase" -> { (s, dir) =>
+      val docs = graft.GraftSession.tableSpread(s, dir, "documents")
+      val postings = graft.operators.Search.positionalPostings(docs,
+        col("doc_id"), graft.functions.TextFunctions.tokens(col("text")))
+      graft.operators.Search.phrase(postings, Seq("table", "hash"))
+    },
+
+    /** Golden-record survivorship ([[graft.operators.Merge
+      * .survivorship]]): the same customers arrive from two sources — a
+      * trusted master with planted field gaps (acctbal missing for ∣3
+      * keys, name for ∣5 keys) and a complete-but-noisier feed (renamed,
+      * rebated balances) — and merge field-by-field, most trusted
+      * non-null value winning. One union + one partial-aggregated pk
+      * shuffle; the oracle replays the per-field CASE algebra.
+      */
+    "golden_record" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val master = c.select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_name"))
+          .as("name"),
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("acctbal"))
+      val feed = c.select(col("c_custkey"),
+        concat(lit("X"), col("c_name")).as("name"),
+        (col("c_acctbal") + 100).as("acctbal"))
+      graft.operators.Merge.survivorship(Seq(master, feed),
+        pk = Seq("c_custkey"), fields = Seq("name", "acctbal"))
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -414,6 +461,36 @@ object AnalyticsQueries {
         |)
         |SELECT co.w1, co.w2, co.n_xy, u1.n AS n_x, u2.n AS n_y
         |FROM co JOIN uni u1 ON co.w1 = u1.w JOIN uni u2 ON co.w2 = u2.w""".stripMargin,
+    "search_boolean" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |        FROM documents)
+        |)
+        |SELECT doc_id FROM tk WHERE t = 'hash'
+        |INTERSECT
+        |SELECT doc_id FROM tk WHERE t = 'join'
+        |EXCEPT
+        |SELECT doc_id FROM tk WHERE t = 'stream'""".stripMargin,
+    "search_phrase" ->
+      """WITH pos AS (
+        |  SELECT doc_id, i, t[i] AS w
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |        FROM documents),
+        |       UNNEST(range(1, len(t) + 1)) AS u(i)
+        |)
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |WHERE a.w = 'table' AND b.w = 'hash'
+        |GROUP BY 1""".stripMargin,
+    "golden_record" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 5 = 0 THEN 'X' || c_name
+        |            ELSE c_name END AS name,
+        |       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS acctbal
+        |FROM customer""".stripMargin,
     "skyline" ->
       """WITH p AS (
         |  SELECT p_partkey,

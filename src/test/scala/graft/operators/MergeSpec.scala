@@ -74,4 +74,53 @@ class MergeSpec extends SparkSpec {
       (3L, 30L, 100L, Some(100L), false),
       (3L, 31L, 100L, None, true)))
   }
+
+  // ---- survivorship ----------------------------------------------------
+
+  private def surv(a: Seq[(Long, Option[String], Option[Long])],
+      b: Seq[(Long, Option[String], Option[Long])]) =
+    Merge.survivorship(
+      Seq(a.toDF("k", "name", "bal"), b.toDF("k", "name", "bal")),
+      pk = Seq("k"), fields = Seq("name", "bal"))
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+
+  test("survivorship: most trusted non-null wins per FIELD, gaps fall through") {
+    val master = Seq(
+      (1L, Some("m1"), None),          // bal gap -> feed's
+      (2L, None, Some(20L)),           // name gap -> feed's
+      (3L, Some("m3"), Some(30L)))     // complete -> all master
+    val feed = Seq(
+      (1L, Some("f1"), Some(11L)),
+      (2L, Some("f2"), Some(21L)),
+      (3L, Some("f3"), Some(31L)),
+      (4L, Some("f4"), Some(41L)))     // only in the feed
+    assert(surv(master, feed) === Set(
+      (1L, Some("m1"), Some(11L)),
+      (2L, Some("f2"), Some(20L)),
+      (3L, Some("m3"), Some(30L)),
+      (4L, Some("f4"), Some(41L))))
+  }
+
+  test("survivorship: a field null in every source stays null") {
+    assert(surv(Seq((1L, None, Some(5L))), Seq((1L, None, None))) ===
+      Set((1L, None, Some(5L))))
+  }
+
+  test("survivorship fails the job when a key repeats within one source") {
+    val dup = Seq((1L, Some("a"), Some(1L)), (1L, Some("b"), Some(2L)))
+    val other = Seq((1L, Some("c"), Some(3L)))
+    val e = intercept[Exception] {
+      surv(dup, other)
+    }
+    assert(e.getMessage.contains("appears more than once") || e.getCause != null)
+  }
+
+  test("survivorship fails the job on a null key") {
+    val a = Seq((Some(1L), "x")).toDF("k", "name")
+    val b = Seq((Option.empty[Long], "y")).toDF("k", "name")
+    val e = intercept[Exception] {
+      Merge.survivorship(Seq(a, b), Seq("k"), Seq("name")).collect()
+    }
+    assert(e.getMessage.contains("null in key") || e.getCause != null)
+  }
 }
