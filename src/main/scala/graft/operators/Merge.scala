@@ -167,10 +167,12 @@ object Merge {
       concat_ws(",", pk.map(k => col(k).cast("string")): _*),
       lit(") appears more than once within a single source — " +
         "dedupe each source (e.g. Merge.applyChanges) first"))))
+    // the guard rides EVERY field, not just the first: a caller
+    // projection keeping any one field keeps its guard — wrapping only
+    // one would let column pruning drop the raise_error (and the _nr/_nd
+    // aggregates feeding it) the moment that field is unused
     merged
-      .select((pk.map(col) :+
-        coalesce(dupGuard.cast(merged.schema(fields.head).dataType),
-          col(fields.head)).as(fields.head)) ++
-        fields.tail.map(col): _*)
+      .select(pk.map(col) ++ fields.map(f =>
+        coalesce(dupGuard.cast(merged.schema(f).dataType), col(f)).as(f)): _*)
   }
 }

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,0), and the envelope is n·max|x| ≤ ~10¹⁸ (a trillion rows
   * of million-scale values): the worst term (n·x − S)²·kDen² then stays
   * inside 38 digits — the same headroom DuckDB's HUGEINT gives the
-  * oracle. Beyond the envelope Spark's decimal arithmetic nulls out
-  * (non-ANSI overflow), which would silently unflag — so the deviation
-  * magnitude is guarded and the job fails loudly instead.
+  * oracle. Beyond the envelope the job FAILS, never silently unflags:
+  * under Spark's default ANSI mode every decimal overflow throws, and
+  * the deviation magnitude additionally carries a named guard so the
+  * most likely breach reports the envelope instead of a generic
+  * NUMERIC_OUT_OF_RANGE. (With ANSI off, overflow nulls out — the named
+  * guard still covers the deviation path, but don't run exact-algebra
+  * operators in that mode.)
   */
 object Outliers {
 
@@ -51,11 +55,18 @@ object Outliers {
     val d19 = "decimal(19,0)"
     val xi = integralOrDie(value, "zscore")
     val in = df.withColumn("_x", xi)
+    // NULL-SAFE stats join (<=> below): a null group key (failed language
+    // detection etc.) gets its own moments row, and its rows must come
+    // BACK with is_outlier computed — a plain equi-join would silently
+    // drop them (neither flagged nor returned), same hazard
+    // Quantiles.filterAtLeast guards against
     val stats = in.filter(col("_x").isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast(d19).as("_gn"),
         sum(col("_x")).cast(d19).as("_gs"),
         sum(col("_x") * col("_x")).cast("decimal(38,0)").as("_gss"))
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"_gk$i") } ++
+        Seq(col("_gn"), col("_gs"), col("_gss")): _*)
     val lhs0 = (col("_gn") * col("_x") - col("_gs"))
     // |n·x − S| < 10¹⁸ keeps lhs²·kDen² inside DECIMAL(38,0); overflow
     // would null the comparison and silently UNFLAG, so fail loudly
@@ -68,11 +79,16 @@ object Outliers {
       (col("_gs") * col("_gs")).cast("decimal(38,0)"))
     val flagged = lhs * lhs * lit(kDen.toLong * kDen) >
       lit(kNum.toLong * kNum).cast("decimal(19,0)") * varN2
-    in.join(stats, keys)
-      .withColumn("_n", col("_gn").cast("long"))
+    // left join: a group with ONLY null measurements has no stats row;
+    // its rows still come back (is_outlier = false)
+    in.join(stats,
+        keys.zipWithIndex.map { case (k, i) => col(k) <=> col(s"_gk$i") }
+          .reduce(_ && _), "left")
+      .withColumn("_n", coalesce(col("_gn").cast("long"), lit(0L)))
       .withColumn("is_outlier",
         col("_x").isNotNull && coalesce(flagged, lit(false)))
-      .drop("_x", "_gn", "_gs", "_gss")
+      .drop(Seq("_x", "_gn", "_gs", "_gss") ++
+        keys.indices.map(i => s"_gk$i"): _*)
   }
 
   /** Robust per-group outlier flags via median absolute deviation — the

@@ -31,11 +31,15 @@ object Search {
   def boolean(postings: DataFrame, must: Seq[String],
       mustNot: Seq[String] = Seq.empty): DataFrame = {
     require(must.nonEmpty, "search: at least one must-term")
+    // distinct the query terms: a repeated must-term (verbatim user
+    // queries) must not raise the per-doc distinct-count bar above what
+    // any document can reach
+    val mustD = must.distinct
     val hits = postings
-      .filter(col("token").isin(must: _*))
+      .filter(col("token").isin(mustD: _*))
       .select(col("doc_id"), col("token")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("_nt"))
-      .filter(col("_nt") === must.size)
+      .filter(col("_nt") === mustD.size)
       .select(col("doc_id"))
     if (mustNot.isEmpty) hits
     else hits.join(

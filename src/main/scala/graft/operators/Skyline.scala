@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *     is dominated by a tie-x row with smaller y).
   *  2. Running strict-min window ordered by x over the DISTINCT-x frame:
   *     (x, ymin) is on the frontier iff ymin < min(ymin) over all
-  *     smaller x. This global sort touches |distinct x| rows, not |rows|
-  *     — bounded data, and Spark range-partitions the sort; the prefix
-  *     min is one window pass.
+  *     smaller x. The unpartitioned window runs as ONE task — but over
+  *     |distinct x| rows, not |rows| (the same bounded-distinct-values
+  *     contract as Quantiles.equidepthHistogram); it is the reduction in
+  *     step 1 that makes the single task safe, not the window itself.
   *  3. A broadcast-able semi-join back on (x, y) returns the surviving
   *     ORIGINAL rows, ties included.
   *

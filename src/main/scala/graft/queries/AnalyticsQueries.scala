@@ -222,8 +222,12 @@ object AnalyticsQueries {
       * output the same way at any corpus size.
       */
     "cooccur_pmi" -> { (s, dir) =>
-      val docs = graft.GraftSession.tableSpread(s, dir, "documents")
-        .select(graft.functions.TextFunctions.tokens(col("text")).as("_t"))
+      // cached: the pair subtree and the unigram subtree both read the
+      // tokenized corpus — uncached, the scan + tokenization run twice
+      val docs = graft.Caches.track(
+        graft.GraftSession.tableSpread(s, dir, "documents")
+          .select(graft.functions.TextFunctions.tokens(col("text")).as("_t"))
+          .persist())
       val pairs = docs.select(explode(flatten(transform(col("_t"),
           (w, i) => transform(slice(col("_t"), i + lit(2), lit(2)),
             w2 => struct(least(w, w2).as("w1"), greatest(w, w2).as("w2"))))))

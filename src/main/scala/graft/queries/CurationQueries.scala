@@ -424,7 +424,7 @@ object CurationQueries {
     },
 
     /** Robust per-language length anomalies ([[graft.operators.Outliers
-      * .mad]], k = 3): the median-absolute-deviation twin of
+      * .mad]], k = 2): the median-absolute-deviation twin of
       * `outlier_docs` (k = 2 here too: the synthetic length distribution
       * is tight enough that 3 MADs flags nothing) — a handful of giant
       * documents can drag a mean and
@@ -709,7 +709,7 @@ object CurationQueries {
         |  FROM documents GROUP BY 1
         |)
         |SELECT d.lang, d.doc_id, d.n_chars, CAST(m.n AS BIGINT) AS _n
-        |FROM documents d JOIN m USING (lang)
+        |FROM documents d JOIN m ON d.lang IS NOT DISTINCT FROM m.lang
         |WHERE (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s)
         |      > 4 * (m.n * m.ss - m.s * m.s)""".stripMargin,
     "outlier_mad" ->
@@ -727,7 +727,7 @@ object CurationQueries {
         |dev AS (
         |  SELECT d.lang, d.doc_id, d.n_chars, m.med,
         |         abs(d.n_chars - m.med) AS dv
-        |  FROM documents d JOIN med m USING (lang)
+        |  FROM documents d JOIN med m ON d.lang IS NOT DISTINCT FROM m.lang
         |),
         |dc AS (SELECT lang, dv, COUNT(*) AS c FROM dev GROUP BY 1, 2),
         |dcum AS (
@@ -740,6 +740,6 @@ object CurationQueries {
         |)
         |SELECT dev.lang, dev.doc_id, dev.n_chars,
         |       CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
-        |FROM dev JOIN mad USING (lang)
+        |FROM dev JOIN mad ON dev.lang IS NOT DISTINCT FROM mad.lang
         |WHERE dev.dv > 2 * mad.mad""".stripMargin)
 }

@@ -115,6 +115,18 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("appears more than once") || e.getCause != null)
   }
 
+  test("survivorship duplicate guard survives projecting AWAY the first field") {
+    // column pruning must not drop the raise_error with the pruned field
+    val dup = Seq((1L, Some("a"), Some(1L)), (1L, Some("b"), Some(2L)))
+      .toDF("k", "name", "bal")
+    val other = Seq((1L, Some("c"), Some(3L))).toDF("k", "name", "bal")
+    val e = intercept[Exception] {
+      Merge.survivorship(Seq(dup, other), Seq("k"), Seq("name", "bal"))
+        .select("k", "bal").collect()
+    }
+    assert(e.getMessage.contains("appears more than once") || e.getCause != null)
+  }
+
   test("survivorship fails the job on a null key") {
     val a = Seq((Some(1L), "x")).toDF("k", "name")
     val b = Seq((Option.empty[Long], "y")).toDF("k", "name")

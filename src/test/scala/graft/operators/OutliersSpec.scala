@@ -49,6 +49,17 @@ class OutliersSpec extends SparkSpec {
     assert(out.select("_n").distinct().as[Long].head() === 10L)
   }
 
+  test("zscore: rows of a NULL group key come back, flagged like any group") {
+    val rows = ((1 to 9).map(_ => (Option.empty[String], 10L)) :+
+      ((Option.empty[String], 100L))) ++ Seq((Some("b"), 1L), (Some("b"), 2L))
+    val df = rows.toDF("g", "v")
+    val out = Outliers.zscore(df, Seq("g"), col("v"), 2, 1)
+    assert(out.count() === 12L) // nothing silently dropped
+    assert(out.filter(col("is_outlier")).select("g", "v")
+      .as[(Option[String], Long)].collect().toSet ===
+      Set((Option.empty[String], 100L)))
+  }
+
   test("non-integral values fail the job by name") {
     val df = Seq(("a", 1.5), ("a", 2.0)).toDF("g", "v")
     val e = intercept[Exception] {

@@ -31,6 +31,14 @@ class SearchSpec extends SparkSpec {
       Set(2L))
   }
 
+  test("boolean: a repeated query term collapses instead of making the query unmatchable") {
+    val p = postings(1L -> "a b", 2L -> "b")
+    assert(Search.boolean(p, Seq("a", "a")).as[Long].collect().toSet ===
+      Set(1L))
+    assert(Search.boolean(p, Seq("a", "a", "b")).as[Long].collect().toSet ===
+      Set(1L))
+  }
+
   test("phrase: adjacency, counts, overlaps and absence") {
     val p = postings(
       1L -> "x table hash y table hash",
