@@ -122,4 +122,53 @@ object Sequences {
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Sequential pattern with NEGATION — the CEP / MATCH_RECOGNIZE shape
+    * "A then B then C, with no X anywhere in between" that a plain
+    * funnel cannot express. Per key, the EARLIEST greedy chain: t₀ =
+    * first step-0 event, tᵢ = first step-i event strictly after tᵢ₋₁
+    * (optionally all within `windowUs` of t₀); the match is kept only if
+    * no `exclude` event falls strictly inside (t₀, t_last). Greedy
+    * first-match semantics are deterministic and SQL-replayable — the
+    * differential-testable subset of full regex CEP.
+    *
+    * Output: one row per matched key — (key, t_<name> per step), all
+    * BIGINT microseconds.
+    *
+    * Scale shape: the chained min-reductions are [[Funnel.reach]]'s —
+    * each pass partial-aggregates (key, min ts) before its exchange, one
+    * row per surviving key — and the negation is ONE anti-join of the
+    * survivors against the excluded events, keyed by `key`. No per-key
+    * event buffer, no ordered scan, no window over raw events.
+    */
+  def matchPattern(events: DataFrame, key: Column, tsUs: Column,
+      steps: Seq[(String, Column)], exclude: Column,
+      windowUs: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, s"matchPattern: need at least 2 steps")
+    require(windowUs.forall(_ > 0), "matchPattern: windowUs must be positive")
+    val ev = graft.Caches.track(events.select(Seq(key.as("_u"),
+        tsUs.as("_ts"), exclude.as("_x")) ++
+        steps.zipWithIndex.map { case ((_, p), i) => p.as(s"_m$i") }: _*)
+      .persist())
+    var cur = ev.filter(col("_m0")).groupBy(col("_u"))
+      .agg(min(col("_ts")).as("_t0"))
+    for (i <- 1 until steps.size) {
+      val inWindow = windowUs.fold(lit(true))(w => col("_ts") <= col("_t0") + w)
+      cur = ev.filter(col(s"_m$i"))
+        .join(cur, "_u")
+        .filter(col("_ts") > col(s"_t${i - 1}") && inWindow)
+        .groupBy(col("_u"))
+        .agg(min(col("_ts")).as(s"_t$i"),
+          (0 until i).map(j => first(col(s"_t$j")).as(s"_t$j")): _*)
+    }
+    val last = col(s"_t${steps.size - 1}")
+    val poison = ev.filter(col("_x")).select(col("_u"), col("_ts").as("_xts"))
+    val clean = cur.join(poison,
+        cur("_u") === poison("_u") &&
+          col("_xts") > col("_t0") && col("_xts") < last,
+        "left_anti")
+    clean.select(col("_u").as("key") +:
+      steps.zipWithIndex.map { case ((n, _), i) =>
+        col(s"_t$i").as(s"t_$n") }: _*)
+  }
 }

@@ -242,6 +242,27 @@ object AnalyticsQueries {
         .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"))
     },
 
+    /** CEP-style sequence pattern with negation ([[graft.operators
+      * .Sequences.matchPattern]]): users whose earliest
+      * view → click → purchase chain completes within 7 days of the
+      * first view WITHOUT an error event anywhere strictly inside the
+      * chain — the MATCH_RECOGNIZE shape a plain funnel can't express.
+      * Greedy first-match semantics keep it deterministic; the oracle
+      * replays the chained-min algebra plus a NOT EXISTS for the
+      * negation, timestamp-exact.
+      */
+    "event_pattern" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      graft.operators.Sequences.matchPattern(ev, col("user_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts"),
+        steps = Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        exclude = col("event_type") === "error",
+        windowUs = Some(weekUs))
+    },
+
     /** Boolean retrieval over the inverted index ([[graft.operators
       * .Search.boolean]]): documents containing BOTH "hash" and "join"
       * but never "stream" — conjunction as one grouped distinct-term
@@ -465,6 +486,33 @@ object AnalyticsQueries {
         |)
         |SELECT co.w1, co.w2, co.n_xy, u1.n AS n_x, u2.n AS n_y
         |FROM co JOIN uni u1 ON co.w1 = u1.w JOIN uni u2 ON co.w2 = u2.w""".stripMargin,
+    "event_pattern" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, epoch_us(ts) AS ts, event_type FROM events
+         |),
+         |s1 AS (
+         |  SELECT u, MIN(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1
+         |),
+         |s2 AS (
+         |  SELECT e.u, FIRST(s1.t0) AS t0, MIN(e.ts) AS t1
+         |  FROM e JOIN s1 USING (u)
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t0
+         |    AND e.ts <= s1.t0 + $weekUs
+         |  GROUP BY 1
+         |),
+         |s3 AS (
+         |  SELECT e.u, FIRST(s2.t0) AS t0, FIRST(s2.t1) AS t1, MIN(e.ts) AS t2
+         |  FROM e JOIN s2 USING (u)
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+         |    AND e.ts <= s2.t0 + $weekUs
+         |  GROUP BY 1
+         |)
+         |SELECT u AS key, t0 AS t_view, t1 AS t_click, t2 AS t_purchase
+         |FROM s3
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM e
+         |  WHERE e.u = s3.u AND e.event_type = 'error'
+         |    AND e.ts > s3.t0 AND e.ts < s3.t2)""".stripMargin,
     "search_boolean" ->
       """WITH tk AS (
         |  SELECT DISTINCT doc_id, t

@@ -38,6 +38,49 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Array((1, "view", 1L), (2, "click", 0L)))
   }
 
+  test("matchPattern: greedy chain with negation, strict interior bounds") {
+    val steps = Seq("a" -> (col("t") === "A"), "b" -> (col("t") === "B"),
+      "c" -> (col("t") === "C"))
+    def run(events: org.apache.spark.sql.DataFrame) =
+      Sequences.matchPattern(events, col("u"), col("ts"), steps,
+          exclude = col("t") === "X", windowUs = Some(100L))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val events = ev(
+      // u1: clean chain
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // u2: X strictly inside (t0, t2) — excluded
+      (2L, 10L, "A"), (2L, 20L, "B"), (2L, 25L, "X"), (2L, 30L, "C"),
+      // u3: X exactly AT t0 and AT t2 — strict interior, match survives
+      (3L, 10L, "A"), (3L, 10L, "X"), (3L, 20L, "B"), (3L, 30L, "C"),
+      (3L, 30L, "X"),
+      // u4: X before the chain and after it — irrelevant
+      (4L, 1L, "X"), (4L, 10L, "A"), (4L, 20L, "B"), (4L, 30L, "C"),
+      (4L, 99L, "X"),
+      // u5: chain exceeds the window (C at 200 > 10 + 100)
+      (5L, 10L, "A"), (5L, 20L, "B"), (5L, 200L, "C"),
+      // u6: steps out of order
+      (6L, 10L, "B"), (6L, 20L, "A"), (6L, 30L, "C"))
+    assert(run(events) === Set(
+      (1L, 10L, 20L, 30L),
+      (3L, 10L, 20L, 30L),
+      (4L, 10L, 20L, 30L)))
+    graft.Caches.clear(spark)
+  }
+
+  test("matchPattern: greedy mins pick the EARLIEST chain, negation judges that chain only") {
+    val steps = Seq("a" -> (col("t") === "A"), "b" -> (col("t") === "B"))
+    // the earliest chain (A@10, B@20) contains X@15 — excluded, even
+    // though a later clean chain (A@30, B@40) exists: greedy first-match
+    // semantics, deterministic and documented
+    val events = ev(
+      (1L, 10L, "A"), (1L, 15L, "X"), (1L, 20L, "B"),
+      (1L, 30L, "A"), (1L, 40L, "B"))
+    val out = Sequences.matchPattern(events, col("u"), col("ts"), steps,
+      exclude = col("t") === "X").collect()
+    assert(out.isEmpty)
+    graft.Caches.clear(spark)
+  }
+
   test("cohorts: retention triangle with floor-division buckets") {
     val events = ev(
       (1L, 5L, "x"), (1L, 15L, "x"), (1L, 25L, "x"),   // cohort 0, offsets 0,1,2
