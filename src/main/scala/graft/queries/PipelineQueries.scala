@@ -723,6 +723,28 @@ object PipelineQueries {
         .select(col("key").as("user_id"), col("steps_reached"), col("t0_us"))
     },
 
+    /** Streaming CEP pattern with negation ([[StreamOps.patternStream]]):
+      * the batch `event_pattern` chains (view → click → purchase within
+      * 7 days, no error strictly inside) produced incrementally — a key
+      * emits once the watermark closes its window, judged on the then-
+      * immutable in-window events. The oracle is the batch chained-min +
+      * NOT EXISTS SQL restricted to watermark-final keys
+      * (t0 + window < final watermark, ms-floored as Spark tracks it).
+      */
+    "stream_pattern" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val out = StreamOps.patternStream(raw, keyCol = "user_id", tsCol = "ts",
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        exclude = col("event_type") === "error",
+        windowUs = 7L * 86400L * 1000000L)
+      StreamOps.drainToBatch(out.toDF(), outputMode = "append", statePartitions = 8,
+          confOverrides = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .select(col("key").as("user_id"), col("t0_us"), col("t_last_us"))
+    },
+
     /** Stream-stream interval join: clicks joined to same-user purchases
       * within 30 minutes, both sides watermarked so join state is evicted
       * (bounded memory on unbounded streams). The fixture loads as one
@@ -969,6 +991,37 @@ object PipelineQueries {
         |       s1.t0 AS t0_us
         |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u, wm
         |WHERE s1.t0 + 604800000000 < wm.w""".stripMargin,
+    "stream_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ts, event_type FROM events
+        |),
+        |wm AS (
+        |  SELECT (MAX(ts) // 1000) * 1000 AS w FROM e
+        |),
+        |s1 AS (
+        |  SELECT u, MIN(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.u, FIRST(s1.t0) AS t0, MIN(e.ts) AS t1
+        |  FROM e JOIN s1 USING (u)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t0
+        |    AND e.ts <= s1.t0 + 604800000000
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.u, FIRST(s2.t0) AS t0, MIN(e.ts) AS t2
+        |  FROM e JOIN s2 USING (u)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+        |    AND e.ts <= s2.t0 + 604800000000
+        |  GROUP BY 1
+        |)
+        |SELECT s3.u AS user_id, s3.t0 AS t0_us, s3.t2 AS t_last_us
+        |FROM s3, wm
+        |WHERE s3.t0 + 604800000000 < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM e
+        |    WHERE e.u = s3.u AND e.event_type = 'error'
+        |      AND e.ts > s3.t0 AND e.ts < s3.t2)""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events

@@ -517,6 +517,127 @@ object StreamOps {
       TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ---- streaming CEP pattern with negation (transformWithState) ----------
+
+  final case class PatternOut(key: Long, t0_us: Long, t_last_us: Long)
+
+  /** Per-key pattern state machine for [[patternStream]] — the streaming
+    * twin of [[graft.operators.Sequences.matchPattern]]. Identical
+    * anchoring and finality to [[FunnelProcessor]] (t0 = earliest step-1
+    * event, final once the watermark passes t0 + window), with one more
+    * event class in the buffer: EXCLUDED events, marked by mask bit
+    * `nSteps`. At finality the chained strictly-after replay runs over
+    * the immutable in-window events; the key emits only if the chain
+    * completed ALL steps and no excluded event lies strictly inside
+    * (t0, t_last). Same state bound as the funnel — the buffer holds
+    * in-window step and excluded events, never a key's history.
+    */
+  private class PatternProcessor(nSteps: Int, windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, PatternOut] {
+    import org.apache.spark.sql.streaming._
+
+    @transient private var done: ValueState[Boolean] = _
+    @transient private var t0: ValueState[Long] = _
+    @transient private var buf: ListState[(Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      done = getHandle.getValueState("done",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+      t0 = getHandle.getValueState("t0",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      buf = getHandle.getListState("buf",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaInt), TTLConfig.NONE)
+    }
+
+    private def step(key: Long, incoming: List[(Long, Int)],
+        wmUs: Long): Iterator[PatternOut] = {
+      val stored: Long = Option(t0.get()).getOrElse(Long.MaxValue)
+      val incomingMin: Long = incoming.filter(e => (e._2 & 1) == 1).map(_._1)
+        .reduceOption((a: Long, b: Long) => math.min(a, b))
+        .getOrElse(Long.MaxValue)
+      val t0cand = math.min(stored, incomingMin)
+      val laterSteps = (buf.get().toList ++ incoming.filter(e => (e._2 & ~1) != 0))
+        .filter(e =>
+          if (t0cand == Long.MaxValue) e._1 >= wmUs
+          else e._1 <= t0cand + windowUs)
+      if (t0cand != Long.MaxValue && t0cand + windowUs < wmUs) {
+        var t = t0cand
+        var reached = 1
+        for ((us, mask) <- laterSteps.sorted
+            if reached < nSteps && us > t && ((mask >> reached) & 1) == 1) {
+          t = us; reached += 1
+        }
+        val poisoned = reached == nSteps && laterSteps.exists { case (us, mask) =>
+          ((mask >> nSteps) & 1) == 1 && us > t0cand && us < t
+        }
+        buf.clear(); t0.clear(); done.update(true)
+        if (reached == nSteps && !poisoned)
+          Iterator.single(PatternOut(key, t0cand, t))
+        else Iterator.empty
+      } else {
+        buf.clear()
+        if (laterSteps.nonEmpty) buf.put(laterSteps.toArray)
+        if (t0cand != Long.MaxValue) {
+          t0.update(t0cand)
+          getHandle.registerTimer((t0cand + windowUs) / 1000L + 1L)
+        }
+        Iterator.empty
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[PatternOut] = {
+      if (done.exists()) return Iterator.empty
+      step(key, rows.map(e => (e.us, e.mask)).toList,
+        tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[PatternOut] = {
+      if (done.exists()) return Iterator.empty
+      step(key, Nil, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** Streaming CEP pattern with negation: one row (key, t0_us, t_last_us)
+    * per key whose earliest greedy step chain completed within the window
+    * with no `exclude` event strictly inside — emitted once the watermark
+    * closes the window. Incremental twin of [[graft.operators.Sequences
+    * .matchPattern]] restricted to watermark-final keys. Same state-store
+    * requirements as [[sessionizeStream]] (RocksDB).
+    */
+  def patternStream(events: DataFrame, keyCol: String, tsCol: String,
+      steps: Seq[org.apache.spark.sql.Column],
+      exclude: org.apache.spark.sql.Column, windowUs: Long,
+      watermarkDelay: String = "0 seconds"):
+      org.apache.spark.sql.Dataset[PatternOut] = {
+    require(steps.size >= 2, "patternStream: need at least 2 steps")
+    require(steps.size <= 30,
+      "patternStream: at most 30 steps (bit nSteps marks excluded events)")
+    require(windowUs > 0, "patternStream: windowUs must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val mask = (steps.zipWithIndex
+      .map { case (p, i) => when(p, 1 << i).otherwise(0) } :+
+      when(exclude, 1 << steps.size).otherwise(0))
+      .reduce(_ + _)
+    val ev = graft.GraftSession.normalizeTsStrict(events, tsCol)
+    val typed = ev
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("us"),
+        mask.cast("int").as("mask"),
+        col(tsCol).as("ts"))
+      .filter(col("mask") =!= 0)
+      .as[FunnelEvent]
+    typed.groupByKey(_.key).transformWithState(
+      new PatternProcessor(steps.size, windowUs),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Custom stateful processing: per-key state folded over arriving
     * records, updated state emitted each batch (Update mode). The
     * Spark-native form of "user code with state per key" —
