@@ -90,4 +90,38 @@ object Quantiles {
       .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
         sum(col("_c")).as("n_rows"), count(lit(1)).as("n_distinct"))
   }
+
+  /** Per-GROUP equi-depth bucket assignment — the feature-engineering
+    * form of [[equidepthHistogram]]: every row gets its value's quantile
+    * bucket WITHIN its group (bin = ⌈cum(v)·nBins / n⌉ over the group's
+    * rank distribution), so "is this document long for its language" is
+    * a column, not a join the caller writes. Ties land in one bin, the
+    * arithmetic is integral, the assignment is engine-exact.
+    *
+    * Scale shape: per-(group, value) counts partial-aggregate before one
+    * counts-only exchange; the cumulative window partitions by group
+    * (parallel across groups, one row per distinct value inside each);
+    * the assignment frame (distinct values only) broadcasts back into a
+    * null-safe map-side join — rows never shuffle. Null values get a
+    * null bucket; null groups are first-class (same contract as
+    * [[filterAtLeast]]).
+    */
+  def bucketInGroup(df: DataFrame, group: String, value: Column,
+      nBins: Int, as: String = "bucket"): DataFrame = {
+    require(nBins > 0, s"bucketInGroup: nBins must be positive (got $nBins)")
+    val counts = df.select(col(group).as("_graft_g"), value.as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("_graft_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_graft_g")).orderBy(col("_v"))
+    val bins = counts
+      .withColumn("_cle", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_graft_g"))))
+      .select(col("_graft_g"), col("_v"),
+        (expr(s"(_cle * $nBins - 1) div _n") + 1).cast("int").as(as))
+    df.withColumn("_jv", value)
+      .join(broadcast(bins),
+        col(group) <=> col("_graft_g") && col("_jv") <=> col("_v"), "left")
+      .drop("_graft_g", "_v", "_jv")
+  }
 }

@@ -423,6 +423,20 @@ object CurationQueries {
         .drop("is_outlier")
     },
 
+    /** Per-language length quartile as a feature column ([[graft
+      * .operators.Quantiles.bucketInGroup]]): every document labeled
+      * 1-4 by where its character count ranks WITHIN its language —
+      * integer ceil-division rank arithmetic over counts-only exchanges,
+      * distinct-value assignment broadcast back map-side. The oracle
+      * replays the identical bin algebra.
+      */
+    "quartile_bucket" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Quantiles.bucketInGroup(docs, "lang", col("n_chars"),
+        nBins = 4)
+    },
+
     /** Robust per-language length anomalies ([[graft.operators.Outliers
       * .mad]], k = 2): the median-absolute-deviation twin of
       * `outlier_docs` (k = 2 here too: the synthetic length distribution
@@ -712,6 +726,22 @@ object CurationQueries {
         |FROM documents d JOIN m ON d.lang IS NOT DISTINCT FROM m.lang
         |WHERE (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s)
         |      > 4 * (m.n * m.ss - m.s * m.s)""".stripMargin,
+    "quartile_bucket" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT lang, v, SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cle,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM c
+        |),
+        |b AS (
+        |  SELECT lang, v, CAST((cle * 4 - 1) // n + 1 AS INT) AS bucket
+        |  FROM cum
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.bucket
+        |FROM documents d
+        |JOIN b ON d.lang IS NOT DISTINCT FROM b.lang AND d.n_chars = b.v""".stripMargin,
     "outlier_mad" ->
       """WITH c AS (
         |  SELECT lang, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2

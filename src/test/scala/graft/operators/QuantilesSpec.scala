@@ -51,4 +51,30 @@ class QuantilesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(h.toSeq === Seq((3L, 5L, 5L, 3L, 1L)))
   }
+
+  test("bucketInGroup: per-group quartiles by rank, ties share a bucket") {
+    import org.apache.spark.sql.functions.col
+    // group a: values 1..8 -> quartiles 1122 3344; group b: all ties -> bin 4
+    val df = ((1L to 8L).map(v => ("a", v)) ++ Seq(("b", 5L), ("b", 5L)))
+      .toDF("g", "v")
+    val out = Quantiles.bucketInGroup(df, "g", col("v"), nBins = 4)
+      .as[(String, Long, Int)].collect().toSet
+    assert(out === Set(
+      ("a", 1L, 1), ("a", 2L, 1), ("a", 3L, 2), ("a", 4L, 2),
+      ("a", 5L, 3), ("a", 6L, 3), ("a", 7L, 4), ("a", 8L, 4),
+      ("b", 5L, 4)))
+  }
+
+  test("bucketInGroup: null values get a null bucket, null groups are first-class") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some("a"), Some(1L)), (Some("a"), None),
+      (None, Some(1L)), (None, Some(2L))).toDF("g", "v")
+    val out = Quantiles.bucketInGroup(df, "g", col("v"), nBins = 2)
+      .as[(Option[String], Option[Long], Option[Int])].collect().toSet
+    assert(out === Set(
+      (Some("a"), Some(1L), Some(2)),
+      (Some("a"), None, None),
+      (None, Some(1L), Some(1)),
+      (None, Some(2L), Some(2))))
+  }
 }
