@@ -99,37 +99,50 @@ object Graphs {
     * to outdeg−1 ppm per node per hop) is the price of exactness and is
     * identical in every engine.
     *
-    * Scale shape: the edge list and the degree vector are the only
-    * persisted state; an iteration is one shuffle keyed by the edge
-    * destination carrying (node, long) pairs — partial-aggregated
-    * map-side — plus a broadcast-or-shuffle join to degrees. No
-    * adjacency lists, no driver-side state. `edges` is symmetrized
-    * (undirected input), so every node holds in-edges and the rank
-    * vector never loses membership.
+    * Scale shape: the persisted state is one edge frame (u, v, outdeg(u))
+    * — degrees are folded in at build time so no per-round degree join is
+    * ever paid; an iteration is one join (ranks ⋈ edges on u) plus one
+    * shuffle keyed by the edge destination carrying (node, long) pairs,
+    * partial-aggregated map-side. No adjacency lists, no driver-side
+    * state. `edges` is symmetrized (undirected input), so every node
+    * holds in-edges and the rank vector never loses membership.
     */
   def pageRank(edges: DataFrame, src: String, dst: String, iterations: Int,
       scale: Long = 1000000L, damp: Long = 850000L): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(scale > damp && damp > 0, "pageRank: need scale > damp > 0")
     // canonicalize BEFORE distinct — a reversed duplicate (a,b)/(b,a)
-    // must collapse to one undirected edge, or its contributions double
-    val undir = edges.select(least(col(src), col(dst)).as("u"),
-        greatest(col(src), col(dst)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
-      .distinct()
-    // cached + filled eagerly: read every iteration (the join probe) —
-    // and each round materializes, so a lazy leaf here would re-derive
-    // the possibly-expensive edge source under the first round
-    val e = graft.Caches.track(
-      undir.union(undir.select(col("v").as("u"), col("u").as("v"))).persist())
+    // must collapse to one undirected edge, or its contributions double.
+    // Persisted: the symmetrizing union references it twice and the
+    // degree fold below references the union again — without this cache
+    // leaf the (possibly expensive) edge SOURCE is cloned into every
+    // branch (measured: the dist-1 fuzzy-join source executed 4× inside
+    // one materialization, tripling the query).
+    val undir = graft.Caches.track(
+      edges.select(least(col(src), col(dst)).as("u"),
+          greatest(col(src), col(dst)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct()
+        .persist())
+    // fill BEFORE deriving: the degree fold references this cache three
+    // times in ONE job (union ×2 + the aggregate side); scans of an
+    // unfilled cache each race to compute the source concurrently
+    undir.count()
+    val sym = undir.union(undir.select(col("v").as("u"), col("u").as("v")))
+    // The degree rides ON the persisted edge frame: contributions divide
+    // rank(u) by outdeg(u) every round, so joining degrees per round
+    // would re-pay a join × iterations. One degree aggregate + one join
+    // at build time, then every iteration is a single join (ranks ⋈
+    // edges) + one partial-aggregated shuffle — the minimum an edge-
+    // partitioned PageRank round can do. Cached + filled eagerly: read
+    // every iteration, and a lazy leaf would re-derive the possibly-
+    // expensive edge source under the first round.
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("_deg"))
+    val e = graft.Caches.track(sym.join(deg, "u").persist())
     e.count()
-    // degrees ride the edge frame itself (one extra column via a window
-    // would shuffle again; a counts-only aggregate + co-partitioned join
-    // is the same exchange the contribution pass needs anyway)
-    val deg = graft.Caches.track(
-      e.groupBy(col("u")).agg(count(lit(1)).as("_deg")).persist())
-    var ranks = deg.select(col("u").as("_n"), lit(scale).as("rank_fp"))
+    var ranks = e.select(col("u").as("_n")).distinct()
+      .select(col("_n"), lit(scale).as("rank_fp"))
     // per-round plan-TRUNCATING checkpoint (the CC rounds pattern,
     // Cluster.connectedComponents): a persist alone leaves the logical
     // plan nesting every previous round, so analysis + codegen re-walk a
@@ -149,7 +162,6 @@ object Graphs {
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("_n", "u"), "u")
-        .join(deg, "u")
         .select(col("v"), expr("rank_fp DIV _deg").as("_c"))
         .groupBy(col("v")).agg(sum(col("_c")).as("_contrib"))
       val (next, nextRelease) = lcp(contrib.select(col("v").as("_n"),
