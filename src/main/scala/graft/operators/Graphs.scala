@@ -177,4 +177,69 @@ object Graphs {
     graft.Caches.trackRelease(release)
     ranks.select(col("_n").as("node"), col("rank_fp"))
   }
+
+  /** Multi-source BFS hop distances: every node reachable from `sources`
+    * within `maxHops` undirected hops, with its MINIMUM hop count —
+    * engine-exact integers (the oracle replays it as a bounded recursive
+    * CTE). Frontier expansion is level-synchronous: hop h joins the
+    * frontier to the edge list, dedups, and anti-joins the visited set,
+    * so a node is labeled exactly once, at its first (= minimal) hop.
+    *
+    * Scale shape: the persisted state is the symmetrized edge list plus
+    * two node-sized frames (frontier, visited) per round, both
+    * plan-truncated via localCheckpoint with predecessor blocks released
+    * (the pageRank rounds discipline). A hop is one shuffle join
+    * (frontier ⋈ edges) + a distinct + an anti-join — all on 8-byte node
+    * keys; edge/source payloads never travel. Early-exits when the
+    * frontier empties, so maxHops is a bound, not a cost.
+    */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "bfsDistances: maxHops must be >= 0")
+    val undir = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val e = graft.Caches.track(
+      undir.union(undir.select(col("v").as("u"), col("u").as("v")))
+        .distinct().persist())
+    e.count()
+    def lcp(df: DataFrame): (DataFrame, () => Unit) = {
+      val out = df.localCheckpoint(false)
+      val ck = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (out, () => ck.foreach(_.unpersist(false)))
+    }
+    val (seed, seedRelease) = lcp(
+      sources.select(col(sourceCol).cast("long").as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .select(col("node"), lit(0L).as("dist")))
+    seed.count()
+    var visited = seed
+    var frontier = seed.select("node")
+    // releases are deferred to the END: visited round N's blocks are
+    // REUSED by round N+1's union (unlike pageRank, where each round
+    // supersedes the previous vector entirely)
+    val releases = scala.collection.mutable.ArrayBuffer[() => Unit](seedRelease)
+    var hop = 1
+    var frontierSize = 1L
+    while (hop <= maxHops && frontierSize > 0) {
+      val (next, r1) = lcp(
+        frontier.join(e, frontier("node") === e("u"))
+          .select(e("v").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop.toLong).as("dist")))
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        val (vis, r2) = lcp(visited.union(next))
+        vis.count()
+        releases += r1 += r2
+        visited = vis
+        frontier = next.select("node")
+      } else r1()
+      hop += 1
+    }
+    releases.foreach(graft.Caches.trackRelease)
+    visited
+  }
 }

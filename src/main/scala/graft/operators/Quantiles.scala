@@ -60,6 +60,46 @@ object Quantiles {
       .drop("_v", "_threshold", "_graft_g")
   }
 
+  /** Winsorize: clip `value` into its group's [qLo, qHi] quantile range
+    * — the outlier-robust normalization a feature pipeline applies before
+    * aggregating heavy-tailed metrics. Thresholds use the same exact
+    * integer rank rule as [[valueThresholds]] (smallest v with
+    * cum·den ≥ n·num), both bounds derived from ONE counts-only pass
+    * (the exchange carries a row per distinct value per group, never per
+    * row), broadcast back into a map-side clip. Output: the input plus
+    * `outCol` = clamp(value, lo, hi). Null values pass through null.
+    */
+  def winsorize(df: DataFrame, group: String, value: Column, outCol: String,
+      loNum: Int, loDen: Int, hiNum: Int, hiDen: Int): DataFrame = {
+    require(loNum > 0 && loDen > 0 && loNum <= loDen, s"qLo in (0,1]: $loNum/$loDen")
+    require(hiNum > 0 && hiDen > 0 && hiNum <= hiDen, s"qHi in (0,1]: $hiNum/$hiDen")
+    require(loNum.toLong * hiDen <= hiNum.toLong * loDen,
+      s"winsorize: qLo must be <= qHi ($loNum/$loDen > $hiNum/$hiDen)")
+    // null values are excluded from the rank algebra (they have no order
+    // position) and pass through unclipped below
+    val counts = df.select(col(group), value.as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col(group), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(group)).orderBy(col("_v"))
+    val cum = counts
+      .withColumn("_cle", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col(group))))
+    val thr = cum.groupBy(col(group)).agg(
+      min(when(col("_cle") * loDen >= col("_n") * loNum, col("_v"))).as("_lo"),
+      min(when(col("_cle") * hiDen >= col("_n") * hiNum, col("_v"))).as("_hi"))
+      .withColumnRenamed(group, "_graft_g")
+    // least/greatest SKIP nulls (a null value would silently clip to the
+    // hi bound) — the null guard keeps null in → null out
+    df.withColumn("_graft_v", value)
+      .join(broadcast(thr), col(group) <=> col("_graft_g"), "left")
+      .withColumn(outCol,
+        when(col("_graft_v").isNull, lit(null))
+          .otherwise(greatest(least(col("_graft_v"), col("_hi")), col("_lo"))))
+      .drop("_graft_v", "_graft_g", "_lo", "_hi")
+  }
+
   /** Exact equi-depth histogram: `nBins` buckets of (as close as ties
     * allow) equal row counts, computed counts-only — the exchange and
     * the (single-partition) cumulative window carry one row per DISTINCT

@@ -138,6 +138,49 @@ object AnalyticsQueries {
       graft.operators.Graphs.triangleCount(pairs, "a", "b")
     },
 
+    /** Multi-source BFS hop distances ([[graft.operators.Graphs
+      * .bfsDistances]]) over the part–supplier fulfillment graph (an edge
+      * per distinct lineitem (part, supplier) pair; supplier ids
+      * namespaced by +10M so the two key spaces cannot collide): every
+      * node within 4 hops of the seed parts, at its minimal hop. The
+      * oracle replays it as a hop-bounded recursive CTE with a MIN(dist)
+      * fold — level-synchronous frontier expansion must agree with the
+      * declarative fixpoint digit-for-digit.
+      */
+    "shortest_path" -> { (s, dir) =>
+      val edges = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("a"),
+          (col("l_suppkey") + 10000000L).as("b"))
+      val seeds = table(s, dir, "part").filter(col("p_partkey") <= 5)
+      graft.operators.Graphs.bfsDistances(edges, "a", "b",
+        seeds, "p_partkey", maxHops = 4)
+    },
+
+    /** Mergeable-sketch distinct rollup: per-(source, shard) HLL sketches
+      * built in one pass, then UNIONED per source — the 100 TB shape for
+      * distinct counting over partitioned data (daily shard sketches fold
+      * into monthly/global counts without ever rescanning rows; state per
+      * group is a fixed-size sketch, never a value set). Verified like
+      * `approx_distinct`: exact distinct texts per source next to a
+      * boolean pinning the merged estimate within 5% (lgConfigK=12 ⇒
+      * expected error ~1.6%), so a broken sketch or a broken MERGE fails
+      * the hash compare instead of passing rows-only.
+      */
+    "hll_rollup" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val shardSketches = docs
+        .groupBy(col("source"), pmod(col("doc_id"), lit(8)).as("_shard"))
+        .agg(hll_sketch_agg(col("text")).as("_sk"))
+      shardSketches
+        .groupBy(col("source"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("_est"))
+        .join(docs.groupBy(col("source"))
+          .agg(countDistinct(col("text")).as("exact_texts")), "source")
+        .select(col("source"), col("exact_texts"),
+          (abs(col("_est") - col("exact_texts")) <=
+            col("exact_texts").cast("double") * 0.05).as("merged_ok"))
+    },
+
     /** Transparent materialized-view rewrite ([[graft.plans
       * .MaterializedViewRewrite]]): the priority aggregate is registered
       * as a view, then REBUILT from the base table — the optimizer swaps
@@ -430,6 +473,23 @@ object AnalyticsQueries {
         |        FROM pairs e1
         |        JOIN pairs e2 ON e1.b = e2.a
         |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+    "shortest_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT l_partkey AS u, 10000000 + l_suppkey AS v FROM lineitem
+        |  UNION
+        |  SELECT 10000000 + l_suppkey, l_partkey FROM lineitem
+        |),
+        |bfs(node, dist) AS (
+        |  SELECT CAST(p_partkey AS BIGINT), 0 FROM part WHERE p_partkey <= 5
+        |  UNION
+        |  SELECT e.v, bfs.dist + 1 FROM bfs JOIN e ON e.u = bfs.node
+        |  WHERE bfs.dist < 4
+        |)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY 1""".stripMargin,
+    "hll_rollup" ->
+      """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_texts,
+        |       TRUE AS merged_ok
+        |FROM documents GROUP BY 1""".stripMargin,
     "mv_rewrite" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key

@@ -338,6 +338,49 @@ object CurationQueries {
         .select(col("lang"), col("doc_id"))
     },
 
+    /** Per-language winsorization ([[graft.operators.Quantiles
+      * .winsorize]]): token counts clipped into the language's
+      * [p10, p90] — the outlier-robust normalization applied before
+      * aggregating heavy-tailed length metrics. Same counts-only
+      * threshold discovery as `quality_filter_threshold` (one exchange
+      * row per distinct value per group), both bounds from one pass, and
+      * the integer rank rule makes the clipped values engine-exact.
+      */
+    "winsorize" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Quantiles.winsorize(docs, "lang", col("n_tokens"),
+          "n_tokens_w", loNum = 1, loDen = 10, hiNum = 9, hiDen = 10)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_tokens_w"))
+    },
+
+    /** k-anonymity suppression ([[graft.operators.Privacy.kAnonymize]],
+      * k = 10) on the (lang, source) quasi-identifier pair: a released
+      * row must be indistinguishable from ≥ 9 others on its identifiers.
+      * Counts-only aggregation + semi-join — the exact-arithmetic
+      * suppression set hash-matches the oracle's window-count replay.
+      */
+    "k_anonymize" -> { (s, dir) =>
+      graft.operators.Privacy.kAnonymize(
+        tableSpread(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), k = 10L)
+    },
+
+    /** l-diversity suppression ([[graft.operators.Privacy.lDiverse]],
+      * l = 3, sensitive = 100-char length class): a quasi-identifier group
+      * releases only if its members span ≥ 3 distinct sensitive values —
+      * the homogeneity attack k-anonymity alone misses.
+      */
+    "l_diverse" -> { (s, dir) =>
+      graft.operators.Privacy.lDiverse(
+        tableSpread(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars DIV 100").as("len_class")),
+        Seq("lang", "source"), "len_class", l = 3L)
+    },
+
     /** BPE tokenizer training + application: 50 merges trained from the
       * corpus word counts (distributed count pass; bounded driver merge
       * loop — the production trainer shape), applied corpus-wide with no
@@ -549,6 +592,48 @@ object CurationQueries {
         |),
         |thr AS (SELECT lang, MIN(v) AS t FROM cum WHERE cle * 4 >= n * 1 GROUP BY 1)
         |SELECT lang, doc_id FROM tc JOIN thr USING (lang) WHERE v >= t""".stripMargin,
+    "winsorize" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS v
+        |  FROM documents
+        |),
+        |counts AS (SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         SUM(c) OVER (PARTITION BY lang ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS cle,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM counts
+        |),
+        |thr AS (
+        |  SELECT lang,
+        |         MIN(CASE WHEN cle * 10 >= n * 1 THEN v END) AS lo,
+        |         MIN(CASE WHEN cle * 10 >= n * 9 THEN v END) AS hi
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT doc_id, tc.lang, v AS n_tokens,
+        |       GREATEST(LEAST(v, hi), lo) AS n_tokens_w
+        |FROM tc JOIN thr ON tc.lang IS NOT DISTINCT FROM thr.lang""".stripMargin,
+    "k_anonymize" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         COUNT(*) OVER (PARTITION BY lang, source) AS qn
+        |  FROM documents)
+        |WHERE qn >= 10""".stripMargin,
+    "l_diverse" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS len_class
+        |  FROM documents
+        |),
+        |keep AS (
+        |  SELECT lang, source FROM t GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT len_class) >= 3
+        |)
+        |SELECT doc_id, t.lang, t.source, len_class
+        |FROM t SEMI JOIN keep
+        |  ON t.lang IS NOT DISTINCT FROM keep.lang
+        | AND t.source IS NOT DISTINCT FROM keep.source""".stripMargin,
     "bpe_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t

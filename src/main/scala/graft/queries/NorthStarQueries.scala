@@ -404,6 +404,21 @@ object NorthStarQueries {
         k = AnnK)
     },
 
+    /** Contrastive hard-negative mining ([[Ann.hardNegatives]]): per
+      * labeled query vector, the top-k nearest corpus vectors of a
+      * DIFFERENT label — close in embedding space, wrong class, exactly
+      * the pairs a contrastive trainer wants. Broadcast query side,
+      * corpus never shuffles; the oracle replays the ranking with the
+      * label-mismatch predicate in SQL, exact like `ann_bruteforce`.
+      */
+    "hard_negatives" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Ann.hardNegatives(
+        queries = emb.filter(col("vec_id") < AnnQueries), corpus = emb,
+        qId = "vec_id", qVec = "embedding", qLabel = "label",
+        cId = "vec_id", cVec = "embedding", cLabel = "label", k = AnnK)
+    },
+
     "ann_lsh" -> { (s, dir) =>
       // recall@k against the exact bruteforce baseline, computed inline:
       // the output row carries counts the DuckDB oracle can derive plus a
@@ -1157,6 +1172,17 @@ object NorthStarQueries {
          |                      c.vec_id ASC) AS rank
          |  FROM embeddings q, embeddings c
          |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
+         |WHERE rank <= $AnnK""".stripMargin,
+    "hard_negatives" ->
+      s"""SELECT query_id, neighbor_id, neighbor_label, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         c.label AS neighbor_label,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |                      c.vec_id ASC) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id
+         |    AND c.label IS DISTINCT FROM q.label)
          |WHERE rank <= $AnnK""".stripMargin,
     "text_bm25" ->
       """WITH toks AS (

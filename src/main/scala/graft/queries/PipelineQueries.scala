@@ -766,6 +766,53 @@ object PipelineQueries {
           col("p_id").as("purchase_id"), col("p_value").as("purchase_value"))
     },
 
+    /** Watermarked stream-stream LEFT OUTER interval join: every click,
+      * with its purchases within 30 minutes where they exist, and a
+      * null purchase otherwise. The null-side rows only emit once the
+      * watermark proves no matching purchase can still arrive (click_ts +
+      * 30 min < watermark), so the oracle is the batch left join with
+      * unmatched rows restricted to watermark-final clicks — the same
+      * finality clause as `stream_sessionize` (final watermark =
+      * ms-floored max event time − 2 h delay).
+      */
+    "stream_left_join" -> { (s, dir) =>
+      def side(tpe: String, prefix: String) =
+        graft.GraftSession.normalizeTs(
+          StreamOps.parquetStream(s, s"$dir/events.parquet"))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+      val joined = StreamOps.intervalJoin(
+        side("click", "c"), "c_ts", side("purchase", "p"), "p_ts",
+        keys = Seq("c_user" -> "p_user"), within = "30 minutes",
+        watermark = "2 hours", joinType = "left_outer")
+      StreamOps.drainToBatch(joined, outputMode = "append", statePartitions = 8)
+        .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"), col("p_value").as("purchase_value"))
+    },
+
+    /** Chained stateful aggregations in ONE streaming query (the
+      * multiple-stateful-operator pipeline): hourly per-user event counts
+      * re-aggregated into hourly (active users, total events) without
+      * leaving the stream — at 100 TB/day the first agg's state is
+      * (window, user) counts and the second's is a window-sized rollup,
+      * both watermark-bounded. Append mode emits only watermark-final
+      * windows, so the oracle restricts to hour_end ≤ final watermark.
+      */
+    "stream_chained_agg" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val perUser = raw.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("_n"))
+      val perHour = perUser
+        .groupBy(col("window"))
+        .agg(count(lit(1)).as("n_users"), sum(col("_n")).as("n_events"))
+      StreamOps.drainToBatch(perHour, outputMode = "append", statePartitions = 8)
+        .select(col("window.start").as("window_start"), col("n_users"),
+          col("n_events"))
+    },
+
     /** Streaming dedup within the watermark horizon
       * (dropDuplicatesWithinWatermark): emits each (user_id, event_type)
       * once; which physical row survives is nondeterministic, so the query
@@ -1059,6 +1106,42 @@ object PipelineQueries {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_left_join" ->
+      // the global watermark is the MIN over the two withWatermark
+      // operators (each tracks ITS side's ms-floored max event time − 2 h
+      // — measured: the purchase side's earlier max held the watermark
+      // 796 s behind the global max at sf0.01); an unmatched click emits
+      // iff click_ts + 30 min < that watermark STRICTLY (boundary probed
+      // at ±1 s in ProbeSSJ4: equality does NOT emit)
+      """WITH wm AS (
+        |  SELECT LEAST(
+        |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events
+        |     WHERE event_type = 'click'),
+        |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events
+        |     WHERE event_type = 'purchase')) - 7200000000 AS us
+        |)
+        |SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |  AND (p.event_id IS NOT NULL
+        |       OR epoch_us(c.ts) + 1800000000 < (SELECT us FROM wm))""".stripMargin,
+    "stream_chained_agg" ->
+      // single watermark operator ⇒ wm = ms-floored global max − 2 h; a
+      // window whose end EQUALS the watermark emits (boundary probed at
+      // ±1 h in ProbeWin: inclusive), hence <=
+      """WITH wm AS (
+        |  SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - 7200000000 AS us FROM events
+        |)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events
+        |WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= (SELECT us FROM wm)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -36,6 +36,29 @@ object Ann {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Contrastive hard-negative mining: for each labeled query vector, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the pairs
+    * a contrastive trainer wants (close in embedding space, wrong class).
+    * Same scale shape as [[bruteForce]]: the query set broadcasts, the
+    * corpus never shuffles, the label-mismatch filter rides inside the
+    * scoring pass. Output: (query_id, neighbor_id, neighbor_label, rank).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, qId: String,
+      qVec: String, qLabel: String, cId: String, cVec: String, cLabel: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).cast("array<double>").as("_qv"), col(qLabel).as("_ql")))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      col(cVec).cast("array<double>").as("_cv"), col(cLabel).as("neighbor_label"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(!(col("neighbor_label") <=> col("_ql")))
+      .withColumn("_cos", cosineFused(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neighbor_label", "rank")
+  }
+
   /** Approximate top-k: candidates share a hyperplane-signature bucket in
     * at least one of `nTables` plane sets; exact cosine re-rank within the
     * candidate set. Recall grows with nTables and shrinking nPlanes.

@@ -77,13 +77,18 @@ object StreamOps {
     * join buffers forever). Caller must disambiguate column names first.
     */
   def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
-      keys: Seq[(String, String)], within: String, watermark: String): DataFrame = {
+      keys: Seq[(String, String)], within: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     val keyCond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
     val timeCond = r(rightTs) >= l(leftTs) &&
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within")
-    l.join(r, keyCond && timeCond, "inner")
+    // left_outer: an unmatched left row emits (right side null) once the
+    // watermark proves no future right row can land in its interval —
+    // bounded state AND no lost lefts, unlike the inner form where an
+    // unmatched row silently ages out
+    l.join(r, keyCond && timeCond, joinType)
   }
 
   /** Streaming dedup: drop records whose `keys` were already seen within

@@ -172,6 +172,22 @@ class AnnSpec extends SparkSpec {
       .orderBy("rank").select("neighbor_id").as[Long].collect()
     assert(top === Array(10L, 11L))
   }
+
+  test("hardNegatives skips same-label vectors however close they sit") {
+    val q = (0 until 8).map(i => math.sin(i + 1.0).toFloat).toArray
+    val near = q.map(x => x * 1.001f)           // same label — must be skipped
+    val mid = (0 until 8).map(i => (math.sin(i + 1.0) + 0.5).toFloat).toArray
+    val far = (0 until 8).map(i => math.cos(i * 2.0).toFloat).toArray
+    val corpus = Seq((10L, near.toSeq, 1), (11L, mid.toSeq, 2), (12L, far.toSeq, 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, q.toSeq, 1)).toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(queries, corpus, "vec_id", "embedding", "label",
+      "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank").select("neighbor_id", "neighbor_label")
+      .as[(Long, Int)].collect()
+    // nearest DIFFERENT-label first; the same-label twin never appears
+    assert(out === Array((11L, 2), (12L, 2)))
+  }
 }
 
 class AsOfSpec extends SparkSpec {

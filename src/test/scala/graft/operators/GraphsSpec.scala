@@ -77,4 +77,35 @@ class GraphsSpec extends SparkSpec {
     val noisy = pr(3, (1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (1L, 1L))
     assert(clean === noisy)
   }
+
+  private def bfs(sources: Seq[Long], maxHops: Int, edges: (Long, Long)*): Map[Long, Long] = {
+    val srcDf = sources.toDF("n")
+    Graphs.bfsDistances(g(edges: _*), "s", "d", srcDf, "n", maxHops)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("bfs: path graph distances from one end") {
+    assert(bfs(Seq(1L), 10, (1L, 2L), (2L, 3L), (3L, 4L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfs: maxHops truncates; unreachable components never appear") {
+    assert(bfs(Seq(1L), 2, (1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfs: multi-source takes the minimum hop; sources report 0") {
+    // 1 - 2 - 3 - 4 - 5, sources {1, 5}: node 3 is 2 from both
+    assert(bfs(Seq(1L, 5L), 10, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ===
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfs: undirected — edges traverse both ways; cycles terminate") {
+    assert(bfs(Seq(3L), 10, (1L, 2L), (2L, 3L), (3L, 1L)) ===
+      Map(3L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("bfs: edgeless source still reports itself at hop 0") {
+    assert(bfs(Seq(9L), 4, (1L, 2L)) === Map(9L -> 0L))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // (id, city, age_band, diagnosis)
+    (1L, "ny", "30s", "flu"),
+    (2L, "ny", "30s", "cold"),
+    (3L, "ny", "30s", "flu"),
+    (4L, "sf", "40s", "flu"),   // singleton QI group
+    (5L, "la", "20s", "flu"),
+    (6L, "la", "20s", "flu"))   // size-2 group, homogeneous diagnosis
+
+  private def df = rows.toDF("id", "city", "age", "dx")
+
+  test("kAnonymize keeps only groups of size >= k, row payload intact") {
+    val out = Privacy.kAnonymize(df, Seq("city", "age"), k = 2L)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(out.map(_._1) === Set(1L, 2L, 3L, 5L, 6L))
+    assert(out.contains((2L, "ny", "30s", "cold"))) // non-QI column survives
+  }
+
+  test("kAnonymize k=3 tightens the bar; k=1 releases everything") {
+    assert(Privacy.kAnonymize(df, Seq("city", "age"), k = 3L)
+      .as[(Long, String, String, String)].collect().map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(Privacy.kAnonymize(df, Seq("city", "age"), k = 1L).count() === 6L)
+  }
+
+  test("kAnonymize groups null quasi-identifiers null-safely") {
+    val withNulls = Seq(
+      (1L, Some("ny"), "a"), (2L, Some("ny"), "a"),
+      (3L, None, "b"), (4L, None, "b"), (5L, None, "c"))
+      .toDF("id", "city", "x")
+    val out = Privacy.kAnonymize(withNulls, Seq("city"), k = 3L)
+      .as[(Long, Option[String], String)].collect().map(_._1).toSet
+    // the null-city group has 3 members and must meet the bar as a group
+    assert(out === Set(3L, 4L, 5L))
+  }
+
+  test("lDiverse suppresses homogeneous groups k-anonymity would release") {
+    // la/20s has 2 members but only 1 distinct diagnosis -> suppressed
+    val out = Privacy.lDiverse(df, Seq("city", "age"), "dx", l = 2L)
+      .as[(Long, String, String, String)].collect().map(_._1).toSet
+    assert(out === Set(1L, 2L, 3L))
+  }
+
+  test("invalid arguments fail fast") {
+    intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq.empty, 2L))
+    intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("city"), 0L))
+    intercept[IllegalArgumentException](Privacy.lDiverse(df, Seq("city"), "dx", 0L))
+  }
+}

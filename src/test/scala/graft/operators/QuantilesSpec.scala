@@ -77,4 +77,29 @@ class QuantilesSpec extends SparkSpec {
       (None, Some(1L), Some(1)),
       (None, Some(2L), Some(2))))
   }
+
+  test("winsorize: values clip to the group's [p25, p75] thresholds") {
+    import org.apache.spark.sql.functions.col
+    // group a: 1..8 → lo = smallest v with cum*4 >= n*1 = 2; hi: cum*4 >= n*3 = 6
+    val df = (1L to 8L).map(v => ("a", v)).toDF("g", "v")
+    val out = Quantiles.winsorize(df, "g", col("v"), "w", 1, 4, 3, 4)
+      .as[(String, Long, Long)].collect().map { case (_, v, c) => v -> c }.toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L))
+  }
+
+  test("winsorize: groups clip independently; nulls pass through null") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Some(1L)), ("a", Some(10L)), ("a", Some(20L)),
+      ("b", Some(100L)), ("b", Some(200L)), ("b", Some(300L)),
+      ("b", None)).toDF("g", "v")
+    val out = Quantiles.winsorize(df, "g", col("v"), "w", 1, 4, 3, 4)
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    // a: n=3 → lo: cum·4 ≥ 3 at v=1; hi: cum·4 ≥ 9 at v=20 (cum(10)=8<9)
+    // b: nulls are excluded from the rank algebra and pass through null
+    //   (least/greatest would otherwise clip null to the hi bound)
+    assert(out.contains(("a", Some(1L), Some(1L))))
+    assert(out.contains(("a", Some(20L), Some(20L))))
+    assert(out.contains(("b", None, None)))
+  }
 }
