@@ -548,6 +548,82 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, plan.toString)
   }
 
+  test("winsorize: thresholds broadcast back; the cumulative window sees counts, not rows") {
+    val docs = GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val plan = executed(graft.operators.Quantiles.winsorize(
+      docs, "lang", col("n_chars"), "w", 1, 10, 9, 10))
+    // the clip join is a broadcast — corpus rows never shuffle for it
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      plan.toString)
+    // every window operates over the aggregated counts frame (its input
+    // carries the count column), never over row-level data
+    val windows = deepCollect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, plan.toString)
+    assert(windows.forall(_.child.output.exists(_.name == "_c")), plan.toString)
+  }
+
+  test("kAnonymize: counts-only partial aggregation + semi-join, no row-level window") {
+    val docs = GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val plan = executed(graft.operators.Privacy.kAnonymize(
+      docs, Seq("lang", "source"), k = 10L))
+    assert(deepCollect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+    val partialAggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partialAggs.nonEmpty, plan.toString)
+    assert(collect(plan) {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }.nonEmpty, plan.toString)
+  }
+
+  test("hardNegatives: corpus side never shuffles before scoring; top-k is group-limited") {
+    val emb = GraftSession.table(spark, dir, "embeddings")
+    val plan = executed(graft.similarity.Ann.hardNegatives(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", "label",
+      "vec_id", "embedding", "label", k = 3))
+    // the query set broadcasts into a nested-loop scoring pass — the
+    // corpus path must reach it scan-direct, with no exchange
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, plan.toString)
+    assert(collect(bnl.head) { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString)
+    // rank <= k is pushed into a per-partition group-limit prune, so the
+    // rank exchange carries at most |Q|·k·partitions candidate rows
+    assert(collect(plan) {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }.nonEmpty, plan.toString)
+  }
+
+  test("hll_rollup shape: shard sketches partial-aggregate; no distinct value set crosses") {
+    val docs = GraftSession.table(spark, dir, "documents")
+    val plan = executed(docs
+      .groupBy(col("source"), pmod(col("doc_id"), lit(8)).as("_shard"))
+      .agg(hll_sketch_agg(col("text")).as("_sk"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("est")))
+    val partialAggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    // both levels partial-aggregate map-side: text collapses into a
+    // sketch BEFORE the first exchange, sketches merge before the second
+    assert(partialAggs.size >= 2, plan.toString)
+    val exchanges = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(!exchanges.exists(_.output.exists(_.name == "text")), plan.toString)
+  }
+
   test("zscore: group moments partial-aggregate before the exchange; no window") {
     val docs = GraftSession.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
