@@ -178,6 +178,83 @@ object Graphs {
     ranks.select(col("_n").as("node"), col("rank_fp"))
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003 "Scaling Personalized Web
+    * Search" semantics, the [[pageRank]] fixed-point integer algebra):
+    * the restart mass returns to the SEED set instead of every node, so
+    * ranks measure proximity to the seeds — the graph-similarity signal
+    * recommendation and related-entity queries run on. One iteration is
+    *
+    *   rank'(v) = [v ∈ S]·(scale − damp) + ⌊damp · contrib(v) / scale⌋
+    *
+    * with init rank₀ = [v ∈ S]·scale — exactly [[pageRank]] with the
+    * uniform restart replaced by the seed indicator, so the same
+    * decomposition bounds intermediates and any engine replays it
+    * digit-for-digit. The seed flag rides the persisted edge frame per
+    * DESTINATION, so no per-round seed join exists. Output covers every
+    * node (non-seed nodes far from S converge to 0 — kept, because the
+    * oracle's dense replay keeps them). At 100 TB with a small seed set,
+    * compose with [[bfsDistances]] first: extract the k-hop neighborhood
+    * (PPR mass outside it is negligible by damp^k) and run the rounds on
+    * the subgraph.
+    */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, sourceCol: String, iterations: Int,
+      scale: Long = 1000000L, damp: Long = 850000L): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
+    require(scale > damp && damp > 0, "personalizedPageRank: need scale > damp > 0")
+    val undir = graft.Caches.track(
+      edges.select(least(col(src), col(dst)).as("u"),
+          greatest(col(src), col(dst)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct()
+        .persist())
+    undir.count()
+    val seeds = sources.select(col(sourceCol).cast("long").as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .withColumn("_vseed", lit(1L))
+    val sym = undir.union(undir.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("_deg"))
+    // (u, v, outdeg(u), seed(v)): the restart indicator joins ONCE at
+    // build time and thereafter rides the aggregate — no per-round join
+    val e = graft.Caches.track(
+      sym.join(deg, "u").join(seeds, Seq("v"), "left")
+        .select(col("u"), col("v"), col("_deg"),
+          coalesce(col("_vseed"), lit(0L)).as("_vseed"))
+        .persist())
+    e.count()
+    def lcp(df: DataFrame): (DataFrame, () => Unit) = {
+      val out = df.localCheckpoint(false)
+      val ck = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (out, () => ck.foreach(_.unpersist(false)))
+    }
+    var ranks = e.select(col("u").as("_n")).distinct()
+      .join(seeds.select(col("v").as("_n"), col("_vseed")), Seq("_n"), "left")
+      .select(col("_n"),
+        (coalesce(col("_vseed"), lit(0L)) * scale).as("rank_fp"))
+    var release: () => Unit = () => ()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("_n", "u"), "u")
+        .select(col("v"), col("_vseed"), expr("rank_fp DIV _deg").as("_c"))
+        .groupBy(col("v"))
+        .agg(sum(col("_c")).as("_contrib"), max(col("_vseed")).as("_s"))
+      val (next, nextRelease) = lcp(contrib.select(col("v").as("_n"),
+        (col("_s") * (scale - damp) +
+          expr(s"_contrib DIV ${scale}L") * lit(damp) +
+          expr(s"((_contrib % ${scale}L) * ${damp}L) DIV ${scale}L"))
+          .as("rank_fp")))
+      next.count()
+      release()
+      ranks = next
+      release = nextRelease
+    }
+    graft.Caches.trackRelease(release)
+    ranks.select(col("_n").as("node"), col("rank_fp"))
+  }
+
   /** Multi-source BFS hop distances: every node reachable from `sources`
     * within `maxHops` undirected hops, with its MINIMUM hop count —
     * engine-exact integers (the oracle replays it as a bounded recursive

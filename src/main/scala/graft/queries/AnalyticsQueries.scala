@@ -156,6 +156,23 @@ object AnalyticsQueries {
         seeds, "p_partkey", maxHops = 4)
     },
 
+    /** Personalized PageRank ([[graft.operators.Graphs
+      * .personalizedPageRank]], 4 iterations) from the same seed parts
+      * over the same fulfillment graph as `shortest_path`: proximity-to-
+      * seeds in exact fixed-point integers, the related-entity ranking
+      * signal. The oracle unrolls all four iterations as CTEs with the
+      * seed-indicator restart — the full dense rank vector hash-matches
+      * digit-for-digit.
+      */
+    "pagerank_personalized" -> { (s, dir) =>
+      val edges = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("a"),
+          (col("l_suppkey") + 10000000L).as("b"))
+      val seeds = table(s, dir, "part").filter(col("p_partkey") <= 5)
+      graft.operators.Graphs.personalizedPageRank(edges, "a", "b",
+        seeds, "p_partkey", iterations = 4)
+    },
+
     /** Mergeable-sketch distinct rollup: per-(source, shard) HLL sketches
       * built in one pass, then UNIONED per source — the 100 TB shape for
       * distinct counting over partitioned data (daily shard sketches fold
@@ -490,6 +507,32 @@ object AnalyticsQueries {
       """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_texts,
         |       TRUE AS merged_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "pagerank_personalized" -> {
+      // same decomposed integer damping as the pagerank oracle, restart
+      // gated on the seed indicator instead of uniform
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT t.v,
+           |         (CASE WHEN t.v <= 5 THEN 150000 ELSE 0 END)
+           |         + (t.c // 1000000) * 850000
+           |         + ((t.c % 1000000) * 850000) // 1000000 AS r
+           |  FROM (SELECT e.v, SUM(r.r // d.deg) AS c
+           |        FROM e JOIN r${i - 1} r ON e.u = r.v
+           |               JOIN deg d ON e.u = d.u
+           |        GROUP BY 1) t
+           |)"""
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey AS u, 10000000 + l_suppkey AS v
+         |  FROM lineitem
+         |),
+         |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT u AS v,
+         |              CAST(CASE WHEN u <= 5 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+         |       FROM deg),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT v AS node, CAST(r AS BIGINT) AS rank_fp FROM r4""".stripMargin
+    },
     "mv_rewrite" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key

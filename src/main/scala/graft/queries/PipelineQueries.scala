@@ -389,6 +389,33 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
     },
 
+    /** Dynamic partition pruning: the fact side is partitioned by day and
+      * joined to a SELECTIVE dimension (the three earliest purchase
+      * dates) with no literal date predicate anywhere — the partitions to
+      * scan are only knowable at RUNTIME, from the dim side's rows.
+      * Catalyst inserts a dynamic-pruning subquery into the fact scan's
+      * PartitionFilters (reusing the join's broadcast), so the fact table
+      * reads 3 of ~30 partition directories instead of all of them — on a
+      * 100 TB date-partitioned fact this is the difference between
+      * scanning a month and scanning the three days a dim filter selects.
+      * PlanShapeSpec pins the dynamicpruning expression in the scan; the
+      * oracle replays the join declaratively.
+      */
+    "dpp_prune" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_dpp_${s.sparkContext.applicationId}"
+      table(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      val dim = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("event_date")).distinct()
+        .orderBy(col("event_date")).limit(3)
+      s.read.parquet(out)
+        .join(dim, "event_date")
+        .groupBy(col("event_date").cast(StringType).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+    },
+
     /** Semi-structured extraction: typed fields pulled out of a JSON
       * string column (`get_json_object` — codegen'd path evaluation, no
       * UDF) and aggregated. At scale the lesson is WHERE the parse runs:
@@ -860,6 +887,17 @@ object PipelineQueries {
         |-- date-typed IN lists here while plain equality works
         |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
         |   OR CAST(ts AS DATE) = DATE '2024-01-06'
+        |GROUP BY 1, 2""".stripMargin,
+    "dpp_prune" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
+        |  WHERE event_type = 'purchase' ORDER BY 1 LIMIT 3
+        |)
+        |SELECT CAST(f.event_date AS VARCHAR) AS event_date, f.event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f.user_id) AS BIGINT) AS sum_uid
+        |FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, user_id
+        |      FROM events) f
+        |JOIN dim USING (event_date)
         |GROUP BY 1, 2""".stripMargin,
     "json_props" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -447,6 +447,41 @@ object RelationalQueries {
           col("n"))
     },
 
+    /** Incremental JOIN+AGGREGATE view maintenance — the composition the
+      * two primitives exist for: a revenue-per-nation view (orders ⋈
+      * customer, grouped by nation) is refreshed from an ORDERS delta by
+      * joining only the delta to the dimension (broadcast — the fact
+      * table is never rescanned) and folding the joined delta through
+      * [[graft.operators.Maintain.refreshAdditive]]. At 100 TB the stale
+      * view and the delta-join are the only inputs; the oracle recomputes
+      * the view from the final base state, so equality proves the delta
+      * algebra lands exactly on the recompute.
+      */
+    "join_agg_refresh" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      def joined(o: DataFrame): DataFrame =
+        o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      val orders = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      // initial snapshot: keys ∤97; delta inserts the ∣97 keys and
+      // deletes the ∣89 keys (which the snapshot contains)
+      val snapshot = orders.filter(col("o_orderkey") % 97 =!= 0)
+      val viewStale = joined(snapshot).groupBy(col("c_nationkey"))
+        .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n"))
+      val delta = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("_op", lit("I"))
+        .unionByName(snapshot.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("_op", lit("D")))
+      graft.operators.Maintain.refreshAdditive(viewStale, joined(delta),
+          Seq("c_nationkey"), sums = Seq("revenue" -> col("price")),
+          countCol = "n")
+        .select(col("c_nationkey"),
+          col("revenue").cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"),
+          col("n"))
+    },
+
     /** Incremental JOIN-view maintenance ([[graft.operators.Maintain
       * .refreshJoin]]): a materialized orders⋈customer view built over an
       * initial snapshot (keys ∤97) is refreshed from an orders changeset —
@@ -717,6 +752,15 @@ object RelationalQueries {
         |       CASE WHEN w._op IS NOT NULL THEN w.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
         |FROM orders b FULL JOIN winner w ON b.o_orderkey = w.o_orderkey
         |WHERE w._op IS NULL OR w._op != 'D'""".stripMargin,
+    "join_agg_refresh" ->
+      // final base state: snapshot (∤97) minus deletes (∣89) plus
+      // inserts (∣97) = all orders except (∤97 ∧ ∣89)
+      """SELECT c.c_nationkey,
+        |       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE NOT (o.o_orderkey % 97 != 0 AND o.o_orderkey % 89 = 0)
+        |GROUP BY 1""".stripMargin,
     "agg_refresh" ->
       """SELECT l_partkey,
         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

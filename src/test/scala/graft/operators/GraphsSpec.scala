@@ -78,6 +78,44 @@ class GraphsSpec extends SparkSpec {
     assert(clean === noisy)
   }
 
+  private def ppr(seeds: Seq[Long], iters: Int, edges: (Long, Long)*): Map[Long, Long] = {
+    val srcDf = seeds.toDF("n")
+    Graphs.personalizedPageRank(g(edges: _*), "s", "d", srcDf, "n", iters)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("personalized pagerank: mass concentrates near the seed; seedless components get zero") {
+    // path 1-2-3-4-5 with seed 1, plus a disconnected pair 8-9. Raw ranks
+    // are NOT monotone along the path (mass oscillates with parity and
+    // piles onto low-degree neighbors: deg(1)=1 sends its whole rank to
+    // 2), so assert the robust facts: the seed half of the path holds
+    // more mass than the far half, the farthest node is the smallest,
+    // and a component with no seed converges to exactly 0.
+    val r = ppr(Seq(1L), 5, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    assert(r(1L) + r(2L) > r(4L) + r(5L), r.toString)
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => r(n) > r(5L)), r.toString)
+    assert(r(8L) === 0L && r(9L) === 0L, r.toString)
+  }
+
+  test("personalized pagerank: matches the sequential seed-restart replay exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val seeds = Set(1L, 4L)
+    // sequential dense replay of the exact integer algebra
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val contrib = sym.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = deg.keys.map { n =>
+        val c = contrib.getOrElse(n, 0L)
+        n -> ((if (seeds(n)) 150000L else 0L) +
+          (c / 1000000L) * 850000L + ((c % 1000000L) * 850000L) / 1000000L)
+      }.toMap
+    }
+    assert(ppr(Seq(1L, 4L), 4, edges: _*) === r)
+  }
+
   private def bfs(sources: Seq[Long], maxHops: Int, edges: (Long, Long)*): Map[Long, Long] = {
     val srcDf = sources.toDF("n")
     Graphs.bfsDistances(g(edges: _*), "s", "d", srcDf, "n", maxHops)

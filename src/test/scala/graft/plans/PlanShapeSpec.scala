@@ -624,6 +624,32 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!exchanges.exists(_.output.exists(_.name == "text")), plan.toString)
   }
 
+  test("dpp: a runtime dim filter prunes the partitioned fact scan dynamically") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_dpp_spec"
+    GraftSession.table(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val dim = GraftSession.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .orderBy(col("event_date")).limit(3)
+    val q = spark.read.parquet(out).join(dim, "event_date")
+      .agg(count(lit(1)).as("n"))
+    // materialize THROUGH q's own queryExecution: count() builds a fresh
+    // plan whose metrics stay zero on the instance inspected here
+    q.collect()
+    val scan = collect(q.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.find(_.relation.partitionSchema.nonEmpty).get
+    // the partition filter must be the RUNTIME subquery, not a literal —
+    // and after execution the scan must have read only the dim's 3 dirs
+    assert(scan.partitionFilters.exists(
+      _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]).isDefined),
+      scan.partitionFilters.toString)
+    val partitionsRead = scan.metrics("numPartitions").value
+    assert(partitionsRead === 3L, s"read $partitionsRead partitions")
+  }
+
   test("zscore: group moments partial-aggregate before the exchange; no window") {
     val docs = GraftSession.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
