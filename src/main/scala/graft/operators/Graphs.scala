@@ -294,10 +294,15 @@ object Graphs {
     seed.count()
     var visited = seed
     var frontier = seed.select("node")
-    // releases are deferred to the END: visited round N's blocks are
-    // REUSED by round N+1's union (unlike pageRank, where each round
-    // supersedes the previous vector entirely)
-    val releases = scala.collection.mutable.ArrayBuffer[() => Unit](seedRelease)
+    // sliding-window block release (the pageRank rounds discipline,
+    // shifted by one): round N still READS round N−1's visited (the
+    // anti-join) and frontier, so those blocks are released only after
+    // round N's frames materialize — at any moment at most two rounds of
+    // node-sized frames are live, not the whole BFS history. The FINAL
+    // visited/frontier pair outlives the loop (the caller consumes it),
+    // so its releases hand off to Caches.
+    var prevVisRelease: () => Unit = seedRelease
+    var prevNextRelease: () => Unit = () => ()
     var hop = 1
     var frontierSize = 1L
     while (hop <= maxHops && frontierSize > 0) {
@@ -310,13 +315,17 @@ object Graphs {
       if (frontierSize > 0) {
         val (vis, r2) = lcp(visited.union(next))
         vis.count()
-        releases += r1 += r2
+        // both of round N's frames are materialized — round N−1's can go
+        prevVisRelease(); prevNextRelease()
+        prevVisRelease = r2
+        prevNextRelease = r1
         visited = vis
         frontier = next.select("node")
       } else r1()
       hop += 1
     }
-    releases.foreach(graft.Caches.trackRelease)
+    graft.Caches.trackRelease(prevVisRelease)
+    graft.Caches.trackRelease(prevNextRelease)
     visited
   }
 }

@@ -1152,12 +1152,17 @@ object PipelineQueries {
       // 796 s behind the global max at sf0.01); an unmatched click emits
       // iff click_ts + 30 min < that watermark STRICTLY (boundary probed
       // at ±1 s in ProbeSSJ4: equality does NOT emit)
+      // the CASE guard: DuckDB's LEAST IGNORES nulls, but a side that
+      // never saw data holds Spark's watermark at epoch 0 (no outer rows
+      // emit) — an empty side must therefore null the whole watermark
       """WITH wm AS (
-        |  SELECT LEAST(
+        |  SELECT CASE WHEN cmax IS NULL OR pmax IS NULL THEN NULL
+        |              ELSE LEAST(cmax, pmax) - 7200000000 END AS us
+        |  FROM (SELECT
         |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events
-        |     WHERE event_type = 'click'),
+        |     WHERE event_type = 'click') AS cmax,
         |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events
-        |     WHERE event_type = 'purchase')) - 7200000000 AS us
+        |     WHERE event_type = 'purchase') AS pmax)
         |)
         |SELECT c.user_id AS user_id, c.event_id AS click_id,
         |       p.event_id AS purchase_id, p.value AS purchase_value
