@@ -119,7 +119,12 @@ object GraftExtensions {
         if (exprs.length > 2) intArg(exprs, 2, "winnow_fingerprints", "w") else 4))),
     ("dequantize_int8",
       "dequantize_int8(q) - inverse of int8 quantization: struct(scale, codes) -> array<double>",
-      col1(VectorFunctions.dequantizeInt8)))
+      col1(VectorFunctions.dequantizeInt8)),
+    // -- native aggregates (TypedImperativeAggregate, map-side partial) ---
+    ("bounded_topk",
+      "bounded_topk(v, k) - the k largest longs per group, sorted desc; " +
+        "k-bounded buffer, no group sort",
+      exprs => BoundedTopK(exprs.head, intArg(exprs, 1, "bounded_topk", "k"))))
 
   /** Register every graft SQL function on an already-built session (temp
     * functions, session-scoped). For new sessions prefer

@@ -114,6 +114,26 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
     },
 
+    /** Per-group top-k via the NATIVE bounded aggregate
+      * ([[graft.functions.BoundedTopK]], a TypedImperativeAggregate): the
+      * 5 largest prices per return flag with a k-bounded heap buffer that
+      * partial-aggregates map-side — the exchange carries ≤ k longs per
+      * group per partition instead of every row reaching a window sort
+      * (`top1_per_group`/`window_rank` pin the window paths; this is the
+      * aggregate path a 100 TB top-k wants). Value-multiset semantics
+      * make the exploded (group, rank, value) rows engine-exact.
+      */
+    "topk_bounded" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.AggExpressions.topkAgg(col("price_c"), 5).as("_top"))
+        .select(col("l_returnflag"), posexplode(col("_top")))
+        .select(col("l_returnflag"), (col("pos") + 1).as("rank"),
+          col("col").as("price_c"))
+    },
+
     /** Session windows over the event stream (30-minute inactivity gap)
       * — works identically in batch and Structured Streaming; oracle is
       * the classic lag/cumulative-sum sessionization.
@@ -590,6 +610,15 @@ object RelationalQueries {
     "topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "topk_bounded" ->
+      """SELECT l_returnflag, CAST(rn AS BIGINT) AS rank, v AS price_c FROM (
+        |  SELECT l_returnflag,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+        |         row_number() OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5""".stripMargin,
     "quality_checks" ->
       """SELECT 'l_quantity_positive' AS check_name,
         |       CAST(COUNT(*) FILTER (WHERE (l_quantity > 0) IS NOT TRUE) AS BIGINT) AS n_bad,
