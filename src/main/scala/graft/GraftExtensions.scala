@@ -124,7 +124,12 @@ object GraftExtensions {
     ("bounded_topk",
       "bounded_topk(v, k) - the k largest longs per group, sorted desc; " +
         "k-bounded buffer, no group sort",
-      exprs => BoundedTopK(exprs.head, intArg(exprs, 1, "bounded_topk", "k"))))
+      exprs => BoundedTopK(exprs.head, intArg(exprs, 1, "bounded_topk", "k"))),
+    ("bounded_topk_pair",
+      "bounded_topk_pair(score, id, k) - the k best (score, id) pairs per " +
+        "group under (score DESC, id ASC); k-bounded buffer, no group sort",
+      exprs => BoundedTopKPair(exprs(0), exprs(1),
+        intArg(exprs, 2, "bounded_topk_pair", "k"))))
 
   /** Register every graft SQL function on an already-built session (temp
     * functions, session-scoped). For new sessions prefer

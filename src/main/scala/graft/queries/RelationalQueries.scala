@@ -134,6 +134,24 @@ object RelationalQueries {
           col("col").as("price_c"))
     },
 
+    /** Arg-top-k via the native pair aggregate ([[graft.functions
+      * .BoundedTopKPair]]): WHICH documents are each language's 3
+      * longest — (score DESC, id ASC) totally ordered, so the exploded
+      * rows are deterministic and the oracle is the row_number replay.
+      * Same k-bounded map-side buffer as `topk_bounded`; this is the
+      * aggregate that replaces the per-group ranking window wherever
+      * only the top k rows survive.
+      */
+    "topk_pair" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(graft.functions.AggExpressions.topkPairAgg(
+          col("n_chars"), col("doc_id"), 3).as("_top"))
+        .select(col("lang"), posexplode(col("_top")))
+        .select(col("lang"), (col("pos") + 1).as("rank"),
+          col("col.score").as("n_chars"), col("col.id").as("doc_id"))
+    },
+
     /** Session windows over the event stream (30-minute inactivity gap)
       * — works identically in batch and Structured Streaming; oracle is
       * the classic lag/cumulative-sum sessionization.
@@ -619,6 +637,14 @@ object RelationalQueries {
         |           ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) DESC) AS rn
         |  FROM lineitem)
         |WHERE rn <= 5""".stripMargin,
+    "topk_pair" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rank, n_chars, doc_id FROM (
+        |  SELECT lang, n_chars, doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
     "quality_checks" ->
       """SELECT 'l_quantity_positive' AS check_name,
         |       CAST(COUNT(*) FILTER (WHERE (l_quantity > 0) IS NOT TRUE) AS BIGINT) AS n_bad,

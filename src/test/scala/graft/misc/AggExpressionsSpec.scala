@@ -64,6 +64,27 @@ class AggExpressionsSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("bounded_topk_pair: arg-top-k under (score desc, id asc), ties broken by id") {
+    val df = Seq(("a", 9L, 30L), ("a", 9L, 10L), ("a", 9L, 20L), ("a", 7L, 1L),
+      ("b", 1L, 5L)).toDF("g", "s", "i")
+    val out = df.groupBy("g")
+      .agg(AggExpressions.topkPairAgg(col("s"), col("i"), 2).as("t"))
+      .as[(String, Seq[(Long, Long)])].collect().toMap
+    // score-9 triple: ids 10 and 20 survive (id asc preferred), 30 evicted
+    assert(out("a") === Seq((9L, 10L), (9L, 20L)))
+    assert(out("b") === Seq((1L, 5L)))
+  }
+
+  test("bounded_topk_pair: merge across partitions equals single-partition result") {
+    val vals = (1L to 500L).map(v => ("g", v % 50, v)) // many score ties
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g")
+        .agg(AggExpressions.topkPairAgg(col("s"), col("i"), 9).as("t"))
+        .as[(String, Seq[(Long, Long)])].head()._2
+    assert(top(vals.toDF("g", "s", "i").repartition(16)) ===
+      top(vals.toDF("g", "s", "i").coalesce(1)))
+  }
+
   test("bounded_topk: invalid k and non-long input fail fast") {
     intercept[IllegalArgumentException](
       graft.functions.BoundedTopK(
