@@ -36,6 +36,32 @@ object Privacy {
     df.join(keep, cond, "left_semi")
   }
 
+  /** Pseudonymization: replace each of `cols` (integral key columns) with
+    * a stable salted token — the same (value, salt) always maps to the
+    * same token, so joins and group-bys still line up across tables
+    * pseudonymized with the same salt, while the raw identifier never
+    * leaves the trust boundary. That join-consistency IS the contract
+    * (the `pseudonymize_join` oracle replays it): referential structure
+    * preserved, identity discarded.
+    *
+    * The token is the engine-stable multiplicative ring
+    * ([[Sampling.hashBucket]] over a 2³⁰ space) — deliberately the same
+    * exact-integer construction the deterministic samplers use, so any
+    * engine replays tokens digit-for-digit. 2³⁰ tokens collide around
+    * tens of thousands of distinct keys (birthday bound); collisions are
+    * engine-identical and only COARSEN groups, but use a keyed
+    * cryptographic MAC instead when tokens face an adversary rather than
+    * an analytics pipeline. Null keys stay null.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: Long): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: at least one column")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null))
+          .otherwise(Sampling.hashBucket(col(c) + lit(salt), 1 << 30)))
+    }
+  }
+
   /** l-diversity by suppression: keep rows whose quasi-identifier group
     * contains at least `l` DISTINCT values of the `sensitive` column —
     * k-anonymity alone fails when a group is large but homogeneous (all

@@ -368,6 +368,30 @@ object CurationQueries {
         Seq("lang", "source"), k = 10L)
     },
 
+    /** Pseudonymization join-consistency ([[graft.operators.Privacy
+      * .pseudonymize]]): orders and customers are pseudonymized on their
+      * customer key with the SAME salt, then joined on TOKENS — per
+      * surviving nation the counts must equal the raw-key join's, which
+      * is exactly pseudonymization's contract: referential structure
+      * preserved, identity discarded. The token ring is the engine-
+      * stable multiplicative hash, so the oracle replays tokens
+      * digit-for-digit (including any collisions, which are
+      * engine-identical).
+      */
+    "pseudonymize_join" -> { (s, dir) =>
+      val salt = 1234567L
+      val o = graft.operators.Privacy.pseudonymize(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_custkey"), salt)
+      val c = graft.operators.Privacy.pseudonymize(
+        table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        Seq("c_custkey"), salt)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_tokens"))
+    },
+
     /** l-diversity suppression ([[graft.operators.Privacy.lDiverse]],
       * l = 3, sensitive = 100-char length class): a quasi-identifier group
       * releases only if its members span ≥ 3 distinct sensitive values —
@@ -615,6 +639,26 @@ object CurationQueries {
         |SELECT doc_id, tc.lang, v AS n_tokens,
         |       GREATEST(LEAST(v, hi), lo) AS n_tokens_w
         |FROM tc JOIN thr ON tc.lang IS NOT DISTINCT FROM thr.lang""".stripMargin,
+    "pseudonymize_join" ->
+      // token(v) = the multiplicative ring over v+salt mod 2^30 — the
+      // train_test_split replay, shifted by the salt
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         (((((((o_custkey + 1234567) & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + ((o_custkey + 1234567) & 65535) * 2654435761) % 4294967296) % 1073741824 AS tok
+        |  FROM orders
+        |),
+        |c AS (
+        |  SELECT c_nationkey,
+        |         (((((((c_custkey + 1234567) & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + ((c_custkey + 1234567) & 65535) * 2654435761) % 4294967296) % 1073741824 AS tok
+        |  FROM customer
+        |)
+        |SELECT c.c_nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(COUNT(DISTINCT o.tok) AS BIGINT) AS n_tokens
+        |FROM o JOIN c ON o.tok = c.tok
+        |GROUP BY 1""".stripMargin,
     "k_anonymize" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

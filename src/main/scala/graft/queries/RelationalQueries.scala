@@ -405,6 +405,36 @@ object RelationalQueries {
             <= countDistinct(col("l_partkey")).cast("double") * 0.1).as("approx_ok"))
     },
 
+    /** Approximate aggregation from a deterministic sample
+      * (Horvitz-Thompson inverse-probability scaling over a 10 % hash
+      * sample): per order status, estimated count and revenue from the
+      * 1-in-10 keys the engine-stable ring selects, next to the exact
+      * values and a 25 % relative-error check. At 100 TB this answers
+      * dashboard-class queries from a 10 TB scan; because the SAMPLE
+      * itself is the deterministic hash construction every engine
+      * replays (the `train_test_split` contract), the estimates — and
+      * even the error booleans — are engine-exact, not merely
+      * statistically close.
+      */
+    "sampled_agg" -> { (s, dir) =>
+      val orders = table(s, dir, "orders").select(col("o_orderstatus"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val sampled = orders
+        .filter(graft.operators.Sampling.hashBucket(col("o_orderkey"), 100) < 10)
+        .groupBy(col("o_orderstatus"))
+        .agg((count(lit(1)) * 10).as("est_n"),
+          (sum(col("price_c")) * 10).as("est_revenue_c"))
+      val exact = orders.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("revenue_c"))
+      exact.join(sampled, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("n"), col("revenue_c"),
+          coalesce(col("est_n"), lit(0L)).as("est_n"),
+          coalesce(col("est_revenue_c"), lit(0L)).as("est_revenue_c"),
+          (abs(coalesce(col("est_n"), lit(0L)) - col("n")) * 4 <= col("n"))
+            .as("n_within_25pct"))
+    },
+
     /** CDC changeset application ([[graft.operators.Merge.applyChanges]]):
       * a deterministic changeset derived from orders itself — updates
       * (with a superseding second change for one key class, proving
@@ -777,6 +807,29 @@ object RelationalQueries {
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |       TRUE AS approx_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "sampled_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+        |         ((((((o_orderkey & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + (o_orderkey & 65535) * 2654435761) % 4294967296) % 100 AS b
+        |  FROM orders
+        |),
+        |est AS (
+        |  SELECT o_orderstatus, CAST(COUNT(*) * 10 AS BIGINT) AS est_n,
+        |         CAST(SUM(price_c) * 10 AS BIGINT) AS est_revenue_c
+        |  FROM o WHERE b < 10 GROUP BY 1
+        |),
+        |ex AS (
+        |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(price_c) AS BIGINT) AS revenue_c
+        |  FROM o GROUP BY 1
+        |)
+        |SELECT ex.o_orderstatus, n, revenue_c,
+        |       COALESCE(est_n, 0) AS est_n,
+        |       COALESCE(est_revenue_c, 0) AS est_revenue_c,
+        |       abs(COALESCE(est_n, 0) - n) * 4 <= n AS n_within_25pct
+        |FROM ex LEFT JOIN est USING (o_orderstatus)""".stripMargin,
     "merge_changes" ->
       """WITH changes AS (
         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,

@@ -47,6 +47,26 @@ class PrivacySpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L))
   }
 
+  test("pseudonymize: stable tokens preserve joins, nulls stay null, raw keys vanish") {
+    val left = Seq((Some(10L), "a"), (Some(20L), "b"), (None, "c"))
+      .toDF("k", "payload")
+    val right = Seq((Some(10L), 1), (Some(30L), 2)).toDF("k", "tag")
+    val pl = Privacy.pseudonymize(left, Seq("k"), salt = 99L)
+    val pr = Privacy.pseudonymize(right, Seq("k"), salt = 99L)
+    // join structure preserved: raw key 10 still matches, 20/30 don't
+    val joined = pl.join(pr, "k").select("payload", "tag")
+      .as[(String, Int)].collect()
+    assert(joined.toSeq === Seq(("a", 1)))
+    // tokens differ from the raw keys and nulls pass through
+    val toks = pl.select("k").as[Option[Long]].collect().toSet
+    assert(!toks.contains(Some(10L)) && !toks.contains(Some(20L)))
+    assert(toks.contains(None))
+    // a different salt yields different tokens (unlinkable across releases)
+    val other = Privacy.pseudonymize(left, Seq("k"), salt = 100L)
+      .select("k").as[Option[Long]].collect().toSet
+    assert((toks - None).intersect(other - None).isEmpty)
+  }
+
   test("invalid arguments fail fast") {
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq.empty, 2L))
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("city"), 0L))
