@@ -840,6 +840,31 @@ object PipelineQueries {
           col("n_events"))
     },
 
+    /** Per-window top-k INSIDE the stream via the native bounded
+      * aggregate ([[graft.functions.BoundedTopKPair]] in a watermarked
+      * window aggregation): each hour's 3 highest-value events, held as a
+      * k-bounded heap in the state store instead of the window's row set
+      * — at 100 TB/day the state per window is 3 pairs, not the hour's
+      * events. Append emits watermark-final windows (same boundary as
+      * `stream_chained_agg`); the (score DESC, id ASC) total order makes
+      * the exploded rows engine-exact against the batch replay.
+      */
+    "stream_topk" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val agg = raw
+        .select(col("ts"),
+          round(col("value") * 100).cast("long").as("value_c"), col("event_id"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.AggExpressions.topkPairAgg(
+          col("value_c"), col("event_id"), 3).as("_top"))
+      StreamOps.drainToBatch(agg, outputMode = "append", statePartitions = 8)
+        .select(col("window.start").as("window_start"), posexplode(col("_top")))
+        .select(col("window_start"), (col("pos") + 1).as("rank"),
+          col("col.score").as("value_c"), col("col.id").as("event_id"))
+    },
+
     /** Streaming dedup within the watermark horizon
       * (dropDuplicatesWithinWatermark): emits each (user_id, event_type)
       * once; which physical row survives is nondeterministic, so the query
@@ -1173,6 +1198,21 @@ object PipelineQueries {
         |WHERE c.event_type = 'click'
         |  AND (p.event_id IS NOT NULL
         |       OR epoch_us(c.ts) + 1800000000 < (SELECT us FROM wm))""".stripMargin,
+    "stream_topk" ->
+      // watermark-final windows only (the stream_chained_agg boundary);
+      // rank replay under the aggregate's (score DESC, id ASC) order
+      """WITH wm AS (
+        |  SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - 7200000000 AS us FROM events
+        |)
+        |SELECT window_start, CAST(rn AS BIGINT) AS rank, value_c, event_id FROM (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS value_c, event_id,
+        |         row_number() OVER (
+        |           PARTITION BY date_trunc('hour', ts)
+        |           ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id ASC) AS rn
+        |  FROM events
+        |  WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= (SELECT us FROM wm))
+        |WHERE rn <= 3""".stripMargin,
     "stream_chained_agg" ->
       // single watermark operator ⇒ wm = ms-floored global max − 2 h; a
       // window whose end EQUALS the watermark emits (boundary probed at
