@@ -188,11 +188,16 @@ object AnalyticsQueries {
       val shardSketches = docs
         .groupBy(col("source"), pmod(col("doc_id"), lit(8)).as("_shard"))
         .agg(hll_sketch_agg(col("text")).as("_sk"))
-      shardSketches
+      // null-SAFE group join: a fixture with a null source must keep its
+      // row on both sides (DuckDB's GROUP BY keeps the null group; a
+      // plain equi-join would silently drop it)
+      val merged = shardSketches
         .groupBy(col("source"))
         .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("_est"))
-        .join(docs.groupBy(col("source"))
-          .agg(countDistinct(col("text")).as("exact_texts")), "source")
+        .withColumnRenamed("source", "_g")
+      docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("exact_texts"))
+        .join(merged, col("source") <=> col("_g"))
         .select(col("source"), col("exact_texts"),
           (abs(col("_est") - col("exact_texts")) <=
             col("exact_texts").cast("double") * 0.05).as("merged_ok"))
