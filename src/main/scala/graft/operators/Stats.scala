@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact statistical primitives over integer evidence — the monitoring /
+  * feature-engineering layer of a data pipeline, built so every output is
+  * a ratio of exact integers (DECIMAL(38,0) sums) rather than a float:
+  * any engine replays the algebra digit-for-digit, which is what makes
+  * regression slopes and drift scores differential-testable dataset
+  * facts instead of approximately-equal numbers.
+  *
+  * Scale shape: both operators are single partial-aggregated passes —
+  * the exchange carries one row of sums per group (or per category),
+  * never data rows.
+  */
+object Stats {
+
+  /** Per-group ordinary-least-squares line fit over integer (x, y):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), returned as the EXACT
+    * (numerator, denominator) pair in DECIMAL(38,0) — callers divide
+    * when they want the float, compare fractions when they want
+    * exactness. One aggregate pass; x, y must be integral columns
+    * (cast upstream). Rows with a null x or y are excluded. Groups where
+    * the denominator is 0 (fewer than two distinct x) report null/null.
+    */
+  def groupedLinFit(df: DataFrame, groups: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val xd = x.cast(d38)
+    val yd = y.cast(d38)
+    val valid = xd.isNotNull && yd.isNotNull
+    val agg = df.groupBy(groups.map(col): _*)
+      .agg(
+        sum(when(valid, lit(1L)).otherwise(lit(0L))).cast(d38).as("_n"),
+        sum(when(valid, xd)).as("_sx"),
+        sum(when(valid, yd)).as("_sy"),
+        sum(when(valid, xd * yd)).as("_sxy"),
+        sum(when(valid, xd * xd)).as("_sxx"))
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast(d38)
+    val den = (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast(d38)
+    agg.select(groups.map(col) ++ Seq(
+      col("_n").cast("long").as("n"),
+      when(den === 0, lit(null)).otherwise(num).as("slope_num"),
+      when(den === 0, lit(null)).otherwise(den).as("slope_den")): _*)
+  }
+
+  /** Total-variation distance between two categorical distributions,
+    * exactly: for category counts n1/n2 with totals T1/T2,
+    * TVD = ½ Σ |n1/T1 − n2/T2| = Σ|n1·T2 − n2·T1| / (2·T1·T2).
+    * Output: one row — (tvd_num, tvd_den) in DECIMAL(38,0) plus both
+    * totals — the drift monitor a training pipeline runs between
+    * yesterday's and today's corpus slices. `side` must be a boolean
+    * column (false = baseline, true = current); categories absent from
+    * one side count as 0 there. Null categories are first-class (a
+    * null-category drift is still drift).
+    */
+  def tvdDrift(df: DataFrame, category: Column, side: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val counts = df.groupBy(category.as("_cat"))
+      .agg(
+        sum(when(!side, 1L).otherwise(0L)).cast(d38).as("_n1"),
+        sum(when(side, 1L).otherwise(0L)).cast(d38).as("_n2"))
+    val totals = counts.agg(sum(col("_n1")).as("_t1"), sum(col("_n2")).as("_t2"))
+    counts.crossJoin(broadcast(totals))
+      .agg(
+        sum(abs(col("_n1") * col("_t2") - col("_n2") * col("_t1"))).cast(d38)
+          .as("tvd_num"),
+        (first(col("_t1")) * first(col("_t2")) * 2).cast(d38).as("tvd_den"),
+        first(col("_t1")).cast("long").as("n_baseline"),
+        first(col("_t2")).cast("long").as("n_current"))
+  }
+}

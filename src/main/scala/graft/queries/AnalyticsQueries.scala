@@ -262,6 +262,41 @@ object AnalyticsQueries {
       graft.operators.Graphs.pageRank(pairs, "a", "b", iterations = 5)
     },
 
+    /** Per-group OLS trend in EXACT rational arithmetic
+      * ([[graft.operators.Stats.groupedLinFit]]): the slope of event
+      * value (cents) over event time (epoch seconds) per event type,
+      * reported as the exact (numerator, denominator) DECIMAL(38,0)
+      * pair — one partial-aggregated pass, digit-exact in any engine
+      * (int128 replay in the oracle), no float regression drift.
+      */
+    "grouped_regression" -> { (s, dir) =>
+      val ev = graft.GraftSession.normalizeTs(table(s, dir, "events"))
+      graft.operators.Stats.groupedLinFit(
+        ev.select(col("event_type"),
+          expr("unix_micros(ts) DIV 1000000").as("x"),
+          round(col("value") * 100).cast("long").as("y")),
+        Seq("event_type"), col("x"), col("y"))
+        .select(col("event_type"), col("n"),
+          col("slope_num").cast("string").as("slope_num"),
+          col("slope_den").cast("string").as("slope_den"))
+    },
+
+    /** Distribution-drift monitor ([[graft.operators.Stats.tvdDrift]]):
+      * total-variation distance between two corpus slices' event-type
+      * mixes as the exact fraction Σ|n1·T2 − n2·T1| / (2·T1·T2) — the
+      * check a training pipeline runs between yesterday's and today's
+      * feeds before the mix silently shifts. Counts-only exchange;
+      * exact-integer contract (the fraction's parts, not a float).
+      */
+    "drift_tvd" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      graft.operators.Stats.tvdDrift(ev, col("event_type"),
+          (col("event_id") % 2) === 1)
+        .select(col("tvd_num").cast("string").as("tvd_num"),
+          col("tvd_den").cast("string").as("tvd_den"),
+          col("n_baseline"), col("n_current"))
+    },
+
     /** Two-dimensional skyline ([[graft.operators.Skyline.minimize2]]):
       * the Pareto frontier of parts minimizing (price, size). Prices ride
       * as integer cents (ROUND(x*100) — half-away-from-zero on positive
@@ -512,6 +547,39 @@ object AnalyticsQueries {
       """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_texts,
         |       TRUE AS merged_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "grouped_regression" ->
+      // int128 (HUGEINT) replay of the DECIMAL(38,0) sums; exact strings
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(epoch_us(ts) // 1000000 AS HUGEINT) AS x,
+        |         CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS y
+        |  FROM events
+        |),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE CAST(n * sxy - sx * sy AS VARCHAR) END AS slope_num,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE CAST(n * sxx - sx * sx AS VARCHAR) END AS slope_den
+        |FROM s""".stripMargin,
+    "drift_tvd" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS HUGEINT) AS n1,
+        |         CAST(COUNT(*) FILTER (WHERE event_id % 2 = 1) AS HUGEINT) AS n2
+        |  FROM events GROUP BY 1
+        |),
+        |t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM c)
+        |SELECT CAST(SUM(abs(n1 * t2 - n2 * t1)) AS VARCHAR) AS tvd_num,
+        |       CAST(2 * t1 * t2 AS VARCHAR) AS tvd_den,
+        |       CAST(t1 AS BIGINT) AS n_baseline,
+        |       CAST(t2 AS BIGINT) AS n_current
+        |FROM c CROSS JOIN t
+        |GROUP BY t1, t2""".stripMargin,
     "pagerank_personalized" -> {
       // same decomposed integer damping as the pagerank oracle, restart
       // gated on the seed indicator instead of uniform
