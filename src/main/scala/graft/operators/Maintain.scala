@@ -150,6 +150,43 @@ object Maintain {
       }: _*)
   }
 
+  /** Refresh a per-group top-k view from an INSERT-only delta — the
+    * bounded-aggregate member of the mergeable class ([[refreshMergeable]]
+    * is the sketch member): a stored `bounded_topk_pair` array merges
+    * with the delta's array by re-aggregating their union, k+k rows per
+    * touched group — the base table is never rescanned. Insert-only by
+    * construction (like sketches, a top-k cannot retract: a deleted row
+    * inside the stored top-k would need base data the view no longer
+    * holds — use [[refreshGroups]] for that). `topkCol` is the stored
+    * array column; `score`/`id` name the struct fields.
+    *
+    * Scale shape: the delta partial-aggregates to k pairs per group
+    * map-side; the merge explodes (≤ 2k rows per touched group) and
+    * re-aggregates — group-count-sized frames on every exchange,
+    * untouched groups pass through via the full-outer merge.
+    */
+  def refreshTopK(agg: DataFrame, delta: DataFrame, groups: Seq[String],
+      topkCol: String, score: Column, id: Column, k: Int): DataFrame = {
+    val aggG = guardKeys(agg, groups, "refreshTopK")
+    val deltaG = guardKeys(delta, groups, "refreshTopK")
+    val dAgg = deltaG.groupBy(groups.map(col): _*)
+      .agg(graft.functions.AggExpressions.topkPairAgg(score, id, k)
+        .as("_d_topk"))
+    val merged = aggG.join(dAgg, groups, "full_outer")
+    // untouched groups keep their array; touched groups re-aggregate the
+    // union of the two k-bounded arrays
+    val both = merged.filter(col(topkCol).isNotNull && col("_d_topk").isNotNull)
+      .select(groups.map(col) :+
+        explode(concat(col(topkCol), col("_d_topk"))).as("_p"): _*)
+      .groupBy(groups.map(col): _*)
+      .agg(graft.functions.AggExpressions.topkPairAgg(
+        col("_p.score"), col("_p.id"), k).as(topkCol))
+    val oneSided = merged.filter(col(topkCol).isNull || col("_d_topk").isNull)
+      .select(groups.map(col) :+
+        coalesce(col(topkCol), col("_d_topk")).as(topkCol): _*)
+    both.unionByName(oneSided)
+  }
+
   /** Refresh a materialized JOIN view `V = A ⋈ B` from a changeset on A
     * — the join-view branch of incremental view maintenance
     * (ΔV = old rows of changed A-keys retracted, upserted A-rows

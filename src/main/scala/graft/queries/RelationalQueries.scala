@@ -134,6 +134,30 @@ object RelationalQueries {
           col("col").as("price_c"))
     },
 
+    /** Incremental top-k view maintenance ([[graft.operators.Maintain
+      * .refreshTopK]], the bounded-aggregate member of the mergeable
+      * class): a per-status top-5-orders view built over a snapshot is
+      * refreshed from an insert batch by merging two k-bounded arrays —
+      * k+k rows per touched group cross the exchange, the base is never
+      * rescanned. The oracle recomputes from the full table: a merge of
+      * bounded tops must land exactly on the recompute for inserts.
+      */
+    "topk_refresh" -> { (s, dir) =>
+      val orders = table(s, dir, "orders").select(col("o_orderstatus"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      def top(o: org.apache.spark.sql.DataFrame) = o.groupBy(col("o_orderstatus"))
+        .agg(graft.functions.AggExpressions.topkPairAgg(
+          col("price_c"), col("o_orderkey"), 5).as("top5"))
+      val stale = top(orders.filter(col("o_orderkey") % 97 =!= 0))
+      graft.operators.Maintain.refreshTopK(stale,
+          orders.filter(col("o_orderkey") % 97 === 0),
+          Seq("o_orderstatus"), "top5", col("price_c"), col("o_orderkey"), 5)
+        .select(col("o_orderstatus"), posexplode(col("top5")))
+        .select(col("o_orderstatus"), (col("pos") + 1).as("rank"),
+          col("col.score").as("price_c"), col("col.id").as("o_orderkey"))
+    },
+
     /** Arg-top-k via the native pair aggregate ([[graft.functions
       * .BoundedTopKPair]]): WHICH documents are each language's 3
       * longest — (score DESC, id ASC) totally ordered, so the exploded
@@ -666,6 +690,16 @@ object RelationalQueries {
         |           PARTITION BY l_returnflag
         |           ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) DESC) AS rn
         |  FROM lineitem)
+        |WHERE rn <= 5""".stripMargin,
+    "topk_refresh" ->
+      """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rank, price_c, o_orderkey FROM (
+        |  SELECT o_orderstatus,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c, o_orderkey,
+        |         row_number() OVER (
+        |           PARTITION BY o_orderstatus
+        |           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+        |                    o_orderkey ASC) AS rn
+        |  FROM orders)
         |WHERE rn <= 5""".stripMargin,
     "topk_pair" ->
       """SELECT lang, CAST(rn AS BIGINT) AS rank, n_chars, doc_id FROM (

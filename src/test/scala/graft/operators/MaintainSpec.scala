@@ -162,4 +162,28 @@ class MaintainSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("invalid _op") || e.getCause != null)
   }
+
+  test("refreshTopK merge equals the full recompute; one-sided groups pass through") {
+    import graft.functions.AggExpressions
+    import org.apache.spark.sql.functions.{col, posexplode}
+    def top(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(AggExpressions.topkPairAgg(col("s"), col("i"), 2).as("t"))
+    val base = Seq(("a", 5L, 1L), ("a", 9L, 2L), ("a", 7L, 3L), ("b", 1L, 4L))
+      .toDF("g", "s", "i")
+    // delta: displaces one of a's top-2, introduces a brand-new group c;
+    // group b untouched
+    val delta = Seq(("a", 8L, 5L), ("c", 3L, 6L)).toDF("g", "s", "i")
+    val refreshed = Maintain.refreshTopK(top(base), delta, Seq("g"), "t",
+        col("s"), col("i"), 2)
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.score"), col("col.id"))
+      .as[(String, Long, Long)].collect().toSet
+    val recompute = top(base.unionByName(delta))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.score"), col("col.id"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(refreshed === recompute)
+    assert(refreshed === Set(("a", 9L, 2L), ("a", 8L, 5L), ("b", 1L, 4L),
+      ("c", 3L, 6L)))
+  }
 }
