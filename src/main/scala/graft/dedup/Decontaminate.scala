@@ -86,4 +86,29 @@ object Decontaminate {
       .select(col(id)).distinct()
     docs.join(contaminated, Seq(id), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-space twin of the n-gram
+    * guard: drop corpus rows whose embedding is within cosine
+    * `threshold` of ANY benchmark embedding. N-gram overlap misses
+    * paraphrased leakage (a reworded benchmark question shares no
+    * 8-gram); the embedding check catches it. Benchmark suites are tiny,
+    * so the benchmark side broadcasts and the corpus is scanned once
+    * with the cosine check fused per partition — no corpus shuffle, no
+    * candidate generation needed (|bench| probes per row, not |corpus|²).
+    * `docs` rows with a null vector pass through (nothing to compare).
+    */
+  def cleanSemantic(docs: DataFrame, id: String, vec: Column,
+      bench: DataFrame, benchVec: Column, threshold: Double): DataFrame = {
+    val bv = broadcast(
+      bench.select(benchVec.cast("array<double>").as("_bv"))
+        .filter(col("_bv").isNotNull))
+    val contaminated = docs
+      .select(col(id), vec.cast("array<double>").as("_dv"))
+      .filter(col("_dv").isNotNull)
+      .crossJoin(bv)
+      .filter(graft.functions.VectorFunctions.cosineFused(col("_dv"), col("_bv"))
+        >= threshold)
+      .select(col(id)).distinct()
+    docs.join(contaminated, Seq(id), "left_anti")
+  }
 }

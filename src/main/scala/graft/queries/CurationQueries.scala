@@ -368,6 +368,54 @@ object CurationQueries {
         Seq("lang", "source"), k = 10L)
     },
 
+    /** Preference-pair construction (DPO/RLHF dataset shape): per
+      * language, the i-th HIGHEST-quality document (chosen) is paired
+      * with the i-th LOWEST (rejected) — quality proxied by length, rank
+      * totally ordered by (n_chars, doc_id) so the pairing is
+      * engine-exact. 10 pairs per language; a language with fewer than
+      * 20 docs pairs only while both sides exist (inner join on rank),
+      * and both ranking windows prune map-side via WindowGroupLimit.
+      */
+    "preference_pairs" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      def ranked(w: org.apache.spark.sql.expressions.WindowSpec, name: String) =
+        docs.withColumn("pair_rank", row_number().over(w))
+          .filter(col("pair_rank") <= 10)
+          .select(col("lang"), col("pair_rank"), col("doc_id").as(name))
+      import org.apache.spark.sql.expressions.Window
+      val chosen = ranked(Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc), "chosen_id")
+      val rejected = ranked(Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc), "rejected_id")
+      chosen.join(rejected, Seq("lang", "pair_rank"))
+        // a short group pairs a doc with itself once ranks cross — drop
+        .filter(col("chosen_id") =!= col("rejected_id"))
+        .select(col("lang"), col("pair_rank"), col("chosen_id"), col("rejected_id"))
+    },
+
+    /** SEMANTIC decontamination ([[graft.dedup.Decontaminate
+      * .cleanSemantic]]) — the embedding-space twin of the n-gram guard:
+      * benchmark = vectors 0-24, corpus = the rest PLUS planted
+      * 1.001-scaled copies of benchmark vectors 0-9 (cosine ≈ 1 with
+      * their source — the paraphrase-leakage case n-gram overlap
+      * misses). Threshold 0.40 also catches the fixture's organic
+      * near-benchmark vectors. The oracle replays the full cosine sweep;
+      * the surviving id set must match exactly, planted copies gone.
+      */
+    "decontaminate_semantic" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 25)
+      val corpus = emb.filter(col("vec_id") >= 25)
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+            col("label")))
+      graft.dedup.Decontaminate.cleanSemantic(corpus, "vec_id",
+          col("embedding"), bench, col("embedding"), threshold = 0.40)
+        .select(col("vec_id"))
+    },
+
     /** Pseudonymization join-consistency ([[graft.operators.Privacy
       * .pseudonymize]]): orders and customers are pseudonymized on their
       * customer key with the SAME salt, then joined on TOKENS — per
@@ -639,6 +687,39 @@ object CurationQueries {
         |SELECT doc_id, tc.lang, v AS n_tokens,
         |       GREATEST(LEAST(v, hi), lo) AS n_tokens_w
         |FROM tc JOIN thr ON tc.lang IS NOT DISTINCT FROM thr.lang""".stripMargin,
+    "preference_pairs" ->
+      """WITH chosen AS (
+        |  SELECT lang, doc_id AS chosen_id,
+        |         row_number() OVER (PARTITION BY lang
+        |             ORDER BY n_chars DESC, doc_id ASC) AS pair_rank
+        |  FROM documents
+        |),
+        |rejected AS (
+        |  SELECT lang, doc_id AS rejected_id,
+        |         row_number() OVER (PARTITION BY lang
+        |             ORDER BY n_chars ASC, doc_id ASC) AS pair_rank
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(pair_rank AS BIGINT) AS pair_rank, chosen_id, rejected_id
+        |FROM chosen JOIN rejected USING (lang, pair_rank)
+        |WHERE pair_rank <= 10 AND chosen_id != rejected_id""".stripMargin,
+    "decontaminate_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding
+        |  FROM embeddings WHERE vec_id >= 25
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 10
+        |),
+        |contaminated AS (
+        |  SELECT DISTINCT c.vec_id
+        |  FROM corpus c, embeddings b
+        |  WHERE b.vec_id < 25
+        |    AND list_cosine_similarity(c.embedding, b.embedding) >= 0.40
+        |)
+        |SELECT vec_id FROM corpus
+        |WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)""".stripMargin,
     "pseudonymize_join" ->
       // token(v) = the multiplicative ring over v+salt mod 2^30 — the
       // train_test_split replay, shifted by the salt

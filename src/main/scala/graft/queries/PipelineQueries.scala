@@ -416,6 +416,39 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
     },
 
+    /** Partition-wise idempotent backfill via DYNAMIC partition
+      * overwrite: a day-partitioned daily aggregate is built from a
+      * (simulated) bad first run — two days written WRONG — then
+      * backfilled by re-running exactly those two days' input with
+      * `partitionOverwriteMode=dynamic`: the rewrite replaces ONLY the
+      * partitions present in the new data, every other day's files are
+      * untouched (no read-modify-write of the whole table, no explicit
+      * partition list to maintain). The read-back equals the clean
+      * recompute — the idempotence contract every scheduled backfill
+      * relies on at 100 TB, where "rewrite the table" is not an option.
+      */
+    "backfill_dynamic" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_backfill_${s.sparkContext.applicationId}"
+      val daily = table(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+      val badDays = Seq("2024-01-05", "2024-01-06")
+      // bad first run: the two target days land with poisoned counts
+      daily.withColumn("n",
+          when(col("event_date").isin(badDays: _*), lit(-1L)).otherwise(col("n")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      // backfill: recompute ONLY the bad days' rows, dynamic overwrite
+      graft.GraftSession.withConfs(s,
+        Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+        daily.filter(col("event_date").isin(badDays: _*))
+          .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      }
+      s.read.parquet(out)
+        .select(col("event_date").cast(StringType).as("event_date"),
+          col("event_type"), col("n"), col("sum_uid"))
+    },
+
     /** Semi-structured extraction: typed fields pulled out of a JSON
       * string column (`get_json_object` — codegen'd path evaluation, no
       * UDF) and aggregated. At scale the lesson is WHERE the parse runs:
@@ -912,6 +945,13 @@ object PipelineQueries {
         |-- date-typed IN lists here while plain equality works
         |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
         |   OR CAST(ts AS DATE) = DATE '2024-01-06'
+        |GROUP BY 1, 2""".stripMargin,
+    "backfill_dynamic" ->
+      // the clean recompute: if the backfill left any poisoned row or
+      // touched any other day's files, the hash diverges
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events
         |GROUP BY 1, 2""".stripMargin,
     "dpp_prune" ->
       """WITH dim AS (
