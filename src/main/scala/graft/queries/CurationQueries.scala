@@ -368,6 +368,29 @@ object CurationQueries {
         Seq("lang", "source"), k = 10L)
     },
 
+    /** End-to-end privacy-preserving RELEASE pipeline — the funnel a
+      * dataset passes before leaving the trust boundary, every stage
+      * exact: (1) quality gate: keep docs at or above their language's
+      * p25 token count (counts-only thresholds); (2) k-anonymity: only
+      * (lang, source) groups with ≥ 10 surviving members release;
+      * (3) pseudonymize doc ids with the salted token ring. The oracle
+      * replays the entire funnel — threshold CTE, window count, token
+      * arithmetic — digit-for-digit.
+      */
+    "flagship_release" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val gated = graft.operators.Quantiles.filterAtLeast(
+        docs, "lang", col("n_tokens"), qNum = 1, qDen = 4)
+      val anonymous = graft.operators.Privacy.kAnonymize(
+        gated, Seq("lang", "source"), k = 10L)
+      graft.operators.Privacy.pseudonymize(anonymous, Seq("doc_id"),
+          salt = 424242L)
+        .select(col("doc_id").as("token"), col("lang"), col("source"),
+          col("n_tokens"))
+    },
+
     /** Preference-pair construction (DPO/RLHF dataset shape): per
       * language, the i-th HIGHEST-quality document (chosen) is paired
       * with the i-th LOWEST (rejected) — quality proxied by length, rank
@@ -687,6 +710,35 @@ object CurationQueries {
         |SELECT doc_id, tc.lang, v AS n_tokens,
         |       GREATEST(LEAST(v, hi), lo) AS n_tokens_w
         |FROM tc JOIN thr ON tc.lang IS NOT DISTINCT FROM thr.lang""".stripMargin,
+    "flagship_release" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |counts AS (SELECT lang, n_tokens AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM tc GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         SUM(c) OVER (PARTITION BY lang ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS cle,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM counts
+        |),
+        |thr AS (SELECT lang, MIN(v) AS t FROM cum WHERE cle * 4 >= n * 1 GROUP BY 1),
+        |gated AS (
+        |  SELECT tc.* FROM tc JOIN thr USING (lang) WHERE n_tokens >= t
+        |),
+        |anon AS (
+        |  SELECT * FROM (
+        |    SELECT gated.*, COUNT(*) OVER (PARTITION BY lang, source) AS qn
+        |    FROM gated)
+        |  WHERE qn >= 10
+        |)
+        |SELECT (((((((doc_id + 424242) & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |         + ((doc_id + 424242) & 65535) * 2654435761) % 4294967296) % 1073741824 AS token,
+        |       lang, source, n_tokens
+        |FROM anon""".stripMargin,
     "preference_pairs" ->
       """WITH chosen AS (
         |  SELECT lang, doc_id AS chosen_id,
