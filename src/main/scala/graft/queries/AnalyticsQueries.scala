@@ -262,6 +262,70 @@ object AnalyticsQueries {
       graft.operators.Graphs.pageRank(pairs, "a", "b", iterations = 5)
     },
 
+    /** Audience-overlap estimation via KMV (k-minimum-values) sketches:
+      * for every event-type pair, the Jaccard of their USER sets is
+      * estimated from each set's 64 smallest user-id hashes (the
+      * [[graft.functions.BoundedTopK]] aggregate over negated values —
+      * map-side k-bounded, the overlap math then runs on 64-long arrays,
+      * never the user sets) next to the exact intersection/union counts.
+      * Because the hash is the engine-stable ring, the SKETCH itself is
+      * engine-exact: the oracle replays sketch construction and the
+      * estimator digit-for-digit — a sketch-accuracy contract with no
+      * tolerance band. The mergeable form of "how much do these
+      * audiences overlap" that a 100 TB events table answers without
+      * ever intersecting user sets.
+      */
+    "audience_overlap" -> { (s, dir) =>
+      val k = 64
+      // audience(T) = the type's top-quartile-engaged users (count ≥ the
+      // type's p75 under the exact integer rank rule) — RELATIVE, so the
+      // sets stay differentiated at any scale factor (an absolute count
+      // floor saturates to "everyone" as the fixture grows)
+      val perUser = table(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("_c"))
+      val audiences = graft.Caches.track(
+        graft.operators.Quantiles.filterAtLeast(perUser, "event_type",
+          col("_c"), qNum = 3, qDen = 4).persist())
+      val hashes = audiences
+        .select(col("event_type"),
+          graft.operators.Sampling.hashBucket(col("user_id"), 1 << 30).as("_h"))
+        .distinct()
+      val sketches = hashes.groupBy(col("event_type"))
+        .agg(graft.functions.AggExpressions.topkAgg(-col("_h"), k).as("_negs"))
+        .select(col("event_type"),
+          transform(col("_negs"), v => -v).as("_sk")) // k smallest, desc→asc negated
+      val a = sketches.select(col("event_type").as("type_a"), col("_sk").as("_ska"))
+      val b = sketches.select(col("event_type").as("type_b"), col("_sk").as("_skb"))
+      val est = a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          // merged = k smallest of the union; overlap = members of both
+          slice(array_sort(array_distinct(concat(col("_ska"), col("_skb")))),
+            1, k).as("_m"),
+          col("_ska"), col("_skb"))
+        .select(col("type_a"), col("type_b"),
+          size(filter(col("_m"),
+            v => array_contains(col("_ska"), v) && array_contains(col("_skb"), v)))
+            .cast("long").as("overlap_k"),
+          size(col("_m")).cast("long").as("merged_k"))
+      val users = audiences.select(col("event_type"), col("user_id")).distinct()
+      val ua = users.select(col("event_type").as("type_a"), col("user_id"))
+      val ub = users.select(col("event_type").as("type_b"), col("user_id"))
+      val exact = ua.join(ub, "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val sizes = users.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
+      est.join(exact, Seq("type_a", "type_b"), "left")
+        .join(sizes.select(col("event_type").as("type_a"), col("_n").as("_na")), "type_a")
+        .join(sizes.select(col("event_type").as("type_b"), col("_n").as("_nb")), "type_b")
+        .select(col("type_a"), col("type_b"),
+          col("overlap_k"), col("merged_k"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          (col("_na") + col("_nb") - coalesce(col("exact_inter"), lit(0L)))
+            .as("exact_union"))
+    },
+
     /** Per-group OLS trend in EXACT rational arithmetic
       * ([[graft.operators.Stats.groupedLinFit]]): the slope of event
       * value (cents) over event time (epoch seconds) per event type,
@@ -547,6 +611,61 @@ object AnalyticsQueries {
       """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_texts,
         |       TRUE AS merged_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "audience_overlap" ->
+      // the KMV sketch replayed exactly: same ring, same k, same merge
+      """WITH pc AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT event_type, c,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |                        ROWS UNBOUNDED PRECEDING) AS cle,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM pc GROUP BY 1, 2)
+        |),
+        |thr AS (SELECT event_type, MIN(c) AS t FROM cum
+        |        WHERE cle * 4 >= n * 3 GROUP BY 1),
+        |aud AS (
+        |  SELECT pc.event_type, pc.user_id
+        |  FROM pc JOIN thr USING (event_type) WHERE pc.c >= thr.t
+        |),
+        |h AS (
+        |  SELECT DISTINCT event_type,
+        |         ((((((user_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + (user_id & 65535) * 2654435761) % 4294967296) % 1073741824 AS hv
+        |  FROM aud
+        |),
+        |sk AS (
+        |  SELECT event_type, (list(hv ORDER BY hv))[1:64] AS l
+        |  FROM h GROUP BY 1
+        |),
+        |calc AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         (list_sort(list_distinct(list_concat(a.l, b.l))))[1:64] AS m,
+        |         a.l AS la, b.l AS lb
+        |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+        |),
+        |u AS (SELECT DISTINCT event_type, user_id FROM aud),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |ex AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM u a JOIN u b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.type_a, c.type_b,
+        |       CAST(len(list_filter(m, v -> list_contains(la, v)
+        |                                AND list_contains(lb, v))) AS BIGINT) AS overlap_k,
+        |       CAST(len(m) AS BIGINT) AS merged_k,
+        |       COALESCE(ex.inter, 0) AS exact_inter,
+        |       na.c + nb.c - COALESCE(ex.inter, 0) AS exact_union
+        |FROM calc c
+        |LEFT JOIN ex ON c.type_a = ex.type_a AND c.type_b = ex.type_b
+        |JOIN n na ON na.event_type = c.type_a
+        |JOIN n nb ON nb.event_type = c.type_b""".stripMargin,
     "grouped_regression" ->
       // int128 (HUGEINT) replay of the DECIMAL(38,0) sums; exact strings
       """WITH p AS (
