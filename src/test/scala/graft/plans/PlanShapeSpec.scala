@@ -657,6 +657,34 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "dim filter did not prune anything — fixture has no date spread")
   }
 
+  test("AQE skew join: a pathological key splits instead of serializing one task") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // one key holds ~90% of the left side; thresholds lowered so the
+    // local fixture crosses them the way a real skewed fact table would
+    val left = spark.range(0, 200000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_"), col("id")).as("p"))
+    val right = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+    val pins = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    GraftSession.withConfs(spark, pins) {
+      val q = left.join(right, "k").agg(count(lit(1)), max(length(col("p"))))
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val smj = collect(plan) { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, plan.toString)
+      assert(smj.exists(_.isSkewJoin),
+        s"skew join did not fire — the hot key serializes one task:\n$plan")
+    }
+  }
+
   test("zscore: group moments partial-aggregate before the exchange; no window") {
     val docs = GraftSession.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
