@@ -657,6 +657,22 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "dim filter did not prune anything — fixture has no date spread")
   }
 
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    val q = GraftSession.table(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plan = executed(q)
+    // per-partition bounded heads merged on the driver — a 100 TB top-10
+    // costs one scan, zero exchanges of data rows
+    assert(collect(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, plan.toString)
+    assert(collect(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty, s"global sort for a bounded top-k:\n$plan")
+  }
+
   test("AQE skew join: a pathological key splits instead of serializing one task") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // one key holds ~90% of the left side; thresholds lowered so the
