@@ -1216,7 +1216,7 @@ object PipelineQueries {
       // — measured: the purchase side's earlier max held the watermark
       // 796 s behind the global max at sf0.01); an unmatched click emits
       // iff click_ts + 30 min < that watermark STRICTLY (boundary probed
-      // at ±1 s in ProbeSSJ4: equality does NOT emit)
+      // at ±1 s, enforced by OuterJoinBoundarySpec: equality does NOT emit)
       // the CASE guard: DuckDB's LEAST IGNORES nulls, but a side that
       // never saw data holds Spark's watermark at epoch 0 (no outer rows
       // emit) — an empty side must therefore null the whole watermark
@@ -1256,7 +1256,7 @@ object PipelineQueries {
     "stream_chained_agg" ->
       // single watermark operator ⇒ wm = ms-floored global max − 2 h; a
       // window whose end EQUALS the watermark emits (boundary probed at
-      // ±1 h in ProbeWin: inclusive), hence <=
+      // ±1 h, enforced by OuterJoinBoundarySpec: inclusive), hence <=
       """WITH wm AS (
         |  SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - 7200000000 AS us FROM events
         |)
