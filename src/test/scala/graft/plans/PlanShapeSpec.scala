@@ -657,6 +657,24 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "dim filter did not prune anything — fixture has no date spread")
   }
 
+  test("self-join of an aggregate reuses one scan and one exchange") {
+    val o = GraftSession.table(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val q = o.as("a").join(o.as("b"), "o_custkey")
+      .agg(sum(expr("a.n * b.n")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    // ReuseExchange must fire: the common aggregate subtree scans and
+    // shuffles ONCE — at 100 TB a silently-duplicated subtree doubles
+    // the dominant cost of every self-referential analysis
+    assert(collect(plan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }.nonEmpty, s"no exchange reuse in a self-join:\n$plan")
+    assert(collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size === 1, s"self-join re-scanned the source:\n$plan")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, never a full sort") {
     val q = GraftSession.table(spark, dir, "orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
