@@ -539,6 +539,32 @@ object RelationalQueries {
           col("n"))
     },
 
+    /** SCD-2 point-in-time LOOKUP — the consumption side of
+      * `scd2_history` and the correctness heart of a feature-store join:
+      * each click is enriched with the purchase-version of its user that
+      * was VALID at the click's timestamp (valid_from ≤ ts < valid_to) —
+      * never a later version (leakage) nor an earlier one (staleness).
+      * Validity intervals per user are disjoint by construction, so the
+      * lookup is exactly the single-shuffle as-of join against
+      * valid_from; the oracle replays it with the explicit validity
+      * predicate, proving the equivalence.
+      */
+    "scd2_lookup" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val dim = graft.operators.Merge.scd2History(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id").as("version_id"),
+          col("valid_from"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      graft.operators.AsOf.asofJoin(clicks, dim, Seq("user_id"),
+          leftTime = "ts", rightTime = "valid_from",
+          rightPayload = Seq("version_id"))
+        .select(col("user_id"), col("click_id"), col("version_id"))
+    },
+
     /** Incremental JOIN+AGGREGATE view maintenance — the composition the
       * two primitives exist for: a revenue-per-nation view (orders ⋈
       * customer, grouped by nation) is refreshed from an ORDERS delta by
@@ -894,6 +920,25 @@ object RelationalQueries {
         |       CASE WHEN w._op IS NOT NULL THEN w.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
         |FROM orders b FULL JOIN winner w ON b.o_orderkey = w.o_orderkey
         |WHERE w._op IS NULL OR w._op != 'D'""".stripMargin,
+    "scd2_lookup" ->
+      // LEFT join: clicks before any purchase keep a null version (the
+      // as-of join's outer semantics); disjoint validity intervals
+      // guarantee at most one match per click
+      """WITH dim AS (
+        |  SELECT user_id, event_id AS version_id, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT c.user_id, c.click_id, d.version_id
+        |FROM clicks c LEFT JOIN dim d
+        |  ON c.user_id = d.user_id
+        | AND d.valid_from <= c.ts
+        | AND (d.valid_to IS NULL OR c.ts < d.valid_to)""".stripMargin,
     "join_agg_refresh" ->
       // final base state: snapshot (∤97) minus deletes (∣89) plus
       // inserts (∣97) = all orders except (∤97 ∧ ∣89)

@@ -203,6 +203,19 @@ class AsOfSpec extends SparkSpec {
     assert(out(1L) === Some(51L)) // latest prior (95 <= 100)
     assert(out(2L) === None)      // nothing at or before t=5; null-time row excluded
   }
+
+  test("asofJoin equals the SCD-2 validity-predicate lookup on duplicate version times") {
+    // two versions at the SAME time t=10: the zero-width interval [10,10)
+    // must never match; the greater-tiebreak version wins for ts >= 10
+    val versions = Seq((70L, 10L, 10), (71L, 10L, 10), (72L, 10L, 20))
+      .toDF("rid", "k", "t")
+    val facts = Seq((1L, 10L, 9), (2L, 10L, 10), (3L, 10L, 15), (4L, 10L, 25))
+      .toDF("id", "k", "t")
+    val got = graft.operators.AsOf.asofJoin(facts, versions, Seq("k"), "t", "t",
+      rightPayload = Seq("rid"), rightTieBreak = Seq("rid"))
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some(71L), 3L -> Some(71L), 4L -> Some(72L)))
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
