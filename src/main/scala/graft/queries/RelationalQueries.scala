@@ -565,6 +565,34 @@ object RelationalQueries {
         .select(col("user_id"), col("click_id"), col("version_id"))
     },
 
+    /** Point-in-time feature assembly — leakage-free training-set
+      * construction: every click (the label event) carries its user's
+      * purchase count and spend STRICTLY BEFORE the click, under the
+      * total order (ts, event_id) so simultaneous events resolve
+      * deterministically. One user-keyed exchange; the running frame is
+      * streaming (no buffer), so a user's whole history never
+      * materializes in a task. With `scd2_lookup` this is the
+      * feature-store pair: versioned-dimension lookup + cumulative
+      * behavioral features, both at the label's timestamp.
+      */
+    "pit_features" -> { (s, dir) =>
+      val ev = graft.GraftSession.normalizeTs(table(s, dir, "events"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_c"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isP = col("event_type") === "purchase"
+      ev
+        .withColumn("prior_purchases",
+          coalesce(sum(when(isP, 1L)).over(w), lit(0L)))
+        .withColumn("prior_spend_c",
+          coalesce(sum(when(isP, col("value_c"))).over(w), lit(0L)))
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("prior_purchases"), col("prior_spend_c"))
+    },
+
     /** Incremental JOIN+AGGREGATE view maintenance — the composition the
       * two primitives exist for: a revenue-per-nation view (orders ⋈
       * customer, grouped by nation) is refreshed from an ORDERS delta by
@@ -920,6 +948,19 @@ object RelationalQueries {
         |       CASE WHEN w._op IS NOT NULL THEN w.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
         |FROM orders b FULL JOIN winner w ON b.o_orderkey = w.o_orderkey
         |WHERE w._op IS NULL OR w._op != 'D'""".stripMargin,
+    "pit_features" ->
+      """SELECT user_id, event_id AS click_id,
+        |       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |         AS prior_purchases,
+        |       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |                               THEN CAST(ROUND(value * 100) AS BIGINT) END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |         AS prior_spend_c
+        |FROM events
+        |QUALIFY event_type = 'click'""".stripMargin,
     "scd2_lookup" ->
       // LEFT join: clicks before any purchase keep a null version (the
       // as-of join's outer semantics); disjoint validity intervals
