@@ -55,6 +55,19 @@ object Privacy {
     */
   def pseudonymize(df: DataFrame, cols: Seq[String], salt: Long): DataFrame = {
     require(cols.nonEmpty, "pseudonymize: at least one column")
+    // fail fast on non-integral keys: the ring casts to long internally,
+    // so a string key would silently tokenize every row to null — a
+    // "pseudonymized" release that actually dropped its join keys
+    for (c <- cols) {
+      val t = df.schema(c).dataType
+      val integral = t == org.apache.spark.sql.types.ByteType ||
+        t == org.apache.spark.sql.types.ShortType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.LongType
+      require(integral,
+        s"pseudonymize: column '$c' must be integral (got ${t.sql}); " +
+          "hash string keys to a stable integer first")
+    }
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c,
         when(col(c).isNull, lit(null))

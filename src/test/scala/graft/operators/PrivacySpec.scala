@@ -71,5 +71,9 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq.empty, 2L))
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("city"), 0L))
     intercept[IllegalArgumentException](Privacy.lDiverse(df, Seq("city"), "dx", 0L))
+    // a string key would silently tokenize to null — must fail by name
+    val e = intercept[IllegalArgumentException](
+      Privacy.pseudonymize(df, Seq("city"), 7L))
+    assert(e.getMessage.contains("city") && e.getMessage.contains("integral"))
   }
 }
