@@ -657,6 +657,24 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "dim filter did not prune anything — fixture has no date spread")
   }
 
+  test("bucketed point lookup prunes to one bucket's files") {
+    import graft.sinks.Bucketed
+    Bucketed.write(GraftSession.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus"),
+      "plan_spec_bprune", bucketBy = Seq("o_orderkey"), nBuckets = 8,
+      sortBy = Seq("o_orderkey"))
+    val q = Bucketed.read(spark, "plan_spec_bprune")
+      .filter(col("o_orderkey") === 7L)
+    q.collect()
+    val scan = collect(q.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // the equality filter selects exactly ONE of the 8 hash buckets — at
+    // scale a key lookup on a bucketed table reads 1/N of the files
+    val selected = scan.optionalBucketSet.map(_.cardinality())
+    assert(selected === Some(1), s"bucket pruning did not engage: $selected")
+  }
+
   test("self-join of an aggregate reuses one scan and one exchange") {
     val o = GraftSession.table(spark, dir, "orders")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
