@@ -565,6 +565,28 @@ object RelationalQueries {
         .select(col("user_id"), col("click_id"), col("version_id"))
     },
 
+    /** RFM feature view — the classic per-entity behavioral profile
+      * (recency / frequency / monetary) every churn or LTV model starts
+      * from: per user, seconds since their last purchase (relative to
+      * the corpus's max event time, so the feature set is a reproducible
+      * snapshot, not wall-clock-dependent), purchase count, and total
+      * spend in cents. One partial-aggregated pass; integer evidence
+      * end to end.
+      */
+    "rfm_features" -> { (s, dir) =>
+      val ev = graft.GraftSession.normalizeTs(table(s, dir, "events"))
+      val asOf = broadcast(ev.agg(max(unix_micros(col("ts"))).as("_as_of")))
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("_last"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value") * 100).cast("long")).as("monetary_c"))
+        .crossJoin(asOf)
+        .select(col("user_id"),
+          expr("(_as_of - _last) DIV 1000000").as("recency_s"),
+          col("frequency"), col("monetary_c"))
+    },
+
     /** Point-in-time feature assembly — leakage-free training-set
       * construction: every click (the label event) carries its user's
       * purchase count and spend STRICTLY BEFORE the click, under the
@@ -948,6 +970,15 @@ object RelationalQueries {
         |       CASE WHEN w._op IS NOT NULL THEN w.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
         |FROM orders b FULL JOIN winner w ON b.o_orderkey = w.o_orderkey
         |WHERE w._op IS NULL OR w._op != 'D'""".stripMargin,
+    "rfm_features" ->
+      """WITH snap AS (SELECT MAX(epoch_us(ts)) AS a FROM events)
+        |SELECT user_id,
+        |       CAST(((SELECT a FROM snap) - MAX(epoch_us(ts))) // 1000000 AS BIGINT)
+        |         AS recency_s,
+        |       CAST(COUNT(*) AS BIGINT) AS frequency,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "pit_features" ->
       """SELECT user_id, event_id AS click_id,
         |       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)

@@ -77,6 +77,26 @@ class Round8PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin agrees with the naive latest-prior scan on random event streams") {
+    val gen = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 30L))), // left (k, t)
+      Gen.listOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 30L)))) // right (k, t)
+    for ((ls0, rs0) <- samples(gen, 6) if ls0.nonEmpty) {
+      val ls = ls0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rs = rs0.zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }
+      val got = graft.operators.AsOf.asofJoin(
+        ls.toDF("id", "k", "t"), rs.toDF("rid", "k", "t"), Seq("k"), "t", "t",
+        rightPayload = Seq("rid"), rightTieBreak = Seq("rid"))
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      val want = ls.map { case (id, k, t) =>
+        val cands = rs.filter(r => r._2 == k && r._3 <= t)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      assert(got === want, s"left=$ls right=$rs")
+    }
+  }
+
   test("tvdDrift equals the naive fraction on random two-sided mixes") {
     val gen = Gen.listOf(Gen.zip(Gen.choose(0L, 3L), Gen.oneOf(true, false)))
     for (rows <- samples(gen, 6)
