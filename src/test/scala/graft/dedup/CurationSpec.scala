@@ -143,4 +143,18 @@ class CurationSpec extends SparkSpec {
     val s = sig(shortWords)
     assert(s._1 === 50 && s._2 < s._1 * 3 && !s._5)
   }
+
+  test("cleanSemantic drops near-benchmark vectors, passes null vectors through") {
+    import org.apache.spark.sql.functions.col
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "v")
+    val corpus = Seq(
+      (1L, Some(Seq(0.999f, 0.01f, 0.0f))), // near the benchmark -> dropped
+      (2L, Some(Seq(0.0f, 1.0f, 0.0f))),    // orthogonal -> kept
+      (3L, None))                           // null vector -> passes through
+      .toDF("vec_id", "v")
+    val out = Decontaminate.cleanSemantic(
+        corpus, "vec_id", col("v"), bench, col("v"), threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out === Set(2L, 3L))
+  }
 }
