@@ -83,6 +83,10 @@ object Bench {
     final class Acc {
       var times: List[Double] = Nil
       var compiles = 0L; var genUnits = 0L; var gcMs = 0L; var leaked = 0L
+      // per-run compile counts: [62,0,0] is cold-start (fine — the codegen
+      // cache holds), [19,19,19] is CHURN (every run re-pays janino);
+      // the totals alone cannot tell the two apart
+      var compilesRuns: List[Long] = Nil
     }
     val failed = Seq.newBuilder[String]
     var sinceGc = 0
@@ -133,6 +137,7 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       a.compiles += CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0
+      a.compilesRuns ::= CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cc0
       a.genUnits += CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - ct0
       a.gcMs += gcMillis() - gc0
       a.leaked += leftovers.size
@@ -170,9 +175,18 @@ object Bench {
     // one-sided, so median-min gaps localize noise without a profiler
     val qsMin = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => fmt(t._2)) }
       .mkString("{", ",", "}")
+    // raw per-run times in run order: driver-JVM contention swings
+    // identical binaries ~1.6x run-to-run, so the artifact carries the
+    // evidence needed to separate contention (one outlier run) from
+    // regression (all runs slow) in one read
+    val qsRuns = names.map { case (k, _) =>
+      s"\"" + k + "\":" + acc(k).times.reverse.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val qsDiag = results.map { case (k, _, d) =>
-      s"\"" + k + "\":" + d.toSeq.sortBy(_._1)
-        .map { case (dk, dv) => s"\"$dk\":$dv" }.mkString("{", ",", "}")
+      val runsArr = acc(k).compilesRuns.reverse.mkString("[", ",", "]")
+      s"\"" + k + "\":" + (d.toSeq.sortBy(_._1)
+        .map { case (dk, dv) => s"\"$dk\":$dv" } :+ s"\"compilesRuns\":$runsArr")
+        .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val failedQueries = failed.result().distinct
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -186,7 +200,7 @@ object Bench {
     // printed for full-stdout captures and written to a file the repo
     // commits, so the full maps always survive.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","failed":$failedJson,"queries_min":$qsMin,"queries":$qs,"diag":$qsDiag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","failed":$failedJson,"queries_min":$qsMin,"queries":$qs,"queries_med":$qs,"queries_runs":$qsRuns,"diag":$qsDiag}"""
     System.out.println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

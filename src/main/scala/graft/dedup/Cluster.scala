@@ -62,24 +62,7 @@ object Cluster {
     // first so the checkpoint job reads the cache instead of recomputing
     // the round's lineage, then the releaser drops the cache — the
     // checkpoint files (caller's durable dir) take over.
-    def cp(df: DataFrame): (DataFrame, () => Unit) =
-      if (reliable) {
-        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        (cached.checkpoint(false), () => { cached.unpersist(false); () })
-      } else {
-        val out = df.localCheckpoint(false)
-        // the checkpointed internal RDD sits inside the returned plan as
-        // a LogicalRDD leaf — pull it out DIRECTLY and release exactly
-        // that. (The previous form diffed the JVM-global persistent-RDD
-        // registry around the call, which captured any RDD a CONCURRENT
-        // driver thread persisted in the window — Rounds.runAll,
-        // forkBranches, a streaming query — and later unpersisted it
-        // mid-computation under that thread's feet.)
-        val ckRdds = out.queryExecution.analyzed.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }
-        (out, () => ckRdds.foreach(_.unpersist(false)))
-      }
+    val cp = graft.operators.Checkpoints.truncating(reliable) _
 
     // materialize the (possibly expensive) edge pipeline ONCE before the
     // symmetrizing union — unionAll(edges, edges.swapped) would otherwise

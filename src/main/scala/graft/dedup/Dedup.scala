@@ -238,16 +238,23 @@ object Dedup {
     val idx = boundedBuckets(
       index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
       Seq("_band", "_bucket"), maxBucket, "minhash_inc_index", cache = false)
-    val vsCorpus = banded.join(idx, Seq("_band", "_bucket"))
-      .filter(estJaccard(col("_sig"), col("_isig")) >= threshold)
+    // ONE candidate join: the right side unions the corpus index (always
+    // eligible to kill a batch doc — _rid null) with the batch itself
+    // (kills only LARGER ids: the deterministic keep-smallest-id rule).
+    // One join + one verification filter instead of two joins + a result
+    // union — half the exchanges and codegen stages of the r7 shape, same
+    // candidates. No distinct before the anti-join: left_anti semantics
+    // absorb duplicate drop ids, so the extra exchange bought nothing.
+    val idType = batch.schema(id).dataType
+    val right = idx.select(col("_band"), col("_bucket"), col("_isig"),
+        lit(null).cast(idType).as("_rid"))
+      .unionByName(banded.select(col("_band"), col("_bucket"),
+        col("_sig").as("_isig"), col("_id").as("_rid")))
+    val dropIds = banded.join(right, Seq("_band", "_bucket"))
+      .filter((col("_rid").isNull || col("_rid") < col("_id")) &&
+        estJaccard(col("_sig"), col("_isig")) >= threshold)
       .select(col("_id"))
-    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
-    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
-    val withinBatch = a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
-      .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
-      .select(col("b").as("_id"))
-    batch.join(vsCorpus.unionAll(withinBatch).distinct(),
-      batch(id) === col("_id"), "left_anti")
+    batch.join(dropIds, batch(id) === col("_id"), "left_anti")
   }
 
   /** Banded SimHash rows: (_band, _bucket, _id, _sig) — pigeonhole blocks
@@ -292,16 +299,18 @@ object Dedup {
     val idx = boundedBuckets(
       index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
       Seq("_band", "_bucket"), maxBucket, "simhash_inc_index", cache = false)
-    val vsCorpus = banded.join(idx, Seq("_band", "_bucket"))
-      .filter(bit_count(col("_sig").bitwiseXOR(col("_isig"))) <= maxHamming)
+    // one unified candidate join (see [[minhashIncremental]]): corpus
+    // rows kill any batch doc (_rid null), batch rows kill larger ids
+    val idType = batch.schema(id).dataType
+    val right = idx.select(col("_band"), col("_bucket"), col("_isig"),
+        lit(null).cast(idType).as("_rid"))
+      .unionByName(banded.select(col("_band"), col("_bucket"),
+        col("_sig").as("_isig"), col("_id").as("_rid")))
+    val dropIds = banded.join(right, Seq("_band", "_bucket"))
+      .filter((col("_rid").isNull || col("_rid") < col("_id")) &&
+        bit_count(col("_sig").bitwiseXOR(col("_isig"))) <= maxHamming)
       .select(col("_id"))
-    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
-    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
-    val withinBatch = a.join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
-      .select(col("b").as("_id"))
-    batch.join(vsCorpus.unionAll(withinBatch).distinct(),
-      batch(id) === col("_id"), "left_anti")
+    batch.join(dropIds, batch(id) === col("_id"), "left_anti")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
@@ -409,7 +418,12 @@ object Dedup {
     val ps = VectorFunctions.planes(seed, nPlanes, dim)
     val sigs = df.select(col(id).as("_id"), vec.cast("array<double>").as("_v"),
       VectorFunctions.hyperplaneSig(vec, ps).as("_bucket"))
-    val guarded = boundedBuckets(sigs, Seq("_bucket"), maxBucket, "embedding_buckets")
+    // cacheInput=false: the hyperplane signature is 8 dot products per
+    // row — recomputing it for the guard's counts pass is cheaper than a
+    // second full cache fill of the vectors (the r6 double-persist 4x'd
+    // this operator vs r5)
+    val guarded = boundedBuckets(sigs, Seq("_bucket"), maxBucket,
+      "embedding_buckets", cacheInput = false)
     val a = guarded.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
     val b = guarded.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
     a.hint("merge").join(b, "_bucket").filter(col("a") < col("b"))
@@ -452,17 +466,26 @@ object Dedup {
       Seq("_bucket"), maxBucket, "embedding_inc_batch")
     val idx = boundedBuckets(index.select(col("_bucket"), col("_q")),
       Seq("_bucket"), maxBucket, "embedding_inc_index", cache = false)
-    val vsCorpus = sigs.join(idx, "_bucket")
-      .filter(VectorFunctions.cosineFused(col("_v"),
-        VectorFunctions.dequantizeInt8(col("_q"))) >= threshold)
+    // one unified candidate join (see [[minhashIncremental]]): corpus
+    // rows carry int8 codes (_rv null), batch rows carry their doubles
+    // (_q null) — only buckets, codes and batch vectors cross the
+    // exchange; the coalesce dequantizes corpus codes inside the
+    // verification filter, after the shuffle, exactly as before
+    val idType = batch.schema(id).dataType
+    val qType = index.schema("_q").dataType
+    val right = idx.select(col("_bucket"), col("_q"),
+        lit(null).cast("array<double>").as("_rv"),
+        lit(null).cast(idType).as("_rid"))
+      .unionByName(sigs.select(col("_bucket"),
+        lit(null).cast(qType).as("_q"), col("_v").as("_rv"),
+        col("_id").as("_rid")))
+    val dropIds = sigs.join(right, "_bucket")
+      .filter((col("_rid").isNull || col("_rid") < col("_id")) &&
+        VectorFunctions.cosineFused(col("_v"),
+          coalesce(VectorFunctions.dequantizeInt8(col("_q")), col("_rv")))
+          >= threshold)
       .select(col("_id"))
-    val a = sigs.select(col("_bucket"), col("_id").as("a"), col("_v").as("va"))
-    val b = sigs.select(col("_bucket"), col("_id").as("b"), col("_v").as("vb"))
-    val withinBatch = a.join(b, "_bucket").filter(col("a") < col("b"))
-      .filter(VectorFunctions.cosineFused(col("va"), col("vb")) >= threshold)
-      .select(col("b").as("_id"))
-    batch.join(vsCorpus.unionAll(withinBatch).distinct(),
-      batch(id) === col("_id"), "left_anti")
+    batch.join(dropIds, batch(id) === col("_id"), "left_anti")
   }
 
   /** Drop buckets with more than `bound` members; the number of ROWS in
@@ -471,7 +494,7 @@ object Dedup {
     * bucket count) so oversize buckets are visible, not silent.
     */
   private[graft] def boundedBuckets(df: DataFrame, keys: Seq[String], bound: Int,
-      name: String, cache: Boolean = true): DataFrame = {
+      name: String, cache: Boolean = true, cacheInput: Boolean = true): DataFrame = {
     val kcols = keys.map(col)
     // Shuffle COUNTS, not rows: per-bucket sizes partial-aggregate
     // map-side (8-byte keys + longs cross the exchange), and the
@@ -482,15 +505,20 @@ object Dedup {
     // filter dropped it — surviving only by spilling, at the exact scale
     // the guard exists for.
     //
-    // With `cache` (default), TWO frames are persisted HERE, not by
+    // With `cache` (default), up to TWO frames are persisted HERE, not by
     // callers:
-    // - the input: the counts side and the anti-join probe read one
-    //   materialization of the possibly-expensive banding computation,
-    //   and — critically — the cache boundary is an optimizer leaf, so
-    //   PushDownLeftSemiAntiJoin cannot push the guard's anti-join below
-    //   a Union inside `df` (measured: that rewrite clones the whole
-    //   counts subtree, broadcast build and all, into EVERY union
-    //   branch — a quadratic plan blow-up on unioned batches);
+    // - the input (`cacheInput`, default true): the counts side and the
+    //   anti-join probe read one materialization of the possibly-expensive
+    //   banding computation, and — critically — the cache boundary is an
+    //   optimizer leaf, so PushDownLeftSemiAntiJoin cannot push the
+    //   guard's anti-join below a Union inside `df` (measured: that
+    //   rewrite clones the whole counts subtree, broadcast build and all,
+    //   into EVERY union branch — a quadratic plan blow-up on unioned
+    //   batches). Pass cacheInput=false when the banding is cheap to
+    //   recompute (e.g. hyperplane signs: 8 dot products per row) and the
+    //   input holds no Union — the counts pass then re-runs the banding
+    //   once instead of paying a second full cache fill (the r6
+    //   double-persist 4x'd dedup_embedding vs r5);
     // - the guarded OUTPUT: every consumer of this frame (the callers
     //   all self-join it, referencing it twice) reads one run of the
     //   counts + broadcast-anti-join subtree instead of re-executing it
@@ -501,7 +529,8 @@ object Dedup {
     // materializing would cost more than a second pass — e.g. a banded
     // INDEX, whose per-band signature duplication makes the cache ~16x
     // the source data.
-    val cached = if (cache) graft.Caches.track(df.persist()) else df
+    val cached =
+      if (cache && cacheInput) graft.Caches.track(df.persist()) else df
     val over = col("_bucket_size") > bound
     val overKeys = cached.groupBy(kcols: _*)
       .agg(count(lit(1)).as("_bucket_size"))

@@ -108,9 +108,11 @@ object Graphs {
     * holds in-edges and the rank vector never loses membership.
     */
   def pageRank(edges: DataFrame, src: String, dst: String, iterations: Int,
-      scale: Long = 1000000L, damp: Long = 850000L): DataFrame = {
+      scale: Long = 1000000L, damp: Long = 850000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(scale > damp && damp > 0, "pageRank: need scale > damp > 0")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // canonicalize BEFORE distinct — a reversed duplicate (a,b)/(b,a)
     // must collapse to one undirected edge, or its contributions double.
     // Persisted: the symmetrizing union references it twice and the
@@ -147,17 +149,13 @@ object Graphs {
     // Cluster.connectedComponents): a persist alone leaves the logical
     // plan nesting every previous round, so analysis + codegen re-walk a
     // growing tree each iteration (measured: round time tripling by
-    // round 5 at sf0.1). localCheckpoint cuts the lineage to a LogicalRDD
-    // leaf; each round releases its predecessor's blocks, and the LAST
-    // round's blocks are handed to Caches so the session-level clear
-    // frees them after the caller consumes the result.
-    def lcp(df: DataFrame): (DataFrame, () => Unit) = {
-      val out = df.localCheckpoint(false)
-      val ck = out.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-      (out, () => ck.foreach(_.unpersist(false)))
-    }
+    // round 5 at sf0.1). Each round releases its predecessor's blocks,
+    // and the LAST round's blocks are handed to Caches so the
+    // session-level clear frees them after the caller consumes the
+    // result. With `checkpointDir` set the rounds are RELIABLE
+    // checkpoints in durable storage (executor loss mid-loop is
+    // recoverable); unset, fast executor-local localCheckpoint blocks.
+    val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
     var release: () => Unit = () => ()
     for (_ <- 1 to iterations) {
       val contrib = e
@@ -199,9 +197,11 @@ object Graphs {
     */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
       sources: DataFrame, sourceCol: String, iterations: Int,
-      scale: Long = 1000000L, damp: Long = 850000L): DataFrame = {
+      scale: Long = 1000000L, damp: Long = 850000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
     require(scale > damp && damp > 0, "personalizedPageRank: need scale > damp > 0")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val undir = graft.Caches.track(
       edges.select(least(col(src), col(dst)).as("u"),
           greatest(col(src), col(dst)).as("v"))
@@ -223,13 +223,7 @@ object Graphs {
           coalesce(col("_vseed"), lit(0L)).as("_vseed"))
         .persist())
     e.count()
-    def lcp(df: DataFrame): (DataFrame, () => Unit) = {
-      val out = df.localCheckpoint(false)
-      val ck = out.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-      (out, () => ck.foreach(_.unpersist(false)))
-    }
+    val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
     var ranks = e.select(col("u").as("_n")).distinct()
       .join(seeds.select(col("v").as("_n"), col("_vseed")), Seq("_n"), "left")
       .select(col("_n"),
@@ -271,8 +265,10 @@ object Graphs {
     * frontier empties, so maxHops is a bound, not a cost.
     */
   def bfsDistances(edges: DataFrame, src: String, dst: String,
-      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+      sources: DataFrame, sourceCol: String, maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0, "bfsDistances: maxHops must be >= 0")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val undir = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col("u") =!= col("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
@@ -280,13 +276,7 @@ object Graphs {
       undir.union(undir.select(col("v").as("u"), col("u").as("v")))
         .distinct().persist())
     e.count()
-    def lcp(df: DataFrame): (DataFrame, () => Unit) = {
-      val out = df.localCheckpoint(false)
-      val ck = out.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-      (out, () => ck.foreach(_.unpersist(false)))
-    }
+    val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
     val (seed, seedRelease) = lcp(
       sources.select(col(sourceCol).cast("long").as("node"))
         .filter(col("node").isNotNull).distinct()

@@ -174,14 +174,19 @@ object Maintain {
         .as("_d_topk"))
     val merged = aggG.join(dAgg, groups, "full_outer")
     // untouched groups keep their array; touched groups re-aggregate the
-    // union of the two k-bounded arrays
-    val both = merged.filter(col(topkCol).isNotNull && col("_d_topk").isNotNull)
+    // union of the two k-bounded arrays. Groups where BOTH arrays are
+    // empty (all-null scores) must pass through, not re-aggregate: the
+    // explode of an empty concat yields zero rows and would silently
+    // drop the group, where a full recompute keeps it with [].
+    val reagg = col(topkCol).isNotNull && col("_d_topk").isNotNull &&
+      (size(col(topkCol)) + size(col("_d_topk"))) > 0
+    val both = merged.filter(reagg)
       .select(groups.map(col) :+
         explode(concat(col(topkCol), col("_d_topk"))).as("_p"): _*)
       .groupBy(groups.map(col): _*)
       .agg(graft.functions.AggExpressions.topkPairAgg(
         col("_p.score"), col("_p.id"), k).as(topkCol))
-    val oneSided = merged.filter(col(topkCol).isNull || col("_d_topk").isNull)
+    val oneSided = merged.filter(!reagg)
       .select(groups.map(col) :+
         coalesce(col(topkCol), col("_d_topk")).as(topkCol): _*)
     both.unionByName(oneSided)

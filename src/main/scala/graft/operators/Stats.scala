@@ -70,5 +70,8 @@ object Stats {
         (first(col("_t1")) * first(col("_t2")) * 2).cast(d38).as("tvd_den"),
         first(col("_t1")).cast("long").as("n_baseline"),
         first(col("_t2")).cast("long").as("n_current"))
+      // a Spark global agg over zero rows yields one all-null row; the
+      // relational answer (and the GROUP-BY oracle) is zero rows — drop it
+      .filter(col("tvd_den").isNotNull)
   }
 }

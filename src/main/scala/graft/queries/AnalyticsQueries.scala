@@ -138,6 +138,24 @@ object AnalyticsQueries {
       graft.operators.Graphs.triangleCount(pairs, "a", "b")
     },
 
+    /** The `triangle_count` EDGE SOURCE alone (dist-1 fuzzy self-join →
+      * canonical undirected edge set → count): benched separately so the
+      * graph kernel's cost is `triangle_count` minus this — the dist-1
+      * join dominates the combined query's wall time, and without the
+      * split a kernel regression hides inside (and a join regression is
+      * blamed on) the triangle count.
+      */
+    "triangle_edges_build" -> { (s, dir) =>
+      val pairs = FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+        col("c_custkey"), col("c_name"))
+      pairs.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct()
+        .agg(count(lit(1)).as("n_edges"))
+    },
+
     /** Multi-source BFS hop distances ([[graft.operators.Graphs
       * .bfsDistances]]) over the part–supplier fulfillment graph (an edge
       * per distinct lineitem (part, supplier) pair; supplier ids
@@ -594,6 +612,18 @@ object AnalyticsQueries {
         |        FROM pairs e1
         |        JOIN pairs e2 ON e1.b = e2.a
         |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+    "triangle_edges_build" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |   AND levenshtein(a.c_name, b.c_name) <= 1
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM (
+        |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM pairs WHERE a <> b
+        |)""".stripMargin,
     "shortest_path" ->
       """WITH RECURSIVE e AS (
         |  SELECT l_partkey AS u, 10000000 + l_suppkey AS v FROM lineitem

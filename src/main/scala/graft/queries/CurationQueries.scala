@@ -765,10 +765,14 @@ object CurationQueries {
         |  FROM embeddings WHERE vec_id < 10
         |),
         |contaminated AS (
+        |  -- cosine in DOUBLE (float storage, double math) — the engine
+        |  -- casts to array<double> before the fused cosine, so a vector
+        |  -- within float rounding of the threshold classifies identically
         |  SELECT DISTINCT c.vec_id
         |  FROM corpus c, embeddings b
         |  WHERE b.vec_id < 25
-        |    AND list_cosine_similarity(c.embedding, b.embedding) >= 0.40
+        |    AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.40
         |)
         |SELECT vec_id FROM corpus
         |WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)""".stripMargin,

@@ -561,7 +561,11 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
       graft.operators.AsOf.asofJoin(clicks, dim, Seq("user_id"),
           leftTime = "ts", rightTime = "valid_from",
-          rightPayload = Seq("version_id"))
+          rightPayload = Seq("version_id"),
+          // two purchases at the same ts produce two versions with equal
+          // valid_from; the oracle's zero-width-interval semantics pick
+          // the max version_id — make the engine deterministic to match
+          rightTieBreak = Seq("version_id"))
         .select(col("user_id"), col("click_id"), col("version_id"))
     },
 

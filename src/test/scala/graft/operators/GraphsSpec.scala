@@ -146,4 +146,49 @@ class GraphsSpec extends SparkSpec {
   test("bfs: edgeless source still reports itself at hop 0") {
     assert(bfs(Seq(9L), 4, (1L, 2L)) === Map(9L -> 0L))
   }
+
+  test("checkpointDir: rounds become RELIABLE checkpoints, results unchanged") {
+    // a lost executor mid-loop must be recoverable from durable storage:
+    // with checkpointDir set the per-round truncation goes through
+    // checkpoint() (files under the dir), not localCheckpoint (blocks) —
+    // assert the checkpoint files actually appear AND every result is
+    // bit-identical to the local-blocks path
+    val dir = java.nio.file.Files.createTempDirectory("graft_gck").toFile
+    def rddDirs(): Int = {
+      def walk(f: java.io.File): Int =
+        if (!f.isDirectory) 0
+        else (if (f.getName.startsWith("rdd-")) 1 else 0) +
+          Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      walk(dir)
+    }
+    try {
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      val prPlain = pr(3, edges: _*)
+      val prRel = Graphs.pageRank(g(edges: _*), "s", "d", 3,
+          checkpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(prRel === prPlain)
+      assert(rddDirs() >= 3, "each pageRank round should write a reliable checkpoint")
+      val before = rddDirs()
+      val bfsPlain = bfs(Seq(1L), 4, edges: _*)
+      val bfsRel = Graphs.bfsDistances(g(edges: _*), "s", "d",
+          Seq(1L).toDF("n"), "n", 4, checkpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(bfsRel === bfsPlain)
+      assert(rddDirs() > before, "bfs rounds should write reliable checkpoints")
+      val seeds = Seq(1L).toDF("n")
+      val pprPlain = Graphs.personalizedPageRank(g(edges: _*), "s", "d",
+        seeds, "n", 3).as[(Long, Long)].collect().toMap
+      val pprRel = Graphs.personalizedPageRank(g(edges: _*), "s", "d",
+          seeds, "n", 3, checkpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(pprRel === pprPlain)
+    } finally {
+      graft.Caches.clear(spark, blocking = true)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
