@@ -4,6 +4,26 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The per-query leak gate: after [[Caches.clear]] NOTHING an operator
+    * persisted may remain — an untracked persist silently taxes every
+    * later query in the session (round 4's 8-15x bench regressions).
+    * Returns true (a leak) after force-dropping the leftovers so one
+    * query's leak can't also tax the next; `main` fails the whole dump
+    * when any query leaked, so the offending operator is named in CI the
+    * day it lands.
+    */
+  private[graft] def leakCheck(spark: SparkSession, name: String): Boolean = {
+    Caches.clear(spark, blocking = true)
+    val left = spark.sparkContext.getPersistentRDDs
+    if (left.nonEmpty) {
+      System.err.println(
+        s"[verify] LEAK: $name left ${left.size} persisted RDD(s) after Caches.clear")
+      left.values.foreach(_.unpersist(true))
+    }
+    left.nonEmpty
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,14 +83,7 @@ object Verify {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None) => spark.conf.unset(k)
         }
-        Caches.clear(spark, blocking = true)
-        val left = spark.sparkContext.getPersistentRDDs
-        if (left.nonEmpty) {
-          leaks ::= name
-          System.err.println(
-            s"[verify] LEAK: $name left ${left.size} persisted RDD(s) after Caches.clear")
-          left.values.foreach(_.unpersist(true))
-        }
+        if (leakCheck(spark, name)) leaks ::= name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
