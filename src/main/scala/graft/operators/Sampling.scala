@@ -47,6 +47,34 @@ object Sampling {
     df.withColumn(out, expr)
   }
 
+  /** [[deterministicSplit]] that is LEAKAGE-SAFE under near-duplication:
+    * all members of a duplicate cluster land in the SAME split. Splitting
+    * by per-document hash silently leaks — a train document's near-copy
+    * in the test split is exactly the contamination the dedup pass
+    * exists to prevent, and a 100 TB corpus at a few percent duplication
+    * leaks millions of documents that way. Here the split hash runs on
+    * the cluster CANONICAL id (connected components over the near-dup
+    * pair graph, min member id), so near-dups co-travel by construction;
+    * unclustered documents hash their own id — identical to
+    * [[deterministicSplit]] for them.
+    *
+    * Scale shape: the pair graph is already sparse (a dedup candidate
+    * output); CC is the pointer-jumping rounds of
+    * [[graft.dedup.Cluster.connectedComponents]]; the assignment join is
+    * a left join on 8-byte ids. Output adds `group_id` (the hash
+    * domain) and `out` (the split label).
+    */
+  def dedupSafeSplit(df: DataFrame, id: String, pairs: DataFrame,
+      a: String, b: String, weights: Seq[(String, Int)],
+      out: String = "split"): DataFrame = {
+    val comp = graft.dedup.Cluster.connectedComponents(pairs, a, b)
+      .select(col("id").as(id), col("comp").as("_comp"))
+    val grouped = df.join(comp, Seq(id), "left")
+      .withColumn("group_id", coalesce(col("_comp"), col(id).cast("long")))
+      .drop("_comp")
+    deterministicSplit(grouped, col("group_id"), weights, out)
+  }
+
   /** At most `k` records per group, chosen deterministically by hash order
     * (a uniform sample, not "first k in storage order"). One shuffle on the
     * group keys; Spark's WindowGroupLimit prunes to k per group map-side

@@ -72,6 +72,45 @@ object AnalyticsQueries {
         col("c_custkey"), col("c_name"))
     },
 
+    /** Blocked multi-field entity resolution ([[graft.operators
+      * .EntityLink.bestLinks]], Fellegi–Sunter integer agreement
+      * weights): customers vs a deterministically corrupted replica in a
+      * DIFFERENT id space — no shared key, so linkage goes through
+      * fields. Two blocking passes (name prefix; nation + balance band)
+      * cover single-field corruption; candidates are id-only until
+      * scoring; the oracle replays blocking, scoring and the
+      * (score, id)-maximal pick digit-for-digit.
+      */
+    "entity_resolution" -> { (s, dir) =>
+      val master = table(s, dir, "customer")
+      val dirty = table(s, dir, "customer")
+        .filter(col("c_custkey") % 13 =!= 0)
+        .select(
+          (col("c_custkey") * 2 + 1000001L).as("d_id"),
+          when(col("c_custkey") % 7 === 0,
+            concat(substring(col("c_name"), 1, 11), lit("X"),
+              substring(col("c_name"), 13, 6)))
+            .otherwise(col("c_name")).as("d_name"),
+          col("c_nationkey").as("d_nationkey"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.5)
+            .otherwise(col("c_acctbal")).as("d_acctbal"),
+          when(col("c_custkey") % 3 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")).as("d_mktsegment"))
+      val score =
+        when(col("c_name") === col("d_name"), 50)
+          .when(levenshtein(col("c_name"), col("d_name")) <= 1, 35)
+          .otherwise(0) +
+        when(col("c_nationkey") === col("d_nationkey"), 15).otherwise(0) +
+        when(abs(col("c_acctbal") - col("d_acctbal")) <= 1.0, 20).otherwise(0) +
+        when(col("c_mktsegment") === col("d_mktsegment"), 10).otherwise(0)
+      graft.operators.EntityLink.bestLinks(master, dirty, "c_custkey", "d_id",
+        blockKeys = Seq(
+          (substring(col("c_name"), 1, 17), substring(col("d_name"), 1, 17)),
+          (struct(col("c_nationkey"), floor(col("c_acctbal") / 100)),
+            struct(col("d_nationkey"), floor(col("d_acctbal") / 100)))),
+        score = score, threshold = 60)
+    },
+
     /** Merkle-style replica reconciliation ([[graft.operators.Repair
       * .diff]]): orders vs a drifted copy (updates + deletes + inserts);
       * bucket fingerprints disagree first, then the exact row diff runs
@@ -551,6 +590,47 @@ object AnalyticsQueries {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "entity_resolution" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey * 2 + 1000001 AS d_id,
+        |         CASE WHEN c_custkey % 7 = 0
+        |              THEN substr(c_name, 1, 11) || 'X' || substr(c_name, 13, 6)
+        |              ELSE c_name END AS d_name,
+        |         c_nationkey AS d_nationkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.5
+        |              ELSE c_acctbal END AS d_acctbal,
+        |         CASE WHEN c_custkey % 3 = 0 THEN 'UNKNOWN'
+        |              ELSE c_mktsegment END AS d_mktsegment
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |), cand AS (
+        |  SELECT c.c_custkey, d.d_id
+        |  FROM customer c JOIN dirty d
+        |    ON substr(c.c_name, 1, 17) = substr(d.d_name, 1, 17)
+        |  UNION
+        |  SELECT c.c_custkey, d.d_id
+        |  FROM customer c JOIN dirty d
+        |    ON c.c_nationkey = d.d_nationkey
+        |   AND FLOOR(c.c_acctbal / 100) = FLOOR(d.d_acctbal / 100)
+        |), scored AS (
+        |  SELECT cand.d_id, cand.c_custkey,
+        |         (CASE WHEN c.c_name = d.d_name THEN 50
+        |               WHEN levenshtein(c.c_name, d.d_name) <= 1 THEN 35
+        |               ELSE 0 END
+        |          + CASE WHEN c.c_nationkey = d.d_nationkey THEN 15 ELSE 0 END
+        |          + CASE WHEN abs(c.c_acctbal - d.d_acctbal) <= 1.0 THEN 20 ELSE 0 END
+        |          + CASE WHEN c.c_mktsegment = d.d_mktsegment THEN 10 ELSE 0 END
+        |         ) AS link_score
+        |  FROM cand
+        |  JOIN customer c USING (c_custkey)
+        |  JOIN dirty d USING (d_id)
+        |), best AS (
+        |  SELECT d_id, c_custkey, link_score,
+        |         row_number() OVER (PARTITION BY d_id
+        |             ORDER BY link_score DESC, c_custkey DESC) AS rn
+        |  FROM scored WHERE link_score >= 60
+        |)
+        |SELECT d_id, c_custkey, CAST(link_score AS INT) AS link_score
+        |FROM best WHERE rn = 1""".stripMargin,
     "replica_diff" ->
       """WITH l AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders

@@ -751,6 +751,59 @@ object NorthStarQueries {
             .as("keep_id"))
     },
 
+    /** Leakage-safe train/val/test split ([[graft.operators.Sampling
+      * .dedupSafeSplit]]): near-duplicate clusters (the `dedup_clusters`
+      * pair graph) co-travel into ONE split — a per-document hash would
+      * put a train document's near-copy in test, exactly the
+      * contamination dedup exists to prevent. The split hash runs on the
+      * cluster canonical id; the oracle replays clustering (recursive
+      * CTE) and the engine-stable ring digit-for-digit.
+      */
+    "split_dedup_safe" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val pairs = Dedup.ngramJaccard(docs, id = "doc_id",
+        shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
+        .select(col("a"), col("b"))
+      graft.operators.Sampling.dedupSafeSplit(
+        docs.select(col("doc_id")), "doc_id", pairs, "a", "b",
+        weights = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("group_id"), col("split"))
+    },
+
+    /** Quality-classifier inference ([[graft.operators.LinearModel
+      * .score]]): fasttext/logreg-style scoring of every document against
+      * a term→weight table — the weight table here is a deterministic
+      * stand-in for a trained model (the engine owns the SCORING pass,
+      * not training). Fixed-point integer margins, so the full margin
+      * column hash-matches the oracle's replay.
+      */
+    "quality_linear" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val weights = docs.select(explode(col("_toks")).as("term")).distinct()
+        .select(col("term"),
+          ((length(col("term")) * 137 + ascii(col("term")) * 31
+            + ascii(reverse(col("term"))) * 17) % 1001 - 500)
+            .cast("long").as("weight_fp"))
+      graft.operators.LinearModel.score(
+        docs.select(col("doc_id"), col("_toks")), "doc_id",
+        col("_toks"), weights, biasFp = 0L)
+        .select(col("doc_id"), col("margin_fp"), col("margin_fp_keep"))
+    },
+
+    /** Top-20 collocations by exact fixed-point PMI ([[graft.operators
+      * .Collocations.pmiTopK]]): adjacent-pair and unigram tallies are
+      * counts-only exchanges, the score is the floor-divided rational
+      * c(x,y)·N·10⁶ / (c(x)·c(y)) — no log, no float, engine-exact.
+      */
+    "collocations" -> { (s, dir) =>
+      graft.operators.Collocations.pmiTopK(
+        tableSpread(s, dir, "documents")
+          .withColumn("_toks", TextFunctions.tokens(col("text"))),
+        col("_toks"), minCount = 5, k = 20)
+    },
+
     /** BM25 top-5 documents for three query terms. The float score stays
       * internal (engine ln/division ulps differ); the output contract is
       * the ranking with a deterministic id tie-break, which the DuckDB
@@ -1255,6 +1308,99 @@ object NorthStarQueries {
         |)
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
         |FROM reach GROUP BY src""".stripMargin,
+    "split_dedup_safe" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
+        |), ex AS (
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT p.a, p.b
+        |  FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.5
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src
+        |), g AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |), b AS (
+        |  SELECT doc_id, group_id,
+        |         ((((((group_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + (group_id & 65535) * 2654435761) % 4294967296) % 100 AS bucket
+        |  FROM g
+        |)
+        |SELECT doc_id, group_id,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "quality_linear" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT DISTINCT unnest(ts) AS term FROM toks
+        |), w AS (
+        |  SELECT term,
+        |         CAST((length(term) * 137 + ascii(term) * 31
+        |               + ascii(reverse(term)) * 17) % 1001 - 500 AS BIGINT) AS weight_fp
+        |  FROM vocab
+        |), ex AS (
+        |  SELECT doc_id, unnest(ts) AS term FROM toks
+        |), m AS (
+        |  SELECT e.doc_id, CAST(SUM(w.weight_fp) AS BIGINT) AS margin_fp
+        |  FROM ex e JOIN w USING (term) GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(m.margin_fp, 0) AS margin_fp,
+        |       COALESCE(m.margin_fp, 0) >= 0 AS margin_fp_keep
+        |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin,
+    "collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents
+        |), bi AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |                i -> struct_pack(x := ts[i], y := ts[i+1]))) AS p
+        |  FROM toks
+        |), bc AS (
+        |  SELECT p.x AS x, p.y AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM bi GROUP BY 1, 2
+        |), un AS (
+        |  SELECT unnest(ts) AS t FROM toks
+        |), uc AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM un GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(SUM(n_xy) AS HUGEINT) AS n FROM bc
+        |)
+        |SELECT bc.x, bc.y, bc.n_xy,
+        |       CAST((CAST(bc.n_xy AS HUGEINT) * nn.n * 1000000)
+        |            // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_fp
+        |FROM bc JOIN uc a ON bc.x = a.t JOIN uc b ON bc.y = b.t
+        |CROSS JOIN nn
+        |WHERE bc.n_xy >= 5
+        |ORDER BY score_fp DESC, bc.x DESC, bc.y DESC
+        |LIMIT 20""".stripMargin,
     "dedup_canonical" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
