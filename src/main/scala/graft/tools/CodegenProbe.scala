@@ -50,9 +50,9 @@ object CodegenProbe {
     appender.start()
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val cfg = ctx.getConfiguration
-    val genLogger = "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"
-    Configurator.setLevel(genLogger, Level.DEBUG)
-    cfg.getRootLogger.addAppender(appender, Level.DEBUG, null)
+    val genLogger = "org.apache.spark.sql.catalyst.expressions.codegen"
+    Configurator.setLevel(genLogger, Level.TRACE)
+    cfg.getRootLogger.addAppender(appender, Level.TRACE, null)
     ctx.updateLoggers()
 
     names.foreach { n =>

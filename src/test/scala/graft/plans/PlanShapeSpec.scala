@@ -752,4 +752,44 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(partialAggs.nonEmpty, plan.toString)
   }
+
+  test("entity linkage: blocked equi-joins only — no cartesian product") {
+    val master = GraftSession.table(spark, dir, "customer")
+    val dirty = master.select(col("c_custkey").as("d_id"),
+      col("c_name").as("d_name"), col("c_nationkey").as("d_nationkey"))
+    val q = graft.operators.EntityLink.bestLinks(master, dirty, "c_custkey", "d_id",
+      blockKeys = Seq((substring(col("c_name"), 1, 17), substring(col("d_name"), 1, 17))),
+      score = when(col("c_nationkey") === col("d_nationkey"), 60).otherwise(0),
+      threshold = 50)
+    val plan = executed(q)
+    assert(deepCollect(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"all-pairs join in a BLOCKED linkage:\n$plan")
+  }
+
+  test("linear-model scoring: weights broadcast; the corpus is never the build side") {
+    import spark.implicits._
+    val docs = GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val weights = Seq(("data", 10L), ("table", -5L)).toDF("term", "weight_fp")
+    val plan = executed(graft.operators.LinearModel.score(
+      docs, "doc_id", col("toks"), weights))
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"weight table did not broadcast:\n$plan")
+  }
+
+  test("collocations top-k is a TakeOrdered, never a global sort") {
+    val docs = GraftSession.table(spark, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+    val q = graft.operators.Collocations.pmiTopK(docs, col("toks"), 5, 20)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    assert(deepCollect(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, plan.toString)
+    assert(deepCollect(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty, s"global sort where TakeOrdered suffices:\n$plan")
+  }
 }
