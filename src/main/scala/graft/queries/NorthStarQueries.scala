@@ -771,6 +771,36 @@ object NorthStarQueries {
         .select(col("doc_id"), col("group_id"), col("split"))
     },
 
+    /** The leakage audit for `split_dedup_safe`: over the same near-dup
+      * pair graph, count pairs whose endpoints land in DIFFERENT splits
+      * under (a) the cluster-aware split — provably zero, asserted
+      * end-to-end here — and (b) the naive per-document hash split,
+      * where the fixture's organic near-dups DO cross (the contamination
+      * the operator exists to prevent, made visible as a number).
+      */
+    "split_leakage_audit" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val pairs = Dedup.ngramJaccard(docs, id = "doc_id",
+        shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
+        .select(col("a"), col("b"))
+      val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+      val safe = graft.operators.Sampling.dedupSafeSplit(
+        docs.select(col("doc_id")), "doc_id", pairs, "a", "b", w)
+        .select(col("doc_id"), col("split"))
+      val naive = graft.operators.Sampling.deterministicSplit(
+        docs.select(col("doc_id")), col("doc_id"), w)
+        .select(col("doc_id"), col("split"))
+      def cross(assign: org.apache.spark.sql.DataFrame) = pairs
+        .join(assign.select(col("doc_id").as("a"), col("split").as("_sa")), "a")
+        .join(assign.select(col("doc_id").as("b"), col("split").as("_sb")), "b")
+        .filter(col("_sa") =!= col("_sb"))
+      cross(safe).agg(count(lit(1)).as("n_cross_safe"))
+        .crossJoin(cross(naive).agg(count(lit(1)).as("n_cross_naive")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_pairs"), col("n_cross_safe"), col("n_cross_naive"))
+    },
+
     /** Quality-classifier inference ([[graft.operators.LinearModel
       * .score]]): fasttext/logreg-style scoring of every document against
       * a term→weight table — the weight table here is a deterministic
@@ -1355,6 +1385,67 @@ object NorthStarQueries {
         |       CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "split_leakage_audit" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
+        |), ex AS (
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT p.a, p.b
+        |  FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.5
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src
+        |), g AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS gid
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |), bsafe AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ((((((gid & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                    + (gid & 65535) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |              WHEN ((((((gid & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                    + (gid & 65535) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM g
+        |), bnaive AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                    + (doc_id & 65535) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |              WHEN ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |                    + (doc_id & 65535) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p
+        |        JOIN bsafe x ON p.a = x.doc_id JOIN bsafe y ON p.b = y.doc_id
+        |        WHERE x.split <> y.split) AS n_cross_safe,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p
+        |        JOIN bnaive x ON p.a = x.doc_id JOIN bnaive y ON p.b = y.doc_id
+        |        WHERE x.split <> y.split) AS n_cross_naive""".stripMargin,
     "quality_linear" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
