@@ -781,9 +781,12 @@ object NorthStarQueries {
     "split_leakage_audit" -> { (s, dir) =>
       val docs = tableSpread(s, dir, "documents")
         .withColumn("_toks", TextFunctions.tokens(col("text")))
-      val pairs = Dedup.ngramJaccard(docs, id = "doc_id",
+      // cached: the pair graph feeds FIVE subtrees (CC inside the safe
+      // split, both cross-counts' two joins each, and the pair count) —
+      // uncached, the postings-join subtree is cloned into every branch
+      val pairs = graft.Caches.track(Dedup.ngramJaccard(docs, id = "doc_id",
         shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).persist())
       val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
       val safe = graft.operators.Sampling.dedupSafeSplit(
         docs.select(col("doc_id")), "doc_id", pairs, "a", "b", w)
