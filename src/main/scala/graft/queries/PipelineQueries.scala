@@ -344,6 +344,43 @@ object PipelineQueries {
           max(col("o_totalprice")).as("max_price"))
     },
 
+    /** Corrupt-record CSV ingest with quarantine routing ([[graft.sources
+      * .Sources.csvQuarantine]]): a deterministically dirtied feed —
+      * every 97th key drops its last field (wrong token count), every
+      * 89th writes an unparsable price — parses in ONE permissive pass;
+      * malformed lines land in a quarantine port carrying the raw line,
+      * valid rows stay typed. The oracle replays the corruption rule on
+      * the clean table: the engine must reject EXACTLY the planted lines
+      * (n_quarantined rides every row) and aggregate the rest in exact
+      * DECIMAL.
+      */
+    "csv_quarantine" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_csvq_${s.sparkContext.applicationId}"
+      val lines = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType).as("_p"))
+        .select(
+          when(col("o_orderkey") % 97 === 0,
+            concat_ws(",", col("o_orderkey"), col("o_orderstatus")))
+          .when(col("o_orderkey") % 89 === 0,
+            concat_ws(",", col("o_orderkey"), col("o_orderstatus"), lit("notanumber")))
+          .otherwise(concat_ws(",", col("o_orderkey"), col("o_orderstatus"), col("_p")))
+          .as("value"))
+      lines.coalesce(4).write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      val (valid, quarantine) = graft.sources.Sources.csvQuarantine(s, out, schema)
+      valid.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_valid"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_total"))
+        .crossJoin(broadcast(quarantine.agg(count(lit(1)).as("n_quarantined"))))
+        .select(col("o_orderstatus"), col("n_valid"), col("sum_total"),
+          col("n_quarantined"))
+    },
+
     /** JSON-lines Direct I/O round-trip: same transactional path, schema
       * declared on read (same 100 TB no-inference rule as csv).
       */
@@ -933,6 +970,17 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "csv_quarantine" ->
+      """WITH q AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_quarantined FROM orders
+        |  WHERE o_orderkey % 97 = 0 OR o_orderkey % 89 = 0
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_valid,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       (SELECT n_quarantined FROM q) AS n_quarantined
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+        |GROUP BY 1""".stripMargin,
     "json_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price

@@ -33,6 +33,35 @@ object Sources {
     schema.fold(r)(r.schema).load(path)
   }
 
+  /** Direct CSV input with corrupt-record QUARANTINE routing — the
+    * ingest-robustness port pair every external feed needs: a malformed
+    * line (wrong token count, unparsable type) must neither kill a
+    * 100 TB load (FAILFAST) nor vanish (DROPMALFORMED); it lands in a
+    * quarantine port carrying the RAW line for replay/debugging, while
+    * the valid port stays typed. PERMISSIVE parsing with
+    * `_corrupt_record` does the classification inside the scan task —
+    * one pass, no pre-validation read.
+    *
+    * The parsed frame is persisted (and [[graft.Caches]]-tracked)
+    * because Spark disallows filters that reference ONLY the internal
+    * corrupt-record column on a streaming-from-file plan; the cache also
+    * means the two ports share one parse of the input.
+    */
+  def csvQuarantine(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read.options(options)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(path)
+    val cached = graft.Caches.track(raw.persist())
+    val valid = cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantine = cached.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (valid, quarantine)
+  }
+
   /** Escape hatch for sources Spark has no datasource for: any Hadoop
     * `mapreduce.InputFormat` with per-source configuration, converted to a
     * DataFrame record-by-record — the reference's arbitrary direct-input

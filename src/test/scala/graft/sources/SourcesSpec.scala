@@ -44,4 +44,27 @@ class SourcesSpec extends graft.SparkSpec {
     assert(df.count() === 1L)
     assert(spark.sparkContext.hadoopConfiguration.get("graft.test.marker") === null)
   }
+
+  test("csvQuarantine: malformed lines route to quarantine with the raw line; valid stay typed") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvq").toString + "/data"
+    val lines = Seq(
+      "1,O,100.50",   // valid
+      "2,F",          // wrong token count (short)
+      "3,O,notanum",  // type mismatch in the double column
+      "4,P,7.25",     // valid
+      "5,F,1.00,extra" // wrong token count (long)
+    )
+    spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1).write.text(dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val (valid, quarantine) = Sources.csvQuarantine(spark, dir, schema)
+    val v = valid.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(v.toSeq === Seq((1L, "O", 100.50), (4L, "P", 7.25)))
+    val q = quarantine.select(col("raw_line")).collect().map(_.getString(0)).toSet
+    assert(q === Set("2,F", "3,O,notanum", "5,F,1.00,extra"))
+    graft.Caches.clear(spark, blocking = true)
+  }
 }
