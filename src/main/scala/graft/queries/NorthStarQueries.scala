@@ -847,6 +847,26 @@ object NorthStarQueries {
         text = col("text"), terms = Seq("spark", "join", "data"), k = 5)
     },
 
+    /** Retrieval-quality evaluation: MRR@20 of the BM25 ranking against
+      * a deterministic relevance label (doc_id ≡ 3 mod 10) — the eval
+      * loop every search/RAG pipeline runs over its ranking. Reciprocal
+      * rank in fixed point (10⁶ div first-relevant-rank, 0 when no
+      * relevant doc in the cut) so the metric is engine-exact; the
+      * oracle replays ranking, labels, and the integer fold.
+      */
+    "search_mrr" -> { (s, dir) =>
+      import s.implicits._
+      val top = graft.functions.Bm25.topDocs(table(s, dir, "documents"),
+        id = "doc_id", text = col("text"),
+        terms = Seq("spark", "join", "data"), k = 20)
+      val rr = top.filter(col("doc_id") % 10 === 3)
+        .groupBy(col("term")).agg(min(col("rank")).as("_first"))
+      Seq("spark", "join", "data").toDF("term")
+        .join(rr, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(expr("1000000L div _first"), lit(0L)).as("rr_fp"))
+    },
+
     /** Int8-quantized embeddings: 4x smaller storage for the ANN index.
       * The raw fidelity floats are engine-specific (rounding at .5 code
       * boundaries), so the output is the vector count plus a worst-case
@@ -1307,6 +1327,41 @@ object NorthStarQueries {
         |             ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "search_mrr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        |  FROM toks WHERE term <> '' GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+        |), dfr AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM t GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+        |         (t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM t
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  JOIN dfr USING (term)
+        |  WHERE t.term IN ('spark', 'join', 'data')
+        |), ranked AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term
+        |             ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |), firstrel AS (
+        |  SELECT term, MIN(rank) AS first_rel FROM ranked
+        |  WHERE rank <= 20 AND doc_id % 10 = 3 GROUP BY 1
+        |)
+        |SELECT q.term,
+        |       CAST(COALESCE(1000000 // f.first_rel, 0) AS BIGINT) AS rr_fp
+        |FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)
+        |LEFT JOIN firstrel f ON q.term = f.term""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
