@@ -346,7 +346,52 @@ object Dedup {
     * consistent.
     */
   def ngramJaccard(df: DataFrame, id: String, shingles: Column, threshold: Double,
+      maxShingleFreq: Int = 1000): DataFrame =
+    shingleCooccurrence(df, id, shingles, maxShingleFreq, "ngram_postings")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "common", "na", "nb", "jaccard")
+
+  /** Asymmetric near-duplicate CONTAINMENT: pairs where the SMALLER
+    * shingle set is ≥ `threshold` contained in the other —
+    * C = |A∩B| / min(|A|,|B|). Catches what symmetric Jaccard
+    * structurally cannot: a short document quoted inside a long one, a
+    * boilerplate-wrapped copy, a chapter inside its book — J = |∩|/|∪|
+    * stays LOW precisely because the container is big, while C is ~1.
+    * The standard curation companion to [[ngramJaccard]] (quotation /
+    * wrapper dedup).
+    *
+    * Output: (contained, container, common, n_contained, n_container,
+    * containment) — `contained` is the smaller set (equal sizes: the
+    * GREATER id, the deterministic keep-smallest-id rule). Same postings
+    * machinery and df-cut as [[ngramJaccard]]; at 100 TB the scale shape
+    * is identical (counts-only exchanges, bounded pair fan-out).
+    */
+  def containment(df: DataFrame, id: String, shingles: Column, threshold: Double,
       maxShingleFreq: Int = 1000): DataFrame = {
+    val p = shingleCooccurrence(df, id, shingles, maxShingleFreq, "containment_postings")
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+    val aContained = col("na") < col("nb") ||
+      (col("na") === col("nb") && col("a") > col("b"))
+    p.select(
+      when(aContained, col("a")).otherwise(col("b")).as("contained"),
+      when(aContained, col("b")).otherwise(col("a")).as("container"),
+      col("common"),
+      when(aContained, col("na")).otherwise(col("nb")).as("n_contained"),
+      when(aContained, col("nb")).otherwise(col("na")).as("n_container"),
+      col("containment"))
+  }
+
+  /** Shared postings machinery for [[ngramJaccard]] / [[containment]]:
+    * co-occurrence counts per doc pair sharing ≥1 surviving shingle —
+    * (a, b, common, na, nb) with a < b, counts consistent with the
+    * df-cut.
+    */
+  private def shingleCooccurrence(df: DataFrame, id: String, shingles: Column,
+      maxShingleFreq: Int, observeName: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // the postings pair-emitter is typed Dataset[Seq[Long]] — fail with a
@@ -375,8 +420,8 @@ object Dedup {
     // same contract as the banded dedups.
     val overSh = ex.groupBy(col("_sh"))
       .agg(count(lit(1)).as("_df"))
-      .observe("ngram_postings",
-        sum(when(col("_df") > maxShingleFreq, 1L).otherwise(0L)).as("ngram_postings_dropped"))
+      .observe(observeName,
+        sum(when(col("_df") > maxShingleFreq, 1L).otherwise(0L)).as(s"${observeName}_dropped"))
       .filter(col("_df") > maxShingleFreq)
       .select(col("_sh"))
     val postings = graft.Caches.track(
@@ -401,10 +446,7 @@ object Dedup {
     val na = counts.withColumnsRenamed(Map("_id" -> "a", "_n" -> "na"))
     val nb = counts.withColumnsRenamed(Map("_id" -> "b", "_n" -> "nb"))
     pairs.join(na, "a").join(nb, "b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "common", "na", "nb", "jaccard")
+      .select("a", "b", "common", "na", "nb")
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates bucketed by

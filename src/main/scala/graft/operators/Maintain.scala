@@ -239,4 +239,33 @@ object Maintain {
     view.join(changedPks, leftPk, "left_anti")
       .unionByName(joined(upserts))
   }
+
+  /** Incremental golden-record (survivorship) refresh: fold a delta feed
+    * into a stored golden table touching ONLY the delta's keys — the MDM
+    * maintenance step after the initial [[Merge.survivorship]] build.
+    * `deltaWins` places the feed at the TOP of the priority order (a
+    * correction feed overrides stored fields where non-null) or the
+    * BOTTOM (a backfill feed only fills stored nulls). Both extremes
+    * equal the full recompute with the feed added at that priority —
+    * the stored golden field being null means every original source was
+    * null there, so coalesce against the golden IS coalesce against all
+    * of them. A mid-priority feed needs per-field provenance the golden
+    * doesn't carry; that is a rebuild, not a refresh.
+    *
+    * Scale shape: the delta's keys semi/anti-join the golden (pk-only
+    * exchanges, broadcast under AQE for batch-sized deltas); untouched
+    * rows pass through untouched; the survivorship aggregate runs over
+    * touched keys only. Inherits [[Merge.survivorship]]'s
+    * duplicate-pk-within-source fail-by-name guard.
+    */
+  def refreshSurvivorship(golden: DataFrame, delta: DataFrame,
+      pk: Seq[String], fields: Seq[String],
+      deltaWins: Boolean = true): DataFrame = {
+    val keys = delta.select(pk.map(col): _*).distinct()
+    val touched = golden.join(keys, pk, "left_semi")
+    val untouched = golden.join(keys, pk, "left_anti")
+    val order =
+      if (deltaWins) Seq(delta, touched) else Seq(touched, delta)
+    untouched.unionByName(Merge.survivorship(order, pk, fields))
+  }
 }

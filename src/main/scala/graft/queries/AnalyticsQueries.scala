@@ -529,6 +529,34 @@ object AnalyticsQueries {
         (col("c_acctbal") + 100).as("acctbal"))
       graft.operators.Merge.survivorship(Seq(master, feed),
         pk = Seq("c_custkey"), fields = Seq("name", "acctbal"))
+    },
+
+    /** Incremental golden-record refresh ([[graft.operators.Maintain
+      * .refreshSurvivorship]]): a correction feed (verified names, no
+      * balance information) folds into the stored golden table touching
+      * only its keys — delta non-null fields override, delta nulls fall
+      * back to the stored value, untouched keys pass through. Equals the
+      * full recompute with the feed at top priority, which the oracle
+      * replays as one CASE algebra.
+      */
+    "golden_refresh" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val master = c.select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_name"))
+          .as("name"),
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("acctbal"))
+      val feed = c.select(col("c_custkey"),
+        concat(lit("X"), col("c_name")).as("name"),
+        (col("c_acctbal") + 100).as("acctbal"))
+      val golden = graft.operators.Merge.survivorship(Seq(master, feed),
+        pk = Seq("c_custkey"), fields = Seq("name", "acctbal"))
+      val delta = c.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          concat(lit("V"), col("c_name")).as("name"),
+          lit(null).cast("double").as("acctbal"))
+      graft.operators.Maintain.refreshSurvivorship(golden, delta,
+        pk = Seq("c_custkey"), fields = Seq("name", "acctbal"))
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -944,6 +972,14 @@ object AnalyticsQueries {
     "golden_record" ->
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 5 = 0 THEN 'X' || c_name
+        |            ELSE c_name END AS name,
+        |       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS acctbal
+        |FROM customer""".stripMargin,
+    "golden_refresh" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 11 = 0 THEN 'V' || c_name
+        |            WHEN c_custkey % 5 = 0 THEN 'X' || c_name
         |            ELSE c_name END AS name,
         |       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
         |            ELSE c_acctbal END AS acctbal

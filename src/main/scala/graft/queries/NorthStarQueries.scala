@@ -751,6 +751,22 @@ object NorthStarQueries {
             .as("keep_id"))
     },
 
+    /** Asymmetric containment dedup ([[graft.dedup.Dedup.containment]]):
+      * drop documents whose (surviving) shingle set is ≥ 90 % contained
+      * in another doc's — the quotation/wrapper case symmetric Jaccard
+      * structurally misses (the container's size keeps J low). Survivor
+      * set replayed exactly by the oracle's count algebra.
+      */
+    "dedup_containment" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val contained = Dedup.containment(docs, id = "doc_id",
+        shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.9)
+        .select(col("contained").as("doc_id")).distinct()
+      docs.select(col("doc_id"))
+        .join(contained, Seq("doc_id"), "left_anti")
+    },
+
     /** Leakage-safe train/val/test split ([[graft.operators.Sampling
       * .dedupSafeSplit]]): near-duplicate clusters (the `dedup_clusters`
       * pair graph) co-travel into ONE split — a per-document hash would
@@ -1396,6 +1412,34 @@ object NorthStarQueries {
         |)
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
         |FROM reach GROUP BY src""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
+        |), ex AS (
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), contained AS (
+        |  SELECT CASE WHEN na.n < nb.n THEN p.a
+        |              WHEN na.n > nb.n THEN p.b
+        |              ELSE GREATEST(p.a, p.b) END AS victim
+        |  FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / LEAST(na.n, nb.n) >= 0.9
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT victim FROM contained)""".stripMargin,
     "split_dedup_safe" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
