@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan linter: execute queries and audit the FINAL physical plans for
+  * the shapes that kill 100 TB runs — the CI-form of the `.explain`
+  * review the design rules mandate per operator. PlanShapeSpec pins
+  * specific plans; this walks EVERY query so a regression in one that
+  * has no dedicated pin still surfaces.
+  *
+  *   runMain graft.tools.PlanLint [q1,q2|all] [sfDir]
+  *
+  * GATING findings (exit 1):
+  * - `cartesian`: CartesianProductExec — an unkeyed all-pairs join of
+  *   two distributed sides
+  * - `thetaBnlj`: BroadcastNestedLoopJoin WITH a join condition whose
+  *   broadcast side MEASURED over 10 000 rows — a theta-join paying the
+  *   predicate per (broadcast row × stream row). The engine's intended
+  *   BNLJ plans — 1-row statistics frames, bounded ANN query sets,
+  *   benchmark vectors — all broadcast tiny sides; the lint reads the
+  *   executed broadcast's numOutputRows metric, so the distinction is
+  *   measured, not guessed.
+  *
+  * INFO findings (reported, not gating):
+  * - `globalWindow`: WindowExec with an empty partition spec. The
+  *   engine's uses are all windows over counts-REDUCED frames (one row
+  *   per distinct value / per source / per file), where a single task
+  *   is the point; a global window over raw rows would be a real
+  *   finding — review any new name appearing here.
+  * - `globalSort`: a global SortExec — legitimate only as a sorted sink
+  *   or inside the two-level distributed prefix sum.
+  */
+object PlanLint {
+
+  private def deep[T](plan: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    plan.collect {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        (if (pf.isDefinedAt(q)) Seq(pf(q)) else Nil) ++ deep(q.plan)(pf)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        deep(s.relation.cachedPlan)(pf)
+      case p if pf.isDefinedAt(p) => Seq(pf(p))
+    }.flatten
+
+  /** Measured row count of the build side's broadcast exchange (max over
+    * reuse), -1 if no metric is found.
+    */
+  private def broadcastRows(build: SparkPlan): Long = {
+    val ms = deep(build) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r.child.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+    }
+    if (ms.isEmpty) -1L else ms.max
+  }
+
+  /** (gating findings, info findings) for one executed query. */
+  def lint(df: org.apache.spark.sql.DataFrame): (Map[String, Int], Map[String, Int]) = {
+    // execute THIS dataframe's own physical plan: df.count() would build
+    // and run a DIFFERENT QueryExecution (groupBy().count()), leaving
+    // this plan un-finalized and every exchange metric at zero — the
+    // broadcast-size measurement below would read 0 rows for everything
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan
+    val cartesian = deep(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.size
+    val thetaBnlj = deep(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if j.condition.isDefined => j
+    }.count { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      val rows = broadcastRows(build)
+      rows > 10000 || rows < 0
+    }
+    val globalWindow = deep(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.size
+    val globalSort = deep(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.size
+    (Map("cartesian" -> cartesian, "thetaBnlj" -> thetaBnlj).filter(_._2 > 0),
+      Map("globalWindow" -> globalWindow, "globalSort" -> globalSort).filter(_._2 > 0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names0 = args.headOption.getOrElse("all")
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.local()
+    val all = graft.SparkEntry.queries
+    val names = if (names0 == "all") all.keys.toSeq.sorted else names0.split(",").toSeq
+    var bad = List.empty[String]
+    names.foreach { n =>
+      try {
+        val (gate, info) = lint(all(n)(spark, dir))
+        if (gate.nonEmpty) {
+          bad ::= n
+          println(s"[planlint] FAIL $n: " + gate.map { case (k, v) => s"$k=$v" }.mkString(" "))
+        } else if (info.nonEmpty)
+          println(s"[planlint] info $n: " + info.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      } catch { case e: Throwable =>
+        bad ::= n
+        println(s"[planlint] FAIL $n: ERROR ${e.getMessage}")
+      } finally graft.Caches.clear(spark, blocking = true)
+    }
+    println(s"[planlint] ${names.size - bad.size}/${names.size} clean")
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
