@@ -57,6 +57,12 @@ object Stats {
     * null-category drift is still drift).
     */
   def tvdDrift(df: DataFrame, category: Column, side: Column): DataFrame = {
+    // DECIMAL(38,0) products overflow to null past 38 digits (precision
+    // loss mode) — headroom here: every factor is a ROW COUNT, so with
+    // both slices at even 10^12 rows (a 100 TB table per side) the
+    // largest product n·T is 10^24 and the den T1·T2·2 is ~10^24,
+    // fourteen orders under the cap. Revisit only if this is ever fed
+    // pre-scaled weights instead of counts.
     val d38 = DecimalType(38, 0)
     val counts = df.groupBy(category.as("_cat"))
       .agg(
