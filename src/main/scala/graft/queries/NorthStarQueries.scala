@@ -883,6 +883,29 @@ object NorthStarQueries {
           coalesce(expr("1000000L div _first"), lit(0L)).as("rr_fp"))
     },
 
+    /** Incremental IVF maintenance ([[graft.similarity.Ivf.search]]):
+      * centroids trained on the 80 % stored corpus, its cell index
+      * PERSISTED, the 20 % ingest batch assigned to the EXISTING cells
+      * (no retrain, no rescan) and unioned — then searched against the
+      * grown index. The production vector-ingest loop; the recall-floor
+      * oracle doubles as the stale-centroid monitor.
+      */
+    "ann_ivf_incremental" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val centroids = graft.similarity.Ivf.trainCentroids(
+        corpus, "vec_id", "embedding", nCells = 16)
+      val stored = persistedIndex(s,
+        graft.similarity.Ivf.index(corpus, "vec_id", "embedding", centroids), "ivf")
+      val grown = stored.unionByName(
+        graft.similarity.Ivf.index(batch, "vec_id", "embedding", centroids))
+      val approx = graft.similarity.Ivf.search(
+        emb.filter(col("vec_id") < AnnQueries), grown,
+        "vec_id", "embedding", centroids, k = AnnK, nProbe = 6)
+      recallSummary(s, dir, approx, floor = 0.5)
+    },
+
     /** Int8-quantized embeddings: 4x smaller storage for the ANN index.
       * The raw fidelity floats are engine-specific (rounding at .5 code
       * boundaries), so the output is the vector count plus a worst-case
@@ -1845,6 +1868,11 @@ object NorthStarQueries {
          |       TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $AnnQueries""".stripMargin,
     "ann_ivf_int8" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST($AnnK * COUNT(*) AS BIGINT) AS n_relevant,
+         |       TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $AnnQueries""".stripMargin,
+    "ann_ivf_incremental" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          |       CAST($AnnK * COUNT(*) AS BIGINT) AS n_relevant,
          |       TRUE AS recall_ok

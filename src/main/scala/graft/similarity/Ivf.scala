@@ -184,6 +184,19 @@ object Ivf {
       corpusVec = VectorFunctions.dequantizeInt8(col("_q")))
   }
 
+  /** Probe a PREBUILT index — the entry for incrementally-maintained
+    * indexes: production vector search trains centroids once, persists
+    * the cell index, assigns each ingest batch to the EXISTING cells
+    * ([[index]] with the stored centroids — no retrain, no rescan of the
+    * old corpus), unions, and searches. Centroids go stale as the
+    * distribution drifts (recall decays, monitored by the recall-floor
+    * oracles); retraining is a rebuild, not an increment.
+    */
+  def search(queries: DataFrame, indexed: DataFrame, qId: String, qVec: String,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame =
+    probe(queries, indexed, qId, qVec, centroids, k, nProbe, excludeSelf)
+
   /** Shared probe: explode each query's nProbe nearest cells, equi-join
     * the cell index, score, keep top-k per query. `corpusVec` is evaluated
     * AFTER the join, so a compressed index representation stays compressed
