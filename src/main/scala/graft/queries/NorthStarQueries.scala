@@ -622,6 +622,68 @@ object NorthStarQueries {
         .toDF("doc_id", "n_samples", "sample_rate", "sample_sum")
     },
 
+    /** Cross-video duplicate-FRAME detection: every frame of every
+      * container is REALLY decoded (ImageIO), reduced to an intensity
+      * fingerprint (mean pixel — the aHash/pHash plumbing shape:
+      * decode → downsample/reduce → fingerprint → group), and frames
+      * sharing a fingerprint dedup under the keep-first rule
+      * (first = minimal (video, frame) position). The oracle recomputes
+      * fingerprints arithmetically from the synthesis rule, so a broken
+      * decode, a mis-indexed frame, or a wrong first-pick all fail the
+      * hash compare. Scale shape: blobs never shuffle — only
+      * (video, frame, 8-byte fingerprint) rows leave the decode task,
+      * and the dedup is one counts-sized groupBy + a broadcast-join
+      * back.
+      */
+    "multimodal_frame_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val frames = tableSpread(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val nFrames = (id % 7 + 2).toInt
+            val w = (id % 5 + 1).toInt
+            val h = (id % 3 + 1).toInt
+            (0 until nFrames).iterator.map { f =>
+              val c = ((id * 13 + f * 7) % 256).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (c << 16) | (c << 8) | c
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val fb = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", fb)
+              // the decode side: parse the PNG back and reduce — mean
+              // intensity of a constant frame is exactly its color
+              val dec = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb.toByteArray))
+              var sum = 0L
+              var yy = 0
+              while (yy < dec.getHeight) {
+                var xx = 0
+                while (xx < dec.getWidth) {
+                  sum += (dec.getRGB(xx, yy) >> 16) & 0xff
+                  xx += 1
+                }
+                yy += 1
+              }
+              (id, f.toLong, sum / (dec.getWidth.toLong * dec.getHeight))
+            }
+          }
+        }.toDF("doc_id", "frame_idx", "fp")
+      val first = frames.groupBy(col("fp"))
+        .agg(min(col("doc_id") * 1000L + col("frame_idx")).as("_firstkey"))
+      frames.join(broadcast(first), "fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("doc_id") * 1000L + col("frame_idx") =!= col("_firstkey"), 1L)
+            .otherwise(0L)).as("n_dup_frames"))
+    },
+
     /** Video pipeline with frame sampling: a deterministic container
       * (magic + frame count + length-prefixed PNG frames) is synthesized
       * per document and carried as an opaque binary column; the sampler
@@ -1935,6 +1997,19 @@ object NorthStarQueries {
         |       CAST(doc_id % 17 + 1 AS INT) AS height,
         |       CAST((n_chars % 31 + 1) * (doc_id % 17 + 1) * (doc_id * 7 % 256) AS BIGINT) AS red_sum
         |FROM documents""".stripMargin,
+    "multimodal_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 7 + 2)) AS fi FROM documents
+        |), f AS (
+        |  SELECT doc_id, fi, (doc_id * 13 + fi * 7) % 256 AS fp FROM fr
+        |), fst AS (
+        |  SELECT fp, MIN(doc_id * 1000 + fi) AS firstkey FROM f GROUP BY 1
+        |)
+        |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN f.doc_id * 1000 + f.fi <> fst.firstkey
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames
+        |FROM f JOIN fst USING (fp)
+        |GROUP BY 1""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id,
         |       CAST((n_chars % 31 + 2) // 2 AS INT) AS out_width,
