@@ -128,4 +128,48 @@ object Outliers {
       .withColumn("mad", col("_mad").cast("long"))
       .drop("_x", "_dev", "_med", "_mad", "_graft_mk", "_graft_dk")
   }
+
+  /** ROLLING z-score anomaly flags over a trailing time window — the
+    * per-event form of [[zscore]] (fraud/abuse/telemetry monitoring):
+    * each event is judged against ONLY its key's events in
+    * `(t − windowUs, t)` — strictly before it, so the flag is
+    * leakage-free and identical in a replay. The same exact integer
+    * algebra, with the moments from a RANGE frame instead of a group
+    * aggregate:
+    *
+    *   anomaly ⟺ n ≥ minPrior ∧ (n·x − S)²·kDen² > kNum²·(n·SS − S²)
+    *
+    * Scale shape: ONE exchange keyed by `keys`; the RANGE frame slides
+    * over each key's time-sorted partition holding only the window's
+    * rows. Ties at the same timestamp are window PEERS — both excluded
+    * by the frame's `-1` bound, in every engine the same way.
+    *
+    * Adds: n_prior, is_anomaly.
+    */
+  def rollingAnomaly(df: DataFrame, keys: Seq[String], timeUs: Column,
+      value: Column, windowUs: Long, kNum: Int, kDen: Int,
+      minPrior: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(timeUs)
+      .rangeBetween(-windowUs, -1L)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = value.cast("long")
+    val out = df
+      .withColumn("_x", x)
+      .withColumn("_n", count(col("_x")).over(w))
+      .withColumn("_s", sum(col("_x")).over(w))
+      .withColumn("_ss", sum(col("_x") * col("_x")).over(w))
+    val n = col("_n").cast(d38)
+    val s = col("_s").cast(d38)
+    val ss = col("_ss").cast(d38)
+    val dev = n * col("_x").cast(d38) - s
+    out
+      .withColumn("n_prior", col("_n"))
+      .withColumn("is_anomaly",
+        col("_n") >= minPrior &&
+          dev * dev * lit(kDen.toLong * kDen) >
+            lit(kNum.toLong * kNum) * (n * ss - s * s))
+      .drop("_x", "_n", "_s", "_ss")
+  }
 }

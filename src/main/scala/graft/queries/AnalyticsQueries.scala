@@ -72,6 +72,23 @@ object AnalyticsQueries {
         col("c_custkey"), col("c_name"))
     },
 
+    /** Rolling z-score anomaly flags ([[graft.operators.Outliers
+      * .rollingAnomaly]]): each event judged against its user's trailing
+      * 24 h — strictly-prior frame, exact integer algebra in cents, so
+      * the flagged set is engine-exact and leakage-free. The per-event
+      * form of the fraud/abuse monitor.
+      */
+    "rolling_anomaly" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      graft.operators.Outliers.rollingAnomaly(
+        ev.select(col("event_id"), col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("_tus"),
+          round(col("value") * 100).cast("long").as("_cents")),
+        keys = Seq("user_id"), timeUs = col("_tus"), value = col("_cents"),
+        windowUs = 86400000000L, kNum = 3, kDen = 1, minPrior = 5)
+        .select(col("event_id"), col("n_prior"), col("is_anomaly"))
+    },
+
     /** Blocked multi-field entity resolution ([[graft.operators
       * .EntityLink.bestLinks]], Fellegi–Sunter integer agreement
       * weights): customers vs a deterministically corrupted replica in a
@@ -618,6 +635,26 @@ object AnalyticsQueries {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "rolling_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT event_id, cents,
+        |         COUNT(cents) OVER w AS n,
+        |         SUM(cents) OVER w AS s,
+        |         SUM(cents * cents) OVER w AS ss
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, CAST(n AS BIGINT) AS n_prior,
+        |       n >= 5 AND
+        |       (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
+        |         > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+        |       AS is_anomaly
+        |FROM m""".stripMargin,
     "entity_resolution" ->
       """WITH dirty AS (
         |  SELECT c_custkey * 2 + 1000001 AS d_id,
