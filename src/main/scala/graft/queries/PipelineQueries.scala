@@ -18,6 +18,47 @@ object PipelineQueries {
   private val writtenFeeds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private val dirtyFeedSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  /** The deterministically-dirtied CSV orders feed shared by the batch
+    * and streaming quarantine queries: every 97th key drops its last
+    * field (wrong token count), every 89th writes an unparsable price.
+    * Written once per JVM (the persistedIndex discipline) — the queries
+    * measure INGEST, not feed generation.
+    */
+  private def dirtyFeed(s: SparkSession, dir: String): String = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_csvq_${s.sparkContext.applicationId}"
+    if (writtenFeeds.add(out)) {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType).as("_p"))
+        .select(
+          when(col("o_orderkey") % 97 === 0,
+            concat_ws(",", col("o_orderkey"), col("o_orderstatus")))
+          .when(col("o_orderkey") % 89 === 0,
+            concat_ws(",", col("o_orderkey"), col("o_orderstatus"), lit("notanumber")))
+          .otherwise(concat_ws(",", col("o_orderkey"), col("o_orderstatus"), col("_p")))
+          .as("value"))
+        .coalesce(4).write.mode("overwrite").text(out)
+    }
+    out
+  }
+
+  /** Decimal-exact per-status aggregate of the valid port, quarantine
+    * count riding every row.
+    */
+  private def quarantineSummary(valid: DataFrame, quarantine: DataFrame): DataFrame =
+    valid.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_valid"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_total"))
+      .crossJoin(broadcast(quarantine.agg(count(lit(1)).as("n_quarantined"))))
+      .select(col("o_orderstatus"), col("n_valid"), col("sum_total"),
+        col("n_quarantined"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     /** Write orders partitioned by status through the 3-phase transactional
@@ -358,33 +399,29 @@ object PipelineQueries {
       * DECIMAL.
       */
     "csv_quarantine" -> { (s, dir) =>
-      val out = s"${sys.props("java.io.tmpdir")}/graft_csvq_${s.sparkContext.applicationId}"
-      val lines = table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType).as("_p"))
-        .select(
-          when(col("o_orderkey") % 97 === 0,
-            concat_ws(",", col("o_orderkey"), col("o_orderstatus")))
-          .when(col("o_orderkey") % 89 === 0,
-            concat_ws(",", col("o_orderkey"), col("o_orderstatus"), lit("notanumber")))
-          .otherwise(concat_ws(",", col("o_orderkey"), col("o_orderstatus"), col("_p")))
-          .as("value"))
-      // write-once per JVM (the persistedIndex discipline): the query
-      // measures INGEST — parse + classify + aggregate — not generating
-      // the dirty feed fixture again on every bench rerun
-      if (writtenFeeds.add(out)) lines.coalesce(4).write.mode("overwrite").text(out)
-      val schema = StructType(Seq(
-        StructField("o_orderkey", LongType),
-        StructField("o_orderstatus", StringType),
-        StructField("o_totalprice", DoubleType)))
-      val (valid, quarantine) = graft.sources.Sources.csvQuarantine(s, out, schema)
-      valid.groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_valid"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DoubleType).as("sum_total"))
-        .crossJoin(broadcast(quarantine.agg(count(lit(1)).as("n_quarantined"))))
-        .select(col("o_orderstatus"), col("n_valid"), col("sum_total"),
-          col("n_quarantined"))
+      val out = dirtyFeed(s, dir)
+      val (valid, quarantine) = graft.sources.Sources.csvQuarantine(s, out, dirtyFeedSchema)
+      quarantineSummary(valid, quarantine)
+    },
+
+    /** The CONTINUOUS form of `csv_quarantine` ([[graft.streaming
+      * .StreamOps.csvQuarantineSink]]): the same dirty feed consumed as
+      * a file STREAM — each micro-batch parses once in PERMISSIVE mode
+      * and foreachBatch routes malformed lines (raw text preserved) to a
+      * quarantine sink and typed rows to the valid sink, idempotently
+      * per batch id. Read back, the sinks must agree with the batch
+      * ingest exactly — same oracle.
+      */
+    "stream_quarantine" -> { (s, dir) =>
+      val feed = dirtyFeed(s, dir)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_sq_${s.sparkContext.applicationId}"
+      val q = StreamOps.csvQuarantineSink(s, feed, dirtyFeedSchema,
+        validDir = s"$base/valid", quarantineDir = s"$base/quarantine",
+        checkpoint = s"$base/ckpt")
+      q.awaitTermination()
+      quarantineSummary(
+        s.read.parquet(s"$base/valid"),
+        s.read.parquet(s"$base/quarantine"))
     },
 
     /** JSON-lines Direct I/O round-trip: same transactional path, schema
@@ -961,6 +998,17 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |       MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "stream_quarantine" ->
+      """WITH q AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_quarantined FROM orders
+        |  WHERE o_orderkey % 97 = 0 OR o_orderkey % 89 = 0
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_valid,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       (SELECT n_quarantined FROM q) AS n_quarantined
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+        |GROUP BY 1""".stripMargin,
     "hadoop_input" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
         |FROM orders GROUP BY 1""".stripMargin,

@@ -861,6 +861,45 @@ object StreamOps {
     * and a full-history replay is itself idempotent as long as `seq` is
     * globally ordered (the max-seq winner per key IS the current state).
     */
+  /** Streaming CSV ingest with corrupt-record QUARANTINE routing — the
+    * continuous form of [[graft.sources.Sources.csvQuarantine]]: each
+    * micro-batch parses once (PERMISSIVE + `_corrupt_record`), splits
+    * inside foreachBatch, and lands in per-batch subdirectories of the
+    * valid/quarantine sinks. The per-batch `overwrite` of `batch=N`
+    * makes a retried micro-batch idempotent (same batch id → same
+    * directory, rewritten); the quarantine carries the RAW line for
+    * replay. Each micro-batch is cached for the two writes — one parse,
+    * and the filter-on-corrupt-column-only restriction of file streams
+    * doesn't apply to the cached frame.
+    */
+  def csvQuarantineSink(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      validDir: String, quarantineDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val raw = spark.readStream
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(path)
+    raw.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+            .write.mode("overwrite").parquet(s"$validDir/batch=$batchId")
+          cached.filter(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record").as("raw_line"))
+            .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+
   def upsertSink(changes: DataFrame, tableDir: String, checkpoint: String,
       op: String = "_op", seq: String = "_seq",
       trigger: Trigger = Trigger.AvailableNow())
