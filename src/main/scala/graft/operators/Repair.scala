@@ -82,4 +82,31 @@ object Repair {
           cols.map(c => coalesce(col(s"_rp_l.$c"), col(s"_rp_r.$c")).as(c)): _*)
     sideRows("L", ln > rn).unionAll(sideRows("R", rn > ln))
   }
+
+  /** Reconcile: the repaired RIGHT replica — [[diff]]'s drifted keys take
+    * the LEFT (primary) side's rows; everything else passes through
+    * untouched. With key-unique inputs the result equals the primary's
+    * (keys ++ compare) projection — the closing step of the Merkle loop:
+    * fingerprint → dirty buckets → row diff → sync.
+    *
+    * Scale shape: the diff already restricts work to dirty buckets; its
+    * key set is drift-sized and broadcasts into the anti/semi joins
+    * (null-safe, so null-keyed drift reconciles too). This produces the
+    * repaired TABLE; pair it with the dirty-bucket copy-on-write sink
+    * ([[graft.sinks.Upsert]]) to land it without rewriting clean
+    * buckets.
+    */
+  def sync(left: DataFrame, right: DataFrame, keys: Seq[String],
+      compare: Seq[String], nBuckets: Int = 1 << 12): DataFrame = {
+    val cols = keys ++ compare
+    val dirtyKeys = diff(left, right, keys, compare, nBuckets)
+      .select(keys.map(col): _*).distinct()
+    def keyCond(a: DataFrame, b: DataFrame) =
+      keys.map(k => a(k) <=> b(k)).reduce(_ && _)
+    val r = right.select(cols.map(col): _*)
+    val l = left.select(cols.map(col): _*)
+    r.join(broadcast(dirtyKeys), keyCond(r, dirtyKeys), "left_anti")
+      .unionByName(
+        l.join(broadcast(dirtyKeys), keyCond(l, dirtyKeys), "left_semi"))
+  }
 }

@@ -148,6 +148,25 @@ object AnalyticsQueries {
         compare = Seq("o_orderstatus", "o_orderpriority"))
     },
 
+    /** Replica repair-apply ([[graft.operators.Repair.sync]]): the
+      * drifted replica reconciled back to the primary — diff's dirty
+      * keys take the primary's rows, clean rows pass through. The oracle
+      * is simply the primary projection: the repaired replica must EQUAL
+      * it, closing the Merkle loop end-to-end.
+      */
+    "replica_sync" -> { (s, dir) =>
+      val l = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val r = l.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 < 2, "X").otherwise(col("o_orderpriority")))
+        .unionByName(l.filter(col("o_orderkey") % 100 === 2)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            col("o_orderstatus"), lit("NEW").as("o_orderpriority")))
+      graft.operators.Repair.sync(l, r, keys = Seq("o_orderkey"),
+        compare = Seq("o_orderstatus", "o_orderpriority"))
+    },
+
     /** Interval-OVERLAP join ([[graft.operators.RangeJoin.intervalJoin]]):
       * per-user purchase windows [ts, ts+2 h] × error windows [ts−1 h,
       * ts+1 h]; overlapping errors counted per purchase. Both sides
@@ -712,6 +731,8 @@ object AnalyticsQueries {
         |SELECT 'L' AS side, * FROM (SELECT * FROM l EXCEPT SELECT * FROM r)
         |UNION ALL
         |SELECT 'R' AS side, * FROM (SELECT * FROM r EXCEPT SELECT * FROM l)""".stripMargin,
+    "replica_sync" ->
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders",
     "interval_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events

@@ -265,6 +265,32 @@ class StreamingSpec extends SparkSpec {
     finally q2.stop()
   }
 
+  test("csvQuarantineSink routes malformed lines and is idempotent across restarts") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    spark.createDataset(Seq("1,O,10.00", "2,F", "3,O,notanum", "4,P,7.25"))(
+      org.apache.spark.sql.Encoders.STRING).coalesce(1).write.text(s"$dir/feed")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    def run() = {
+      val q = StreamOps.csvQuarantineSink(spark, s"$dir/feed", schema,
+        s"$dir/valid", s"$dir/quarantine", s"$dir/ckpt")
+      q.awaitTermination()
+    }
+    run()
+    def valid() = spark.read.parquet(s"$dir/valid")
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+    def quarantined() = spark.read.parquet(s"$dir/quarantine")
+      .select("raw_line").as[String].collect().toSet
+    assert(valid() === Set((1L, "O", 10.00), (4L, "P", 7.25)))
+    assert(quarantined() === Set("2,F", "3,O,notanum"))
+    // restart on the same checkpoint: AvailableNow finds nothing new,
+    // sinks unchanged — no duplicate batch directories
+    run()
+    assert(valid() === Set((1L, "O", 10.00), (4L, "P", 7.25)))
+    assert(quarantined() === Set("2,F", "3,O,notanum"))
+  }
+
   test("statefulAggregate works on a batch Dataset (single-batch semantics)") {
     val ds = Seq(("x", 1), ("x", 2), ("y", 5)).toDS()
     val out = StreamOps.statefulAggregate(ds)(_._1)(0)((s, v) => s + v._2)((k, s) => (k, s))
