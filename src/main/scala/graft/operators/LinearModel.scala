@@ -30,8 +30,20 @@ object LinearModel {
       weights: DataFrame, termCol: String = "term",
       weightCol: String = "weight_fp", biasFp: Long = 0L,
       out: String = "margin_fp"): DataFrame = {
-    val w = broadcast(weights.select(col(termCol).as("_t"),
-      col(weightCol).cast("long").as("_w")))
+    // a duplicated term would silently DOUBLE-count its weight in every
+    // margin — fail by name instead (the survivorship guard pattern);
+    // the check rides the broadcast-sized weight table, one cheap
+    // aggregate, and the raise_error wraps the weight itself so column
+    // pruning can never drop the guard while weights are in use
+    val dupGuard = weights.groupBy(col(termCol))
+      .agg(sum(col(weightCol)).cast("long").as("_w"), count(lit(1)).as("_n"))
+      .select(col(termCol).as("_t"),
+        when(col("_n") > 1, raise_error(concat(
+          lit("LinearModel.score: term '"), col(termCol),
+          lit("' appears more than once in the weight table — " +
+            "aggregate weights per term first"))).cast("long"))
+          .otherwise(col("_w")).as("_w"))
+    val w = broadcast(dupGuard)
     // no (doc, term) tf pre-aggregation: each occurrence contributes its
     // weight directly, so the single exchange is the per-doc sum
     val margins = df.select(col(id), explode(tokens).as("_t"))

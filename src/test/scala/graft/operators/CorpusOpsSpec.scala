@@ -42,6 +42,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === Seq((1L, -5L, false), (2L, 0L, true), (3L, 0L, true)))
   }
 
+  test("LinearModel.score fails by name on a duplicated weight term") {
+    val docs = Seq((1L, Seq("good"))).toDF("doc_id", "toks")
+    val weights = Seq(("good", 10L), ("good", 20L)).toDF("term", "weight_fp")
+    val e = intercept[Exception] {
+      LinearModel.score(docs, "doc_id", col("toks"), weights).collect()
+    }
+    assert(e.getMessage.contains("appears more than once"),
+      e.getMessage.take(200))
+  }
+
   test("dedupSafeSplit: cluster members co-travel; singletons match deterministicSplit") {
     val docs = (1L to 50L).toDF("id")
     // pairs chain 1-2-3 into one cluster and 10-11 into another
