@@ -57,6 +57,11 @@ object Launcher {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--list")) {
+      println("entry")
+      graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val c = parse(args.toList, Conf())
     val builder = SparkSession.builder()
       .appName(s"graft:${c.batchId}:${c.flowId}:${c.executionId}")
