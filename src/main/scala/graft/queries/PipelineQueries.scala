@@ -800,6 +800,38 @@ object PipelineQueries {
       Upsert.read(s, tableDir)
     },
 
+    /** Stream-static enrichment against a VERSIONED (SCD-2) dimension:
+      * each click matches the dimension version VALID AT ITS EVENT TIME
+      * (interval predicate on the broadcast version table — stream-static
+      * joins take arbitrary conditions, no join state, no watermark),
+      * counted per version in complete mode. The Kappa form of
+      * `scd2_lookup`: at 100 TB/day the stream never pauses for the dim
+      * and carries no versioning state — the validity interval rides the
+      * broadcast.
+      */
+    "stream_scd2_enrich" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("_tus"))
+      val dim = graft.operators.Merge.scd2History(purchases, Seq("user_id"),
+          "_tus", tieBreak = Seq("event_id"))
+        .select(col("user_id").as("d_user"), col("event_id").as("version_id"),
+          col("valid_from"), col("valid_to"))
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          graft.GraftSession.eventTimeMicros(raw, "ts").as("_tus"))
+      val joined = clicks.join(broadcast(dim),
+        col("user_id") === col("d_user") && col("_tus") >= col("valid_from") &&
+          (col("valid_to").isNull || col("_tus") < col("valid_to")))
+      val agg = joined.groupBy(col("version_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+      StreamOps.drainToBatch(agg, outputMode = "complete", statePartitions = 8)
+        .select(col("version_id"), col("n_clicks"))
+    },
+
     /** Stream-static enrichment join — the canonical "enrich events with
       * a dimension" production shape: the event stream joins a BATCH
       * dimension table (broadcast — the dim rides to every task once, no
@@ -1188,6 +1220,20 @@ object PipelineQueries {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |       TRUE AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
+    "stream_scd2_enrich" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS vf,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts) ASC, event_id ASC) AS vt
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS version_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND c.ts >= p.vf AND (p.vt IS NULL OR c.ts < p.vt)
+        |GROUP BY 1""".stripMargin,
     "stream_enrich" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, c_mktsegment,
         |       COUNT(*) AS n,
