@@ -27,7 +27,28 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPayload: Seq[String],
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPayload,
+      rightTieBreak, backward = true)
+
+  /** FORWARD as-of: for each left record, the single right record with
+    * the SMALLEST `rightTime >= leftTime` for the same key — next-event
+    * attribution (time-to-conversion, time-to-failure, the "what
+    * happened next" lookup). Exact ties match, mirroring [[asofJoin]];
+    * among right rows sharing the minimal (key, time), the SMALLEST
+    * `rightTieBreak` wins (the forward scan's first row — pass a unique
+    * column for deterministic output). Same single-shuffle shape: the
+    * scan just runs time-descending.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPayload,
+      rightTieBreak, backward = false)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      rightTieBreak: Seq[String], backward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val lType = StructType(leftCols.map(left.schema(_)))
@@ -44,9 +65,17 @@ object AsOf {
         lit(0).as("_side"),
         lit(null).cast(lType).as("_lrow"),
         struct(rightPayload.map(col): _*).as("_rrow")): _*)
-    val tieBreak = rightTieBreak.map(c => col(s"_rrow.$c").asc)
+    // backward: time-ascending scan, greatest-tiebreak right wins a tie
+    // group (its last row). forward: time-DESCENDING scan — the last
+    // right seen before a left row is the minimal time >= leftTime; tie
+    // groups order tieBreak-descending so their last row is the SMALLEST
+    // tie-break. Right rows sort before left at equal times either way
+    // (ties match).
+    val timeOrd = if (backward) col("_t").asc else col("_t").desc
+    val tieBreak = rightTieBreak.map(c =>
+      if (backward) col(s"_rrow.$c").asc else col(s"_rrow.$c").desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((Seq(col("_t").asc, col("_side").asc) ++ tieBreak): _*)
+      .orderBy((Seq(timeOrd, col("_side").asc) ++ tieBreak): _*)
     val filled = l.unionByName(r)
       .withColumn("_match", last(col("_rrow"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))

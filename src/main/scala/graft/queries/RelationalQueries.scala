@@ -296,6 +296,28 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("view_event_id"))
     },
 
+    /** FORWARD as-of ([[graft.operators.AsOf.asofJoinForward]]): each
+      * click attributed to its user's NEXT purchase (smallest purchase
+      * time ≥ click time, smallest id on exact ties) with the wait in
+      * microseconds — time-to-conversion, the mirror of the backward
+      * point-in-time lookup, in the same single-shuffle shape.
+      */
+    "asof_forward" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("pts"))
+      AsOf.asofJoinForward(clicks, purchases, keys = Seq("user_id"),
+          leftTime = "cts", rightTime = "pts",
+          rightPayload = Seq("purchase_id", "pts"),
+          rightTieBreak = Seq("purchase_id"))
+        .select(col("click_id"), col("user_id"), col("purchase_id"),
+          (col("pts") - col("cts")).as("wait_us"))
+    },
+
     /** Salted join: hot probe keys spread over 8 salts (build side
       * replicated); result identical to the plain join.
       */
@@ -888,6 +910,21 @@ object RelationalQueries {
         |  ON p.user_id = v.user_id
         | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
         |GROUP BY 1""".stripMargin,
+    "asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT c.click_id, p.purchase_id, p.pts - c.cts AS wait_us,
+        |         row_number() OVER (PARTITION BY c.click_id
+        |             ORDER BY p.pts ASC, p.purchase_id ASC) AS rn
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.pts >= c.cts
+        |)
+        |SELECT c.click_id, c.user_id, j.purchase_id, j.wait_us
+        |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1""".stripMargin,
     "salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -82,6 +82,22 @@ class JoinPropertiesSpec extends SparkSpec {
       assert(got === naive)
     }
   }
+
+  test("asofJoinForward agrees with the naive quadratic definition") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50)))
+    for ((ls, rs) <- samples(Gen.zip(rows, rows), 5)) {
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "k", "t")
+      val got = AsOf.asofJoinForward(left, right, Seq("k"), "t", "t", Seq("rid"), Seq("rid"))
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      // naive: per left row, the right row with MIN (t, rid) among t >= left.t
+      val naive = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt >= t }
+        i.toLong -> cands.sortBy { case ((_, rt), ri) => (rt, ri) }.headOption.map(_._2.toLong)
+      }.toMap
+      assert(got === naive, s"ls=$ls rs=$rs")
+    }
+  }
 }
 
 class SketchPropertiesSpec extends SparkSpec {
