@@ -176,6 +176,70 @@ object Graphs {
     ranks.select(col("_n").as("node"), col("rank_fp"))
   }
 
+  /** WEIGHTED PageRank over a DIRECTED edge list — the form similarity
+    * and interaction graphs actually need (an edge's strength is a
+    * count: co-purchases, shared shingles, message volume). Same exact
+    * fixed-point integer algebra as [[pageRank]], with the contribution
+    * split by edge weight:
+    *
+    *   contrib(v) = Σ_{u→v} ⌊rank(u)·w(u,v) / W(u)⌋,  W(u) = Σ_x w(u,x)
+    *
+    * The rank·w product runs in DECIMAL(38,0) before the integral
+    * divide, so 64-bit weights never overflow the algebra. Parallel
+    * edges fold (weights sum); non-positive/null weights drop; nodes
+    * with no in-edges keep the restart mass (the per-round left join
+    * against the persisted node frame — the one structural cost the
+    * symmetric [[pageRank]] avoids); dangling nodes lose their mass,
+    * the standard simplification, replayed identically by the oracle.
+    * Symmetrize the input (union both directions) for undirected
+    * semantics.
+    */
+  def pageRankWeighted(edges: DataFrame, src: String, dst: String,
+      weight: String, iterations: Int,
+      scale: Long = 1000000L, damp: Long = 850000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, "pageRankWeighted: iterations must be >= 1")
+    require(scale > damp && damp > 0, "pageRankWeighted: need scale > damp > 0")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val dir0 = edges.select(col(src).as("u"), col(dst).as("v"),
+        col(weight).cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("w").isNotNull && col("w") > 0)
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val wsum = dir0.groupBy(col("u")).agg(sum(col("w")).as("_wsum"))
+    // weighted out-degree rides the persisted edge frame (the pageRank
+    // discipline: no per-round degree join)
+    val e = graft.Caches.track(dir0.join(wsum, "u").persist())
+    e.count()
+    val nodes = graft.Caches.track(
+      e.select(col("u").as("_n")).union(e.select(col("v").as("_n")))
+        .distinct().persist())
+    nodes.count()
+    val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
+    var ranks = nodes.select(col("_n"), lit(scale).as("rank_fp"))
+    var release: () => Unit = () => ()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("_n", "u"), "u")
+        .select(col("v"),
+          expr("cast(rank_fp as decimal(38,0)) * w div _wsum").as("_c"))
+        .groupBy(col("v")).agg(sum(col("_c")).as("_contrib"))
+      val (next, nextRelease) = lcp(
+        nodes.join(contrib.withColumnRenamed("v", "_n"), Seq("_n"), "left")
+          .select(col("_n"),
+            (lit(scale - damp) + coalesce(
+              expr(s"_contrib DIV ${scale}L") * lit(damp) +
+                expr(s"((_contrib % ${scale}L) * ${damp}L) DIV ${scale}L"),
+              lit(0L))).as("rank_fp")))
+      next.count()
+      release()
+      ranks = next
+      release = nextRelease
+    }
+    graft.Caches.trackRelease(release)
+    ranks.select(col("_n").as("node"), col("rank_fp"))
+  }
+
   /** Personalized PageRank (Jeh & Widom 2003 "Scaling Personalized Web
     * Search" semantics, the [[pageRank]] fixed-point integer algebra):
     * the restart mass returns to the SEED set instead of every node, so

@@ -355,6 +355,21 @@ object AnalyticsQueries {
       graft.operators.Graphs.pageRank(pairs, "a", "b", iterations = 5)
     },
 
+    /** WEIGHTED PageRank ([[graft.operators.Graphs.pageRankWeighted]], 4
+      * iterations) over the supplier–part fulfillment graph, edge weight
+      * = lineitem count, symmetrized: interaction-strength ranking in the
+      * same exact fixed-point algebra — the full rank vector
+      * hash-matches the oracle's unrolled weighted iterations.
+      */
+    "pagerank_weighted" -> { (s, dir) =>
+      val raw = table(s, dir, "lineitem")
+        .select((col("l_suppkey") + 10000000L).as("u"), col("l_partkey").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      val sym = raw.unionByName(
+        raw.select(col("v").as("u"), col("u").as("v"), col("w")))
+      graft.operators.Graphs.pageRankWeighted(sym, "u", "v", "w", iterations = 4)
+    },
+
     /** Audience-overlap estimation via KMV (k-minimum-values) sketches:
       * for every event-type pair, the Jaccard of their USER sets is
       * estimated from each set's 64 smallest user-id hashes (the
@@ -951,6 +966,32 @@ object AnalyticsQueries {
          |r0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT v AS node, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin
+    },
+    "pagerank_weighted" -> {
+      // weighted iterations: contrib = Σ ⌊r·w/W(u)⌋ in HUGEINT, nodes
+      // with no in-edges keep the restart mass via the left join
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT n.v, 150000 + COALESCE(
+           |           (t.c // 1000000) * 850000
+           |           + ((t.c % 1000000) * 850000) // 1000000, 0) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v, SUM((CAST(r.r AS HUGEINT) * e.w) // e.wsum) AS c
+           |    FROM e JOIN r${i - 1} r ON e.u = r.v
+           |    GROUP BY 1) t ON n.v = t.v
+           |)"""
+      s"""WITH raw AS (
+         |  SELECT 10000000 + l_suppkey AS u, l_partkey AS v,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2
+         |),
+         |dir0 AS (SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw),
+         |wsum AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wsum FROM dir0 GROUP BY 1),
+         |e AS (SELECT d.u, d.v, d.w, ws.wsum FROM dir0 d JOIN wsum ws ON d.u = ws.u),
+         |nodes AS (SELECT u AS v FROM dir0 UNION SELECT v FROM dir0),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT v AS node, CAST(r AS BIGINT) AS rank_fp FROM r4""".stripMargin
     },
     "cooccur_pmi" ->
       """WITH toks AS (

@@ -147,6 +147,42 @@ class GraphsSpec extends SparkSpec {
     assert(bfs(Seq(9L), 4, (1L, 2L)) === Map(9L -> 0L))
   }
 
+  test("pageRankWeighted matches the sequential weighted replay; parallel edges fold") {
+    // directed weighted edges incl. a parallel duplicate (1→2 twice)
+    val edges = Seq((1L, 2L, 3L), (1L, 2L, 2L), (1L, 3L, 5L), (2L, 3L, 1L),
+      (3L, 1L, 4L), (4L, 1L, 7L))
+    def naive(iters: Int): Map[Long, Long] = {
+      val folded = edges.groupBy(e => (e._1, e._2)).view
+        .mapValues(_.map(_._3).sum).toMap
+      val wsum = folded.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      val nodes = folded.keySet.flatMap(k => Set(k._1, k._2))
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val c = scala.collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+        for (((u, v), w) <- folded) c(v) += BigInt(r(u)) * w / wsum(u)
+        r = nodes.map { n =>
+          val cv = c(n)
+          n -> (150000L + ((cv / 1000000L) * 850000L + (cv % 1000000L) * 850000L / 1000000L).toLong)
+        }.toMap
+      }
+      r
+    }
+    for (iters <- Seq(1, 3)) {
+      val got = Graphs.pageRankWeighted(edges.toDF("s", "d", "w"),
+        "s", "d", "w", iters).as[(Long, Long)].collect().toMap
+      assert(got === naive(iters), s"iters=$iters")
+    }
+  }
+
+  test("pageRankWeighted: heavier in-edges rank higher at equal topology") {
+    // star: center 1 points to 2 (w=9) and 3 (w=1)
+    val got = Graphs.pageRankWeighted(
+      Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("s", "d", "w"), "s", "d", "w", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) > got(3L))
+  }
+
   test("checkpointDir: rounds become RELIABLE checkpoints, results unchanged") {
     // a lost executor mid-loop must be recoverable from durable storage:
     // with checkpointDir set the per-round truncation goes through
