@@ -363,6 +363,7 @@ object AnalyticsQueries {
       */
     "pagerank_weighted" -> { (s, dir) =>
       val raw = table(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
         .select((col("l_suppkey") + 10000000L).as("u"), col("l_partkey").as("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
       val sym = raw.unionByName(
@@ -983,7 +984,7 @@ object AnalyticsQueries {
       s"""WITH raw AS (
          |  SELECT 10000000 + l_suppkey AS u, l_partkey AS v,
          |         CAST(COUNT(*) AS BIGINT) AS w
-         |  FROM lineitem GROUP BY 1, 2
+         |  FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY 1, 2
          |),
          |dir0 AS (SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw),
          |wsum AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wsum FROM dir0 GROUP BY 1),
