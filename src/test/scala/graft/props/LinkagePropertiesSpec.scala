@@ -37,6 +37,30 @@ class LinkagePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("EntityLink.bestLinks picks the (score, leftId)-argmax per right id") {
+    val recGen = Gen.listOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 2)))
+    for ((ls, rs) <- samples(Gen.zip(recGen, recGen), 6)) {
+      val left = ls.zipWithIndex.map { case ((b, a), i) => (i.toLong, b, a) }
+        .toDF("lid", "lb", "la")
+      val right = rs.zipWithIndex.map { case ((b, a), i) => (1000L + i, b, a) }
+        .toDF("rid", "rb", "ra")
+      val score = when(col("la") === col("ra"), 70).otherwise(50)
+      val got = EntityLink.bestLinks(left, right, "lid", "rid",
+        Seq((col("lb"), col("rb"))), score, 50)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = rs.zipWithIndex.flatMap { case ((rb, ra), ri) =>
+        val cands = ls.zipWithIndex.collect {
+          case ((lb, la), li) if lb == rb =>
+            (li.toLong, if (la == ra) 70 else 50)
+        }
+        // max score, then max leftId — the documented deterministic pick
+        cands.sortBy { case (li, s) => (s, li) }.lastOption
+          .map { case (li, s) => (1000L + ri, li, s) }
+      }.toSet
+      assert(got === want, s"ls=$ls rs=$rs")
+    }
+  }
+
   test("pmiTopK equals the naive fixed-point PMI reference") {
     val docGen = Gen.listOf(Gen.listOf(Gen.choose('a', 'e').map(_.toString)))
     for (docs <- samples(docGen, 6) if docs.exists(_.size >= 2)) {
