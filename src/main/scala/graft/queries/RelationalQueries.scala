@@ -176,6 +176,28 @@ object RelationalQueries {
           col("col.score").as("n_chars"), col("col.id").as("doc_id"))
     },
 
+    /** Per-user recent-history sequences — the training-example
+      * constructor for sequential recommenders: each user's 8 most
+      * recent event ids, newest first, via the k-BOUNDED pair aggregate
+      * (the exchange carries ≤ 8 pairs per user per task; a power user's
+      * full history is never buffered anywhere — the non-negotiable at
+      * 100 TB of events). Emitted as a joined string so the oracle
+      * compares the SEQUENCE, order included.
+      */
+    "user_history" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      ev.select(col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("_tus"),
+          col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(graft.functions.AggExpressions.topkPairAgg(
+          col("_tus"), col("event_id"), 8).as("_h"))
+        .select(col("user_id"),
+          array_join(transform(col("_h"), x => x("id").cast("string")), ",")
+            .as("recent_ids"),
+          size(col("_h")).as("n_recent"))
+    },
+
     /** Session windows over the event stream (30-minute inactivity gap)
       * — works identically in batch and Structured Streaming; oracle is
       * the classic lag/cumulative-sum sessionization.
@@ -803,6 +825,17 @@ object RelationalQueries {
         |                    o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 5""".stripMargin,
+    "user_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts) DESC, event_id ASC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS recent_ids,
+        |       CAST(COUNT(*) AS BIGINT) AS n_recent
+        |FROM o WHERE rn <= 8 GROUP BY user_id""".stripMargin,
     "topk_pair" ->
       """SELECT lang, CAST(rn AS BIGINT) AS rank, n_chars, doc_id FROM (
         |  SELECT lang, n_chars, doc_id,
