@@ -340,6 +340,32 @@ object RelationalQueries {
           (col("pts") - col("cts")).as("wait_us"))
     },
 
+    /** Next-item training examples — the label-construction pass that
+      * turns an event log into sequential-recommender training rows:
+      * for every event with history, features = the user's up-to-8
+      * PRIOR event ids (newest last) and label = the event itself. The
+      * ROWS frame buffers at most 8 rows per position over one
+      * user-keyed sort — causal (strictly-prior) by construction, so
+      * examples are leakage-free, and the oracle compares the exact
+      * feature sequence.
+      */
+    "training_examples" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("_tus").asc, col("event_id").asc)
+        .rowsBetween(-8, -1)
+      ev.select(col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("_tus"),
+          col("event_id"))
+        .withColumn("_hist", collect_list(col("event_id")).over(w))
+        .filter(size(col("_hist")) > 0)
+        .select(col("user_id"), col("event_id").as("label_id"),
+          array_join(transform(col("_hist"), x => x.cast("string")), ",")
+            .as("history_ids"),
+          size(col("_hist")).as("n_history"))
+    },
+
     /** Salted join: hot probe keys spread over 8 salts (build side
       * replicated); result identical to the plain join.
       */
@@ -958,6 +984,21 @@ object RelationalQueries {
         |)
         |SELECT c.click_id, c.user_id, j.purchase_id, j.wait_us
         |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1""".stripMargin,
+    "training_examples" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id,
+        |         string_agg(CAST(event_id AS VARCHAR), ',')
+        |             OVER (PARTITION BY user_id
+        |                   ORDER BY epoch_us(ts) ASC, event_id ASC
+        |                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS hist,
+        |         COUNT(*) OVER (PARTITION BY user_id
+        |                        ORDER BY epoch_us(ts) ASC, event_id ASC
+        |                        ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS nh
+        |  FROM events
+        |)
+        |SELECT user_id, event_id AS label_id, hist AS history_ids,
+        |       CAST(nh AS BIGINT) AS n_history
+        |FROM o WHERE nh > 0""".stripMargin,
     "salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
