@@ -75,6 +75,40 @@ object Sampling {
     deterministicSplit(grouped, col("group_id"), weights, out)
   }
 
+  /** Deterministic NEGATIVE sampling — the contrastive-training staple:
+    * for each user, `k` pseudo-random item ids the user has NOT
+    * interacted with, drawn from the engine-stable ring (no RNG state:
+    * candidate j of user u is `hashBucket(u·1000003 + j, nItems)`), so
+    * the same negatives reproduce on any engine, any partitioning, any
+    * rerun — a dataset VERSION, not a draw. Oversampling absorbs
+    * positive collisions and duplicate candidates; survivors keep their
+    * draw order (rank 1..k, fewer only if the oversample budget ran
+    * out — deterministic either way).
+    *
+    * Scale shape: candidates are generated per user row (k·oversample
+    * rows, no join against the item catalog); the positives anti-join is
+    * keyed (user, item); the final per-user rank windows over ≤
+    * k·oversample rows, pruned map-side by WindowGroupLimit. A user's
+    * full interaction history is never buffered.
+    */
+  def negativeSamples(interactions: DataFrame, user: String, item: String,
+      nItems: Int, k: Int, oversample: Int = 3): DataFrame = {
+    require(k > 0 && oversample > 0, "negativeSamples: k and oversample must be positive")
+    val pos = interactions.select(col(user).as("_u"), col(item).as("_i")).distinct()
+    val cand = pos.select(col("_u")).distinct()
+      .select(col("_u"),
+        explode(sequence(lit(0L), lit((k * oversample - 1).toLong))).as("_j"))
+      .select(col("_u"), col("_j"),
+        hashBucket(col("_u") * lit(1000003L) + col("_j"), nItems).as("_i"))
+    val neg = cand.join(pos, Seq("_u", "_i"), "left_anti")
+      .groupBy(col("_u"), col("_i")).agg(min(col("_j")).as("_j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_u")).orderBy(col("_j").asc, col("_i").asc)
+    neg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_u").as(user), col("_i").as(item), col("rank"))
+  }
+
   /** At most `k` records per group, chosen deterministically by hash order
     * (a uniform sample, not "first k in storage order"). One shuffle on the
     * group keys; Spark's WindowGroupLimit prunes to k per group map-side

@@ -340,6 +340,20 @@ object RelationalQueries {
           (col("pts") - col("cts")).as("wait_us"))
     },
 
+    /** Deterministic negative sampling ([[graft.operators.Sampling
+      * .negativeSamples]]): 4 engine-stable non-interacted items per
+      * user from a 400-item catalog (item = event_id mod 400) — the
+      * contrastive-training counterpart of `user_history`; the oracle
+      * replays the ring draw, the positives anti-join, and the draw-order
+      * rank digit-for-digit.
+      */
+    "negative_samples" -> { (s, dir) =>
+      val inter = table(s, dir, "events")
+        .select(col("user_id"), (col("event_id") % 400).as("item_id"))
+      graft.operators.Sampling.negativeSamples(inter, "user_id", "item_id",
+        nItems = 400, k = 4)
+    },
+
     /** Next-item training examples — the label-construction pass that
       * turns an event log into sequential-recommender training rows:
       * for every event with history, features = the user's up-to-8
@@ -984,6 +998,28 @@ object RelationalQueries {
         |)
         |SELECT c.click_id, c.user_id, j.purchase_id, j.wait_us
         |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1""".stripMargin,
+    "negative_samples" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT user_id AS u, event_id % 400 AS i FROM events
+        |), cand AS (
+        |  SELECT u, j,
+        |         ((((((g & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536
+        |           + (g & 65535) * 2654435761) % 4294967296) % 400 AS i
+        |  FROM (
+        |    SELECT u, j, u * 1000003 + j AS g
+        |    FROM (SELECT DISTINCT u FROM pos), unnest(range(0, 12)) AS t(j)
+        |  )
+        |), neg AS (
+        |  SELECT c.u, c.i, MIN(c.j) AS j
+        |  FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.u = c.u AND p.i = c.i)
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY j ASC, i ASC) AS rank
+        |  FROM neg
+        |)
+        |SELECT u AS user_id, i AS item_id, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 4""".stripMargin,
     "training_examples" ->
       """WITH o AS (
         |  SELECT user_id, event_id,
