@@ -79,6 +79,27 @@ class LinkagePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("negativeSamples: never a positive, ranked 1..k, stable under repartitioning") {
+    val interGen = Gen.listOf(Gen.zip(Gen.choose(0L, 10L), Gen.choose(0L, 19L)))
+    for (inter <- samples(interGen, 6) if inter.nonEmpty) {
+      val df = inter.toDF("u", "i")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Sampling.negativeSamples(d, "u", "i", nItems = 20, k = 3)
+          .as[(Long, Long, Int)].collect().toSet
+      val got = run(df)
+      val pos = inter.toSet
+      for ((u, i, r) <- got) {
+        assert(!pos.contains((u, i)), s"sampled a positive ($u,$i): $inter")
+        assert(r >= 1 && r <= 3)
+      }
+      // per-user ranks are contiguous from 1
+      for ((u, rs) <- got.groupBy(_._1).view.mapValues(_.map(_._3).toSeq.sorted))
+        assert(rs === (1 to rs.size), s"user $u ranks $rs")
+      // engine-stable: identical under a different physical layout
+      assert(run(df.repartition(7)) === got)
+    }
+  }
+
   test("dedupSafeSplit: NO pair ever crosses splits; group is the component min") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
     for (pairs0 <- samples(pairGen, 6)) {
