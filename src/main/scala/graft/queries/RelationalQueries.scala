@@ -340,6 +340,20 @@ object RelationalQueries {
           (col("pts") - col("cts")).as("wait_us"))
     },
 
+    /** Item-item CF similarity ([[graft.operators.ItemSim.topNeighbors]]):
+      * top-5 "users who took this also took" neighbors per item over the
+      * same 400-item catalog — exact fixed-point Jaccard of user sets,
+      * per-user pair fan-out under the counts-first guard, k-bounded
+      * per-item top; the oracle replays pair counts, the rational score
+      * and the (score, neighbor) rank digit-for-digit.
+      */
+    "item_similarity" -> { (s, dir) =>
+      val inter = table(s, dir, "events")
+        .select(col("user_id"), (col("event_id") % 400).as("item_id"))
+      graft.operators.ItemSim.topNeighbors(inter, "user_id", "item_id",
+        maxUserItems = 10000, minCo = 3, k = 5)
+    },
+
     /** Deterministic negative sampling ([[graft.operators.Sampling
       * .negativeSamples]]): 4 engine-stable non-interacted items per
       * user from a 400-item catalog (item = event_id mod 400) — the
@@ -998,6 +1012,33 @@ object RelationalQueries {
         |)
         |SELECT c.click_id, c.user_id, j.purchase_id, j.wait_us
         |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1""".stripMargin,
+    "item_similarity" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id AS u, event_id % 400 AS i FROM events
+        |), ni AS (
+        |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM inter GROUP BY 1
+        |), co AS (
+        |  SELECT a.i AS a, b.i AS b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM inter a JOIN inter b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), scored AS (
+        |  SELECT co.a, co.b, co.c,
+        |         CAST((CAST(co.c AS HUGEINT) * 1000000)
+        |              // (na.n + nb.n - co.c) AS BIGINT) AS score_fp
+        |  FROM co JOIN ni na ON co.a = na.i JOIN ni nb ON co.b = nb.i
+        |), sym AS (
+        |  SELECT a AS item, b AS nb, score_fp FROM scored
+        |  UNION ALL
+        |  SELECT b, a, score_fp FROM scored
+        |), ranked AS (
+        |  SELECT item, nb, score_fp,
+        |         row_number() OVER (PARTITION BY item
+        |             ORDER BY score_fp DESC, nb ASC) AS rank
+        |  FROM sym
+        |)
+        |SELECT item AS item_id, CAST(rank AS INT) AS rank,
+        |       nb AS neighbor_id, score_fp
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "negative_samples" ->
       """WITH pos AS (
         |  SELECT DISTINCT user_id AS u, event_id % 400 AS i FROM events
