@@ -960,6 +960,35 @@ object NorthStarQueries {
           coalesce(expr("1000000L div _first"), lit(0L)).as("rr_fp"))
     },
 
+    /** NDCG@10 of the BM25 ranking against the `search_mrr` relevance
+      * label — the graded companion metric, made ENGINE-EXACT by
+      * precomputing ⌊10⁶/log₂(i+1)⌋ as integer literals shared verbatim
+      * with the oracle (no runtime log, no float): DCG = Σ rel·w(rank),
+      * IDCG = the ideal prefix, ndcg_pct = ⌊100·DCG/IDCG⌋.
+      */
+    "search_ndcg" -> { (s, dir) =>
+      import s.implicits._
+      val w = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+        333333L, 315464L, 301029L, 289064L)
+      val wDf = w.zipWithIndex.map { case (x, i) => (i + 1, x) }.toDF("rank", "_w")
+      val ideal = w.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (c, i) => (i + 1, c) }.toDF("_nrel", "_idcg")
+      val top = graft.functions.Bm25.topDocs(table(s, dir, "documents"),
+        id = "doc_id", text = col("text"),
+        terms = Seq("spark", "join", "data"), k = 10)
+        .join(broadcast(wDf), Seq("rank"))
+        .withColumn("_rel", when(col("doc_id") % 10 === 3, 1L).otherwise(0L))
+      val perTerm = top.groupBy(col("term"))
+        .agg(sum(col("_rel") * col("_w")).as("dcg_fp"),
+          sum(col("_rel")).as("_nrel"))
+      Seq("spark", "join", "data").toDF("term")
+        .join(perTerm, Seq("term"), "left")
+        .join(broadcast(ideal), Seq("_nrel"), "left")
+        .select(col("term"), coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+          coalesce(col("_idcg"), lit(0L)).as("idcg_fp"),
+          coalesce(expr("(100 * dcg_fp) div _idcg"), lit(0L)).as("ndcg_pct"))
+    },
+
     /** Incremental IVF maintenance ([[graft.similarity.Ivf.search]]):
       * centroids trained on the 80 % stored corpus, its cell index
       * PERSISTED, the 20 % ingest batch assigned to the EXISTING cells
@@ -1443,6 +1472,62 @@ object NorthStarQueries {
         |             ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "search_ndcg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        |  FROM toks WHERE term <> '' GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+        |), dfr AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM t GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+        |         (t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM t
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  JOIN dfr USING (term)
+        |  WHERE t.term IN ('spark', 'join', 'data')
+        |), ranked AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term
+        |             ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |), topk AS (
+        |  SELECT term,
+        |         CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS rel,
+        |         CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+        |                   WHEN 3 THEN 500000 WHEN 4 THEN 430676
+        |                   WHEN 5 THEN 386852 WHEN 6 THEN 356207
+        |                   WHEN 7 THEN 333333 WHEN 8 THEN 315464
+        |                   WHEN 9 THEN 301029 ELSE 289064 END AS w
+        |  FROM ranked WHERE rank <= 10
+        |), agg AS (
+        |  SELECT term, CAST(SUM(rel * w) AS BIGINT) AS dcg_fp,
+        |         CAST(SUM(rel) AS BIGINT) AS nrel
+        |  FROM topk GROUP BY 1
+        |), withideal AS (
+        |  SELECT term, dcg_fp,
+        |         CASE nrel WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+        |                   WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+        |                   WHEN 5 THEN 2948457 WHEN 6 THEN 3304664
+        |                   WHEN 7 THEN 3637997 WHEN 8 THEN 3953461
+        |                   WHEN 9 THEN 4254490 WHEN 10 THEN 4543554
+        |                   ELSE 0 END AS idcg_fp
+        |  FROM agg
+        |)
+        |SELECT q.term, COALESCE(w.dcg_fp, 0) AS dcg_fp,
+        |       COALESCE(w.idcg_fp, 0) AS idcg_fp,
+        |       CAST(COALESCE((100 * w.dcg_fp) // NULLIF(w.idcg_fp, 0), 0) AS BIGINT)
+        |         AS ndcg_pct
+        |FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)
+        |LEFT JOIN withideal w ON q.term = w.term""".stripMargin,
     "search_mrr" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
