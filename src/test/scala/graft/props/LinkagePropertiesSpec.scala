@@ -100,6 +100,31 @@ class LinkagePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ItemSim.topNeighbors equals the naive Jaccard-ranked reference") {
+    val interGen = Gen.listOf(Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 9L)))
+    for (inter <- samples(interGen, 6) if inter.nonEmpty) {
+      val got = graft.operators.ItemSim.topNeighbors(
+        inter.toDF("u", "i"), "u", "i", maxUserItems = 100, minCo = 1, k = 3)
+        .as[(Long, Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val sets = inter.distinct.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap
+      val pairs = for {
+        a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+        c = sets(a).intersect(sets(b)).size.toLong if c >= 1
+      } yield (a, b, c * 1000000L / (sets(a).size + sets(b).size - c))
+      val want = (pairs.map(p => (p._1, p._2, p._3)) ++
+        pairs.map(p => (p._2, p._1, p._3)))
+        .groupBy(_._1).view.mapValues(
+          _.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).take(3).zipWithIndex
+            .map { case ((nb, s), i) => (i + 1) -> ((nb, s)) }.toMap)
+        .toMap
+      val wantFlat = want.flatMap { case (item, m) =>
+        m.map { case (r, v) => (item, r) -> v } }
+      assert(got === wantFlat, s"inter=$inter")
+    }
+  }
+
   test("dedupSafeSplit: NO pair ever crosses splits; group is the component min") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
     for (pairs0 <- samples(pairGen, 6)) {
