@@ -122,4 +122,25 @@ class OutliersSpec extends SparkSpec {
       .filter(col("is_outlier")).select("v").as[Double].collect().toSet
     assert(out === Set(100.0))
   }
+
+  test("rollingAnomaly frame: window-old edge included, same-timestamp peers excluded") {
+    // user 1: three steady events fill the window, then a spike at t=20;
+    // another event AT t=20 must not see the spike (peers excluded), and
+    // the event exactly windowUs back (t=10 for window 10 at t=20) counts
+    val ev = Seq(
+      (1L, 1L, 10L, 5L), (2L, 1L, 12L, 5L), (3L, 1L, 14L, 5L),
+      (4L, 1L, 20L, 500L), // spike: prior frame [10,19] = {5,5,5} -> anomaly
+      (5L, 1L, 20L, 5L)    // same ts as the spike: frame excludes it
+    ).toDF("id", "u", "t", "v")
+    val got = Outliers.rollingAnomaly(ev, Seq("u"), col("t"), col("v"),
+      windowUs = 10L, kNum = 2, kDen = 1, minPrior = 3)
+      .select(col("id"), col("n_prior"), col("is_anomaly"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(4L) === ((3L, true)), "spike over a zero-variance prior frame")
+    // id 5 shares t=20 with the spike: its frame is the same {5,5,5} —
+    // the spike (a peer) is excluded, and 5 is not anomalous vs {5,5,5}
+    assert(got(5L) === ((3L, false)))
+    // t=14's frame spans [4,13]: includes t=10 (exact window edge) and t=12
+    assert(got(3L)._1 === 2L)
+  }
 }
