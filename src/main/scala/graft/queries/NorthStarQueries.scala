@@ -828,6 +828,29 @@ object NorthStarQueries {
             .as("keep_id"))
     },
 
+    /** Source-level duplication matrix: near-dup pair counts aggregated
+      * by the SOURCES of the two documents — the corpus-analysis view
+      * that tells you WHERE duplication comes from (a mirrored site, a
+      * scraper crawling twice) before any row is dropped. Pairs from the
+      * exact n-gram machinery; (source_lo, source_hi) canonicalized so
+      * the matrix is triangular.
+      */
+    "dedup_source_matrix" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+      val pairs = Dedup.ngramJaccard(docs, id = "doc_id",
+        shingles = shingleHashesOf(col("_toks"), 5), threshold = 0.5)
+        .select(col("a"), col("b"))
+      val src = tableSpread(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("_sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("_sb")), "b")
+        .select(least(col("_sa"), col("_sb")).as("source_lo"),
+          greatest(col("_sa"), col("_sb")).as("source_hi"))
+        .groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     /** Asymmetric containment dedup ([[graft.dedup.Dedup.containment]]):
       * drop documents whose (surviving) shingle set is ≥ 90 % contained
       * in another doc's — the quotation/wrapper case symmetric Jaccard
@@ -1597,6 +1620,37 @@ object NorthStarQueries {
         |)
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
         |FROM reach GROUP BY src""".stripMargin,
+    "dedup_source_matrix" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ts) - 3),
+        |                       i -> array_to_string(ts[i:i+4], ' '))) AS shs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |        FROM documents)
+        |), ex0 AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh
+        |), keep AS (
+        |  SELECT sh FROM ex0 GROUP BY sh HAVING COUNT(*) <= 1000
+        |), ex AS (
+        |  SELECT e.doc_id, e.sh FROM ex0 e JOIN keep USING (sh)
+        |), n AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT p.a, p.b
+        |  FROM p JOIN n na ON p.a = na.doc_id JOIN n nb ON p.b = nb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (na.n + nb.n - p.common) >= 0.5
+        |)
+        |SELECT LEAST(da.source, db.source) AS source_lo,
+        |       GREATEST(da.source, db.source) AS source_hi,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pairs
+        |JOIN documents da ON pairs.a = da.doc_id
+        |JOIN documents db ON pairs.b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,
