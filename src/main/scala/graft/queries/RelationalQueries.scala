@@ -340,6 +340,33 @@ object RelationalQueries {
           (col("pts") - col("cts")).as("wait_us"))
     },
 
+    /** Recency-weighted (time-decayed) popularity — the freshness signal
+      * ranking/trending systems maintain, made ENGINE-EXACT by choosing
+      * the decay base 2: weight = 2^(30−age_days) is a bit-shift, so the
+      * decayed sum Σ cents·2^(30−age) is plain integer algebra (an
+      * exponential-decay float would drift with summation order). One
+      * counts-style partial-aggregated exchange; the snapshot time is a
+      * broadcast 1-row frame.
+      */
+    "decayed_popularity" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("user_id"),
+        (col("event_id") % 400).as("item_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts").as("_tus"),
+        round(col("value") * 100).cast("long").as("_cents"))
+      val snap = base.agg(max(col("_tus")).as("_snap"))
+      base.crossJoin(broadcast(snap))
+        .withColumn("_age", expr("(_snap - _tus) DIV 86400000000"))
+        .filter(col("_age") <= 30)
+        .withColumn("_w", expr("shiftleft(1L, cast(30 - _age as int))"))
+        .groupBy(col("item_id"))
+        .agg(count(lit(1)).as("n_events"),
+          // decimal internally (the 100 TB envelope), BIGINT at the edge
+          // for the exact cross-engine compare
+          sum((col("_cents").cast("decimal(38,0)") * col("_w"))).cast("long")
+            .as("decayed_fp"))
+    },
+
     /** Item-item CF similarity ([[graft.operators.ItemSim.topNeighbors]]):
       * top-5 "users who took this also took" neighbors per item over the
       * same 400-item catalog — exact fixed-point Jaccard of user sets,
@@ -1012,6 +1039,21 @@ object RelationalQueries {
         |)
         |SELECT c.click_id, c.user_id, j.purchase_id, j.wait_us
         |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1""".stripMargin,
+    "decayed_popularity" ->
+      """WITH e AS (
+        |  SELECT event_id % 400 AS item_id, epoch_us(ts) AS tus,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), s AS (SELECT MAX(tus) AS snap FROM e
+        |), aged AS (
+        |  SELECT e.item_id, e.cents, (s.snap - e.tus) // 86400000000 AS age
+        |  FROM e, s
+        |)
+        |SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(cents AS HUGEINT) * (CAST(1 AS HUGEINT) << CAST(30 - age AS INT)))
+        |            AS BIGINT) AS decayed_fp
+        |FROM aged WHERE age <= 30
+        |GROUP BY 1""".stripMargin,
     "item_similarity" ->
       """WITH inter AS (
         |  SELECT DISTINCT user_id AS u, event_id % 400 AS i FROM events
