@@ -67,4 +67,20 @@ class SourcesSpec extends graft.SparkSpec {
     assert(q === Set("2,F", "3,O,notanum", "5,F,1.00,extra"))
     graft.Caches.clear(spark, blocking = true)
   }
+
+  test("csvQuarantine honors reader options (delimiter) and passes a fully-clean feed through") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvq2").toString + "/data"
+    spark.createDataset(Seq("1|O|2.50", "2|P|7.00"))(
+      org.apache.spark.sql.Encoders.STRING).coalesce(1).write.text(dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val (valid, quarantine) = Sources.csvQuarantine(spark, dir, schema,
+      options = Map("delimiter" -> "|"))
+    assert(valid.count() === 2L)
+    assert(quarantine.count() === 0L)
+    assert(valid.filter(col("k") === 1L).select("v").head().getDouble(0) === 2.50)
+    graft.Caches.clear(spark, blocking = true)
+  }
 }
