@@ -340,6 +340,28 @@ object RelationalQueries {
           (col("pts") - col("cts")).as("wait_us"))
     },
 
+    /** Daily trending items — temporal heavy hitters: per day, the top-5
+      * items by event count with deterministic (count DESC, item ASC)
+      * rank, via the k-bounded pair aggregate — (day, item) tallies
+      * partial-aggregate map-side, then ≤ k pairs per day per task cross
+      * the final exchange; no global window, no per-day sort of the full
+      * item tally.
+      */
+    "trending_items" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      ev.select(graft.GraftSession.eventTimeMicros(ev, "ts").as("_tus"),
+          (col("event_id") % 400).as("item_id"))
+        .withColumn("day_bucket", expr("_tus DIV 86400000000"))
+        .groupBy(col("day_bucket"), col("item_id"))
+        .agg(count(lit(1)).as("_n"))
+        .groupBy(col("day_bucket"))
+        .agg(graft.functions.AggExpressions.topkPairAgg(
+          col("_n"), col("item_id"), 5).as("_top"))
+        .select(col("day_bucket"), posexplode(col("_top")))
+        .select(col("day_bucket"), (col("pos") + 1).as("rank"),
+          col("col.id").as("item_id"), col("col.score").as("n_events"))
+    },
+
     /** Recency-weighted (time-decayed) popularity — the freshness signal
       * ranking/trending systems maintain, made ENGINE-EXACT by choosing
       * the decay base 2: weight = 2^(30−age_days) is a bit-shift, so the
@@ -1039,6 +1061,23 @@ object RelationalQueries {
         |)
         |SELECT c.click_id, c.user_id, j.purchase_id, j.wait_us
         |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1""".stripMargin,
+    "trending_items" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+        |         event_id % 400 AS item_id
+        |  FROM events
+        |), c AS (
+        |  SELECT day_bucket, item_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT day_bucket, item_id, n,
+        |         row_number() OVER (PARTITION BY day_bucket
+        |             ORDER BY n DESC, item_id ASC) AS rank
+        |  FROM c
+        |)
+        |SELECT day_bucket, CAST(rank AS INT) AS rank, item_id,
+        |       n AS n_events
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "decayed_popularity" ->
       """WITH e AS (
         |  SELECT event_id % 400 AS item_id, epoch_us(ts) AS tus,
