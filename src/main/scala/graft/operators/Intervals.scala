@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval algebra over [start, end) spans: per-key coalescing of
+  * overlapping-or-touching intervals ("islands") and the complementary
+  * gap extraction. The classic warehouse uses are validity-interval
+  * compaction (SCD histories whose consecutive versions carry the same
+  * payload), device/session uptime stitching, and coverage analysis
+  * (which time ranges have NO data — the gaps).
+  *
+  * Scale shape: ONE shuffle on the key columns, then a per-key ordered
+  * scan (two window passes sharing the same partitioning + sort, so the
+  * exchange and the sort each happen once). No self-join, no collect; a
+  * key's cost is linear in its own interval count, so the operator
+  * survives 100 TB exactly as well as the underlying hash partitioning
+  * does. The island detection is the standard cumulative-max trick: an
+  * interval starts a new island iff its start lies strictly after the
+  * running max end of every earlier interval of the same key (ties and
+  * duplicates are safe — the flag depends only on the monotone running
+  * max, not on the order among equal (start, end) rows).
+  */
+object Intervals {
+
+  /** Coalesce overlapping-or-touching intervals per key.
+    *
+    * Input: one row per interval with integral `start`/`end` columns
+    * (microseconds, days — any total order; [start, end) half-open, so
+    * end == next.start merges). Output: one row per merged island with
+    * the same `start`/`end` names (min start, max end) plus `n_merged`,
+    * the source-interval count. Intervals separated by a gap of at most
+    * `minGap` also merge (sessionization-style stitching); the default 0
+    * merges only overlap/touch.
+    */
+  def merge(df: DataFrame, keys: Seq[String], start: String, end: String,
+      minGap: Long = 0L): DataFrame = {
+    val k = keys.map(col)
+    val ord = Window.partitionBy(k: _*).orderBy(col(start), col(end))
+    val prevMax = max(col(end))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = df
+      .withColumn("_island_open",
+        when(prevMax.isNull || col(start) > prevMax + lit(minGap), 1L)
+          .otherwise(0L))
+      .withColumn("_island",
+        sum(col("_island_open"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grouped
+      .groupBy(k :+ col("_island"): _*)
+      .agg(min(col(start)).as(start), max(col(end)).as(end),
+        count(lit(1)).as("n_merged"))
+      .drop("_island")
+  }
+
+  /** The complement of [[merge]]: the maximal uncovered spans BETWEEN a
+    * key's merged islands, as (gap_start, gap_end) rows. Leading/trailing
+    * open-ended gaps are not emitted (no domain bounds are assumed);
+    * merged islands are pairwise disjoint with positive separation, so
+    * every emitted gap has gap_end > gap_start by construction.
+    */
+  def gaps(df: DataFrame, keys: Seq[String], start: String, end: String,
+      minGap: Long = 0L): DataFrame = {
+    val k = keys.map(col)
+    val ord = Window.partitionBy(k: _*).orderBy(col(start))
+    merge(df, keys, start, end, minGap)
+      .select(k :+ col(end).as("gap_start") :+
+        lead(col(start), 1).over(ord).as("gap_end"): _*)
+      .where(col("gap_end").isNotNull)
+  }
+}

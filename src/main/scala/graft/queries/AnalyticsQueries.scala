@@ -609,6 +609,42 @@ object AnalyticsQueries {
           lit(null).cast("double").as("acctbal"))
       graft.operators.Maintain.refreshSurvivorship(golden, delta,
         pk = Seq("c_custkey"), fields = Seq("name", "acctbal"))
+    },
+
+    /** Per-user activity-interval coalescing
+      * ([[graft.operators.Intervals.merge]]): each event opens a span of
+      * `value` minutes; overlapping/touching spans merge into islands.
+      * Everything is exact integer microseconds (the span length is
+      * DECIMAL(18,2) minutes × 60e6 — an integer by construction), so
+      * the island set is engine-identical. One shuffle on user_id, then
+      * a per-key ordered scan — no self-join at any scale.
+      */
+    "interval_merge" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val iv = ev.select(col("user_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts").as("start_us"),
+        (graft.GraftSession.eventTimeMicros(ev, "ts") +
+          (col("value").cast("decimal(18,2)") * lit(60000000L))
+            .cast("long")).as("end_us"))
+      graft.operators.Intervals.merge(iv, Seq("user_id"), "start_us", "end_us")
+    },
+
+    /** The complement ([[graft.operators.Intervals.gaps]]): per user, the
+      * maximal silent spans between merged activity islands — coverage
+      * analysis ("when did we have NO signal from this key"). Same
+      * exact-integer algebra; gaps are strictly positive by construction
+      * because merged islands are disjoint.
+      */
+    "interval_gaps" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val iv = ev.select(col("user_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts").as("start_us"),
+        (graft.GraftSession.eventTimeMicros(ev, "ts") +
+          (col("value").cast("decimal(18,2)") * lit(60000000L))
+            .cast("long")).as("end_us"))
+      graft.operators.Intervals.gaps(iv, Seq("user_id"), "start_us", "end_us")
+        .select(col("user_id"), col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start")).as("gap_us"))
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1103,5 +1139,55 @@ object AnalyticsQueries {
         |            OVER w AS BIGINT) AS n_purchase_24h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin)
+        |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts)
+        |           + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT) AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT user_id, MIN(s) AS start_us, MAX(e) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY user_id, island""".stripMargin,
+
+    "interval_gaps" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts)
+        |           + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT) AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, MIN(s) AS st, MAX(e) AS en
+        |  FROM g GROUP BY user_id, island)
+        |SELECT user_id, gap_start, gap_end, gap_end - gap_start AS gap_us
+        |FROM (
+        |  SELECT user_id, en AS gap_start,
+        |         LEAD(st, 1) OVER (PARTITION BY user_id ORDER BY st) AS gap_end
+        |  FROM isl)
+        |WHERE gap_end IS NOT NULL""".stripMargin)
 }

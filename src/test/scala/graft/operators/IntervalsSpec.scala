@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merged(rows: (String, Long, Long)*): Set[(String, Long, Long, Long)] =
+    Intervals.merge(rows.toSeq.toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+
+  private def gapSet(rows: (String, Long, Long)*): Set[(String, Long, Long)] =
+    Intervals.gaps(rows.toSeq.toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .as[(String, Long, Long)].collect().toSet
+
+  test("overlap, touch, and containment all coalesce; disjoint stays apart") {
+    // [1,5) overlaps [3,8); [8,10) touches ([s,e) half-open); [4,6) is
+    // contained; [20,25) is a separate island.
+    val m = merged(("a", 1L, 5L), ("a", 3L, 8L), ("a", 8L, 10L),
+      ("a", 4L, 6L), ("a", 20L, 25L))
+    assert(m === Set(("a", 1L, 10L, 4L), ("a", 20L, 25L, 1L)))
+  }
+
+  test("keys never mix; zero-width intervals merge at their point") {
+    val m = merged(("a", 1L, 3L), ("b", 1L, 3L), ("a", 3L, 3L), ("a", 5L, 7L))
+    assert(m === Set(("a", 1L, 3L, 2L), ("a", 5L, 7L, 1L), ("b", 1L, 3L, 1L)))
+  }
+
+  test("a long interval bridges later short ones (running max, not lag)") {
+    // [1,100) then [2,3), [50,60), [99,101): the island end must track the
+    // RUNNING max (100 → 101), which a naive lag(e) comparison gets wrong.
+    val m = merged(("a", 1L, 100L), ("a", 2L, 3L), ("a", 50L, 60L),
+      ("a", 99L, 101L), ("a", 150L, 160L))
+    assert(m === Set(("a", 1L, 101L, 4L), ("a", 150L, 160L, 1L)))
+  }
+
+  test("minGap stitches near-touching islands") {
+    val df = Seq(("a", 1L, 5L), ("a", 8L, 10L), ("a", 30L, 40L)).toDF("k", "s", "e")
+    val m = Intervals.merge(df, Seq("k"), "s", "e", minGap = 3L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(m === Set(("a", 1L, 10L, 2L), ("a", 30L, 40L, 1L)))
+  }
+
+  test("gaps are the exact complement between islands, per key") {
+    val g = gapSet(("a", 1L, 5L), ("a", 3L, 8L), ("a", 20L, 25L),
+      ("a", 40L, 41L), ("b", 0L, 2L))
+    assert(g === Set(("a", 8L, 20L), ("a", 25L, 40L)))
+  }
+
+  test("duplicate intervals count into n_merged and change nothing else") {
+    val m = merged(("a", 1L, 5L), ("a", 1L, 5L), ("a", 1L, 5L))
+    assert(m === Set(("a", 1L, 5L, 3L)))
+  }
+}
