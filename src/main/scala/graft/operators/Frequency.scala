@@ -99,4 +99,55 @@ object Frequency {
       .filter(col("cnt") * k >= total)
       .withColumn("total", lit(total))
   }
+
+  /** Per-depth salt for the Count-Min hash rows: shifts the key by a
+    * large prime before the engine-stable multiplicative hash
+    * ([[Sampling.hashBucket]] masks to the low 32 bits, so the shift
+    * rotates the ring rather than escaping it). Plain integer arithmetic
+    * on purpose — the DuckDB oracle replays the exact formula.
+    */
+  private def cmSalt(d: Int): Long = d.toLong * 2971215073L
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+    * summary: the count-min sketch", J. Algorithms 55, 2005) built as a
+    * relational plan: the sketch IS a ≤ depth×width-row (d, bucket, cnt)
+    * frame produced by ONE partial-aggregated shuffle — each input row
+    * explodes to `depth` 16-byte (d, bucket) pairs that combine map-side,
+    * so the exchange carries at most tasks × depth × width rows no matter
+    * the corpus size. The frame is mergeable across batches by summing
+    * cnt on (d, bucket) — the same property the paper proves for the
+    * matrix form.
+    */
+  def countMinBuild(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2 (got $depth, $width)")
+    val rows = array((0 until depth).map { d =>
+      struct(lit(d).cast("int").as("d"),
+        Sampling.hashBucket(key + lit(cmSalt(d)), width).as("bucket"))
+    }: _*)
+    df.select(explode(rows).as("_db"))
+      .groupBy(col("_db.d").as("d"), col("_db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinBuild]] sketch: for each
+    * row of `keys`, min over the depth rows of that key's bucket counts —
+    * the classic one-sided estimate (cm_est ≥ true count always; ≤ true
+    * count + εN with probability 1-δ for depth = ln 1/δ, width = e/ε).
+    * The sketch is depth×width rows → broadcast; absent buckets read 0.
+    * `depth`/`width` must match the build call.
+    */
+  def countMinQuery(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame = {
+    val rows = array((0 until depth).map { d =>
+      struct(lit(d).cast("int").as("d"),
+        Sampling.hashBucket(col("_k") + lit(cmSalt(d)), width).as("bucket"))
+    }: _*)
+    keys.select(key.as("_k"))
+      .select(col("_k"), explode(rows).as("_db"))
+      .join(broadcast(sketch),
+        col("_db.d") === sketch("d") && col("_db.bucket") === sketch("bucket"),
+        "left")
+      .groupBy(col("_k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
 }

@@ -629,6 +629,26 @@ object AnalyticsQueries {
       graft.operators.Intervals.merge(iv, Seq("user_id"), "start_us", "end_us")
     },
 
+    /** Hopping (sliding) event-time windows — `window(ts, 1h, 30m)`:
+      * every event lands in exactly windowDuration/slideDuration = 2
+      * overlapping epoch-aligned buckets. This is the batch twin of the
+      * streaming windowed aggregation and the shape Structured Streaming
+      * state stores carry; the oracle replays the bucket assignment as
+      * integer floor-division over epoch microseconds. Partial
+      * aggregation combines map-side, so the exchange carries (window,
+      * count, sum) triples — 2 rows per event pre-combine, two per
+      * (task, window) after.
+      */
+    "hopping_window" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_v"))
+        .select(
+          unix_micros(col("window.start").cast("timestamp")).as("win_start_us"),
+          col("n_events"), col("sum_v").cast("double").as("sum_value"))
+    },
+
     /** The complement ([[graft.operators.Intervals.gaps]]): per user, the
       * maximal silent spans between merged activity islands — coverage
       * analysis ("when did we have NO signal from this key"). Same
@@ -1140,6 +1160,19 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "hopping_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT (us // 1800000000) * 1800000000 - k * 1800000000
+        |           AS win_start_us, v
+        |  FROM e CROSS JOIN (SELECT UNNEST([CAST(0 AS BIGINT),
+        |                                    CAST(1 AS BIGINT)]) AS k))
+        |SELECT win_start_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(v) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_start_us""".stripMargin,
 
     "interval_merge" ->
       """WITH iv AS (

@@ -1132,6 +1132,31 @@ object NorthStarQueries {
         col("t"), k = 200)
     },
 
+    /** Count-Min point-frequency estimates
+      * ([[graft.operators.Frequency.countMinBuild]]/`countMinQuery`,
+      * depth 4 × width 1024): the sketch is a ≤ 4096-row counts frame
+      * built in ONE partial-aggregated shuffle and broadcast to the
+      * query keys; estimates are deterministic because the hash rows use
+      * the engine-stable multiplicative hash, so the DuckDB oracle
+      * rebuilds the identical sketch and every estimate (including its
+      * collision inflation) matches digit-for-digit. True counts ride
+      * along to witness the one-sided guarantee cm_est ≥ true_cnt.
+      */
+    "count_min" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val sketch = graft.operators.Frequency.countMinBuild(
+        li, col("l_partkey"), depth = 4, width = 1024)
+      val qk = table(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(97L)) === 0)
+        .select(col("p_partkey"))
+      val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("_tc"))
+      graft.operators.Frequency.countMinQuery(
+          sketch, qk, col("p_partkey"), depth = 4, width = 1024)
+        .join(truth, col("_k") === col("l_partkey"), "left")
+        .select(col("_k").as("p_partkey"), col("cm_est"),
+          coalesce(col("_tc"), lit(0L)).as("true_cnt"))
+    },
+
     /** Deterministic 80/10/10 split via explicit multiplicative hashing —
       * stable across engines and re-runs (the oracle computes the same
       * arithmetic in DuckDB and agrees exactly).
@@ -2213,6 +2238,36 @@ object NorthStarQueries {
         |       (SELECT n FROM tot) AS total
         |FROM t2 GROUP BY 1
         |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)""".stripMargin,
+
+    "count_min" ->
+      """WITH salts AS (
+        |  SELECT UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+        |                 CAST(2 AS BIGINT), CAST(3 AS BIGINT)]) AS d),
+        |hashed AS (
+        |  SELECT s.d,
+        |         ((((((l_partkey + s.d * 2971215073) & 4294967295) >> 16)
+        |              * 2654435761) % 4294967296 * 65536
+        |           + ((l_partkey + s.d * 2971215073) & 65535) * 2654435761)
+        |          % 4294967296) % 1024 AS bucket
+        |  FROM lineitem CROSS JOIN salts s),
+        |sketch AS (
+        |  SELECT d, bucket, COUNT(*) AS cnt FROM hashed GROUP BY d, bucket),
+        |qk AS (SELECT p_partkey FROM part WHERE p_partkey % 97 = 0),
+        |qh AS (
+        |  SELECT p_partkey, s.d,
+        |         ((((((p_partkey + s.d * 2971215073) & 4294967295) >> 16)
+        |              * 2654435761) % 4294967296 * 65536
+        |           + ((p_partkey + s.d * 2971215073) & 65535) * 2654435761)
+        |          % 4294967296) % 1024 AS bucket
+        |  FROM qk CROSS JOIN salts s),
+        |est AS (
+        |  SELECT p_partkey, MIN(COALESCE(sk.cnt, 0)) AS cm_est
+        |  FROM qh LEFT JOIN sketch sk USING (d, bucket)
+        |  GROUP BY p_partkey),
+        |tr AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+        |SELECT p_partkey, CAST(cm_est AS BIGINT) AS cm_est,
+        |       CAST(COALESCE(tr.c, 0) AS BIGINT) AS true_cnt
+        |FROM est LEFT JOIN tr ON tr.l_partkey = est.p_partkey""".stripMargin,
     "multimodal_video" ->
       """SELECT doc_id,
         |       CAST(doc_id % 7 + 2 AS INTEGER) AS n_frames,

@@ -862,6 +862,25 @@ object RelationalQueries {
     "profile_table" -> { (s, dir) =>
       graft.operators.Profile.profile(table(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
+    /** Correlated scalar subquery, decorrelated by hand the way Catalyst
+      * (and every warehouse optimizer) rewrites it: "customers whose
+      * balance exceeds their nation's average" becomes ONE grouped
+      * aggregate broadcast back onto the fact side — the per-row subquery
+      * never executes per row. The comparison cross-multiplies
+      * (bal · n > Σbal in DECIMAL) instead of dividing, so no float
+      * average exists and the row set is engine-exact; the oracle keeps
+      * the textbook correlated form and lets DuckDB decorrelate it.
+      */
+    "correlated_avg" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val bal = col("c_acctbal").cast("decimal(18,2)")
+      val nat = c.groupBy(col("c_nationkey"))
+        .agg(sum(bal).as("_sum_bal"), count(lit(1)).as("_n"))
+      c.join(broadcast(nat), "c_nationkey")
+        .where(bal * col("_n") > col("_sum_bal"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     }
   )
 
@@ -1378,6 +1397,15 @@ object RelationalQueries {
            |       CAST(MIN($c) AS VARCHAR) AS min_value,
            |       CAST(MAX($c) AS VARCHAR) AS max_value
            |FROM orders""".stripMargin)
-      .mkString("\nUNION ALL\n")
+      .mkString("\nUNION ALL\n"),
+
+    "correlated_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |        * (SELECT COUNT(*) FROM customer i
+        |           WHERE i.c_nationkey = c.c_nationkey)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer i
+        |         WHERE i.c_nationkey = c.c_nationkey)""".stripMargin
   )
 }
