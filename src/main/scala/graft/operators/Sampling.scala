@@ -25,13 +25,29 @@ object Sampling {
     * 2^50 and the masked lo32 makes negative ids well-defined — the same
     * expression evaluates identically in any engine with 64-bit integers.
     */
-  def hashBucket(id: Column, buckets: Int): Column = {
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(hashRing32(id), lit(buckets.toLong))
+
+  /** The full 32-bit ring value behind [[hashBucket]] (the hash before
+    * the final modulus). Exposed for multi-round chains: one round is
+    * AFFINE in the low 16 input bits modulo any power of two, so two
+    * coordinates derived by additive salts alone stay perfectly
+    * correlated — chain rounds through [[swapHalves]] to mix the high
+    * half back into the low bits before re-bucketing.
+    */
+  def hashRing32(id: Column): Column = {
     val lo = id.cast("long").bitwiseAND(lit(4294967295L))
     val h = shiftright(lo, 16)
     val l = lo.bitwiseAND(lit(65535L))
-    val m = (pmod(h * lit(2654435761L), lit(4294967296L)) * 65536L + l * lit(2654435761L)) % 4294967296L
-    pmod(m, lit(buckets.toLong))
+    (pmod(h * lit(2654435761L), lit(4294967296L)) * 65536L + l * lit(2654435761L)) % 4294967296L
   }
+
+  /** Swap the 16-bit halves of a 32-bit ring value — the cheap
+    * engine-replayable permutation that feeds a ring value's HIGH bits
+    * into the next round's low-bit-sensitive multiply.
+    */
+  def swapHalves(m: Column): Column =
+    shiftright(m, 16) + m.bitwiseAND(lit(65535L)) * lit(65536L)
 
   /** Deterministic percentage split: `weights` maps label -> percent
     * (must sum to 100); every record gets a `split` label from its id —

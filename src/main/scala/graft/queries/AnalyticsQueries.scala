@@ -18,6 +18,24 @@ object AnalyticsQueries {
 
   private val weekUs = 7L * 86400L * 1000000L
 
+  /** DuckDB replica of [[graft.operators.Sampling.hashBucket]] (the
+    * engine-stable multiplicative hash) over a pre-parenthesized integral
+    * SQL expression — shared by every oracle that replays a synthetic
+    * hash-derived coordinate or bucket.
+    */
+  /** The full 32-bit ring value ([[graft.operators.Sampling.hashRing32]])
+    * over a pre-parenthesized integral SQL expression.
+    */
+  private def ring32Sql(e: String): String =
+    s"((((($e & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536" +
+      s" + ($e & 65535) * 2654435761) % 4294967296"
+
+  /** [[graft.operators.Sampling.swapHalves]] in SQL: 16-bit half swap of
+    * a 32-bit ring value held in a NAMED column.
+    */
+  private def swapSql(name: String): String =
+    s"(($name >> 16) + ($name & 65535) * 65536)"
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     /** Three-step conversion funnel (view → click → purchase, each step
@@ -629,6 +647,37 @@ object AnalyticsQueries {
       graft.operators.Intervals.merge(iv, Seq("user_id"), "start_us", "end_us")
     },
 
+    /** Grid-cell spatial join ([[graft.operators.Spatial.chebyshevJoin]]):
+      * all (customer, part) point pairs within Chebyshev distance 32 on a
+      * 4096² integer grid (coordinates derived from keys via the
+      * engine-stable hash, so the fixture is synthetic but the geometry
+      * is exact). The right side keys each point to ONE cell; the left
+      * explodes to its 3×3 stencil — every qualifying pair collides in
+      * exactly one cell, so the equi-join is duplicate-free and the only
+      * post-filter is the exact distance test. The oracle is the
+      * brute-force cross join with the same coordinates.
+      */
+    "spatial_grid_join" -> { (s, dir) =>
+      import graft.operators.{Sampling, Spatial}
+      // (x, y) from successive rounds of the ring-hash chain — NOT from
+      // two additive salts, which stay affinely correlated (one round is
+      // linear in the low 16 bits mod any power of two)
+      def coords(df: DataFrame, id: String, salt: Long, x: String, y: String) = {
+        val withM2 = df.withColumn("_m2",
+          Sampling.hashRing32(Sampling.swapHalves(
+            Sampling.hashRing32(col(id) + lit(salt)))))
+        withM2.select(col(id),
+          pmod(col("_m2"), lit(4096L)).as(x),
+          pmod(Sampling.hashRing32(Sampling.swapHalves(col("_m2"))),
+            lit(4096L)).as(y))
+      }
+      val c = coords(table(s, dir, "customer"), "c_custkey", 777L, "cx", "cy")
+      val p = coords(table(s, dir, "part"), "p_partkey", 13L, "px", "py")
+      Spatial.chebyshevJoin(c, col("cx"), col("cy"),
+          p, col("px"), col("py"), r = 32L)
+        .select(col("c_custkey"), col("p_partkey"), col("cheb_dist"))
+    },
+
     /** Hopping (sliding) event-time windows — `window(ts, 1h, 30m)`:
       * every event lands in exactly windowDuration/slideDuration = 2
       * overlapping epoch-aligned buckets. This is the batch twin of the
@@ -1160,6 +1209,28 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "spatial_grid_join" ->
+      s"""WITH c1 AS (
+         |  SELECT c_custkey, ${ring32Sql("(c_custkey + 777)")} AS m1
+         |  FROM customer),
+         |c2 AS (SELECT c_custkey, ${ring32Sql(swapSql("m1"))} AS m2 FROM c1),
+         |c AS (
+         |  SELECT c_custkey, m2 % 4096 AS cx,
+         |         ${ring32Sql(swapSql("m2"))} % 4096 AS cy
+         |  FROM c2),
+         |p1 AS (
+         |  SELECT p_partkey, ${ring32Sql("(p_partkey + 13)")} AS m1
+         |  FROM part),
+         |p2 AS (SELECT p_partkey, ${ring32Sql(swapSql("m1"))} AS m2 FROM p1),
+         |p AS (
+         |  SELECT p_partkey, m2 % 4096 AS px,
+         |         ${ring32Sql(swapSql("m2"))} % 4096 AS py
+         |  FROM p2)
+         |SELECT c_custkey, p_partkey,
+         |       GREATEST(ABS(cx - px), ABS(cy - py)) AS cheb_dist
+         |FROM c CROSS JOIN p
+         |WHERE ABS(cx - px) <= 32 AND ABS(cy - py) <= 32""".stripMargin,
 
     "hopping_window" ->
       """WITH e AS (
