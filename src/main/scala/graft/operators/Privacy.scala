@@ -91,4 +91,63 @@ object Privacy {
     val cond = quasiIds.map(c => col(c) <=> col(s"_qi_$c")).reduce(_ && _)
     df.join(keep, cond, "left_semi")
   }
+
+  /** t-closeness (Li, Li & Venkatasubramanian, ICDE 2007, with the
+    * total-variation instantiation of the distance): keep only rows whose
+    * quasi-identifier group's sensitive-value DISTRIBUTION lies within
+    * TVD `tNum/tDen` of the global one — the gate that catches what
+    * l-diversity misses (a group can hold l distinct sensitive values
+    * and still skew hard toward one of them).
+    *
+    * Exact integer algebra throughout: with n_gs the (group, value)
+    * count, N_g the group size, T_s the global value count and T the
+    * total,
+    *   TVD·2·N_g·T = Σ_s |n_gs·T − N_g·T_s|
+    * and values ABSENT from a group contribute N_g·T_s each, so the sum
+    * folds into present rows plus N_g·(T − Σ_present T_s) — no join
+    * against the absent combinations is ever materialized. The keep
+    * test cross-multiplies (num·tDen ≤ den·tNum in DECIMAL(38,0) — row
+    * counts up to 10¹² per side keep every product under 10²⁶, twelve
+    * orders inside the cap), so no float boundary exists even for groups
+    * sitting exactly at t.
+    *
+    * Scale shape: counts-only all the way — the exchanges carry one row
+    * per distinct (QI, sensitive) pair, the global value table broadcasts
+    * (distinct sensitive values are small by assumption of the model),
+    * and qualifying QI tuples come back as a semi-join. Row payloads
+    * never shuffle.
+    */
+  def tClose(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "tClose: at least one quasi-identifier")
+    require(tNum >= 0L && tDen >= 1L, s"tClose: bad threshold $tNum/$tDen")
+    val d38 = "decimal(38,0)"
+    val qi = quasiIds.map(col)
+    val gs = df.groupBy(qi :+ col(sensitive).as("_s"): _*)
+      .agg(count(lit(1)).as("_n_gs"))
+    val globalS = gs.groupBy(col("_s")).agg(sum(col("_n_gs")).as("_t_s"))
+    val totals = gs.agg(sum(col("_n_gs")).as("_t"))
+    val groupN = gs.groupBy(qi: _*).agg(sum(col("_n_gs")).as("_n_g"))
+      .select(quasiIds.map(c => col(c).as(s"_qi_$c")) :+ col("_n_g"): _*)
+    val backCond = quasiIds.map(c => col(c) <=> col(s"_qi_$c")).reduce(_ && _)
+    val evidence = gs
+      .join(broadcast(globalS), Seq("_s"))
+      .join(groupN, backCond)
+      .crossJoin(broadcast(totals))
+      .groupBy(qi: _*)
+      .agg(
+        sum(abs(col("_n_gs").cast(d38) * col("_t") -
+          col("_n_g").cast(d38) * col("_t_s"))).as("_num_present"),
+        sum(col("_t_s").cast(d38)).as("_ts_present"),
+        max(col("_n_g")).cast(d38).as("_n_g"),
+        max(col("_t")).cast(d38).as("_t"))
+      .select(qi :+
+        (col("_num_present") +
+          col("_n_g") * (col("_t") - col("_ts_present"))).as("_tvd_num") :+
+        (col("_n_g") * col("_t") * 2).as("_tvd_den"): _*)
+    val keep = evidence
+      .filter(col("_tvd_num") * tDen <= col("_tvd_den") * tNum)
+      .select(quasiIds.map(c => col(c).as(s"_qi_$c")): _*)
+    df.join(keep, backCond, "left_semi")
+  }
 }

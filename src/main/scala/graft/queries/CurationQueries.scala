@@ -476,6 +476,21 @@ object CurationQueries {
         Seq("lang", "source"), "len_class", l = 3L)
     },
 
+    /** t-closeness suppression ([[graft.operators.Privacy.tClose]],
+      * t = 7/20, same QI/sensitive split as `l_diverse`): a group
+      * releases only if its sensitive-value DISTRIBUTION sits within
+      * TVD 0.35 of the global one — the skew attack l-diversity misses.
+      * The keep test cross-multiplies in DECIMAL(38,0), so a group
+      * sitting exactly at t classifies identically in both engines.
+      */
+    "t_close" -> { (s, dir) =>
+      graft.operators.Privacy.tClose(
+        tableSpread(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars DIV 100").as("len_class")),
+        Seq("lang", "source"), "len_class", tNum = 7L, tDen = 20L)
+    },
+
     /** BPE tokenizer training + application: 50 merges trained from the
       * corpus word counts (distributed count pass; bounded driver merge
       * loop — the production trainer shape), applied corpus-wide with no
@@ -815,6 +830,35 @@ object CurationQueries {
         |FROM t SEMI JOIN keep
         |  ON t.lang IS NOT DISTINCT FROM keep.lang
         | AND t.source IS NOT DISTINCT FROM keep.source""".stripMargin,
+    "t_close" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS len_class
+        |  FROM documents),
+        |gs AS (
+        |  SELECT lang, source, len_class, COUNT(*) AS n_gs
+        |  FROM t0 GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, source, SUM(n_gs) AS n_g FROM gs GROUP BY 1, 2),
+        |s AS (SELECT len_class, SUM(n_gs) AS t_s FROM gs GROUP BY 1),
+        |tot AS (SELECT SUM(n_gs) AS t FROM gs),
+        |ev AS (
+        |  SELECT gs.lang, gs.source,
+        |         SUM(ABS(CAST(n_gs AS DECIMAL(38,0)) * t
+        |                 - CAST(n_g AS DECIMAL(38,0)) * t_s)) AS num_present,
+        |         SUM(CAST(t_s AS DECIMAL(38,0))) AS ts_present,
+        |         CAST(MAX(n_g) AS DECIMAL(38,0)) AS n_g,
+        |         CAST(MAX(t) AS DECIMAL(38,0)) AS t
+        |  FROM gs JOIN g USING (lang, source) JOIN s USING (len_class)
+        |       CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT lang, source
+        |  FROM ev
+        |  WHERE (num_present + n_g * (t - ts_present)) * 20
+        |          <= (2 * n_g * t) * 7)
+        |SELECT doc_id, t0.lang, t0.source, len_class
+        |FROM t0 SEMI JOIN keep
+        |  ON t0.lang IS NOT DISTINCT FROM keep.lang
+        | AND t0.source IS NOT DISTINCT FROM keep.source""".stripMargin,
     "bpe_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t

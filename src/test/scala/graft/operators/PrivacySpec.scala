@@ -67,10 +67,39 @@ class PrivacySpec extends SparkSpec {
     assert((toks - None).intersect(other - None).isEmpty)
   }
 
+  // hand-computed t-closeness fixture: global dist flu 2/3, cold 1/3;
+  // TVD(a) = 1/12, TVD(b) = 5/12, TVD(c) = 1/3 (c misses cold entirely —
+  // exercises the absent-value fold N_g*(T - sum_present T_s))
+  private val tRows =
+    Seq.fill(3)(("a", "flu")) ++ Seq(("a", "cold")) ++
+      Seq(("b", "flu")) ++ Seq.fill(3)(("b", "cold")) ++
+      Seq.fill(4)(("c", "flu"))
+  private def tDf = tRows.zipWithIndex
+    .map { case ((g, dx), i) => (i.toLong, g, dx) }.toDF("id", "g", "dx")
+
+  test("tClose keeps exactly the groups within t, boundary inclusive") {
+    def kept(n: Long, d: Long): Set[String] =
+      Privacy.tClose(tDf, Seq("g"), "dx", n, d)
+        .select("g").as[String].collect().toSet
+    assert(kept(1L, 3L) === Set("a", "c")) // c sits EXACTLY at 1/3 -> kept
+    assert(kept(1L, 12L) === Set("a"))     // a sits exactly at 1/12
+    assert(kept(5L, 12L) === Set("a", "b", "c"))
+    assert(kept(0L, 1L) === Set.empty)     // nobody matches global exactly
+  }
+
+  test("tClose releases full rows and never duplicates them") {
+    val out = Privacy.tClose(tDf, Seq("g"), "dx", 1L, 3L)
+      .as[(Long, String, String)].collect()
+    assert(out.length === 8) // 4 rows of a + 4 rows of c, payload intact
+    assert(out.map(_._1).distinct.length === 8)
+  }
+
   test("invalid arguments fail fast") {
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq.empty, 2L))
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("city"), 0L))
     intercept[IllegalArgumentException](Privacy.lDiverse(df, Seq("city"), "dx", 0L))
+    intercept[IllegalArgumentException](Privacy.tClose(df, Seq.empty, "dx", 1L, 3L))
+    intercept[IllegalArgumentException](Privacy.tClose(df, Seq("city"), "dx", 1L, 0L))
     // a string key would silently tokenize to null — must fail by name
     val e = intercept[IllegalArgumentException](
       Privacy.pseudonymize(df, Seq("city"), 7L))
