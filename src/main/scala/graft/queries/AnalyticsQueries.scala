@@ -647,6 +647,54 @@ object AnalyticsQueries {
       graft.operators.Intervals.merge(iv, Seq("user_id"), "start_us", "end_us")
     },
 
+    /** Time-weighted average price (TWAP) per user over irregular
+      * samples: each event's value holds until the next event (step
+      * function), so the mean is Σ v·Δt / Σ Δt over the user's
+      * [first, last] span. Everything rides as integers — v·100 is exact
+      * cents, Δt exact microseconds, the sum in DECIMAL(38,0) — and the
+      * num/den pair is emitted instead of the division, so the oracle
+      * matches digit-for-digit with no float boundary. One user-keyed
+      * sort shared by the lead() pass; ties break on event_id in BOTH
+      * engines (same-timestamp samples would otherwise swap Δt
+      * attribution nondeterministically).
+      */
+    "twap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("ts_us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("v100"))
+        .withColumn("_dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .where(col("_dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("v100").cast("decimal(38,0)") * col("_dur"))
+            .cast("string").as("twap_num_x100"),
+          sum(col("_dur")).as("twap_den_us"),
+          count(lit(1)).as("n_segments"))
+    },
+
+    /** Rolling 7-day active users (WAU) per day — the sliding-distinct
+      * problem: distinct (user, day) pairs first (a counts-only
+      * exchange), then each active day fans out to the 7 window-days it
+      * supports (a BOUNDED 7× explosion of 16-byte pairs, never of
+      * events), and the final distinct-count shuffles pairs once more.
+      * No self-join, no per-day rescan of the trailing week.
+      */
+    "rolling_actives" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      ev.select(col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("ts_us"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("d"))
+        .distinct()
+        .select(col("user_id"),
+          explode(sequence(col("d"), col("d") + 6)).as("window_day"))
+        .groupBy(col("window_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    },
+
     /** Grid-cell spatial join ([[graft.operators.Spatial.chebyshevJoin]]):
       * all (customer, part) point pairs within Chebyshev distance 32 on a
       * 4096² integer grid (coordinates derived from keys via the
@@ -1209,6 +1257,35 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, v100,
+        |         LEAD(us) OVER (PARTITION BY user_id
+        |                        ORDER BY us, event_id) - us AS dur
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(SUM(CAST(v100 AS DECIMAL(38,0)) * dur) AS VARCHAR)
+        |         AS twap_num_x100,
+        |       CAST(SUM(dur) AS BIGINT) AS twap_den_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments
+        |FROM seg WHERE dur IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    "rolling_actives" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, d + k AS window_day
+        |  FROM d CROSS JOIN (SELECT UNNEST([CAST(0 AS BIGINT), 1, 2, 3, 4,
+        |                                    5, 6]) AS k))
+        |SELECT window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM x GROUP BY window_day""".stripMargin,
 
     "spatial_grid_join" ->
       s"""WITH c1 AS (

@@ -1157,6 +1157,34 @@ object NorthStarQueries {
           coalesce(col("_tc"), lit(0L)).as("true_cnt"))
     },
 
+    /** Hashed feature crossing (the recsys "hashing trick", Weinberger
+      * et al., ICML 2009): vocabulary-index each categorical column by
+      * sorted dense rank (tiny distinct frames, broadcast back), pack the
+      * cross into one integer, and bucket it through the engine-stable
+      * hash into 2¹⁸ feature ids. Output accounts collisions explicitly
+      * (n_crosses > 1 = two distinct crosses sharing a feature id) —
+      * the quantity a feature-hashing pipeline must monitor. Scale:
+      * per-row arithmetic only; the single exchange carries the
+      * ≤ 2¹⁸-key aggregation.
+      */
+    "feature_cross" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars DIV 100").as("len_class"))
+      def vocab(c: String, as: String) = d.select(col(c)).distinct()
+        .withColumn(as,
+          dense_rank().over(Window.orderBy(col(c))).cast("long"))
+      d.join(broadcast(vocab("lang", "lang_id")), Seq("lang"))
+        .join(broadcast(vocab("source", "source_id")), Seq("source"))
+        .withColumn("_ck",
+          (col("lang_id") * 64 + col("source_id")) * 1024 + col("len_class"))
+        .withColumn("feature_id", Sampling.hashBucket(col("_ck"), 262144))
+        .groupBy(col("feature_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_ck")).as("n_crosses"))
+    },
+
     /** Deterministic 80/10/10 split via explicit multiplicative hashing —
       * stable across engines and re-runs (the oracle computes the same
       * arithmetic in DuckDB and agrees exactly).
@@ -2238,6 +2266,28 @@ object NorthStarQueries {
         |       (SELECT n FROM tot) AS total
         |FROM t2 GROUP BY 1
         |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)""".stripMargin,
+
+    "feature_cross" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS len_class
+        |  FROM documents),
+        |lid AS (
+        |  SELECT lang, CAST(DENSE_RANK() OVER (ORDER BY lang) AS BIGINT)
+        |           AS lang_id
+        |  FROM (SELECT DISTINCT lang FROM t)),
+        |sid AS (
+        |  SELECT source, CAST(DENSE_RANK() OVER (ORDER BY source) AS BIGINT)
+        |           AS source_id
+        |  FROM (SELECT DISTINCT source FROM t)),
+        |ck AS (
+        |  SELECT (lang_id * 64 + source_id) * 1024 + len_class AS _ck
+        |  FROM t JOIN lid USING (lang) JOIN sid USING (source))
+        |SELECT ((((((_ck & 4294967295) >> 16) * 2654435761) % 4294967296)
+        |          * 65536 + (_ck & 65535) * 2654435761) % 4294967296)
+        |         % 262144 AS feature_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT _ck) AS BIGINT) AS n_crosses
+        |FROM ck GROUP BY feature_id""".stripMargin,
 
     "count_min" ->
       """WITH salts AS (

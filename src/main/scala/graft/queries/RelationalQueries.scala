@@ -881,6 +881,33 @@ object RelationalQueries {
       c.join(broadcast(nat), "c_nationkey")
         .where(bal * col("_n") > col("_sum_bal"))
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    },
+
+    /** Benford first-digit audit over order totals — the forensic
+      * data-quality check (fabricated or unit-mangled money columns
+      * break the log-law). The leading digit comes from the exact cents
+      * STRING (no float log10), observed shares ride as fixed-point ppm
+      * via integral division, and the expected ppm are precomputed
+      * log10(1+1/d) literals shared with the oracle — the same
+      * integer-exact trick as the NDCG weights. One counts-only
+      * exchange (9 digit groups) + a broadcast 1-row total.
+      */
+    "benford_audit" -> { (s, dir) =>
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val counts = table(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("_t"))
+      val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val expected = benfordPpm.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, (ppm, i)) => when(col("digit") === (i + 1), ppm).otherwise(acc)
+      }
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div _t").as("actual_ppm"),
+          expected.as("benford_ppm"))
     }
   )
 
@@ -1406,6 +1433,24 @@ object RelationalQueries {
         |        * (SELECT COUNT(*) FROM customer i
         |           WHERE i.c_nationkey = c.c_nationkey)
         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer i
-        |         WHERE i.c_nationkey = c.c_nationkey)""".stripMargin
+        |         WHERE i.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    "benford_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                               * 100 AS BIGINT) AS VARCHAR),
+        |                     1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
+        |t AS (SELECT SUM(n) AS t FROM g)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |       CAST(n * 1000000 // t AS BIGINT) AS actual_ppm,
+        |       CAST(CASE digit
+        |              WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |              WHEN 3 THEN 124939 WHEN 4 THEN 96910
+        |              WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |              WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |              WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm
+        |FROM g CROSS JOIN t""".stripMargin
   )
 }
