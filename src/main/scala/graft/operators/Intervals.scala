@@ -30,12 +30,16 @@ object Intervals {
     * (microseconds, days — any total order; [start, end) half-open, so
     * end == next.start merges). Output: one row per merged island with
     * the same `start`/`end` names (min start, max end) plus `n_merged`,
-    * the source-interval count. Intervals separated by a gap of at most
-    * `minGap` also merge (sessionization-style stitching); the default 0
-    * merges only overlap/touch.
+    * the source-interval count — or, when `weight` names a column, the
+    * SUM of weights (so re-merging pre-merged islands keeps their
+    * original member counts: the incremental-maintenance path feeds
+    * stored islands back in with weight = their n_merged). Intervals
+    * separated by a gap of at most `minGap` also merge
+    * (sessionization-style stitching); the default 0 merges only
+    * overlap/touch.
     */
   def merge(df: DataFrame, keys: Seq[String], start: String, end: String,
-      minGap: Long = 0L): DataFrame = {
+      minGap: Long = 0L, weight: Option[String] = None): DataFrame = {
     val k = keys.map(col)
     val ord = Window.partitionBy(k: _*).orderBy(col(start), col(end))
     val prevMax = max(col(end))
@@ -50,7 +54,7 @@ object Intervals {
     grouped
       .groupBy(k :+ col("_island"): _*)
       .agg(min(col(start)).as(start), max(col(end)).as(end),
-        count(lit(1)).as("n_merged"))
+        weight.map(w => sum(col(w))).getOrElse(count(lit(1))).as("n_merged"))
       .drop("_island")
   }
 

@@ -647,6 +647,66 @@ object AnalyticsQueries {
       graft.operators.Intervals.merge(iv, Seq("user_id"), "start_us", "end_us")
     },
 
+    /** Exact pairwise audience overlap — the bitmap-intersection matrix
+      * behind segment planners, as the exact counterpart of the KMV
+      * estimate in `audience_overlap`. One distinct pass to (type, user)
+      * pairs, then a self-equi-join on user: a user in k segments fans
+      * out to k(k-1)/2 pairs — bounded by the segment-count square, never
+      * by events — and the pair counts partial-aggregate map-side.
+      * Per-segment sizes ride back on broadcast joins so each row carries
+      * its full Jaccard evidence as integers.
+      */
+    "audience_matrix" -> { (s, dir) =>
+      val tu = table(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      tu.select(col("t").as("t1"), col("user_id"))
+        .join(tu.select(col("t").as("t2"), col("user_id")), Seq("user_id"))
+        .where(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.select(col("t").as("t1"), col("n").as("n_t1"))),
+          Seq("t1"))
+        .join(broadcast(sizes.select(col("t").as("t2"), col("n").as("n_t2"))),
+          Seq("t2"))
+        .select(col("t1"), col("t2"), col("n_both"), col("n_t1"), col("n_t2"))
+    },
+
+    /** Incremental sessionization maintenance: stored sessions (interval
+      * islands with a 1-day gap) refreshed by a late-event changeset
+      * WITHOUT rescanning untouched users. Session islands are maximal,
+      * so new points can only JOIN islands, never split them — re-merging
+      * a user's stored islands (weight = their member counts, via
+      * [[graft.operators.Intervals.merge]]'s weighted form) together with
+      * the delta points under the same gap is exactly a full recompute
+      * for that user. The refresh therefore touches churn-sized state:
+      * affected users' islands + delta points; everyone else passes
+      * through on an anti-join. The oracle recomputes sessions from the
+      * full event set.
+      */
+    "sessionize_incremental" -> { (s, dir) =>
+      val gapUs = 86400000000L
+      val ev0 = table(s, dir, "events")
+      val ev = ev0.select(col("user_id"), col("event_id"),
+        graft.GraftSession.eventTimeMicros(ev0, "ts").as("us"))
+      def points(df: DataFrame) = df.select(col("user_id"),
+        col("us").as("start_us"), col("us").as("end_us"))
+      val base = ev.where(pmod(col("event_id"), lit(97L)) =!= 0)
+      val delta = ev.where(pmod(col("event_id"), lit(97L)) === 0)
+      val stored = graft.operators.Intervals.merge(
+        points(base), Seq("user_id"), "start_us", "end_us", minGap = gapUs)
+      val affected = delta.select(col("user_id")).distinct()
+      val untouched = stored.join(affected, Seq("user_id"), "left_anti")
+      val refreshed = graft.operators.Intervals.merge(
+        stored.join(affected, Seq("user_id"), "left_semi")
+          .unionByName(points(delta).withColumn("n_merged", lit(1L))),
+        Seq("user_id"), "start_us", "end_us", minGap = gapUs,
+        weight = Some("n_merged"))
+      untouched.unionByName(refreshed)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_merged").as("n_events"))
+    },
+
     /** Time-weighted average price (TWAP) per user over irregular
       * samples: each event's value holds until the next event (step
       * function), so the mean is Σ v·Δt / Σ Δt over the user's
@@ -1257,6 +1317,36 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "audience_matrix" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id FROM events),
+        |sz AS (SELECT t, COUNT(*) AS n FROM tu GROUP BY t),
+        |pairs AS (
+        |  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+        |       CAST(s1.n AS BIGINT) AS n_t1, CAST(s2.n AS BIGINT) AS n_t2
+        |FROM pairs JOIN sz s1 ON s1.t = t1 JOIN sz s2 ON s2.t = t2""".stripMargin,
+
+    "sessionize_incremental" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0
+        |           END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM l)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, seq""".stripMargin,
 
     "twap" ->
       """WITH e AS (

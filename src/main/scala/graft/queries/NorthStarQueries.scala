@@ -1157,6 +1157,32 @@ object NorthStarQueries {
           coalesce(col("_tc"), lit(0L)).as("true_cnt"))
     },
 
+    /** Systematic PPS sampling (probability proportional to size,
+      * Madow 1949 systematic form): lay every document's n_chars weight
+      * end-to-end along the engine-stable hash order
+      * ([[graft.operators.Packing.prefixSumBefore]] — the two-level
+      * distributed prefix sum, no single-task window over records),
+      * then take one sample point every S weight units. A document is
+      * drawn floor-multiplicity times its weight spans sample points, so
+      * inclusion probability is exactly w/S with ZERO variance in the
+      * sample's total weight — the property quota-matched training mixes
+      * want. All integer arithmetic (the +S shift keeps the floor
+      * divisions on positive operands — truncating `div` and flooring
+      * `//` agree there), so the drawn set is engine-exact.
+      */
+    "pps_sample" -> { (s, dir) =>
+      val S = 5000L
+      val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      graft.operators.Packing
+        .prefixSumBefore(d, col("doc_id"), col("n_chars"), "cum_start")
+        .withColumn("cum_end", col("cum_start") + col("n_chars"))
+        .withColumn("multiplicity", expr(
+          s"((cum_end - 1 + $S) div $S) - ((cum_start - 1 + $S) div $S)"))
+        .where(col("multiplicity") > 0)
+        .select(col("doc_id"), col("n_chars"), col("cum_start"),
+          col("multiplicity"))
+    },
+
     /** Hashed feature crossing (the recsys "hashing trick", Weinberger
       * et al., ICML 2009): vocabulary-index each categorical column by
       * sorted dense rank (tiny distinct frames, broadcast back), pack the
@@ -2266,6 +2292,27 @@ object NorthStarQueries {
         |       (SELECT n FROM tot) AS total
         |FROM t2 GROUP BY 1
         |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)""".stripMargin,
+
+    "pps_sample" ->
+      """WITH o AS (
+        |  SELECT doc_id, n_chars,
+        |         ((((((doc_id & 4294967295) >> 16) * 2654435761) % 4294967296)
+        |            * 65536 + (doc_id & 65535) * 2654435761) % 4294967296)
+        |           % 1073741824 AS ord
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |         COALESCE(SUM(n_chars) OVER (ORDER BY ord, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_start
+        |  FROM o)
+        |SELECT doc_id, n_chars, CAST(cum_start AS BIGINT) AS cum_start,
+        |       CAST(((cum_start + n_chars - 1 + 5000) // 5000)
+        |              - ((cum_start - 1 + 5000) // 5000) AS BIGINT)
+        |         AS multiplicity
+        |FROM p
+        |WHERE ((cum_start + n_chars - 1 + 5000) // 5000)
+        |        - ((cum_start - 1 + 5000) // 5000) > 0""".stripMargin,
 
     "feature_cross" ->
       """WITH t AS (

@@ -51,4 +51,27 @@ class IntervalsSpec extends SparkSpec {
     val m = merged(("a", 1L, 5L), ("a", 1L, 5L), ("a", 1L, 5L))
     assert(m === Set(("a", 1L, 5L, 3L)))
   }
+
+  test("weighted re-merge of stored islands + delta = full recompute") {
+    // the incremental-sessionization identity: islands are maximal, so
+    // feeding them back (weight = member count) with new points under the
+    // same minGap reproduces the from-scratch result exactly — including
+    // a delta point that BRIDGES two stored islands
+    import org.apache.spark.sql.functions._
+    val gap = 4L // a@6 sits within gap of BOTH [1,2] and [10,11]
+    val base = Seq(("a", 1L), ("a", 2L), ("a", 10L), ("a", 11L), ("a", 30L),
+      ("b", 5L), ("b", 100L))
+    val delta = Seq(("a", 6L), ("b", 101L)) // a@6 bridges [1,2] and [10,11]
+    def pts(s: Seq[(String, Long)]) =
+      s.toDF("k", "t").select(col("k"), col("t").as("s"), col("t").as("e"))
+    val full = Intervals.merge(pts(base ++ delta), Seq("k"), "s", "e", gap)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val stored = Intervals.merge(pts(base), Seq("k"), "s", "e", gap)
+    val incremental = Intervals.merge(
+      stored.unionByName(pts(delta).withColumn("n_merged", lit(1L))),
+      Seq("k"), "s", "e", gap, weight = Some("n_merged"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(incremental === full)
+    assert(incremental.contains(("a", 1L, 11L, 5L))) // bridged island
+  }
 }
