@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recursive hierarchy explosion — the transitive closure of a
+  * parent→child edge table with an integral per-edge multiplicity
+  * MULTIPLIED along paths and SUMMED across paths: the bill-of-materials
+  * semantics ("how many of leaf part X go into one assembly Y"), equally
+  * the org-chart rollup and the category-tree flattening. This is the
+  * arithmetic-carrying recursion BFS/PageRank don't cover (they propagate
+  * distances/mass, not per-path products).
+  *
+  * Scale shape: level-synchronous joins — round k joins the depth-k
+  * frontier (ancestor, node, product) against the edge frame on the
+  * frontier's node, so an iteration is ONE equi-join + the frontier
+  * shuffle; per-round plan-truncating checkpoints (the Graphs/Cluster
+  * rounds discipline) keep analysis cost flat and release predecessor
+  * blocks, and `checkpointDir` upgrades them to reliable checkpoints for
+  * long hierarchies on real clusters. Per-level frontiers accumulate as
+  * a flat union of checkpointed legs, never a nested plan.
+  *
+  * Cycles make a BOM undefined (a part containing itself explodes
+  * forever); `maxDepth` bounds the loop and the method fails by name if
+  * the frontier is still non-empty when the bound is hit.
+  */
+object Hierarchy {
+
+  /** Full closure rows (ancestor, descendant, total_qty, min_depth):
+    * total_qty = Σ over distinct ancestor→descendant paths of the
+    * product of edge quantities along the path; min_depth = shortest
+    * such path. Edges: one row per (parent, child) with an integral
+    * quantity ≥ 1.
+    */
+  def explode(edges: DataFrame, parent: String, child: String, qty: String,
+      maxDepth: Int = 32, checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDepth >= 1, s"explode: maxDepth must be >= 1 (got $maxDepth)")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val e = graft.Caches.track(edges.select(
+        col(parent).cast("long").as("_p"),
+        col(child).cast("long").as("_c"),
+        col(qty).cast("long").as("_q"))
+      .persist())
+    e.count() // fill before the loop re-reads it every round
+    val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
+    var frontier = e.select(col("_p").as("ancestor"),
+      col("_c").as("descendant"), col("_q").as("total_qty"),
+      lit(1L).as("depth"))
+    val levels = Seq.newBuilder[DataFrame]
+    // unlike the PageRank rounds, EVERY level feeds the final union, so
+    // no level's blocks may be released mid-loop — all release thunks go
+    // to Caches for the post-consumption session-level clear
+    var depth = 1
+    var exhausted = false
+    while (!exhausted) {
+      val (level, levelRelease) = lcp(frontier)
+      graft.Caches.trackRelease(levelRelease)
+      levels += level
+      if (level.isEmpty) exhausted = true
+      else if (depth == maxDepth) {
+        val more = level
+          .join(e.withColumnRenamed("_p", "descendant"), "descendant")
+        if (!more.isEmpty)
+          throw new IllegalStateException(
+            s"Hierarchy.explode: frontier still non-empty at maxDepth=" +
+              s"$maxDepth — cyclic edges or a deeper hierarchy than bounded")
+        exhausted = true
+      } else {
+        frontier = level
+          .join(e.withColumnRenamed("_p", "descendant"), "descendant")
+          .select(col("ancestor"), col("_c").as("descendant"),
+            (col("total_qty") * col("_q")).as("total_qty"),
+            (col("depth") + 1).as("depth"))
+        depth += 1
+      }
+    }
+    levels.result().reduce(_ unionByName _)
+      .groupBy(col("ancestor"), col("descendant"))
+      .agg(sum(col("total_qty")).as("total_qty"),
+        min(col("depth")).as("min_depth"))
+  }
+}

@@ -883,6 +883,23 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     },
 
+    /** Recursive BOM explosion ([[graft.operators.Hierarchy.explode]])
+      * over a synthetic part hierarchy (parent = key div 10 — a forest
+      * rooted at single-digit keys; per-edge quantity = key % 3 + 1):
+      * the full transitive closure with quantities MULTIPLIED along each
+      * path — the arithmetic-carrying recursion BFS/PageRank don't cover.
+      * Level-synchronous joins with plan-truncating per-round
+      * checkpoints; the oracle replays it as a recursive CTE.
+      */
+    "bom_explode" -> { (s, dir) =>
+      val edges = table(s, dir, "part")
+        .where(col("p_partkey") >= 10)
+        .select(expr("p_partkey div 10").as("parent"),
+          col("p_partkey").as("child"),
+          (pmod(col("p_partkey"), lit(3L)) + 1).as("qty"))
+      graft.operators.Hierarchy.explode(edges, "parent", "child", "qty")
+    },
+
     /** Benford first-digit audit over order totals — the forensic
       * data-quality check (fabricated or unit-mangled money columns
       * break the log-law). The leading digit comes from the exact cents
@@ -1434,6 +1451,21 @@ object RelationalQueries {
         |           WHERE i.c_nationkey = c.c_nationkey)
         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer i
         |         WHERE i.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    "bom_explode" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT p_partkey // 10 AS anc, p_partkey AS des,
+        |         p_partkey % 3 + 1 AS q
+        |  FROM part WHERE p_partkey >= 10),
+        |closure AS (
+        |  SELECT anc, des, q, 1 AS depth FROM edges
+        |  UNION ALL
+        |  SELECT c.anc, e.des, c.q * e.q, c.depth + 1
+        |  FROM closure c JOIN edges e ON e.anc = c.des)
+        |SELECT anc AS ancestor, des AS descendant,
+        |       CAST(SUM(q) AS BIGINT) AS total_qty,
+        |       CAST(MIN(depth) AS BIGINT) AS min_depth
+        |FROM closure GROUP BY anc, des""".stripMargin,
 
     "benford_audit" ->
       """WITH c AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class HierarchySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long, Long)], maxDepth: Int = 32) =
+    Hierarchy.explode(edges.toDF("p", "c", "q"), "p", "c", "q", maxDepth)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("chain multiplies quantities along the path") {
+    // 1 -(2)-> 2 -(3)-> 3 -(5)-> 4
+    val got = run(Seq((1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 5L)))
+    assert(got === Set(
+      (1L, 2L, 2L, 1L), (2L, 3L, 3L, 1L), (3L, 4L, 5L, 1L),
+      (1L, 3L, 6L, 2L), (2L, 4L, 15L, 2L), (1L, 4L, 30L, 3L)))
+  }
+
+  test("DAG sums products across distinct paths, min_depth is shortest") {
+    // diamond: 1->2 (x2), 1->3 (x3), 2->4 (x5), 3->4 (x7), plus direct 1->4 (x1)
+    val got = run(Seq((1L, 2L, 2L), (1L, 3L, 3L), (2L, 4L, 5L),
+      (3L, 4L, 7L), (1L, 4L, 1L)))
+    // 1=>4: direct 1 + via-2 10 + via-3 21 = 32, shortest path depth 1
+    assert(got.contains((1L, 4L, 32L, 1L)))
+    assert(got.contains((1L, 2L, 2L, 1L)) && got.contains((1L, 3L, 3L, 1L)))
+  }
+
+  test("forest: disjoint roots never cross") {
+    val got = run(Seq((1L, 2L, 1L), (10L, 20L, 1L)))
+    assert(got === Set((1L, 2L, 1L, 1L), (10L, 20L, 1L, 1L)))
+  }
+
+  test("cycle fails by name at the depth bound") {
+    val e = intercept[IllegalStateException](
+      run(Seq((1L, 2L, 1L), (2L, 1L, 1L)), maxDepth = 4))
+    assert(e.getMessage.contains("maxDepth=4"))
+  }
+
+  test("deep chain exactly at maxDepth succeeds") {
+    val chain = (1L to 5L).map(i => (i, i + 1, 1L)) // depth-5 closure
+    val got = run(chain, maxDepth = 5)
+    assert(got.contains((1L, 6L, 1L, 5L)))
+    assert(got.size === 15) // n*(n+1)/2 pairs for a 6-node chain
+  }
+}
