@@ -883,6 +883,38 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     },
 
+    /** Right-to-be-forgotten cascade: given customer tombstones, the
+      * per-table deletion manifest down the FK chain (customer → orders
+      * → lineitem). Every cascade step is a KEYS-ONLY semi-join — the
+      * deleted-order key set flows into the lineitem probe, payloads
+      * never shuffle — and the output is the audit row a deletion job
+      * must produce per table before it rewrites files. At 100 TB the
+      * probes are ordinary broadcast/shuffle semi-joins; nothing scans
+      * twice.
+      */
+    "cascade_delete" -> { (s, dir) =>
+      val tomb = table(s, dir, "customer")
+        .where(pmod(col("c_custkey"), lit(101L)) === 0)
+        .select(col("c_custkey"))
+      val cust = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      val delOrders = orders.join(tomb,
+        orders("o_custkey") === tomb("c_custkey"), "left_semi")
+      val delOrderKeys = delOrders.select(col("o_orderkey"))
+      def audit(name: String, total: DataFrame, deleted: DataFrame) =
+        deleted.agg(count(lit(1)).as("n_deleted"))
+          .crossJoin(broadcast(total.agg(count(lit(1)).as("_n_total"))))
+          .select(lit(name).as("table_name"), col("n_deleted"),
+            (col("_n_total") - col("n_deleted")).as("n_retained"))
+      audit("customer", cust,
+          cust.join(tomb, Seq("c_custkey"), "left_semi"))
+        .unionByName(audit("orders", orders, delOrders))
+        .unionByName(audit("lineitem", li,
+          li.join(delOrderKeys,
+            li("l_orderkey") === delOrderKeys("o_orderkey"), "left_semi")))
+    },
+
     /** Recursive BOM explosion ([[graft.operators.Hierarchy.explode]])
       * over a synthetic part hierarchy (parent = key div 10 — a forest
       * rooted at single-digit keys; per-edge quantity = key % 3 + 1):
@@ -1451,6 +1483,31 @@ object RelationalQueries {
         |           WHERE i.c_nationkey = c.c_nationkey)
         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer i
         |         WHERE i.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    "cascade_delete" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0),
+        |delo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+        |SELECT 'customer' AS table_name,
+        |       CAST((SELECT COUNT(*) FROM tomb) AS BIGINT) AS n_deleted,
+        |       CAST((SELECT COUNT(*) FROM customer) -
+        |            (SELECT COUNT(*) FROM tomb) AS BIGINT) AS n_retained
+        |UNION ALL
+        |SELECT 'orders',
+        |       CAST((SELECT COUNT(*) FROM delo) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM orders) -
+        |            (SELECT COUNT(*) FROM delo) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |       CAST((SELECT COUNT(*) FROM lineitem
+        |             WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+        |            AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM lineitem) -
+        |            (SELECT COUNT(*) FROM lineitem
+        |             WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+        |            AS BIGINT)""".stripMargin,
 
     "bom_explode" ->
       """WITH RECURSIVE edges AS (

@@ -43,4 +43,32 @@ class HierarchySpec extends SparkSpec {
     assert(got.contains((1L, 6L, 1L, 5L)))
     assert(got.size === 15) // n*(n+1)/2 pairs for a 6-node chain
   }
+
+  test("checkpointDir: levels become RELIABLE checkpoints, results unchanged") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_hck").toFile
+    def rddDirs(): Int = {
+      def walk(f: java.io.File): Int =
+        if (!f.isDirectory) 0
+        else (if (f.getName.startsWith("rdd-")) 1 else 0) +
+          Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      walk(dir)
+    }
+    try {
+      val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 5L))
+      val plain = run(edges)
+      val rel = Hierarchy.explode(edges.toDF("p", "c", "q"), "p", "c", "q",
+          checkpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rel === plain)
+      assert(rddDirs() >= 3,
+        "each closure level should write a reliable checkpoint")
+    } finally {
+      graft.Caches.clear(spark)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
