@@ -80,4 +80,40 @@ object Stats {
       // relational answer (and the GROUP-BY oracle) is zero rows — drop it
       .filter(col("tvd_den").isNotNull)
   }
+
+  /** Exact ROC-AUC of a score against a 0/1 label via the Mann-Whitney
+    * rank statistic with textbook tie handling:
+    *   AUC = u2 / (2·n_pos·n_neg),
+    *   u2  = Σ_s n_pos(s) · (2·negBelow(s) + n_neg(s))
+    * — the ×2 absorbs the ½-credit for score ties, so the statistic is
+    * an INTEGER (DECIMAL(38,0) — 10¹² rows per class stay twelve orders
+    * under the cap). Returned as the one-row (u2, n_pos, n_neg)
+    * evidence frame; callers divide when they want the float.
+    *
+    * Counts-only at every step: one exchange carries a row per DISTINCT
+    * score, the cumulative window runs over that reduced frame (the
+    * equidepth discipline — single-task by design, it sees score
+    * subtotals, never rows), and the class totals fold into the same
+    * final aggregate. Null scores/labels are excluded (score ordering
+    * and class membership are both undefined for them).
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val perScore = df
+      .select(score.as("_s"), label.cast("long").as("_l"))
+      .filter(col("_s").isNotNull && col("_l").isNotNull)
+      .groupBy(col("_s"))
+      .agg(sum(col("_l")).as("_n_pos_s"),
+        (count(lit(1)) - sum(col("_l"))).as("_n_neg_s"))
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("_neg_below", coalesce(sum(col("_n_neg_s")).over(w), lit(0L)))
+      .agg(
+        sum(col("_n_pos_s").cast(d38) *
+          (col("_neg_below") * 2 + col("_n_neg_s"))).as("u2"),
+        sum(col("_n_pos_s")).as("n_pos"),
+        sum(col("_n_neg_s")).as("n_neg"))
+  }
 }

@@ -1157,6 +1157,23 @@ object NorthStarQueries {
           coalesce(col("_tc"), lit(0L)).as("true_cnt"))
     },
 
+    /** Exact ROC-AUC of a score against a binary label via the
+      * Mann-Whitney rank statistic with textbook tie handling —
+      * AUC = (Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s))) / (2·n_pos·n_neg),
+      * kept as an integer num/den pair (the ×2 absorbs the ½-credit for
+      * ties, DECIMAL(38,0) absorbs 10¹²-row datasets). Counts-only at
+      * every step: one exchange carries a row per DISTINCT score, the
+      * cumulative window runs over that reduced frame (the equidepth
+      * discipline), and the global pos/neg totals fold in the same
+      * aggregate — the raw rows are never ranked.
+      */
+    "score_auc" -> { (s, dir) =>
+      graft.operators.Stats.rocAuc(table(s, dir, "documents"),
+          score = col("n_chars"),
+          label = when(col("lang") === "en", 1L).otherwise(0L))
+        .select(col("u2").cast("string").as("u2"), col("n_pos"), col("n_neg"))
+    },
+
     /** Systematic PPS sampling (probability proportional to size,
       * Madow 1949 systematic form): lay every document's n_chars weight
       * end-to-end along the engine-stable hash order
@@ -2292,6 +2309,27 @@ object NorthStarQueries {
         |       (SELECT n FROM tot) AS total
         |FROM t2 GROUP BY 1
         |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)""".stripMargin,
+
+    "score_auc" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |ps AS (
+        |  SELECT score, SUM(label) AS n_pos_s,
+        |         COUNT(*) - SUM(label) AS n_neg_s
+        |  FROM d GROUP BY score),
+        |c AS (
+        |  SELECT score, n_pos_s, n_neg_s,
+        |         COALESCE(SUM(n_neg_s) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS neg_below
+        |  FROM ps)
+        |SELECT CAST(SUM(CAST(n_pos_s AS DECIMAL(38,0))
+        |                * (neg_below * 2 + n_neg_s)) AS VARCHAR) AS u2,
+        |       CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+        |       CAST(SUM(n_neg_s) AS BIGINT) AS n_neg
+        |FROM c""".stripMargin,
 
     "pps_sample" ->
       """WITH o AS (

@@ -71,4 +71,41 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(r._1 === r._2) // fully disjoint -> TVD 1
   }
+
+  private def auc(rows: Seq[(Long, Long)]): (Long, Long, Long) =
+    Stats.rocAuc(rows.toDF("s", "l"), col("s"), col("l"))
+      .select(col("u2").cast("long"), col("n_pos"), col("n_neg"))
+      .as[(Long, Long, Long)].head()
+
+  private def naiveU2(rows: Seq[(Long, Long)]): Long = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    // 2·Σ_pairs [pos > neg] + Σ_pairs [pos == neg]
+    (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+  }
+
+  test("rocAuc: perfect separation gives u2 = 2·n_pos·n_neg; reversed gives 0") {
+    val perfect = Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L), (3L, 0L))
+    assert(auc(perfect) === ((12L, 2L, 3L))) // 2*2*3
+    val reversed = perfect.map { case (s, l) => (s, 1L - l) }
+    assert(auc(reversed) === ((0L, 3L, 2L)))
+  }
+
+  test("rocAuc: ties earn half credit, matches the naive pair count") {
+    val rows = Seq((5L, 1L), (5L, 0L), (5L, 0L), (7L, 1L), (3L, 0L),
+      (7L, 0L), (1L, 1L), (9L, 0L))
+    val (u2, np, nn) = auc(rows)
+    assert(u2 === naiveU2(rows))
+    assert((np, nn) === ((3L, 5L)))
+  }
+
+  test("rocAuc: null scores and labels are excluded") {
+    val rows = Seq((Some(5L), Some(1L)), (None, Some(0L)), (Some(2L), None),
+      (Some(1L), Some(0L)))
+    val r = Stats.rocAuc(rows.toDF("s", "l"), col("s"), col("l"))
+      .select(col("u2").cast("long"), col("n_pos"), col("n_neg"))
+      .as[(Long, Long, Long)].head()
+    assert(r === ((2L, 1L, 1L))) // one pos(5) above one neg(1)
+  }
 }
