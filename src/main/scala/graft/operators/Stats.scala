@@ -116,4 +116,41 @@ object Stats {
         sum(col("_n_pos_s")).as("n_pos"),
         sum(col("_n_neg_s")).as("n_neg"))
   }
+
+  /** Per-group EXACT Gini coefficient of a nonnegative integral value,
+    * as the num/den pair
+    *   gini = ΣᵢΣⱼ|xᵢ−xⱼ| / (2·n·Σx)
+    * with the pairwise sum folded into per-distinct-value cumulative
+    * algebra (no pair join):
+    *   ΣᵢΣⱼ|xᵢ−xⱼ| = 2·Σ_v cnt_v·(x_v·cntBelow_v − sumBelow_v).
+    * One exchange keyed by (group, value) carries a row per DISTINCT
+    * (group, value); the cumulative window runs per group over that
+    * reduced frame. DECIMAL(38,0) holds x·n² for 10¹²-row groups of
+    * 10¹²-scale values with room to spare. Groups of one report 0/den
+    * (no dispersion), consistent with the definition.
+    */
+  def giniIndex(df: DataFrame, groups: Seq[String], value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val g = groups.map(col)
+    val perValue = df
+      .select(g :+ value.cast("long").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .groupBy(g :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(g: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perValue
+      .withColumn("_cnt_below", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .withColumn("_sum_below",
+        coalesce(sum(col("_v") * col("_cnt")).over(w), lit(0L)))
+      .groupBy(g: _*)
+      .agg(
+        (sum(col("_cnt").cast(d38) *
+          (col("_v") * col("_cnt_below") - col("_sum_below"))) * 2)
+          .as("gini_num"),
+        (sum(col("_cnt")).cast(d38) *
+          sum(col("_v").cast(d38) * col("_cnt")) * 2).as("gini_den"),
+        sum(col("_cnt")).as("n"))
+  }
 }

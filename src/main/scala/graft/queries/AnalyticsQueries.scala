@@ -647,6 +647,52 @@ object AnalyticsQueries {
       graft.operators.Intervals.merge(iv, Seq("user_id"), "start_us", "end_us")
     },
 
+    /** Per-priority EXACT Gini coefficient of order totals
+      * ([[graft.operators.Stats.giniIndex]]): revenue-concentration
+      * inequality as the integer num/den pair — the pairwise
+      * Σ|xᵢ−xⱼ| folds into per-distinct-value cumulative algebra, no
+      * pair join at any scale. Money rides as exact cents.
+      */
+    "gini_index" -> { (s, dir) =>
+      graft.operators.Stats.giniIndex(
+          table(s, dir, "orders"),
+          groups = Seq("o_orderpriority"),
+          value = (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long"))
+        .select(col("o_orderpriority"),
+          col("gini_num").cast("string").as("gini_num"),
+          col("gini_den").cast("string").as("gini_den"), col("n"))
+    },
+
+    /** Market-basket association evidence (the support/confidence/lift
+      * inputs of Agrawal-Srikant mining) for part pairs co-purchased in
+      * one order: distinct (order, part) pairs self-equi-join on the
+      * order key — fan-out bounded by basket size squared, never by the
+      * catalog — with a support cut BEFORE the size joins so only
+      * above-threshold pairs carry evidence. All counts integer; lift =
+      * n_both·n_orders / (n_p1·n_p2) is the caller's division.
+      */
+    "basket_rules" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val totals = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+          Seq("l_orderkey"))
+        .where(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .where(col("n_both") >= 3)
+        .join(broadcast(itemN.select(col("l_partkey").as("p1"),
+          col("n_item").as("n_p1"))), Seq("p1"))
+        .join(broadcast(itemN.select(col("l_partkey").as("p2"),
+          col("n_item").as("n_p2"))), Seq("p2"))
+        .crossJoin(broadcast(totals))
+        .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
+          col("n_p2"), col("n_orders"))
+    },
+
     /** Exact pairwise audience overlap — the bitmap-intersection matrix
       * behind segment planners, as the exact counterpart of the KMV
       * estimate in `audience_overlap`. One distinct pass to (type, user)
@@ -1317,6 +1363,52 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "gini_index" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS x
+        |  FROM orders),
+        |pv AS (
+        |  SELECT o_orderpriority, x, COUNT(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, x, cnt,
+        |         COALESCE(SUM(cnt) OVER w, 0) AS cnt_below,
+        |         COALESCE(SUM(x * cnt) OVER w, 0) AS sum_below
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY x
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT o_orderpriority,
+        |       CAST(SUM(CAST(cnt AS DECIMAL(38,0))
+        |                * (x * cnt_below - sum_below)) * 2 AS VARCHAR)
+        |         AS gini_num,
+        |       CAST(CAST(SUM(cnt) AS DECIMAL(38,0))
+        |              * SUM(CAST(x AS DECIMAL(38,0)) * cnt) * 2 AS VARCHAR)
+        |         AS gini_den,
+        |       CAST(SUM(cnt) AS BIGINT) AS n
+        |FROM c GROUP BY o_orderpriority""".stripMargin,
+
+    "basket_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3)
+        |SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+        |       CAST(i1.n_item AS BIGINT) AS n_p1,
+        |       CAST(i2.n_item AS BIGINT) AS n_p2,
+        |       CAST(tot.n_orders AS BIGINT) AS n_orders
+        |FROM pairs
+        |JOIN itemn i1 ON i1.l_partkey = p1
+        |JOIN itemn i2 ON i2.l_partkey = p2
+        |CROSS JOIN tot""".stripMargin,
 
     "audience_matrix" ->
       """WITH tu AS (

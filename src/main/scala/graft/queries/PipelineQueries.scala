@@ -710,6 +710,29 @@ object PipelineQueries {
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
     },
 
+    /** Streaming HOPPING-window aggregation ([[StreamOps.windowedAgg]]
+      * with slide < window): every event updates window/slide = 2
+      * overlapping epoch-aligned state rows, watermark-evicted — the
+      * streaming twin of the batch `hopping_window`, whose oracle
+      * replays the same integer floor-division slot assignment per
+      * event_type. Sum rides as exact DECIMAL cents, final DOUBLE cast
+      * on both sides.
+      */
+    "stream_hopping" -> { (s, dir) =>
+      val raw = graft.GraftSession.normalizeTs(
+        StreamOps.parquetStream(s, s"$dir/events.parquet"))
+      val agg = StreamOps.windowedAgg(raw, "ts", "1 hour", "2 hours",
+        keys = Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_v")),
+        slide = Some("30 minutes"))
+      StreamOps.drainToBatch(agg, statePartitions = 8)
+        .select(unix_micros(col("window.start").cast(TimestampType))
+            .as("win_start_us"),
+          col("event_type"), col("n"), col("sum_v"))
+    },
+
     /** Streaming resample + gap fill ([[StreamOps.resampleStream]]):
       * the batch `resample_fill` series produced incrementally with
       * event-time timers — silent buckets emit on watermark passage even
@@ -1344,6 +1367,21 @@ object PipelineQueries {
         |SELECT user_id, start_us, end_us, n_events FROM sess
         |WHERE end_us + 86400000000 <
         |      (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events)""".stripMargin,
+    "stream_hopping" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |         (us // 1800000000) * 1800000000 - k * 1800000000
+        |           AS win_start_us, v
+        |  FROM e CROSS JOIN (SELECT UNNEST([CAST(0 AS BIGINT),
+        |                                    CAST(1 AS BIGINT)]) AS k))
+        |SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(v) AS DOUBLE) AS sum_v
+        |FROM w GROUP BY win_start_us, event_type""".stripMargin,
+
     "stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       COUNT(*) AS n,

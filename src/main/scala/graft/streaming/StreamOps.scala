@@ -59,15 +59,24 @@ object StreamOps {
       maxFilesPerTrigger: Int = 64): DataFrame =
     parquetStream(spark, path, spark.read.parquet(path).schema, maxFilesPerTrigger)
 
-  /** Tumbling event-time window aggregation with a watermark — the
-    * canonical streaming shape: counts/sums per (window, key).
+  /** Tumbling or hopping event-time window aggregation with a watermark —
+    * the canonical streaming shape: counts/sums per (window, key). A
+    * `slide` shorter than `window` makes the windows overlap (hopping):
+    * each event updates window/slide state rows, and the state store
+    * still evicts on the watermark — per-key state stays bounded by
+    * (window/slide) live windows, not by history.
     */
   def windowedAgg(events: DataFrame, tsCol: String, window: String, watermark: String,
-      keys: Seq[String], aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+      keys: Seq[String], aggs: Seq[org.apache.spark.sql.Column],
+      slide: Option[String] = None): DataFrame = {
+    val win = slide
+      .map(s => org.apache.spark.sql.functions.window(col(tsCol), window, s))
+      .getOrElse(org.apache.spark.sql.functions.window(col(tsCol), window))
     events
       .withWatermark(tsCol, watermark)
-      .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +: keys.map(col)): _*)
+      .groupBy((win +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Watermarked stream-stream inner join: a left row matches right rows
     * with equal `keys` whose event time lies in [leftTs, leftTs + within].

@@ -100,6 +100,17 @@ class StatsSpec extends SparkSpec {
     assert((np, nn) === ((3L, 5L)))
   }
 
+  test("giniIndex: hand-computed fraction, uniform gives 0, groups split") {
+    // {1,2,2,5}: sum of |xi-xj| over ALL ordered pairs = 24; den = 2*4*10
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L),
+      ("b", 7L), ("b", 7L)).toDF("g", "x")
+    val got = Stats.giniIndex(df, Seq("g"), col("x"))
+      .select(col("g"), col("gini_num").cast("long"),
+        col("gini_den").cast("long"), col("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("a", 24L, 80L, 4L), ("b", 0L, 56L, 2L)))
+  }
+
   test("rocAuc: null scores and labels are excluded") {
     val rows = Seq((Some(5L), Some(1L)), (None, Some(0L)), (Some(2L), None),
       (Some(1L), Some(0L)))
