@@ -883,6 +883,46 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     },
 
+    /** NEAREST as-of join — backward and forward as-of composed, each
+      * purchase attributed to its temporally CLOSEST click either side
+      * (ties to the backward match, the attribution convention): two
+      * single-shuffle as-of passes re-joined on the unique left key —
+      * never a pair join. The oracle replays both directions with
+      * row_number picks and the same tie rule.
+      */
+    "asof_nearest" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          graft.GraftSession.eventTimeMicros(ev, "ts").as("cts"))
+      val back = AsOf.asofJoin(purchases, clicks, keys = Seq("user_id"),
+          leftTime = "pts", rightTime = "cts",
+          rightPayload = Seq("click_id", "cts"),
+          rightTieBreak = Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("pts"),
+          col("click_id").as("b_id"), col("cts").as("b_ts"))
+      val fwd = AsOf.asofJoinForward(purchases, clicks, keys = Seq("user_id"),
+          leftTime = "pts", rightTime = "cts",
+          rightPayload = Seq("click_id", "cts"),
+          rightTieBreak = Seq("click_id"))
+        .select(col("purchase_id"), col("click_id").as("f_id"),
+          col("cts").as("f_ts"))
+      back.join(fwd, Seq("purchase_id"))
+        .select(col("purchase_id"), col("user_id"),
+          when(col("b_id").isNull, col("f_id"))
+            .when(col("f_id").isNull, col("b_id"))
+            .when(col("pts") - col("b_ts") <= col("f_ts") - col("pts"),
+              col("b_id"))
+            .otherwise(col("f_id")).as("nearest_click_id"),
+          when(col("b_id").isNull, col("f_ts") - col("pts"))
+            .when(col("f_id").isNull, col("pts") - col("b_ts"))
+            .otherwise(least(col("pts") - col("b_ts"),
+              col("f_ts") - col("pts"))).as("distance_us"))
+    },
+
     /** Right-to-be-forgotten cascade: given customer tombstones, the
       * per-table deletion manifest down the FK chain (customer → orders
       * → lineitem). Every cascade step is a KEYS-ONLY semi-join — the
@@ -1483,6 +1523,38 @@ object RelationalQueries {
         |           WHERE i.c_nationkey = c.c_nationkey)
         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer i
         |         WHERE i.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    "asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |b0 AS (
+        |  SELECT p.purchase_id, c.click_id, c.cts,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |             ORDER BY c.cts DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts),
+        |f0 AS (
+        |  SELECT p.purchase_id, c.click_id, c.cts,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |             ORDER BY c.cts ASC, c.click_id ASC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts >= p.pts)
+        |SELECT p.purchase_id, p.user_id,
+        |       CASE WHEN b.click_id IS NULL THEN f.click_id
+        |            WHEN f.click_id IS NULL THEN b.click_id
+        |            WHEN p.pts - b.cts <= f.cts - p.pts THEN b.click_id
+        |            ELSE f.click_id END AS nearest_click_id,
+        |       CASE WHEN b.click_id IS NULL THEN f.cts - p.pts
+        |            WHEN f.click_id IS NULL THEN p.pts - b.cts
+        |            ELSE LEAST(p.pts - b.cts, f.cts - p.pts)
+        |         END AS distance_us
+        |FROM p
+        |LEFT JOIN (SELECT * FROM b0 WHERE rn = 1) b
+        |  ON b.purchase_id = p.purchase_id
+        |LEFT JOIN (SELECT * FROM f0 WHERE rn = 1) f
+        |  ON f.purchase_id = p.purchase_id""".stripMargin,
 
     "cascade_delete" ->
       """WITH tomb AS (
