@@ -779,6 +779,74 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"weight table did not broadcast:\n$plan")
   }
 
+  test("interval merge: both windows and the island aggregate share ONE exchange") {
+    // the two windows use the same (key, order) spec and the final
+    // groupBy on (key, _island) is satisfied by the key hash partitioning
+    // (same key => same partition), so the whole operator is one shuffle
+    val ev = GraftSession.table(spark, dir, "events")
+    val iv = ev.select(col("user_id"),
+      graft.GraftSession.eventTimeMicros(ev, "ts").as("s"),
+      (graft.GraftSession.eventTimeMicros(ev, "ts") + 60000000L).as("e"))
+    val plan = executed(
+      graft.operators.Intervals.merge(iv, Seq("user_id"), "s", "e"))
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.size === 1,
+      plan.toString)
+  }
+
+  test("spatial grid join is an equi-join on cells, never a nested loop") {
+    import spark.implicits._
+    val l = (1L to 500L).map(i => (i, i % 100L, i % 97L)).toDF("lid", "lx", "ly")
+    val r = (1L to 500L).map(i => (i, i % 101L, i % 89L)).toDF("rid", "rx", "ry")
+    val plan = executed(graft.operators.Spatial.chebyshevJoin(
+      l, col("lx"), col("ly"), r, col("rx"), col("ry"), 8L))
+    val loops = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty, s"grid join fell back to a nested loop:\n$plan")
+  }
+
+  test("count-min point queries probe a BROADCAST of the sketch") {
+    val li = GraftSession.table(spark, dir, "lineitem")
+    val sketch = graft.operators.Frequency.countMinBuild(
+      li, col("l_partkey"), depth = 4, width = 1024)
+    val keys = GraftSession.table(spark, dir, "part")
+      .select(col("p_partkey"))
+    val plan = executed(graft.operators.Frequency.countMinQuery(
+      sketch, keys, col("p_partkey"), depth = 4, width = 1024))
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"sketch did not broadcast:\n$plan")
+    assert(collect(plan) { case j: SortMergeJoinExec => j }.isEmpty,
+      s"sketch probe sort-merged:\n$plan")
+  }
+
+  test("rocAuc and giniIndex windows run over counts, never raw rows") {
+    // the equidepth discipline: the WindowExec input must be the
+    // per-distinct-value aggregate, so raw rows are never rank-sorted
+    val orders = GraftSession.table(spark, dir, "orders")
+    for (q <- Seq(
+        graft.operators.Stats.rocAuc(orders,
+          (col("o_totalprice") * 100).cast("long"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L)),
+        graft.operators.Stats.giniIndex(orders, Seq("o_orderpriority"),
+          (col("o_totalprice") * 100).cast("long")))) {
+      val plan = executed(q)
+      val windows = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, plan.toString)
+      windows.foreach { w =>
+        val aggBelow = collect(w.child) {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"window consumes raw rows (no aggregate below):\n$plan")
+      }
+    }
+  }
+
   test("collocations top-k is a TakeOrdered, never a global sort") {
     val docs = GraftSession.table(spark, dir, "documents")
       .select(split(col("text"), " ").as("toks"))
