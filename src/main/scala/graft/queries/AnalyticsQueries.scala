@@ -647,6 +647,30 @@ object AnalyticsQueries {
       graft.operators.Intervals.merge(iv, Seq("user_id"), "start_us", "end_us")
     },
 
+    /** ABC (Pareto) classification of parts by revenue contribution —
+      * class A covers the first 80 % of cumulative revenue, B to 95 %,
+      * C the tail. The cumulative window runs over the AGGREGATED
+      * per-part revenue frame (catalog-sized, never line items), and the
+      * class boundaries cross-multiply exact cents against the broadcast
+      * total — no float share, so boundary parts classify identically in
+      * both engines; ties order by (revenue DESC, partkey) in both.
+      */
+    "abc_classification" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("_cum", sum(col("rev_cents")).over(w))
+        .crossJoin(broadcast(rev.agg(sum(col("rev_cents")).as("_total"))))
+        .select(col("l_partkey"), col("rev_cents"),
+          when(col("_cum") * 100 <= col("_total") * 80, "A")
+            .when(col("_cum") * 100 <= col("_total") * 95, "B")
+            .otherwise("C").as("abc_class"))
+    },
+
     /** Per-priority EXACT Gini coefficient of order totals
       * ([[graft.operators.Stats.giniIndex]]): revenue-concentration
       * inequality as the integer num/den pair — the pairwise
@@ -1363,6 +1387,24 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS rev_cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (
+        |  SELECT l_partkey, rev_cents,
+        |         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         (SELECT SUM(rev_cents) FROM rev) AS total
+        |  FROM rev)
+        |SELECT l_partkey, CAST(rev_cents AS BIGINT) AS rev_cents,
+        |       CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |            WHEN cum * 100 <= total * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
 
     "gini_index" ->
       """WITH v AS (

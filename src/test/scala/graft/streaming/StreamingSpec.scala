@@ -312,4 +312,28 @@ class ApproxSpec extends SparkSpec {
       assert(r.getBoolean(r.fieldIndex("approx_ok")), r.toString)
     }
   }
+
+  test("hopping windowedAgg equals the batch sliding-window aggregation") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.GraftSession.normalizeTs(
+      StreamOps.parquetStream(spark, s"$dir/events.parquet"))
+    val agg = StreamOps.windowedAgg(raw, "ts", "1 hour", "2 hours",
+      keys = Seq("event_type"), aggs = Seq(count(lit(1)).as("n")),
+      slide = Some("30 minutes"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = asSet(StreamOps.drainToBatch(agg, statePartitions = 4)
+      .select(unix_micros(col("window.start").cast("timestamp")).as("w"),
+        col("event_type"), col("n")))
+    val ev = graft.GraftSession.table(spark, dir, "events")
+    val want = asSet(ev
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start").cast("timestamp")).as("w"),
+        col("event_type"), col("n")))
+    assert(got === want)
+    // hopping means overlap: every event lands in exactly 2 windows
+    assert(want.toSeq.map(_._3).sum === 2 * ev.count())
+  }
 }
