@@ -26,14 +26,14 @@ object AnalyticsQueries {
   /** The full 32-bit ring value ([[graft.operators.Sampling.hashRing32]])
     * over a pre-parenthesized integral SQL expression.
     */
-  private def ring32Sql(e: String): String =
+  private[queries] def ring32Sql(e: String): String =
     s"((((($e & 4294967295) >> 16) * 2654435761) % 4294967296) * 65536" +
       s" + ($e & 65535) * 2654435761) % 4294967296"
 
   /** [[graft.operators.Sampling.swapHalves]] in SQL: 16-bit half swap of
     * a 32-bit ring value held in a NAMED column.
     */
-  private def swapSql(name: String): String =
+  private[queries] def swapSql(name: String): String =
     s"(($name >> 16) + ($name & 65535) * 65536)"
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -1157,6 +1157,33 @@ object NorthStarQueries {
           coalesce(col("_tc"), lit(0L)).as("true_cnt"))
     },
 
+    /** MMR diversity re-ranking ([[graft.similarity.Mmr.rerank]], λ = ½,
+      * k = 3) over synthetic INTEGER vectors drawn from the engine-stable
+      * hash chain, so 2·mmr = rel − maxsim is exact and the greedy pick
+      * sequence is a dataset fact: the oracle UNROLLS the three greedy
+      * rounds in SQL (the unrolled-PageRank trick) and hash-matches every
+      * (query, step, pick, score). Queries broadcast over candidates;
+      * candidates never pairwise-join each other.
+      */
+    "mmr_rerank" -> { (s, dir) =>
+      import graft.operators.Sampling.{hashRing32, swapHalves}
+      val base = table(s, dir, "embeddings").select(col("vec_id"))
+        .withColumn("_m1", hashRing32(col("vec_id") + lit(5L)))
+        .withColumn("_m2", hashRing32(swapHalves(col("_m1"))))
+        .withColumn("_m3", hashRing32(swapHalves(col("_m2"))))
+        .withColumn("_m4", hashRing32(swapHalves(col("_m3"))))
+        .withColumn("vec", array(
+          pmod(col("_m1"), lit(17L)) - 8, pmod(col("_m2"), lit(17L)) - 8,
+          pmod(col("_m3"), lit(17L)) - 8, pmod(col("_m4"), lit(17L)) - 8))
+      val qs = base
+        .where(pmod(col("vec_id"), lit(149L)) === 0 &&
+          pmod(col("vec_id"), lit(7L)) =!= 0)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val cs = base.where(pmod(col("vec_id"), lit(7L)) === 0)
+        .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+      graft.similarity.Mmr.rerank(qs, "qid", "qvec", cs, "cid", "cvec", k = 3)
+    },
+
     /** Exact ROC-AUC of a score against a binary label via the
       * Mann-Whitney rank statistic with textbook tie handling —
       * AUC = (Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s))) / (2·n_pos·n_neg),
@@ -2309,6 +2336,67 @@ object NorthStarQueries {
         |       (SELECT n FROM tot) AS total
         |FROM t2 GROUP BY 1
         |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)""".stripMargin,
+
+    "mmr_rerank" -> {
+      val ring = AnalyticsQueries.ring32Sql _
+      val swap = AnalyticsQueries.swapSql _
+      s"""WITH v0 AS (
+         |  SELECT vec_id, ${ring("(vec_id + 5)")} AS m1 FROM embeddings),
+         |v1 AS (SELECT vec_id, m1, ${ring(swap("m1"))} AS m2 FROM v0),
+         |vv AS (SELECT vec_id, m1, m2, ${ring(swap("m2"))} AS m3 FROM v1),
+         |v3 AS (SELECT vec_id, m1, m2, m3, ${ring(swap("m3"))} AS m4 FROM vv),
+         |v AS (
+         |  SELECT vec_id, m1 % 17 - 8 AS a, m2 % 17 - 8 AS b,
+         |         m3 % 17 - 8 AS c, m4 % 17 - 8 AS d
+         |  FROM v3),
+         |q AS (
+         |  SELECT vec_id AS qid, a AS qa, b AS qb, c AS qc, d AS qd
+         |  FROM v WHERE vec_id % 149 = 0 AND vec_id % 7 <> 0),
+         |cd AS (
+         |  SELECT vec_id AS cid, a, b, c, d FROM v WHERE vec_id % 7 = 0),
+         |s AS (
+         |  SELECT qid, cid, qa*a + qb*b + qc*c + qd*d AS rel, a, b, c, d
+         |  FROM q CROSS JOIN cd),
+         |r1 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) AS rn
+         |  FROM s),
+         |sel1 AS (SELECT qid, cid, rel, a, b, c, d FROM r1 WHERE rn = 1),
+         |s2 AS (
+         |  SELECT s.qid, s.cid, s.rel, s.a, s.b, s.c, s.d,
+         |         s.a*t.a + s.b*t.b + s.c*t.c + s.d*t.d AS sim1
+         |  FROM s JOIN sel1 t ON t.qid = s.qid AND s.cid <> t.cid),
+         |r2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel - sim1 DESC, rel DESC, cid) AS rn
+         |  FROM s2),
+         |sel2 AS (
+         |  SELECT qid, cid, rel, rel - sim1 AS score2, a, b, c, d
+         |  FROM r2 WHERE rn = 1),
+         |s3 AS (
+         |  SELECT s2.qid, s2.cid, s2.rel,
+         |         GREATEST(s2.sim1,
+         |                  s2.a*u.a + s2.b*u.b + s2.c*u.c + s2.d*u.d)
+         |           AS maxsim
+         |  FROM s2 JOIN sel2 u ON u.qid = s2.qid AND s2.cid <> u.cid),
+         |r3 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel - maxsim DESC, rel DESC, cid) AS rn
+         |  FROM s3),
+         |sel3 AS (
+         |  SELECT qid, cid, rel, rel - maxsim AS score2 FROM r3 WHERE rn = 1)
+         |SELECT qid, CAST(1 AS BIGINT) AS step, cid,
+         |       CAST(rel AS BIGINT) AS rel, CAST(rel AS BIGINT) AS score2x
+         |FROM sel1
+         |UNION ALL
+         |SELECT qid, CAST(2 AS BIGINT), cid, CAST(rel AS BIGINT),
+         |       CAST(score2 AS BIGINT)
+         |FROM sel2
+         |UNION ALL
+         |SELECT qid, CAST(3 AS BIGINT), cid, CAST(rel AS BIGINT),
+         |       CAST(score2 AS BIGINT)
+         |FROM sel3""".stripMargin
+    },
 
     "score_auc" ->
       """WITH d AS (
