@@ -58,6 +58,37 @@ object Intervals {
       .drop("_island")
   }
 
+  /** Sweep-line peak concurrency: per key, the maximum number of
+    * simultaneously open [start, end) intervals and the earliest instant
+    * it is reached — the ops staple (peak concurrent sessions, max
+    * in-flight requests, seat licensing). Each interval contributes two
+    * 16-byte sweep points (+1 at start, −1 at end); the running sum over
+    * one key-partitioned sort is the concurrency timeline. Half-open
+    * semantics: an interval ending at t does NOT overlap one starting at
+    * t (the −1 sorts before the +1 at equal instants). Ties among equal
+    * (t, delta) rows permute only the transient prefix values inside the
+    * tie group — the group's max and its instant are order-free, so the
+    * output is deterministic.
+    */
+  def maxConcurrency(df: DataFrame, keys: Seq[String], start: String,
+      end: String): DataFrame = {
+    val k = keys.map(col)
+    val pts = df.select(k :+ col(start).as("_t") :+ lit(1L).as("_d"): _*)
+      .unionByName(
+        df.select(k :+ col(end).as("_t") :+ lit(-1L).as("_d"): _*))
+    val ord = Window.partitionBy(k: _*).orderBy(col("_t"), col("_d"))
+    val conc = pts.withColumn("_conc",
+      sum(col("_d")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peaks = conc.groupBy(k: _*).agg(max(col("_conc")).as("peak"))
+      .select(keys.map(c => col(c).as(s"_pk_$c")) :+ col("peak"): _*)
+    val backCond = keys.map(c => col(c) <=> col(s"_pk_$c")).reduce(_ && _)
+    conc.join(peaks, backCond)
+      .where(col("_conc") === col("peak"))
+      .groupBy(k: _*)
+      .agg(max(col("peak")).as("peak"), min(col("_t")).as("peak_at"))
+  }
+
   /** The complement of [[merge]]: the maximal uncovered spans BETWEEN a
     * key's merged islands, as (gap_start, gap_end) rows. Leading/trailing
     * open-ended gaps are not emitted (no domain bounds are assumed);

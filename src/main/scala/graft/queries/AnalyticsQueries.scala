@@ -856,6 +856,23 @@ object AnalyticsQueries {
         .select(col("c_custkey"), col("p_partkey"), col("cheb_dist"))
     },
 
+    /** Peak concurrency per user
+      * ([[graft.operators.Intervals.maxConcurrency]]): the sweep-line
+      * maximum of simultaneously open activity spans and the earliest
+      * instant it is reached — two 16-byte sweep points per interval,
+      * one key-partitioned sort, half-open end-before-start tie order.
+      */
+    "max_concurrency" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val iv = ev.select(col("user_id"),
+        graft.GraftSession.eventTimeMicros(ev, "ts").as("start_us"),
+        (graft.GraftSession.eventTimeMicros(ev, "ts") +
+          (col("value").cast("decimal(18,2)") * lit(60000000L))
+            .cast("long")).as("end_us"))
+      graft.operators.Intervals.maxConcurrency(
+        iv, Seq("user_id"), "start_us", "end_us")
+    },
+
     /** Hopping (sliding) event-time windows — `window(ts, 1h, 30m)`:
       * every event lands in exactly windowDuration/slideDuration = 2
       * overlapping epoch-aligned buckets. This is the batch twin of the
@@ -1532,6 +1549,27 @@ object AnalyticsQueries {
          |       GREATEST(ABS(cx - px), ABS(cy - py)) AS cheb_dist
          |FROM c CROSS JOIN p
          |WHERE ABS(cx - px) <= 32 AND ABS(cy - py) <= 32""".stripMargin,
+
+    "max_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts)
+        |           + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT) AS e
+        |  FROM events),
+        |pts AS (
+        |  SELECT user_id, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL
+        |  SELECT user_id, e AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+        |c AS (
+        |  SELECT user_id, t,
+        |         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+        |                      ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM pts),
+        |p AS (SELECT user_id, MAX(conc) AS peak FROM c GROUP BY user_id)
+        |SELECT c.user_id, CAST(MAX(p.peak) AS BIGINT) AS peak,
+        |       MIN(c.t) AS peak_at
+        |FROM c JOIN p ON p.user_id = c.user_id AND c.conc = p.peak
+        |GROUP BY c.user_id""".stripMargin,
 
     "hopping_window" ->
       """WITH e AS (

@@ -52,6 +52,18 @@ class IntervalsSpec extends SparkSpec {
     assert(m === Set(("a", 1L, 5L, 3L)))
   }
 
+  test("maxConcurrency: sweep-line peak, half-open ends free their slot") {
+    val df = Seq(
+      // a: [1,5) [2,4) [4,6): -1@4 processes before +1@4 -> peak 2 (not 3)
+      ("a", 1L, 5L), ("a", 2L, 4L), ("a", 4L, 6L),
+      // b: three fully-nested intervals -> peak 3 first reached at t=3
+      ("b", 1L, 10L), ("b", 2L, 9L), ("b", 3L, 8L),
+      ("c", 7L, 8L)).toDF("k", "s", "e")
+    val got = Intervals.maxConcurrency(df, Seq("k"), "s", "e")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 2L, 2L), ("b", 3L, 3L), ("c", 1L, 7L)))
+  }
+
   test("weighted re-merge of stored islands + delta = full recompute") {
     // the incremental-sessionization identity: islands are maximal, so
     // feeding them back (weight = member count) with new points under the
