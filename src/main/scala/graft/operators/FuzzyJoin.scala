@@ -33,17 +33,35 @@ object FuzzyJoin {
     * observe metric.
     */
   def selfJoinDist1(df: DataFrame, id: Column, str: Column,
+      maxBucket: Int = 1000): DataFrame =
+    selfJoin(df, id, str, maxDist = 1, maxBucket = maxBucket)
+
+  /** [[selfJoinDist1]] generalized to `maxDist` ∈ {1, 2}: the deletion
+    * neighborhood composes (Ud = U1 applied d times, deduplicated), and
+    * the FastSS completeness argument extends — aligning an optimal
+    * ≤ d-edit script, deleting each side's edited positions reaches a
+    * common string with ≤ d deletions per side, so every qualifying pair
+    * shares a variant key and verification only removes over-production.
+    * A length-L string emits O(L²/2) variant keys at d = 2 (vs L+1 at
+    * d = 1) — still hashes and ids only across the shuffle; the result
+    * set, not the method, is what grows at loose thresholds.
+    */
+  def selfJoin(df: DataFrame, id: Column, str: Column, maxDist: Int,
       maxBucket: Int = 1000): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"selfJoin: maxDist must be 1 or 2 (got $maxDist)")
     val base = df.select(id.as("_id"), str.as("_s"))
     // deletion neighborhood: the string itself (deletion position -1)
     // plus each single-char deletion, keyed by 64-bit hash. The position
     // is NOT part of the key: distance-1 pairs may share the variant
     // STRING at different positions (e.g. "aab"/"ab").
-    val keyed = base.select(col("_id"),
-        explode(concat(array(col("_s")),
-          transform(sequence(lit(0), length(col("_s")) - 1),
-            i => concat(substring_index_safe(col("_s"), i),
-              suffixFrom(col("_s"), i + 2))))).as("_v"))
+    def del1(s: Column): Column =
+      concat(array(s), transform(sequence(lit(0), length(s) - 1),
+        i => concat(substring_index_safe(s, i), suffixFrom(s, i + 2))))
+    val neighborhood =
+      if (maxDist == 1) del1(col("_s"))
+      else array_distinct(flatten(transform(del1(col("_s")), v => del1(v))))
+    val keyed = base.select(col("_id"), explode(neighborhood).as("_v"))
       .select(col("_id"), xxhash64(col("_v")).as("_k"))
       .distinct()
     // cache=true: the guard's counts pass, and the a/b sides of the
@@ -60,7 +78,7 @@ object FuzzyJoin {
       .join(base.select(col("_id").as("a"), col("_s").as("a_str")), "a")
       .join(base.select(col("_id").as("b"), col("_s").as("b_str")), "b")
       .withColumn("dist", levenshtein(col("a_str"), col("b_str")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("a_str"), col("b_str"), col("dist"))
   }
 

@@ -90,6 +90,22 @@ object AnalyticsQueries {
         col("c_custkey"), col("c_name"))
     },
 
+    /** Edit-distance-≤2 similarity join ([[graft.operators.FuzzyJoin
+      * .selfJoin]] at maxDist = 2): the composed deletion neighborhood
+      * (O(L²/2) variant hashes per string) keeps the FastSS completeness
+      * guarantee, so the pair set still reproduces the brute-force cross
+      * join exactly — the practical record-linkage threshold where one
+      * typo plus one OCR slip still links. Runs on a deterministic
+      * quarter-slice of part names (the ssjoin corpus-slice precedent)
+      * because d = 2 on a small-vocabulary column is deliberately
+      * recall-heavy.
+      */
+    "fuzzy_join2" -> { (s, dir) =>
+      FuzzyJoin.selfJoin(
+        table(s, dir, "part").where(pmod(col("p_partkey"), lit(4L)) === 0),
+        col("p_partkey"), col("p_name"), maxDist = 2, maxBucket = 4000)
+    },
+
     /** Rolling z-score anomaly flags ([[graft.operators.Outliers
       * .rollingAnomaly]]): each event judged against its user's trailing
       * 24 h — strictly-prior frame, exact integer algebra in cents, so
@@ -970,6 +986,16 @@ object AnalyticsQueries {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "fuzzy_join2" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0)
+        |SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |       a.p_name AS a_str, b.p_name AS b_str,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_partkey < b.p_partkey
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "rolling_anomaly" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus,

@@ -164,6 +164,24 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.count() === 0L)   // every bucket over-bound → all dropped
   }
 
+  test("maxDist=2: composed deletion neighborhood matches brute force") {
+    // exercises two substitutions (cat/cot/cut chains), delete+substitute
+    // (cart/cut), double deletion (cart/at? dist 2 via 2 deletes), and
+    // pairs at distance 3 that must NOT link (cat/dug... use dog vs cat)
+    val df = namesDf("cat", "cut", "cart", "at", "dog", "dug", "coat", "c")
+    val out = FuzzyJoin.selfJoin(df, col("id"), col("s"), maxDist = 2)
+      .select("a", "b", "dist").as[(Long, Long, Int)].collect().toSet
+    val all = df.as[(Long, String)].collect()
+    val expect = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = levenshteinDist(sa, sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(out === expect)
+    assert(expect.contains((1L, 2L, 2)))  // cut/cart substitute+insert
+    assert(expect.contains((2L, 3L, 2)))  // cart/at two deletions
+    assert(!expect.exists(p => p._1 == 0L && p._2 == 4L)) // cat/dog d=3
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0 }
