@@ -3,17 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Edit-distance-1 similarity join via deletion neighborhoods (the
-  * FastSS / SymSpell blocking scheme, Bocek et al. 2007, "Fast Similarity
-  * Search in Large Dictionaries"): every string generates itself plus its
-  * |s| single-character deletions as candidate keys; two strings within
-  * Levenshtein distance 1 ALWAYS share a key (substitution at i → both
-  * deletion-at-i variants equal; insertion/deletion → one side's variant
-  * equals the other's full string; equality → full keys equal), so the
-  * blocking is exact — candidate generation can only over-produce, and a
-  * `levenshtein ≤ 1` verification on the candidates reproduces the
-  * brute-force cross-join answer with no misses. The typo-level
-  * record-linkage / near-key dedup primitive.
+/** Edit-distance similarity join (d ≤ 1 or d ≤ 2) via deletion
+  * neighborhoods (the FastSS / SymSpell blocking scheme, Bocek et al.
+  * 2007, "Fast Similarity Search in Large Dictionaries"): every string
+  * generates itself plus its ≤ d-character-deletion variants as candidate
+  * keys; two strings within Levenshtein distance d ALWAYS share a key
+  * (align an optimal edit script and delete each side's edited
+  * positions), so the blocking is exact — candidate generation can only
+  * over-produce, and a `levenshtein ≤ d` verification on the candidates
+  * reproduces the brute-force cross-join answer with no misses. The
+  * typo-level record-linkage / near-key dedup primitive.
   *
   * Scale shape: only 8-byte key HASHES and ids cross the candidate
   * shuffle — a string of length L emits L+1 (hash, id) pairs, and the

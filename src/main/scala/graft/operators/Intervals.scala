@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval algebra over [start, end) spans: per-key coalescing of
-  * overlapping-or-touching intervals ("islands") and the complementary
-  * gap extraction. The classic warehouse uses are validity-interval
-  * compaction (SCD histories whose consecutive versions carry the same
-  * payload), device/session uptime stitching, and coverage analysis
-  * (which time ranges have NO data — the gaps).
+  * overlapping-or-touching intervals ("islands"), the complementary gap
+  * extraction, and sweep-line peak concurrency. The classic warehouse
+  * uses are validity-interval compaction (SCD histories whose
+  * consecutive versions carry the same payload), device/session uptime
+  * stitching, coverage analysis (which time ranges have NO data — the
+  * gaps), and capacity questions (how many spans were open at once).
   *
   * Scale shape: ONE shuffle on the key columns, then a per-key ordered
   * scan (two window passes sharing the same partitioning + sort, so the
