@@ -70,8 +70,11 @@ object AsOf {
     // right seen before a left row is the minimal time >= leftTime; tie
     // groups order tieBreak-descending so their last row is the SMALLEST
     // tie-break. Right rows sort before left at equal times either way
-    // (ties match).
-    val timeOrd = if (backward) col("_t").asc else col("_t").desc
+    // (ties match). Null left times must match NOTHING in both modes:
+    // asc already sorts nulls first; desc defaults to nulls LAST, which
+    // would park null-time left rows after every right row and attach the
+    // key's earliest event — so the forward scan pins nulls first too.
+    val timeOrd = if (backward) col("_t").asc else col("_t").desc_nulls_first
     val tieBreak = rightTieBreak.map(c =>
       if (backward) col(s"_rrow.$c").asc else col(s"_rrow.$c").desc)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -39,8 +39,11 @@ object ItemSim {
       .filter(col("_c") >= minCo)
       .join(ni.select(col("_i").as("a"), col("_n").as("_na")), "a")
       .join(ni.select(col("_i").as("b"), col("_n").as("_nb")), "b")
+      // DECIMAL(38,0) before the scale-up: a BIGINT multiply would
+      // silently overflow past ~9.2e12 co-occurrences (ANSI off) — same
+      // discipline as Collocations/Stats; div lands back in BIGINT
       .withColumn("score_fp",
-        expr("(_c * 1000000L) div (_na + _nb - _c)"))
+        expr("(cast(_c as decimal(38,0)) * 1000000) div (_na + _nb - _c)"))
     // symmetric: each pair names both items, then k-bounded top per item
     val sym = co.select(col("a").as("_item"), col("b").as("_nb2"),
         col("score_fp"), col("_c"))

@@ -130,8 +130,13 @@ object Privacy {
     val groupN = gs.groupBy(qi: _*).agg(sum(col("_n_gs")).as("_n_g"))
       .select(quasiIds.map(c => col(c).as(s"_qi_$c")) :+ col("_n_g"): _*)
     val backCond = quasiIds.map(c => col(c) <=> col(s"_qi_$c")).reduce(_ && _)
+    // null-SAFE join on the sensitive value: null is a real category (one
+    // group can legitimately skew toward "unknown"), consistent with
+    // tvdDrift/lDiverse — a null-rejecting join would drop null rows from
+    // _num_present/_ts_present yet keep them in N_g, inflating the TVD
     val evidence = gs
-      .join(broadcast(globalS), Seq("_s"))
+      .join(broadcast(globalS.withColumnRenamed("_s", "_s_g")),
+        col("_s") <=> col("_s_g")).drop("_s_g")
       .join(groupN, backCond)
       .crossJoin(broadcast(totals))
       .groupBy(qi: _*)

@@ -164,7 +164,7 @@ object CurationQueries {
       */
     "decontaminate_indexed" -> { (s, dir) =>
       val (bench, batch) = decontFixture(s, dir)
-      val grams = NorthStarQueries.persistedIndex(s,
+      val grams = NorthStarQueries.persistedIndex(s, dir,
         Decontaminate.benchGrams(bench, col("_toks"), n = 8), "benchgrams")
       Decontaminate.cleanIndexed(batch, "doc_id", col("_toks"), grams, n = 8)
         .select(col("doc_id"))
@@ -847,7 +847,8 @@ object CurationQueries {
         |         SUM(CAST(t_s AS DECIMAL(38,0))) AS ts_present,
         |         CAST(MAX(n_g) AS DECIMAL(38,0)) AS n_g,
         |         CAST(MAX(t) AS DECIMAL(38,0)) AS t
-        |  FROM gs JOIN g USING (lang, source) JOIN s USING (len_class)
+        |  FROM gs JOIN g USING (lang, source)
+        |       JOIN s ON gs.len_class IS NOT DISTINCT FROM s.len_class
         |       CROSS JOIN tot
         |  GROUP BY 1, 2),
         |keep AS (

@@ -38,8 +38,14 @@ object NorthStarQueries {
   private val writtenIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private[queries] def persistedIndex(s: SparkSession, index: DataFrame, tag: String): DataFrame = {
-    val p = s"${sys.props("java.io.tmpdir")}/graft_index_${tag}_${s.sparkContext.applicationId}"
+  private[queries] def persistedIndex(s: SparkSession, dir: String,
+      index: DataFrame, tag: String): DataFrame = {
+    // keyed by (tag, DATA DIR, applicationId): a session running the same
+    // query against a second sfDir must rebuild, not reuse the first
+    // dir's stale on-disk index
+    val dirKey = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val p = s"${sys.props("java.io.tmpdir")}/graft_index_${tag}_${dirKey}_${s.sparkContext.applicationId}"
     // write-once per JVM: the index lives on disk BETWEEN ingestion
     // batches by definition, so re-running an incremental query (bench
     // reruns, a long-lived ingest driver) must pay the index READ, not a
@@ -252,7 +258,7 @@ object NorthStarQueries {
         .select((col("doc_id") + 20000L).as("doc_id"), trim(col("_toks")).as("_toks"))
       val batch = batchBase.unionByName(plantsVsCorpus).unionByName(plantsWithin)
       Dedup.minhashIncremental(batch,
-          persistedIndex(s,
+          persistedIndex(s, dir,
             Dedup.minhashIndex(corpus, "doc_id", shinglesOf(col("_toks"), 3)), "mh"),
           "doc_id", shinglesOf(col("_toks"), 3), threshold = 0.5)
         .select(col("doc_id"))
@@ -276,7 +282,7 @@ object NorthStarQueries {
           .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
       val toks = TextFunctions.tokens(col("text"))
       val surv = Dedup.simhashIncremental(batch,
-        persistedIndex(s, Dedup.simhashIndex(corpus, "doc_id", toks), "sh"),
+        persistedIndex(s, dir, Dedup.simhashIndex(corpus, "doc_id", toks), "sh"),
         "doc_id", toks)
       batch.filter(col("doc_id") >= 10000L).agg(count(lit(1)).as("n_planted"))
         .crossJoin(surv.filter(col("doc_id") >= 10000L)
@@ -357,7 +363,7 @@ object NorthStarQueries {
         .unionByName(scaled(corpus.filter(col("vec_id") < 20), 10000L))
         .unionByName(scaled(batchBase.filter(col("vec_id") < 420), 20000L))
       Dedup.embeddingIncremental(batch,
-          persistedIndex(s,
+          persistedIndex(s, dir,
             Dedup.embeddingIndex(corpus, "vec_id", col("embedding")), "emb"),
           "vec_id", col("embedding"), threshold = 0.9)
         .select(col("vec_id"))
@@ -1025,7 +1031,7 @@ object NorthStarQueries {
       val batch = emb.filter(col("vec_id") % 5 === 0)
       val centroids = graft.similarity.Ivf.trainCentroids(
         corpus, "vec_id", "embedding", nCells = 16)
-      val stored = persistedIndex(s,
+      val stored = persistedIndex(s, dir,
         graft.similarity.Ivf.index(corpus, "vec_id", "embedding", centroids), "ivf")
       val grown = stored.unionByName(
         graft.similarity.Ivf.index(batch, "vec_id", "embedding", centroids))
@@ -1247,8 +1253,17 @@ object NorthStarQueries {
           dense_rank().over(Window.orderBy(col(c))).cast("long"))
       d.join(broadcast(vocab("lang", "lang_id")), Seq("lang"))
         .join(broadcast(vocab("source", "source_id")), Seq("source"))
-        .withColumn("_ck",
-          (col("lang_id") * 64 + col("source_id")) * 1024 + col("len_class"))
+        // fail-fast pack guard: the (·*64 + source_id)*1024 + len_class
+        // packing is collision-free ONLY under source_id < 64 and
+        // 0 <= len_class < 1024 — aliased crosses would silently
+        // undercount n_crosses (and the oracle replays the same packing,
+        // so the hash compare could not catch it)
+        .withColumn("_ck", expr(
+          """CASE WHEN source_id >= 64 OR len_class < 0 OR len_class >= 1024
+            |  THEN CAST(raise_error(
+            |    'feature_cross: pack bounds exceeded (source_id < 64, len_class in [0,1024) required)')
+            |    AS BIGINT)
+            |  ELSE (lang_id * 64 + source_id) * 1024 + len_class END""".stripMargin))
         .withColumn("feature_id", Sampling.hashBucket(col("_ck"), 262144))
         .groupBy(col("feature_id"))
         .agg(count(lit(1)).as("n_rows"),

@@ -98,6 +98,21 @@ class JoinPropertiesSpec extends SparkSpec {
       assert(got === naive, s"ls=$ls rs=$rs")
     }
   }
+
+  test("asof joins: a null left time matches NOTHING in both directions") {
+    // one key with right events at t=5 and t=50; left rows at t=10 (real
+    // match both ways) and t=null (must match nothing — a plain desc sort
+    // would park the null row after every right event and attach t=5)
+    val left = Seq((1L, 1, Some(10)), (2L, 1, None))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 1, 5), (200L, 1, 50)).toDF("rid", "k", "t")
+    val back = AsOf.asofJoin(left, right, Seq("k"), "t", "t", Seq("rid"), Seq("rid"))
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(back === Map(1L -> Some(100L), 2L -> None))
+    val fwd = AsOf.asofJoinForward(left, right, Seq("k"), "t", "t", Seq("rid"), Seq("rid"))
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(fwd === Map(1L -> Some(200L), 2L -> None))
+  }
 }
 
 class SketchPropertiesSpec extends SparkSpec {
