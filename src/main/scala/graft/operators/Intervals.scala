@@ -81,13 +81,17 @@ object Intervals {
     val conc = pts.withColumn("_conc",
       sum(col("_d")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val peaks = conc.groupBy(k: _*).agg(max(col("_conc")).as("peak"))
-      .select(keys.map(c => col(c).as(s"_pk_$c")) :+ col("peak"): _*)
-    val backCond = keys.map(c => col(c) <=> col(s"_pk_$c")).reduce(_ && _)
-    conc.join(peaks, backCond)
-      .where(col("_conc") === col("peak"))
+    // the per-key peak rides the SAME exchange as the running sum: an
+    // unbounded window max needs only clustering on the keys, which the
+    // sorted window output already satisfies — no groupBy + join-back
+    // (that shape cost a second shuffle), and the final groupBy reuses
+    // the same hash partitioning too, so the whole operator is ONE
+    // exchange end to end.
+    conc
+      .withColumn("_peak", max(col("_conc")).over(Window.partitionBy(k: _*)))
+      .where(col("_conc") === col("_peak"))
       .groupBy(k: _*)
-      .agg(max(col("peak")).as("peak"), min(col("_t")).as("peak_at"))
+      .agg(max(col("_peak")).as("peak"), min(col("_t")).as("peak_at"))
   }
 
   /** The complement of [[merge]]: the maximal uncovered spans BETWEEN a

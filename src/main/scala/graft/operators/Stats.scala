@@ -100,6 +100,24 @@ object Stats {
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = DecimalType(38, 0)
+    // fail fast on non-integral scores: the whole counts-only design rests
+    // on the per-DISTINCT-score reduction collapsing the frame before the
+    // single-task cumulative window — a continuous float score makes
+    // distinct ≈ rows and silently recreates the global-sort killer at
+    // scale. Callers with continuous scores bucket first (fixed-point:
+    // (score * 10^k).cast("long")), which also keeps u2 an exact integer.
+    locally {
+      import org.apache.spark.sql.types._
+      val t = df.select(score.as("_s")).schema.head.dataType
+      val integral = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+      require(integral,
+        s"rocAuc: score must be integral (got ${t.sql}); bucket continuous " +
+          "scores to fixed-point first, e.g. (score * 1000000).cast(\"long\")")
+    }
     val perScore = df
       .select(score.as("_s"), label.cast("long").as("_l"))
       .filter(col("_s").isNotNull && col("_l").isNotNull)

@@ -111,6 +111,19 @@ class StatsSpec extends SparkSpec {
     assert(got === Set(("a", 24L, 80L, 4L), ("b", 0L, 56L, 2L)))
   }
 
+  test("rocAuc: a continuous (non-integral) score fails fast by name") {
+    // a double score would make distinct ≈ rows and feed the raw frame to
+    // the single-task cumulative window — must be rejected at plan time
+    val rows = Seq((0.37, 1L), (0.91, 0L)).toDF("s", "l")
+    val e = intercept[IllegalArgumentException] {
+      Stats.rocAuc(rows, col("s"), col("l"))
+    }
+    assert(e.getMessage.contains("rocAuc"))
+    assert(e.getMessage.contains("integral"))
+    // the documented escape hatch (fixed-point bucket) plans fine
+    Stats.rocAuc(rows, (col("s") * 1000000).cast("long"), col("l"))
+  }
+
   test("rocAuc: null scores and labels are excluded") {
     val rows = Seq((Some(5L), Some(1L)), (None, Some(0L)), (Some(2L), None),
       (Some(1L), Some(0L)))

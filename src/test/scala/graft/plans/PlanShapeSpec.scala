@@ -793,6 +793,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       plan.toString)
   }
 
+  test("maxConcurrency: running sum, peak window and final agg share ONE exchange") {
+    // the unbounded per-key peak max needs only clustering on the keys,
+    // which the sorted running-sum output already provides — the old
+    // groupBy + join-back shape paid a second shuffle for the same answer
+    val ev = GraftSession.table(spark, dir, "events")
+    val iv = ev.select(col("user_id"),
+      graft.GraftSession.eventTimeMicros(ev, "ts").as("s"),
+      (graft.GraftSession.eventTimeMicros(ev, "ts") + 60000000L).as("e"))
+    val plan = executed(
+      graft.operators.Intervals.maxConcurrency(iv, Seq("user_id"), "s", "e"))
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.size === 1,
+      plan.toString)
+  }
+
   test("spatial grid join is an equi-join on cells, never a nested loop") {
     import spark.implicits._
     val l = (1L to 500L).map(i => (i, i % 100L, i % 97L)).toDF("lid", "lx", "ly")
