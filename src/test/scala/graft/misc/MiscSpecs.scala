@@ -412,6 +412,27 @@ class RoundsSpec extends SparkSpec {
     rounds.close()
   }
 
+  test("runAll slot bound: peak in-flight rounds never exceeds parallelism") {
+    // the reference's numSlots backpressure (IterativeBatchExecutor's
+    // bounded round queue): a 100-round sweep with parallelism=2 must
+    // hold at most 2 concurrent actions, not submit all 100 at once
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger()
+    val peak = new java.util.concurrent.atomic.AtomicInteger()
+    val rounds = new Rounds(spark)
+    val out = rounds.runAll(
+        (1 to 8).map(i => Map("x" -> i.toString)), parallelism = 2) { (ctx, _) =>
+      val now = inFlight.incrementAndGet()
+      peak.accumulateAndGet(now, math.max)
+      try {
+        Thread.sleep(50)
+        spark.range(10).count() + ctx("x").toLong
+      } finally { inFlight.decrementAndGet(); () }
+    }
+    assert(peak.get() <= 2, s"slot bound violated: peak=${peak.get()}")
+    assert(out.map(_._2) === (1 to 8).map(10L + _))
+    rounds.close()
+  }
+
   test("concurrent rounds build a shared NEVER input exactly once") {
     val builds = new java.util.concurrent.atomic.AtomicInteger()
     val rounds = new Rounds(spark)

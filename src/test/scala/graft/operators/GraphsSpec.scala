@@ -227,4 +227,30 @@ class GraphsSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("chaos: pageRank under continuous block loss recovers from checkpoint files") {
+    // executors die mid-loop: a killer thread unpersists EVERY persistent
+    // RDD every 75ms for the whole run. With checkpointDir set the loop
+    // must complete bit-identical anyway — dead blocks fall back to the
+    // round's checkpoint file (or, pre-write, to lineage grounded in a
+    // prior round's file). A local-checkpoint run has no such floor.
+    val dir = java.nio.file.Files.createTempDirectory("graft_gchaos").toFile
+    try {
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (5L, 6L), (6L, 1L), (2L, 6L))
+      val expected = pr(6, edges: _*)
+      val got = graft.Chaos.killingBlocks(spark) {
+        Graphs.pageRank(g(edges: _*), "s", "d", 6,
+            checkpointDir = Some(dir.getAbsolutePath))
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(got === expected)
+    } finally {
+      graft.Caches.clear(spark, blocking = true)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

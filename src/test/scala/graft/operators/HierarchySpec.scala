@@ -44,6 +44,46 @@ class HierarchySpec extends SparkSpec {
     assert(got.size === 15) // n*(n+1)/2 pairs for a 6-node chain
   }
 
+  test("deep hierarchy folds completed levels: persisted blocks stay bounded") {
+    graft.Caches.clear(spark)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1L to 24L).map(i => (i, i + 1, 1L)) // 24 closure levels
+    val got = Hierarchy.explode(chain.toDF("p", "c", "q"), "p", "c", "q",
+        maxDepth = 32, foldEvery = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 25L, 1L, 24L)))
+    assert(got.size === 24 * 25 / 2)
+    // edges + the fold accumulator + at most foldEvery+1 unfolded levels;
+    // without folding this chain would hold ~25 persisted level RDDs here
+    val live = spark.sparkContext.getPersistentRDDs.size - base
+    assert(live <= 9, s"expected bounded persisted blocks, got $live")
+    graft.Caches.clear(spark)
+  }
+
+  test("chaos: explode under continuous block loss recovers from checkpoint files") {
+    // same discipline as the pageRank chaos spec: every persistent RDD is
+    // unpersisted every 75ms while a 12-level chain explodes with a
+    // durable checkpointDir — fold accumulators and live levels must
+    // all fall back to their checkpoint files and finish bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_hchaos").toFile
+    try {
+      val chain = (1L to 12L).map(i => (i, i + 1, 1L))
+      val expected = run(chain)
+      val got = graft.Chaos.killingBlocks(spark) {
+        Hierarchy.explode(chain.toDF("p", "c", "q"), "p", "c", "q",
+            checkpointDir = Some(dir.getAbsolutePath), foldEvery = 3)
+          .as[(Long, Long, Long, Long)].collect().toSet
+      }
+      assert(got === expected)
+    } finally {
+      graft.Caches.clear(spark)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("checkpointDir: levels become RELIABLE checkpoints, results unchanged") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_hck").toFile
