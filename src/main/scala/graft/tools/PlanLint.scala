@@ -96,9 +96,16 @@ object PlanLint {
     val all = graft.SparkEntry.queries
     val names = if (names0 == "all") all.keys.toSeq.sorted else names0.split(",").toSeq
     var bad = List.empty[String]
+    // per-query JSON rows for the committed per-round artifact — the lint
+    // is a round GATE like CORRECTNESS, so its evidence must be a file a
+    // judge can diff, not scrollback
+    val rows = Seq.newBuilder[String]
+    def jmap(m: Map[String, Int]): String =
+      m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     names.foreach { n =>
       try {
         val (gate, info) = lint(all(n)(spark, dir))
+        rows += s""""$n":{"gating":${jmap(gate)},"info":${jmap(info)}}"""
         if (gate.nonEmpty) {
           bad ::= n
           println(s"[planlint] FAIL $n: " + gate.map { case (k, v) => s"$k=$v" }.mkString(" "))
@@ -106,10 +113,22 @@ object PlanLint {
           println(s"[planlint] info $n: " + info.map { case (k, v) => s"$k=$v" }.mkString(" "))
       } catch { case e: Throwable =>
         bad ::= n
+        val msg = String.valueOf(e.getMessage)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").take(300)
+        rows += s""""$n":{"gating":{"error":1},"info":{},"error":"$msg"}"""
         println(s"[planlint] FAIL $n: ERROR ${e.getMessage}")
       } finally graft.Caches.clear(spark, blocking = true)
     }
     println(s"[planlint] ${names.size - bad.size}/${names.size} clean")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_PLANLINT_OUT", "PLANLINT_LAST.json")
+    val json =
+      s"""{"sf":"$dir","nQueries":${names.size},"nGatingFail":${bad.size},""" +
+        s""""failed":${bad.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries":${rows.result().mkString("{", ",", "}")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[planlint] wrote $outFile")
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }
