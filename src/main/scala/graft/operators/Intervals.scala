@@ -46,8 +46,13 @@ object Intervals {
     val prevMax = max(col(end))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
     val grouped = df
+      // the island test in DECIMAL: `prevMax + minGap` in BIGINT wraps
+      // when prevMax sits within minGap of Long.MaxValue (snowflake-scale
+      // ids / far-future sentinels), silently splitting an island that
+      // overlaps — the compare must be exact at every magnitude
       .withColumn("_island_open",
-        when(prevMax.isNull || col(start) > prevMax + lit(minGap), 1L)
+        when(prevMax.isNull || col(start).cast("decimal(21,0)") >
+            prevMax.cast("decimal(21,0)") + lit(minGap), 1L)
           .otherwise(0L))
       .withColumn("_island",
         sum(col("_island_open"))

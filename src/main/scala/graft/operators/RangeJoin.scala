@@ -73,19 +73,35 @@ object RangeJoin {
     val shift = widthShift(
       if (bucketMicros > 0) bucketMicros
       else math.max(upperMicros - lowerMicros, 1L))
+    // saturating add for the bucket bounds: `t + delta` in BIGINT wraps
+    // for times/ids within `delta` of the Long range ends, mis-bucketing
+    // the probe and silently DROPPING matching pairs. Clamping to the
+    // range end only widens the candidate bucket span (no value beyond
+    // Long range exists to match), and the exact residual below decides
+    // membership — buckets are a superset generator, so saturation is
+    // lossless.
+    def satAdd(c: Column, delta: Long): Column =
+      if (delta >= 0L)
+        when(c > Long.MaxValue - delta, Long.MaxValue).otherwise(c + delta)
+      else
+        when(c < Long.MinValue - delta, Long.MinValue).otherwise(c + delta)
     // plan aliases (not DataFrame-instance refs) keep the key equality
     // unambiguous when both inputs derive from the same scan (self-join)
     val l = left
       .withColumn("_t_micros", scalar(left, leftTime))
       .withColumn("_bucket", explode(sequence(
-        shiftright(col("_t_micros") + lowerMicros, shift),
-        shiftright(col("_t_micros") + upperMicros, shift))))
+        shiftright(satAdd(col("_t_micros"), lowerMicros), shift),
+        shiftright(satAdd(col("_t_micros"), upperMicros), shift))))
       .alias("_rj_l")
     val r = right.withColumn("_rt_micros", scalar(right, rightTime))
       .withColumn("_rbucket", shiftright(col("_rt_micros"), shift))
       .alias("_rj_r")
-    val lt = col("_rj_l._t_micros")
-    val rt = col("_rj_r._rt_micros")
+    // the residual range test runs in DECIMAL: it only touches candidate
+    // pairs the bucket equi-join already pruned, and `lt + offset` in
+    // BIGINT would wrap at the same extremes the bucket clamp guards —
+    // the exact predicate is what makes the saturated buckets safe
+    val lt = col("_rj_l._t_micros").cast("decimal(21,0)")
+    val rt = col("_rj_r._rt_micros").cast("decimal(21,0)")
     val lowerPred = if (includeLower) rt >= lt + lowerMicros else rt > lt + lowerMicros
     val upperPred = if (includeUpper) rt <= lt + upperMicros else rt < lt + upperMicros
     val cond = (keys.map(k => col(s"_rj_l.$k") === col(s"_rj_r.$k")) :+

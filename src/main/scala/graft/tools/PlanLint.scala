@@ -22,16 +22,43 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   *   executed broadcast's numOutputRows metric, so the distinction is
   *   measured, not guessed.
   *
+  * - `globalWindow` on a query NOT in [[boundedGlobalWindows]]: a
+  *   WindowExec with an empty partition spec serializes on one task, so
+  *   every use must prove its input bounded. The allowlisted queries
+  *   each carry a one-line justification (counts-reduced / per-source /
+  *   guarded frames); an UNLISTED global window gates the round — a new
+  *   query cannot silently ship a single-task window over raw rows.
+  *
   * INFO findings (reported, not gating):
-  * - `globalWindow`: WindowExec with an empty partition spec. The
-  *   engine's uses are all windows over counts-REDUCED frames (one row
-  *   per distinct value / per source / per file), where a single task
-  *   is the point; a global window over raw rows would be a real
-  *   finding — review any new name appearing here.
+  * - `globalWindow` on an allowlisted query (justification shipped in
+  *   the artifact next to the finding).
   * - `globalSort`: a global SortExec — legitimate only as a sorted sink
   *   or inside the two-level distributed prefix sum.
   */
 object PlanLint {
+
+  /** Queries whose global (empty-partition) windows are bounded by
+    * construction — the machine-checked allowlist. Each entry is the
+    * one-line proof the window's input cannot scale with raw data; the
+    * justification ships in the per-round artifact so the audit travels
+    * with the evidence. Adding a global window to ANY other query flips
+    * the finding to gating.
+    */
+  val boundedGlobalWindows: Map[String, String] = Map(
+    "abc_classification" -> "Pareto cumsum over one row per part — catalog-bounded, counts-reduced before the window",
+    "equidepth_hist" -> "cumulative counts over one row per DISTINCT quantity value (integer domain, counts-only)",
+    "feature_cross" -> "dense_rank over the tiny per-column distinct-value vocab frames; pack-bounds guard fails by name on overflow",
+    "flagship_training_mix" -> "temperatureMix allocation window over one row per language (per-source weights frame)",
+    "global_shuffle" -> "bucket-offset window over exactly `buckets` rows — the two-level prefix sum's 64-row top level",
+    "key_skew" -> "counts-of-counts cumsum: one row per distinct key multiplicity",
+    "oov_rate" -> "top-1000 vocab cut over the counts-reduced distinct-term frame (TakeOrdered-style prune)",
+    "pps_sample" -> "prefixSumBefore's top level: one row per bucket (64), broadcast back",
+    "score_auc" -> "one row per distinct integral score — rocAuc REQUIREs integral scores, killing the continuous-domain case",
+    "sequence_pack" -> "sequencePack's bucket-offset window over `buckets` (64) rows",
+    "skyline" -> "running strict-min over one row per distinct x value (counts-reduced dominance scan)",
+    "temperature_mix" -> "allocation window over one row per language (per-source weights frame)",
+    "token_budget_mix" -> "running budget over one row per language (per-source token-total frame)",
+  )
 
   private def deep[T](plan: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
     plan.collect {
@@ -102,10 +129,37 @@ object PlanLint {
     val rows = Seq.newBuilder[String]
     def jmap(m: Map[String, Int]): String =
       m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // JSON string literal: truncation happens on the RAW text BEFORE
+    // escaping (truncating escaped text can split a two-char escape,
+    // leaving a dangling backslash), and every control char < 0x20 is
+    // \u-escaped — failing rounds are exactly when the artifact must
+    // stay parseable
+    def jstr(raw: String): String = {
+      val sb = new StringBuilder("\"")
+      raw.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    }
     names.foreach { n =>
       try {
-        val (gate, info) = lint(all(n)(spark, dir))
-        rows += s""""$n":{"gating":${jmap(gate)},"info":${jmap(info)}}"""
+        val (gate0, info0) = lint(all(n)(spark, dir))
+        // an UNEXPLAINED global window gates: the allowlist above is the
+        // machine-checked register of every bounded-by-construction use
+        val justified = boundedGlobalWindows.contains(n)
+        val (gate, info) =
+          if (info0.contains("globalWindow") && !justified)
+            (gate0 + ("globalWindowUnexplained" -> info0("globalWindow")),
+              info0 - "globalWindow")
+          else (gate0, info0)
+        val why =
+          if (justified && info.contains("globalWindow"))
+            s""","justification":${jstr(boundedGlobalWindows(n))}"""
+          else ""
+        rows += s""""$n":{"gating":${jmap(gate)},"info":${jmap(info)}$why}"""
         if (gate.nonEmpty) {
           bad ::= n
           println(s"[planlint] FAIL $n: " + gate.map { case (k, v) => s"$k=$v" }.mkString(" "))
@@ -113,10 +167,7 @@ object PlanLint {
           println(s"[planlint] info $n: " + info.map { case (k, v) => s"$k=$v" }.mkString(" "))
       } catch { case e: Throwable =>
         bad ::= n
-        val msg = String.valueOf(e.getMessage)
-          .replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ").take(300)
-        rows += s""""$n":{"gating":{"error":1},"info":{},"error":"$msg"}"""
+        rows += s""""$n":{"gating":{"error":1},"info":{},"error":${jstr(String.valueOf(e.getMessage).take(300))}}"""
         println(s"[planlint] FAIL $n: ERROR ${e.getMessage}")
       } finally graft.Caches.clear(spark, blocking = true)
     }

@@ -414,8 +414,8 @@ class RoundsSpec extends SparkSpec {
 
   test("runAll slot bound: peak in-flight rounds never exceeds parallelism") {
     // the reference's numSlots backpressure (IterativeBatchExecutor's
-    // bounded round queue): a 100-round sweep with parallelism=2 must
-    // hold at most 2 concurrent actions, not submit all 100 at once
+    // bounded round queue): an 8-round sweep with parallelism=2 must
+    // hold at most 2 concurrent actions, not submit all 8 at once
     val inFlight = new java.util.concurrent.atomic.AtomicInteger()
     val peak = new java.util.concurrent.atomic.AtomicInteger()
     val rounds = new Rounds(spark)

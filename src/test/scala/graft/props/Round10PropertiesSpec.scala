@@ -1,0 +1,186 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.operators.{AsOf, Intervals, RangeJoin}
+
+/** Null/overflow seam fuzz for the join/agg families: round 9 fixed four
+  * silent-wrong-answer edges (asof null time, t-close null category,
+  * ItemSim BIGINT overflow, feature_cross aliasing) found by INSPECTION —
+  * these properties put generators on exactly those seams so the next
+  * such edge is caught by CI, not by a reader. Every test compares the
+  * distributed operator against a naive driver-side reference computed in
+  * overflow-free arithmetic (BigInt / Option), on inputs that inject
+  * nulls and values within an offset's reach of Long.MinValue/MaxValue.
+  */
+class Round10PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  // times: mostly small, sometimes null, sometimes at the Long extremes —
+  // the three regimes where asof/interval algebra has historically broken
+  private val timeGen: Gen[Option[Long]] = Gen.frequency(
+    5 -> Gen.choose(0L, 50L).map(Some(_)),
+    1 -> Gen.const(None),
+    1 -> Gen.oneOf(Long.MinValue, Long.MinValue + 1, Long.MaxValue - 1,
+      Long.MaxValue).map(Some(_): Option[Long]))
+
+  test("asofJoin (backward): null times match nothing; extremes match exactly (vs naive)") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 3), timeGen))
+    for ((ls, rs) <- samples(Gen.zip(rows, rows), 8)) {
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "k", "t")
+      val got = AsOf.asofJoin(left, right, Seq("k"), "t", "t", Seq("rid"), Seq("rid"))
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      val naive = ls.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> (t match {
+          case None => None // null left time matches NOTHING
+          case Some(lt) =>
+            rs.zipWithIndex
+              .collect { case ((rk, Some(rt)), ri) if rk == k && rt <= lt => (rt, ri) }
+              .sorted.lastOption.map(_._2.toLong)
+        })
+      }.toMap
+      assert(got === naive, s"ls=$ls rs=$rs")
+    }
+  }
+
+  test("asofJoinForward: null times match nothing; extremes match exactly (vs naive)") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 3), timeGen))
+    for ((ls, rs) <- samples(Gen.zip(rows, rows), 8, seed = 31L)) {
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "k", "t")
+      val got = AsOf.asofJoinForward(left, right, Seq("k"), "t", "t", Seq("rid"), Seq("rid"))
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      val naive = ls.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> (t match {
+          case None => None
+          case Some(lt) =>
+            // smallest (rt, rid) among rt >= lt — forward scan's contract
+            rs.zipWithIndex
+              .collect { case ((rk, Some(rt)), ri) if rk == k && rt >= lt => (rt, ri) }
+              .sorted.headOption.map(_._2.toLong)
+        })
+      }.toMap
+      assert(got === naive, s"ls=$ls rs=$rs")
+    }
+  }
+
+  // intervals: starts anywhere incl. extremes; end = start + small span,
+  // saturated (keeps start <= end while still parking ends AT MaxValue)
+  private val intervalGen: Gen[(Long, Long)] = for {
+    s <- Gen.frequency(
+      4 -> Gen.choose(0L, 60L),
+      1 -> Gen.choose(Long.MaxValue - 40L, Long.MaxValue),
+      1 -> Gen.choose(Long.MinValue, Long.MinValue + 40L))
+    span <- Gen.choose(0L, 15L)
+  } yield (s, if (s > Long.MaxValue - span) Long.MaxValue else s + span)
+
+  test("Intervals.merge: minGap stitching is exact within minGap of Long.MaxValue (vs naive)") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 2), intervalGen))
+    // the pinned wrap case first: prevMax = MaxValue−3 with gap 5 makes
+    // `prevMax + gap` wrap in BIGINT — the unfixed operator split this
+    // touching pair into two islands
+    val pinned = (List(
+      (0, (Long.MaxValue - 10L, Long.MaxValue - 3L)),
+      (0, (Long.MaxValue - 2L, Long.MaxValue))), 5L)
+    for ((ivs, gap) <- pinned +: samples(Gen.zip(rows, Gen.choose(0L, 10L)), 8)) {
+      val df = ivs.map { case (k, (s, e)) => (k, s, e) }.toDF("k", "s", "e")
+      val got = Intervals.merge(df, Seq("k"), "s", "e", minGap = gap)
+        .select("k", "s", "e", "n_merged").as[(Int, Long, Long, Long)]
+        .collect().toSet
+      // naive: BigInt island sweep per key — `prevMax + gap` can never wrap
+      val naive = ivs.groupBy(_._1).flatMap { case (k, g) =>
+        val sorted = g.map(_._2).sorted
+        val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case (acc, (s, e)) => acc match {
+            case (is, ie, n) :: rest if BigInt(s) <= BigInt(ie) + gap =>
+              (is, math.max(ie, e), n + 1) :: rest
+            case _ => (s, e, 1L) :: acc
+          }
+        }
+        islands.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+      assert(got === naive, s"ivs=$ivs gap=$gap")
+    }
+  }
+
+  test("Intervals.maxConcurrency: peak and instant exact at Long extremes (vs naive sweep)") {
+    val rows = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 2), intervalGen))
+    for (ivs <- samples(rows, 8, seed = 17L)) {
+      val df = ivs.map { case (k, (s, e)) => (k, s, e) }.toDF("k", "s", "e")
+      val got = Intervals.maxConcurrency(df, Seq("k"), "s", "e")
+        .as[(Int, Long, Long)].collect().toSet
+      val naive = ivs.groupBy(_._1).map { case (k, g) =>
+        val pts = g.flatMap { case (_, (s, e)) => Seq((s, 1L), (e, -1L)) }
+          .sortBy(p => (p._1, p._2)) // -1 before +1 at equal t: half-open
+        val sums = pts.scanLeft(0L)((acc, p) => acc + p._2).tail
+        val peak = sums.max
+        val at = pts.zip(sums).collectFirst { case ((t, _), c) if c == peak => t }.get
+        (k, peak, at)
+      }.toSet
+      assert(got === naive, s"ivs=$ivs")
+    }
+  }
+
+  test("RangeJoin.rangeJoin: no pair dropped within an offset of Long.MaxValue (vs naive)") {
+    // integral band join on snowflake-scale ids: `t + offset` wraps in
+    // BIGINT exactly where these generators park the values
+    val idGen: Gen[Long] = Gen.frequency(
+      3 -> Gen.choose(0L, 100L),
+      1 -> Gen.choose(Long.MaxValue - 100L, Long.MaxValue),
+      1 -> Gen.choose(Long.MinValue, Long.MinValue + 100L))
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 2), idGen))
+    // pinned wrap case: left t = MaxValue−5 with upper +10 wraps `t+hi`
+    // in BIGINT — the unfixed bucket explode mis-ranged and the residual
+    // predicate mis-compared, dropping the (t, rt=MaxValue−2) match
+    val pinned = ((List((0, Long.MaxValue - 5L), (1, Long.MinValue + 3L)),
+      List((0, Long.MaxValue - 2L), (1, Long.MinValue))), (-10L, 10L))
+    for (((ls, rs), (lo, hi)) <- pinned +: samples(
+        Gen.zip(Gen.zip(rows, rows),
+          Gen.zip(Gen.choose(-40L, 10L), Gen.choose(0L, 40L))), 8)) {
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "k", "rt")
+      val got = RangeJoin.rangeJoin(left, right, Seq("k"), "t", "rt",
+          lowerMicros = lo, upperMicros = hi)
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      val naive = (for {
+        ((lk, lt), li) <- ls.zipWithIndex
+        ((rk, rt), ri) <- rs.zipWithIndex
+        if lk == rk &&
+          BigInt(rt) >= BigInt(lt) + lo && BigInt(rt) <= BigInt(lt) + hi
+      } yield (li.toLong, ri.toLong)).toSet
+      assert(got === naive, s"ls=$ls rs=$rs lo=$lo hi=$hi")
+    }
+  }
+
+  test("ItemSim fixed-point score algebra: DECIMAL div equals BigInt at Long scale") {
+    // the exact expression ItemSim.topNeighbors computes, on counts no
+    // fixture can reach: c·10^6 div (na + nb − c) must match BigInt math
+    // all the way to Long.MaxValue co-occurrence counts
+    // c caps at Long.MaxValue/2 − slack so na + nb (≈ 2c + slack) stays a
+    // legal BIGINT — the operator's real domain (na, nb are interaction
+    // counts; their sum cannot exceed the row count). The old cliff sat
+    // at c·10^6 > Long.MaxValue ≈ c > 9.2e12, far below this cap.
+    val cGen = Gen.frequency(
+      3 -> Gen.choose(1L, 1000L),
+      2 -> Gen.choose(9200000000000L - 50L, 9200000000000L + 50L), // the old BIGINT cliff
+      1 -> Gen.choose(Long.MaxValue / 4, Long.MaxValue / 2 - 2000L))
+    for (triples0 <- samples(Gen.nonEmptyListOf(Gen.zip(cGen, Gen.choose(0L, 1000L),
+        Gen.choose(0L, 1000L))), 6)) {
+      // na, nb >= c by construction (an item's count bounds its co-count)
+      val triples = triples0.zipWithIndex
+        .map { case ((c, da, db), i) => (i.toLong, c, c + da, c + db) }
+      val got = triples.toDF("i", "_c", "_na", "_nb")
+        .withColumn("score_fp",
+          expr("(cast(_c as decimal(38,0)) * 1000000) div (_na + _nb - _c)"))
+        .select("i", "score_fp").as[(Long, Long)].collect().toMap
+      val naive = triples.map { case (i, c, na, nb) =>
+        i -> (BigInt(c) * 1000000 / (BigInt(na) + BigInt(nb) - c)).toLong
+      }.toMap
+      assert(got === naive, s"triples=$triples")
+    }
+  }
+}
