@@ -141,7 +141,18 @@ object Graphs {
     // every iteration, and a lazy leaf would re-derive the possibly-
     // expensive edge source under the first round.
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("_deg"))
-    val e = graft.Caches.track(sym.join(deg, "u").persist())
+    // the persisted edge frame is HASH-PARTITIONED ON u at build time:
+    // every iteration joins (ranks ⋈ e) on u, and a cache that already
+    // satisfies the join's clustering means the EDGE side — the largest
+    // frame in the loop, |E|×iterations rows moved otherwise — never
+    // re-shuffles; only the (|V|-sized) rank vector does. One build-time
+    // exchange buys `iterations` edge exchanges; the same trade a
+    // 1000-executor run wants, since e dwarfs ranks at any scale.
+    val e = graft.Caches.track(
+      sym.join(deg, "u")
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("u"))
+        .persist())
     e.count()
     var ranks = e.select(col("u").as("_n")).distinct()
       .select(col("_n"), lit(scale).as("rank_fp"))
