@@ -1,0 +1,194 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10x scale probe: synthesize a pseudo-sf1 locally from the sf0.1
+  * fixtures and measure the most expensive queries against both, so the
+  * 100 TB scale story rests on a MEASURED 10x run, not only on plan
+  * audits. `runMain graft.tools.Scale10 [synth|probe|all] [outDir]`
+  * writes SCALE10.json with per-query sf0.1→sf1 minima, ratios, and a
+  * PlanLint pass over the sf1 executed plans.
+  *
+  * Synthesis = 10 key-shifted copies of every fact table, constructed so
+  * the copies are INDEPENDENT the way 10x organic data would be — each
+  * transform below exists to kill a specific cross-copy coupling that
+  * would otherwise fabricate superlinear candidate generation (or hide
+  * real superlinearity the operator would also hit on organic data):
+  *
+  * - surrogate keys shift by `STRIDE` (divisible by every small modulus
+  *   the query suite uses as a deterministic slicer — %3 %4 %5 %7 %10
+  *   %13 %100 %400 — so each copy selects the same per-copy subset);
+  * - customer/supplier NAMES get a 2-char copy code over the first two
+  *   digits: edit distance between any two copies of a name is exactly 2
+  *   (> the dist-1 graph radius, so the name graph stays copy-local) and
+  *   the entity-resolution 17-char-prefix blocks split per copy;
+  * - acctbal shifts +10000 per copy: the ER (nation, acctbal-bucket)
+  *   blocking pass keeps its block SIZE as cardinality grows (a
+  *   fixed-value-range attribute degenerates as a blocking key at any
+  *   scale, in any engine — the probe measures the engine, not that);
+  * - document TEXT maps every token through a per-copy suffix bijection:
+  *   within-copy shingle/Jaccard structure is preserved EXACTLY (token
+  *   bijections preserve set identities) while copies share zero tokens,
+  *   hence zero shingles, hence zero cross-copy dedup/ANN candidates;
+  * - embeddings flip the sign of dims ≡ copy (mod 10): norms unchanged,
+  *   cross-copy cosine pushed well below clustering thresholds.
+  */
+object Scale10 {
+
+  val STRIDE = 1092000000L // 2^4 · 3 · 5^2 · 7 · 13 · 10^4 — ≡ 0 mod all slicers
+  val COPIES = 10
+
+  /** The 10 most expensive queries of the r9 bench — the probe set the
+    * round-9 verdict prescribes.
+    */
+  val PROBE: Seq[String] = Seq(
+    "pagerank", "dedup_canonical", "dedup_minhash_incremental",
+    "triangle_count", "item_similarity", "ssjoin_prefix", "knn_join",
+    "fuzzy_join2", "entity_resolution", "split_leakage_audit")
+
+  private def copyCodeDigits(i: Int): String = ('0' + i).toChar.toString * 2
+  private def copyCodeAlpha(i: Int): String = ('a' + i).toChar.toString * 2
+
+  /** "Customer#000000123" → "Customer#cc0000123": the two code chars
+    * replace always-zero digits (max key 14999 « 10^7), so copy 0 keeps
+    * the original string and any two copies differ in exactly 2 chars.
+    */
+  private def recodeName(c: Column, i: Int): Column =
+    if (i == 0) c
+    else concat(substring(c, 1, 9), lit(copyCodeDigits(i)), substring(c, 12, 100))
+
+  /** Per-token suffix bijection (copy 0 = identity). Empty tokens stay
+    * empty so `tokens()`'s filter sees the same token count.
+    */
+  private def recodeText(c: Column, i: Int): Column =
+    if (i == 0) c
+    else array_join(
+      transform(split(c, " "),
+        w => when(w === "", w).otherwise(concat(w, lit(copyCodeAlpha(i))))),
+      " ")
+
+  private def shifted(c: Column, i: Int): Column = c + lit(STRIDE * i)
+
+  def synth(spark: SparkSession, src: String, out: String): Unit = {
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scale10] wrote $name")
+    }
+    // fixed-domain dimensions: real TPC-H sf1 also has 5 regions / 25
+    // nations — copying them once keeps every FK resolvable
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until COPIES).map(i => f(read(name), i)).reduce(_ unionByName _), name)
+    copies("customer") { (df, i) =>
+      df.select(shifted(col("c_custkey"), i).as("c_custkey"),
+        recodeName(col("c_name"), i).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + lit(10000.0 * i)).as("c_acctbal"),
+        col("c_mktsegment"))
+    }
+    copies("supplier") { (df, i) =>
+      df.select(shifted(col("s_suppkey"), i).as("s_suppkey"),
+        recodeName(col("s_name"), i).as("s_name"),
+        col("s_nationkey"),
+        (col("s_acctbal") + lit(10000.0 * i)).as("s_acctbal"))
+    }
+    copies("part") { (df, i) =>
+      df.select(shifted(col("p_partkey"), i).as("p_partkey"),
+        recodeText(col("p_name"), i).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }
+    copies("orders") { (df, i) =>
+      df.select(shifted(col("o_orderkey"), i).as("o_orderkey"),
+        shifted(col("o_custkey"), i).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }
+    copies("lineitem") { (df, i) =>
+      df.select(shifted(col("l_orderkey"), i).as("l_orderkey"),
+        shifted(col("l_partkey"), i).as("l_partkey"),
+        shifted(col("l_suppkey"), i).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }
+    copies("events") { (df, i) =>
+      df.select(shifted(col("event_id"), i).as("event_id"), col("ts"),
+        shifted(col("user_id"), i).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    copies("documents") { (df, i) =>
+      val text = recodeText(col("text"), i)
+      df.select(shifted(col("doc_id"), i).as("doc_id"), text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }
+    copies("embeddings") { (df, i) =>
+      val vec =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, j) => when(pmod(j, lit(COPIES)) === i, -x).otherwise(x))
+      df.select(shifted(col("vec_id"), i).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft_pseudo_sf1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val spark = graft.GraftSession.local()
+    if (mode == "synth" || mode == "all") synth(spark, src, out)
+    if (mode == "probe" || mode == "all") {
+      try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
+      graft.Caches.clear(spark)
+      def timeQuery(name: String, dir: String): Seq[Double] = {
+        val fn = graft.SparkEntry.queries(name)
+        val pins = graft.SparkEntry.confPins.getOrElse(name, Map.empty)
+        val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        pins.foreach { case (k, v) => spark.conf.set(k, v) }
+        val ts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.Caches.clear(spark, blocking = true)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          dt
+        }
+        saved.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                        case (k, None) => spark.conf.unset(k) }
+        System.gc()
+        ts
+      }
+      def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val rows = PROBE.map { q =>
+        val a = timeQuery(q, src)
+        val b = timeQuery(q, out)
+        // plan audit at sf1: the gating findings PlanLint enforces per
+        // round, re-checked on the 10x EXECUTED plans
+        val (gate, info) =
+          try PlanLint.lint(graft.SparkEntry.queries(q)(spark, out))
+          catch { case e: Throwable => (Map("error" -> 1), Map.empty[String, Int]) }
+        graft.Caches.clear(spark, blocking = true)
+        val ratio = b.min / math.max(a.min, 1e-9)
+        println(f"[scale10] $q%-28s sf0.1=${a.min}%.2fs sf1=${b.min}%.2fs ratio=$ratio%.1fx gating=${gate.size}")
+        def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+        def jm(m: Map[String, Int]) =
+          m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        s""""$q":{"sf01_min":${fmt(a.min)},"sf1_min":${fmt(b.min)},"ratio":${fmt(ratio)},""" +
+          s""""sf01_runs":${arr(a)},"sf1_runs":${arr(b)},"gating":${jm(gate)},"info":${jm(info)}}"""
+      }
+      val json =
+        s"""{"src":"$src","sf1":"$out","copies":$COPIES,"stride":$STRIDE,"runs":$runs,""" +
+          s""""queries":${rows.mkString("{", ",", "}")}}"""
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE10_OUT", "SCALE10.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[scale10] wrote $outFile")
+    }
+    spark.stop()
+  }
+}
