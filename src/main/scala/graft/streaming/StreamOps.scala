@@ -694,7 +694,17 @@ object StreamOps {
     //   volume (keys in the watermark horizon), not the batch shuffle
     //   default; tiny local streams wear 32 near-empty store commits per
     //   batch otherwise, a 100 TB/day stream sizes it up instead.
-    val pins = confOverrides ++
+    // complete-mode drains skip the trailing NO-DATA micro-batch: its only
+    // purposes are advancing the watermark to EMIT append-mode results and
+    // firing update-mode state timeouts — a complete-mode sink re-emits the
+    // full result on every DATA batch, so the extra batch contributes
+    // nothing and costs a full replan + state-store commit cycle (the
+    // per-restart floor is per-BATCH machinery; measured ~25% of the
+    // stream family's drain time). Append/update drains keep the default.
+    val pins = (if (outputMode == "complete")
+        Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      else Map.empty[String, String]) ++
+      confOverrides ++
       (if (statePartitions > 0)
         Map("spark.sql.shuffle.partitions" -> statePartitions.toString)
       else Map.empty)

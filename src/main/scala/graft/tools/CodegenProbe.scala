@@ -39,7 +39,7 @@ object CodegenProbe {
         org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
       override def append(e: LogEvent): Unit = {
         val msg = e.getMessage.getFormattedMessage
-        if (msg.contains("public Object generate(Object[] references)")) {
+        if (msg.contains("generate(Object[] references)")) {
           unit += 1
           val f = new java.io.File(dumpDir, f"unit_$unit%04d.java")
           java.nio.file.Files.write(f.toPath,
