@@ -106,4 +106,9 @@ object SparkEntry {
     "shortest_path" -> Map(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> "8"))
+    // closed experiment (round 10): triangle_count with the same pin read
+    // 2.58/2.31 isolated vs 2.79 isolated baseline — but the full-set
+    // unpinned run measured 2.35, i.e. the delta is inside isolated-vs-
+    // full-set variance. Not a round structure (single plan), no stable
+    // win: per the variance discipline, don't pin.
 }

@@ -156,6 +156,96 @@ class Round10PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Intervals.gaps: complement of merge, exact vs naive at extremes") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0, 2), intervalGen))
+    for ((ivs, gap) <- samples(Gen.zip(rows, Gen.choose(0L, 10L)), 6, seed = 43L)) {
+      val df = ivs.map { case (k, (s, e)) => (k, s, e) }.toDF("k", "s", "e")
+      val got = Intervals.gaps(df, Seq("k"), "s", "e", minGap = gap)
+        .as[(Int, Long, Long)].collect().toSet
+      val naive = ivs.groupBy(_._1).flatMap { case (k, g) =>
+        val islands = g.map(_._2).sorted
+          .foldLeft(List.empty[(Long, Long)]) {
+            case ((is, ie) :: rest, (s, e)) if BigInt(s) <= BigInt(ie) + gap =>
+              (is, math.max(ie, e)) :: rest
+            case (acc, (s, e)) => (s, e) :: acc
+          }.reverse
+        islands.zip(islands.drop(1)).map { case ((_, e1), (s2, _)) => (k, e1, s2) }
+      }.toSet
+      assert(got === naive, s"ivs=$ivs gap=$gap")
+    }
+  }
+
+  test("Packing.prefixSumBefore: exclusive prefix sum in a consistent total order, deterministic") {
+    // invariant checked WITHOUT replaying the engine hash: sorting rows by
+    // the output position must reproduce the running sum exactly —
+    // out(k) == Σ values of rows before k — for ANY consistent order;
+    // determinism is a second run being bit-identical
+    val rows = Gen.nonEmptyListOf(Gen.choose(0L, 1000L))
+    for ((vals, buckets) <- samples(Gen.zip(rows, Gen.oneOf(1, 4, 64)), 6)) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      def run() = graft.operators.Packing
+        .prefixSumBefore(df, col("id"), col("v"), "before", buckets)
+        .select("id", "v", "before").as[(Long, Long, Long)].collect()
+      val got = run()
+      val inOrder = got.sortBy(r => (r._3, r._1))
+      val sums = inOrder.scanLeft(0L)((acc, r) => acc + r._2)
+      inOrder.zip(sums).foreach { case ((id, _, before), want) =>
+        assert(before === want, s"id=$id vals=$vals buckets=$buckets")
+      }
+      assert(run().sortBy(_._1).toSeq === got.sortBy(_._1).toSeq) // deterministic
+    }
+  }
+
+  test("Packing.globalShuffle: positions are exactly 1..n") {
+    for (n <- Seq(1, 7, 100, 1000)) {
+      val df = (0 until n).map(i => (i.toLong, s"d$i")).toDF("id", "s")
+      val pos = graft.operators.Packing.globalShuffle(df, col("id"), buckets = 64)
+        .select("shuffle_pos").as[Long].collect().sorted
+      assert(pos.toSeq === (1L to n.toLong))
+    }
+  }
+
+  test("Packing.sequencePack: whole-doc packs, bounded overflow, definition-exact") {
+    val rows = Gen.nonEmptyListOf(Gen.choose(1L, 300L))
+    for ((toks, cap) <- samples(Gen.zip(rows, Gen.choose(200L, 800L)), 6, seed = 11L)) {
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val packed = graft.operators.Packing
+        .sequencePack(df, col("id"), col("t"), capacity = cap, buckets = 64)
+        .select("id", "t", "pack_id").as[(Long, Long, Long)].collect()
+      val before = graft.operators.Packing
+        .prefixSumBefore(df, col("id"), col("t"), "b", buckets = 64)
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      packed.foreach { case (id, _, p) =>
+        assert(p === before(id) / cap, s"id=$id cap=$cap") // definition-exact
+      }
+      // a pack never exceeds capacity by the longest doc or more
+      val maxDoc = toks.max
+      packed.groupBy(_._3).values.foreach { g =>
+        assert(g.map(_._2).sum < cap + maxDoc)
+      }
+    }
+  }
+
+  test("SetJoin.prefixJaccard: complete and exact vs naive all-pairs Jaccard") {
+    val setGen = Gen.nonEmptyListOf(Gen.choose('a', 'j').map(_.toString))
+    val rowsGen = Gen.nonEmptyListOf(setGen)
+    for ((sets, (num, den)) <- samples(
+        Gen.zip(rowsGen, Gen.oneOf((1, 2), (3, 5), (4, 5))), 6)) {
+      val df = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "toks")
+      val got = graft.operators.SetJoin.prefixJaccard(df, col("id"), col("toks"), num, den)
+        .select("id_a", "id_b", "inter", "uni").as[(Long, Long, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val naive = (for {
+        (a, i) <- sets.zipWithIndex; (b, j) <- sets.zipWithIndex
+        if i < j
+        sa = a.toSet; sb = b.toSet
+        inter = (sa & sb).size.toLong; uni = (sa | sb).size.toLong
+        if inter * den >= num * uni
+      } yield (i.toLong, j.toLong) -> ((inter, uni))).toMap
+      assert(got === naive, s"sets=$sets t=$num/$den")
+    }
+  }
+
   test("ItemSim fixed-point score algebra: DECIMAL div equals BigInt at Long scale") {
     // the exact expression ItemSim.topNeighbors computes, on counts no
     // fixture can reach: c·10^6 div (na + nb − c) must match BigInt math
