@@ -219,12 +219,18 @@ object Graphs {
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
     val wsum = dir0.groupBy(col("u")).agg(sum(col("w")).as("_wsum"))
     // weighted out-degree rides the persisted edge frame (the pageRank
-    // discipline: no per-round degree join)
-    val e = graft.Caches.track(dir0.join(wsum, "u").persist())
+    // discipline: no per-round degree join); hash-partitioned on the
+    // per-round join key at build so the edge side never re-shuffles
+    // inside the loop (see pageRank)
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = graft.Caches.track(
+      dir0.join(wsum, "u").repartition(parts, col("u")).persist())
     e.count()
+    // same for the node frame: it is the BIG side of every round's
+    // restart-mass left join on _n
     val nodes = graft.Caches.track(
       e.select(col("u").as("_n")).union(e.select(col("v").as("_n")))
-        .distinct().persist())
+        .distinct().repartition(parts, col("_n")).persist())
     nodes.count()
     val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
     var ranks = nodes.select(col("_n"), lit(scale).as("rank_fp"))
@@ -291,11 +297,14 @@ object Graphs {
     val sym = undir.union(undir.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("_deg"))
     // (u, v, outdeg(u), seed(v)): the restart indicator joins ONCE at
-    // build time and thereafter rides the aggregate — no per-round join
+    // build time and thereafter rides the aggregate — no per-round join;
+    // hash-partitioned on the per-round join key (see pageRank)
     val e = graft.Caches.track(
       sym.join(deg, "u").join(seeds, Seq("v"), "left")
         .select(col("u"), col("v"), col("_deg"),
           coalesce(col("_vseed"), lit(0L)).as("_vseed"))
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("u"))
         .persist())
     e.count()
     val lcp = Checkpoints.truncating(checkpointDir.isDefined) _

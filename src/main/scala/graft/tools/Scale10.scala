@@ -39,13 +39,20 @@ object Scale10 {
   val STRIDE = 1092000000L // 2^4 · 3 · 5^2 · 7 · 13 · 10^4 — ≡ 0 mod all slicers
   val COPIES = 10
 
-  /** The 10 most expensive queries of the r9 bench — the probe set the
-    * round-9 verdict prescribes.
+  /** The 10 most expensive queries of the r9 bench (the probe set the
+    * round-9 verdict prescribes), plus the shuffle-heavy CORE relational
+    * operators — the scale evidence should cover the §2 algebra a 100 TB
+    * job is MADE of, not only the exotic ops.
     */
   val PROBE: Seq[String] = Seq(
     "pagerank", "dedup_canonical", "dedup_minhash_incremental",
     "triangle_count", "item_similarity", "ssjoin_prefix", "knn_join",
-    "fuzzy_join2", "entity_resolution", "split_leakage_audit")
+    "fuzzy_join2", "entity_resolution", "split_leakage_audit",
+    // core algebra: n-ary cogroup, shuffled master join, grouped sort,
+    // global window rank, interval islands, watermarkless sessionization,
+    // skew-salted join, exact dedup, asof join
+    "cogroup", "masterjoin", "groupsort", "window_rank", "interval_merge",
+    "sessionize", "salted_join", "dedup_exact", "asof_join")
 
   private def copyCodeDigits(i: Int): String = ('0' + i).toChar.toString * 2
   private def copyCodeAlpha(i: Int): String = ('a' + i).toChar.toString * 2
