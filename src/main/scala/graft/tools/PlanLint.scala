@@ -29,11 +29,15 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   *   guarded frames); an UNLISTED global window gates the round — a new
   *   query cannot silently ship a single-task window over raw rows.
   *
+  * - `globalSort` on a query NOT in [[justifiedGlobalSorts]]: a global
+  *   SortExec is legitimate only as a sorted sink or the bounded top
+  *   level of a two-level decomposition. No query currently emits one
+  *   (the allowlist is empty); any future plan that grows one must
+  *   justify it here or the round gates.
+  *
   * INFO findings (reported, not gating):
-  * - `globalWindow` on an allowlisted query (justification shipped in
-  *   the artifact next to the finding).
-  * - `globalSort`: a global SortExec — legitimate only as a sorted sink
-  *   or inside the two-level distributed prefix sum.
+  * - `globalWindow`/`globalSort` on an allowlisted query (justification
+  *   shipped in the artifact next to the finding).
   */
 object PlanLint {
 
@@ -59,6 +63,13 @@ object PlanLint {
     "temperature_mix" -> "allocation window over one row per language (per-source weights frame)",
     "token_budget_mix" -> "running budget over one row per language (per-source token-total frame)",
   )
+
+  /** Queries whose global SortExec is bounded/intended (sorted sinks,
+    * bounded top levels). Currently EMPTY — no executed plan in the suite
+    * carries a global sort; a regression that introduces one gates until
+    * justified here.
+    */
+  val justifiedGlobalSorts: Map[String, String] = Map.empty
 
   private def deep[T](plan: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
     plan.collect {
@@ -147,18 +158,23 @@ object PlanLint {
     names.foreach { n =>
       try {
         val (gate0, info0) = lint(all(n)(spark, dir))
-        // an UNEXPLAINED global window gates: the allowlist above is the
-        // machine-checked register of every bounded-by-construction use
-        val justified = boundedGlobalWindows.contains(n)
-        val (gate, info) =
-          if (info0.contains("globalWindow") && !justified)
-            (gate0 + ("globalWindowUnexplained" -> info0("globalWindow")),
-              info0 - "globalWindow")
-          else (gate0, info0)
-        val why =
-          if (justified && info.contains("globalWindow"))
-            s""","justification":${jstr(boundedGlobalWindows(n))}"""
-          else ""
+        // an UNEXPLAINED global window/sort gates: the allowlists above
+        // are the machine-checked register of every bounded use
+        def escalate(m: (Map[String, Int], Map[String, Int]), kind: String,
+            allow: Map[String, String]) = {
+          val (g, i) = m
+          if (i.contains(kind) && !allow.contains(n))
+            (g + (s"${kind}Unexplained" -> i(kind)), i - kind)
+          else (g, i)
+        }
+        val (gate, info) = escalate(
+          escalate((gate0, info0), "globalWindow", boundedGlobalWindows),
+          "globalSort", justifiedGlobalSorts)
+        val why = Seq(
+          "globalWindow" -> boundedGlobalWindows, "globalSort" -> justifiedGlobalSorts)
+          .collectFirst { case (k, allow) if info.contains(k) && allow.contains(n) =>
+            s""","justification":${jstr(allow(n))}""" }
+          .getOrElse("")
         rows += s""""$n":{"gating":${jmap(gate)},"info":${jmap(info)}$why}"""
         if (gate.nonEmpty) {
           bad ::= n

@@ -39,6 +39,12 @@ object Scale10 {
   val STRIDE = 1092000000L // 2^4 · 3 · 5^2 · 7 · 13 · 10^4 — ≡ 0 mod all slicers
   val COPIES = 10
 
+  /** Per-copy 8-bit block-flip masks (bit b ⇒ negate embedding dims
+    * [8b, 8b+8)): pairwise Hamming distance ≥ 4, copy 0 = identity.
+    */
+  val BLOCK_MASKS: Array[Int] =
+    Array(0x00, 0xFF, 0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
+
   /** The 10 most expensive queries of the r9 bench (the probe set the
     * round-9 verdict prescribes), plus the shuffle-heavy CORE relational
     * operators — the scale evidence should cover the §2 algebra a 100 TB
@@ -55,7 +61,11 @@ object Scale10 {
     "sessionize", "salted_join", "dedup_exact", "asof_join")
 
   private def copyCodeDigits(i: Int): String = ('0' + i).toChar.toString * 2
-  private def copyCodeAlpha(i: Int): String = ('a' + i).toChar.toString * 2
+  // '~' never occurs in the fixture vocabulary, so a suffixed token can
+  // never collide with a BASE token either (without the marker, base
+  // "agg" == base "a" + copy-g suffix "gg" — one real collision the
+  // synthesis spec caught)
+  private def copyCodeAlpha(i: Int): String = "~" + ('a' + i).toChar.toString * 2
 
   /** "Customer#000000123" → "Customer#cc0000123": the two code chars
     * replace always-zero digits (max key 14999 « 10^7), so copy 0 keeps
@@ -133,10 +143,19 @@ object Scale10 {
         length(text).cast("long").as("n_chars"))
     }
     copies("embeddings") { (df, i) =>
+      // sign-flip whole 8-dim BLOCKS selected by per-copy masks with
+      // pairwise Hamming distance >= 4 blocks (>= half the vector): norms
+      // are untouched and any two copies disagree in sign on >= 32 of 64
+      // dims, so cross-copy cosine collapses even for vectors whose mass
+      // concentrates in a few dims (a sparse outlier defeated the earlier
+      // one-dim-in-ten flip: the spec measured 0.97 cosine)
       val vec =
         if (i == 0) col("embedding")
         else transform(col("embedding"),
-          (x, j) => when(pmod(j, lit(COPIES)) === i, -x).otherwise(x))
+          (x, j) => when(
+            pmod(call_function("shiftright", lit(BLOCK_MASKS(i)),
+              (j / 8).cast("int")), lit(2)) === 1,
+            -x).otherwise(x))
       df.select(shifted(col("vec_id"), i).as("vec_id"),
         vec.as("embedding"), col("label"))
     }
