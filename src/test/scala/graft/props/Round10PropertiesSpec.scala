@@ -246,6 +246,81 @@ class Round10PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Merge.applyChanges: random changesets (dup seqs, I-on-existing, D-on-absent) vs naive") {
+    val baseGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 99)))
+    val chGen = Gen.listOf(Gen.zip(Gen.zip(Gen.choose(0L, 20L), Gen.choose(0, 99)),
+      Gen.zip(Gen.oneOf("I", "U", "D"), Gen.choose(0L, 5L))))
+    for ((b0, cs0) <- samples(Gen.zip(baseGen, chGen), 8)) {
+      val base = b0.distinctBy(_._1)
+      // contract: (key, seq) ties are only deterministic across DIFFERENT
+      // ops (op descending breaks them) — same (key, seq, op) with
+      // different values is documented as out-of-contract input
+      val cs = cs0.distinctBy { case ((k, _), (op, seq)) => (k, seq, op) }
+      val got = graft.operators.Merge.applyChanges(
+          base.toDF("k", "v"),
+          cs.map { case ((k, v), (op, seq)) => (k, v, op, seq) }
+            .toDF("k", "v", "_op", "_seq"),
+          Seq("k"))
+        .as[(Long, Int)].collect().toMap
+      // naive: per key, winner = max (seq, op) — the operator's documented
+      // tie-break — then D deletes, I/U upserts, untouched keys pass
+      val winners = cs.groupBy(_._1._1).map { case (k, g) =>
+        k -> g.maxBy { case ((_, _), (op, seq)) => (seq, op) }
+      }
+      val naive = (base.map(_._1) ++ winners.keys).distinct.flatMap { k =>
+        winners.get(k) match {
+          case Some(((_, v), (op, _))) if op != "D" => Some(k -> v)
+          case Some(_) => None // winning D removes the key
+          case None => base.find(_._1 == k).map(r => k -> r._2)
+        }
+      }.toMap
+      assert(got === naive, s"base=$base cs=$cs")
+    }
+  }
+
+  test("Merge.snapshotDiff round-trips: applyChanges(old, diff) == new, and diff is minimal") {
+    val snapGen = Gen.listOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 3)))
+    for ((o0, n0) <- samples(Gen.zip(snapGen, snapGen), 8, seed = 23L)) {
+      val oldS = o0.distinctBy(_._1)
+      val newS = n0.distinctBy(_._1)
+      val diff = graft.operators.Merge.snapshotDiff(
+        oldS.toDF("k", "v"), newS.toDF("k", "v"), Seq("k"))
+      val rebuilt = graft.operators.Merge.applyChanges(
+          oldS.toDF("k", "v"), diff.withColumn("_seq", lit(1L)), Seq("k"))
+        .as[(Long, Int)].collect().toMap
+      assert(rebuilt === newS.toMap, s"old=$oldS new=$newS")
+      // minimality: unchanged keys are absent from the diff
+      val om = oldS.toMap; val nm = newS.toMap
+      val touched = diff.select("k").as[Long].collect().toSet
+      val unchanged = om.keySet.intersect(nm.keySet).filter(k => om(k) == nm(k))
+      assert(touched.intersect(unchanged).isEmpty, s"old=$oldS new=$newS")
+    }
+  }
+
+  test("Merge.scd2History: validity intervals tile each key's timeline exactly") {
+    val vGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    for (vs0 <- samples(vGen, 8, seed = 37L)) {
+      // unique (k, ts): the contract wants a tieBreak for duplicates
+      val vs = vs0.distinctBy(v => (v._1, v._2))
+      val got = graft.operators.Merge.scd2History(
+          vs.toDF("k", "ts"), Seq("k"), "ts")
+        .select("k", "valid_from", "valid_to", "is_current")
+        .as[(Long, Long, Option[Long], Boolean)].collect()
+      vs.groupBy(_._1).foreach { case (k, g) =>
+        val times = g.map(_._2).sorted
+        val rows = got.filter(_._1 == k).sortBy(_._2)
+        assert(rows.map(_._2).toSeq === times) // every version present, in order
+        // each valid_to is the NEXT version's valid_from; the last is open
+        rows.sliding(2).foreach {
+          case Array((_, _, to, cur), (_, from2, _, _)) =>
+            assert(to === Some(from2)); assert(!cur)
+          case _ =>
+        }
+        assert(rows.last._3.isEmpty && rows.last._4)
+      }
+    }
+  }
+
   test("ItemSim fixed-point score algebra: DECIMAL div equals BigInt at Long scale") {
     // the exact expression ItemSim.topNeighbors computes, on counts no
     // fixture can reach: c·10^6 div (na + nb − c) must match BigInt math
