@@ -321,6 +321,57 @@ class Round10PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("FuzzyJoin.selfJoin: deletion-neighborhood candidates are COMPLETE vs naive levenshtein") {
+    // the FastSS completeness claim, fuzzed: every pair within maxDist
+    // must surface (the verify filter already bounds over-production)
+    val strGen = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for ((strs, maxDist) <- samples(
+        Gen.zip(Gen.nonEmptyListOf(strGen), Gen.oneOf(1, 2)), 6)) {
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val got = graft.operators.FuzzyJoin
+        .selfJoin(df, col("id"), col("s"), maxDist = maxDist)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val naive = (for {
+        (a, i) <- strs.zipWithIndex; (b, j) <- strs.zipWithIndex
+        if i < j && lev(a, b) <= maxDist
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got === naive, s"strs=$strs maxDist=$maxDist")
+    }
+  }
+
+  test("Spatial.chebyshevJoin: exact at Long extremes (stencil wrap + residual wrap) vs naive") {
+    val coordGen: Gen[Long] = Gen.frequency(
+      3 -> Gen.choose(-50L, 50L),
+      1 -> Gen.choose(Long.MaxValue - 20L, Long.MaxValue),
+      1 -> Gen.choose(Long.MinValue, Long.MinValue + 20L))
+    val ptsGen = Gen.listOf(Gen.zip(coordGen, coordGen))
+    for (((ls, rs), r) <- samples(
+        Gen.zip(Gen.zip(ptsGen, ptsGen), Gen.oneOf(1L, 3L, 10L)), 8)) {
+      val left = ls.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("lid", "lx", "ly")
+      val right = rs.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rid", "rx", "ry")
+      val got = graft.operators.Spatial.chebyshevJoin(
+          left, col("lx"), col("ly"), right, col("rx"), col("ry"), r)
+        .select("lid", "rid", "cheb_dist").as[(Long, Long, Long)].collect().toSet
+      val naive = (for {
+        ((lx, ly), li) <- ls.zipWithIndex; ((rx, ry), ri) <- rs.zipWithIndex
+        d = ((BigInt(lx) - rx).abs max (BigInt(ly) - ry).abs)
+        if d <= r
+      } yield (li.toLong, ri.toLong, d.toLong)).toSet
+      assert(got === naive, s"ls=$ls rs=$rs r=$r")
+    }
+  }
+
   test("ItemSim fixed-point score algebra: DECIMAL div equals BigInt at Long scale") {
     // the exact expression ItemSim.topNeighbors computes, on counts no
     // fixture can reach: c·10^6 div (na + nb − c) must match BigInt math
