@@ -53,11 +53,17 @@ object ZOrder {
     * (nulls land in bucket 0) and clamp-safe. Double math is fine here:
     * the scaled value drives clustering, not answers.
     */
-  private def scaled(v: Column, lo: Long, hi: Long, bits: Int): Column = {
+  private[graft] def scaled(v: Column, lo: Long, hi: Long, bits: Int): Column = {
     val buckets = (1L << bits) - 1
+    // span in DOUBLE: `hi - lo` wraps in Long when the column spans more
+    // than half the Long range (hashed-id columns legitimately do) — the
+    // wrapped negative span would clamp EVERY row into one bucket and
+    // silently degenerate the Z-clustering (results stay right; file
+    // pruning quietly stops working)
     if (hi <= lo) lit(0L)
     else least(lit(buckets), greatest(lit(0L),
-      ((coalesce(v.cast("double"), lit(lo.toDouble)) - lo) / (hi - lo).toDouble * buckets)
+      ((coalesce(v.cast("double"), lit(lo.toDouble)) - lo.toDouble)
+        / (hi.toDouble - lo.toDouble) * buckets)
         .cast("long")))
   }
 

@@ -372,6 +372,22 @@ class Round10PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ZOrder.scaled: full-Long-range columns spread across buckets (span must not wrap)") {
+    // hashed-id columns legitimately span (MinValue, MaxValue): the Long
+    // span wraps negative and the unfixed code clamped EVERY row into one
+    // bucket — Z-clustering silently degenerated
+    val vals = Seq(Long.MinValue, Long.MinValue / 2, -1L, 0L, 1L,
+      Long.MaxValue / 2, Long.MaxValue)
+    val df = vals.toDF("v")
+    val buckets = df.select(graft.sinks.ZOrder.scaled(
+        col("v"), Long.MinValue, Long.MaxValue, bits = 8).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b <= 255))
+    assert(buckets.distinct.length >= 5, s"degenerate bucketing: ${buckets.toSeq}")
+    // and monotone in the input
+    assert(buckets.toSeq === buckets.sorted.toSeq)
+  }
+
   test("ItemSim fixed-point score algebra: DECIMAL div equals BigInt at Long scale") {
     // the exact expression ItemSim.topNeighbors computes, on counts no
     // fixture can reach: c·10^6 div (na + nb − c) must match BigInt math
