@@ -356,9 +356,15 @@ object Graphs {
     val undir = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col("u") =!= col("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
+    // hash-partitioned on the per-hop join key (the pageRank discipline):
+    // every hop joins frontier ⋈ e on u, so the edge side — |E| rows ×
+    // maxHops otherwise — never re-shuffles inside the loop
     val e = graft.Caches.track(
       undir.union(undir.select(col("v").as("u"), col("u").as("v")))
-        .distinct().persist())
+        .distinct()
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("u"))
+        .persist())
     e.count()
     val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
     val (seed, seedRelease) = lcp(
