@@ -25,12 +25,18 @@ object Spatial {
     * construction, `div` lands back in BIGINT) and rounds toward
     * -infinity for negative coordinates — a bare `c div d` truncates
     * toward zero and would shift negative points into the wrong cell.
-    * The subtraction runs in DECIMAL: in BIGINT, `c - pmod(c, d)` dips
-    * below Long.MinValue for coordinates within d of it (an ANSI job
-    * kill on a legal coordinate; silent cell corruption with ANSI off).
+    * The BIGINT subtraction dips below Long.MinValue for coordinates
+    * within d of it (an ANSI job kill on a legal coordinate; silent cell
+    * corruption with ANSI off), so THAT sliver — and only it — takes a
+    * DECIMAL detour; everything else stays on codegen'd long arithmetic
+    * (the all-decimal form cost the spatial join ~4x).
     */
-  private def floorDivSql(name: String, d: Long): String =
-    s"((cast($name as decimal(21,0)) - pmod(cast($name as decimal(21,0)), $d)) div $d)"
+  private def floorDivSql(name: String, d: Long): String = {
+    val decimalForm =
+      s"((cast($name as decimal(21,0)) - pmod(cast($name as decimal(21,0)), $d)) div $d)"
+    s"(CASE WHEN $name >= ${Long.MinValue + d} THEN (($name - pmod($name, $d)) div $d) " +
+      s"ELSE $decimalForm END)"
+  }
 
   /** All (left, right) pairs within Chebyshev distance `r`
     * (max(|dx|, |dy|) ≤ r) on integral coordinate columns. Output:
@@ -42,40 +48,41 @@ object Spatial {
     require(r >= 1, s"radius must be >= 1 (got $r)")
     val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    // stencil cells SATURATE at the Long range ends: the cell of
-    // x = Long.MaxValue at r = 1 is Long.MaxValue, and +1 would overflow
-    // (an ANSI job kill on a legal coordinate; wrap-around under ANSI-off
-    // would probe the OPPOSITE end's cell). No cell beyond the range end
-    // exists, so clamping loses nothing; array_distinct collapses the
-    // duplicate the clamp creates, keeping the join duplicate-free.
-    def sat(c: Column, d: Column): Column =
-      when(d === 1 && c === Long.MaxValue, Long.MaxValue)
-        .when(d === -1 && c === Long.MinValue, Long.MinValue)
+    // a stencil cell beyond the Long range end does not exist: `cell + 1`
+    // at the extreme cell would overflow (ANSI job kill on a legal
+    // coordinate; wrap-around with ANSI off probes the OPPOSITE end's
+    // cell — false candidates). DROP that stencil copy instead: any
+    // clamped cell would equal a neighboring offset's cell, so the drop
+    // loses no candidate and the join stays duplicate-free with no
+    // array_distinct pass on the hot path.
+    def cellPlus(c: Column, d: Column): Column =
+      when(d === 1L && c === Long.MaxValue, lit(null))
+        .when(d === -1L && c === Long.MinValue, lit(null))
         .otherwise(c + d)
     val l = left
       .withColumn("_lx", leftX.cast("long"))
       .withColumn("_ly", leftY.cast("long"))
       .withColumn("_c0x", expr(floorDivSql("_lx", r)))
       .withColumn("_c0y", expr(floorDivSql("_ly", r)))
-      .withColumn("_c", explode(array_distinct(transform(offsets, o =>
-        struct(sat(col("_c0x"), o.getField("dx")).as("cx"),
-          sat(col("_c0y"), o.getField("dy")).as("cy"))))))
-      .withColumn("_cx", col("_c.cx"))
-      .withColumn("_cy", col("_c.cy"))
-      .drop("_c", "_c0x", "_c0y")
+      .withColumn("_o", explode(offsets))
+      .withColumn("_cx", cellPlus(col("_c0x"), col("_o.dx")))
+      .withColumn("_cy", cellPlus(col("_c0y"), col("_o.dy")))
+      .where(col("_cx").isNotNull && col("_cy").isNotNull)
+      .drop("_o", "_c0x", "_c0y")
     val rt = right
       .withColumn("_rx", rightX.cast("long"))
       .withColumn("_ry", rightY.cast("long"))
       .withColumn("_cx", expr(floorDivSql("_rx", r)))
       .withColumn("_cy", expr(floorDivSql("_ry", r)))
-    // residual distance in DECIMAL: coordinates within r of the Long
-    // range ends wrap both the stencil cell (Max's cell + 1 → Min's
-    // cell — candidates only GAIN, the exact residual prunes them) and
-    // the BIGINT |lx − rx| (Max − Min wraps to −1 → abs 1 ≤ r, a FALSE
-    // match the residual must decide exactly)
-    val d21 = "decimal(21,0)"
+    // residual distance: dropped (never wrapped) stencil cells mean every
+    // candidate pair sits in same-or-adjacent cells, so |lx − rx| < 2r —
+    // for r ≤ Long.MaxValue/4 the BIGINT subtraction provably cannot
+    // overflow and the residual stays codegen'd long arithmetic; only an
+    // astronomically wide radius pays the DECIMAL form (compile-time
+    // choice, zero per-row cost)
     def adist(a: String, b: String) =
-      abs(col(a).cast(d21) - col(b).cast(d21))
+      if (r <= Long.MaxValue / 4) abs(col(a) - col(b))
+      else abs(col(a).cast("decimal(21,0)") - col(b).cast("decimal(21,0)"))
     l.join(rt, Seq("_cx", "_cy"))
       .where(adist("_lx", "_rx") <= r && adist("_ly", "_ry") <= r)
       .withColumn("cheb_dist",
