@@ -388,6 +388,59 @@ class Round10PropertiesSpec extends SparkSpec {
     assert(buckets.toSeq === buckets.sorted.toSeq)
   }
 
+  test("Cluster.connectedComponents: partition equals naive union-find on random graphs") {
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (es <- samples(edgeGen, 8, seed = 61L) if es.nonEmpty) {
+      val got = graft.dedup.Cluster.connectedComponents(
+          es.toDF("a", "b"), "a", "b")
+        .select("id", "comp").as[(Long, Long)].collect().toMap
+      // naive union-find (handles self-loops and duplicate edges)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb }
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // same partition: two nodes share a graft component iff they share
+      // a union-find root (component LABELS need not match the roots)
+      val byGot = got.toSeq.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      val byNaive = nodes.groupBy(find).values.map(_.toSet).toSet
+      assert(got.keySet === nodes.toSet, s"es=$es")
+      assert(byGot === byNaive, s"es=$es")
+    }
+  }
+
+  test("Sampling.dedupSafeSplit: connected documents NEVER straddle a split") {
+    val docGen = Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.distinct)
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))
+    val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    for ((ids, prs0) <- samples(Gen.zip(docGen, pairGen), 8, seed = 53L)) {
+      // pairs reference existing docs only (the operator's contract)
+      val idSet = ids.toSet
+      val prs = prs0.filter(p => idSet(p._1) && idSet(p._2) && p._1 != p._2)
+      val split = graft.operators.Sampling.dedupSafeSplit(
+          ids.toDF("doc_id"), "doc_id", prs.toDF("a", "b"), "a", "b", w)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(split.keySet === idSet) // every doc assigned exactly once
+      assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+      // the guarantee: no near-dup pair crosses split boundaries —
+      // transitively (whole components stay together)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      prs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb }
+      ids.groupBy(find).values.foreach { comp =>
+        assert(comp.map(split).distinct.size === 1,
+          s"component $comp straddles splits: ${comp.map(split)}")
+      }
+    }
+  }
+
   test("ItemSim fixed-point score algebra: DECIMAL div equals BigInt at Long scale") {
     // the exact expression ItemSim.topNeighbors computes, on counts no
     // fixture can reach: c·10^6 div (na + nb − c) must match BigInt math
