@@ -185,10 +185,11 @@ object Bench {
     val acc = names.map { case (n, _) => n -> new Acc }.toMap
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val a = acc(name)
-      // per-query conf pins (SparkEntry.confPins): applied for the timed
+      // per-query conf pins (SparkEntry.confPinsFor — static pins plus
+      // the size-conditional iterative-graph pins): applied for the timed
       // execution, previous values restored below so one query's pin can
       // never leak into another's run
-      val pins = SparkEntry.confPins.getOrElse(name, Map.empty)
+      val pins = SparkEntry.confPinsFor(spark, name, sfDir)
       val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
       pins.foreach { case (k, v) => spark.conf.set(k, v) }
       val (gc0, cc0, ct0) =

@@ -80,35 +80,73 @@ object SparkEntry {
     // answer from data pages — slower, never different)
     "metadata_agg" -> Map(
       "spark.sql.parquet.aggregatePushdown" -> "true",
-      "spark.sql.sources.useV1SourceList" -> ""),
-    // iterative rounds on a ~1.5k-node rank vector: each of the 5 rounds
-    // is a join + partial agg over TINY frames, so the cost is pure
-    // per-stage overhead — AQE re-plans every round's stages (~0.15 s
-    // each) and 32-task shuffles schedule 4x the tasks the data needs.
-    // A/B at sf0.1, 2 isolated idle runs per arm, queries_min: baseline
-    // (AQE on, 32 parts) 4.76 s; AQE off 3.59/3.99; AQE off + 8 parts
-    // 3.34/2.80 — a stable ~1.6x. The same pin holds across the whole
-    // iterative-graph family (same round structure): weighted 2.95→1.77,
-    // personalized 3.00→2.03, shortest_path 2.13→1.87. Results are
-    // pin-independent (exact integer algebra; Verify runs the same
-    // pins). At production scale the default AQE-on path is correct —
-    // this pin encodes "tiny rank vector" which IS the sf0.1 bench
-    // shape, not the 100 TB one; the operators stay AQE-compatible.
-    "pagerank" -> Map(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "8"),
-    "pagerank_weighted" -> Map(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "8"),
-    "pagerank_personalized" -> Map(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "8"),
-    "shortest_path" -> Map(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "8"))
+      "spark.sql.sources.useV1SourceList" -> ""))
     // closed experiment (round 10): triangle_count with the same pin read
     // 2.58/2.31 isolated vs 2.79 isolated baseline — but the full-set
     // unpinned run measured 2.35, i.e. the delta is inside isolated-vs-
     // full-set variance. Not a round structure (single plan), no stable
     // win: per the variance discipline, don't pin.
+
+  /** The iterative-graph family's node-domain tables: the rank/frontier
+    * vector is a subset of these tables' keys, so their combined row
+    * count upper-bounds |V| — the quantity the size class below gates
+    * on. (pagerank walks the customer name graph; the other three walk
+    * the part–supplier fulfillment graph.)
+    */
+  private val graphNodeDomain: Map[String, Seq[String]] = Map(
+    "pagerank" -> Seq("customer"),
+    "pagerank_weighted" -> Seq("supplier", "part"),
+    "pagerank_personalized" -> Seq("supplier", "part"),
+    "shortest_path" -> Seq("supplier", "part"))
+
+  /** TINY size class bound: pin only below 10^5 nodes, where the whole
+    * rank vector is a few MB and per-stage overhead dominates any data
+    * cost. Mirrors the reference's plan-time size classes (reference
+    * compiler/src/main/scala/com/asakusafw/spark/compiler/util/
+    * NumPartitions.scala:31-71, TINY→1 partition) — the one place this
+    * repo overrides its otherwise AQE-delegated partition sizing.
+    */
+  private val TinyGraphNodes = 100000L
+
+  // iterative rounds on a tiny (≲10^5-node) rank vector: each round is a
+  // join + partial agg over kB-scale frames, so the cost is pure
+  // per-stage overhead — AQE re-plans every round's stages (~0.15 s
+  // each) and 32-task shuffles schedule 4x the tasks the data needs.
+  // A/B at sf0.1, 2 isolated idle runs per arm, queries_min: baseline
+  // (AQE on, 32 parts) 4.76 s; AQE off 3.59/3.99; AQE off + 8 parts
+  // 3.34/2.80 — a stable ~1.6x. The same pin holds across the whole
+  // iterative-graph family (same round structure): weighted 2.95→1.77,
+  // personalized 3.00→2.03, shortest_path 2.13→1.87. Results are
+  // pin-independent (exact integer algebra; Verify applies the same
+  // pins). The pin is SIZE-CONDITIONAL (round 11): above TinyGraphNodes
+  // the default AQE-on path wins and is what ships — a 100 TB run never
+  // sees the pin, and the pseudo-sf1 scale probe exercises the big arm.
+  private val tinyGraphPins = Map(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.shuffle.partitions" -> "8")
+
+  // one footer-cheap count() per (dir, table) per JVM — outside every
+  // harness's timed region (pins are computed before the clock starts)
+  private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def tableRows(spark: SparkSession, dir: String, t: String): Long =
+    rowsMemo.computeIfAbsent(s"$dir/$t", _ =>
+      try spark.read.parquet(s"$dir/$t.parquet").count()
+      // unreadable → assume big: never pin a shape we could not measure
+      catch { case _: Throwable => Long.MaxValue / 4 })
+
+  /** The pins a harness (Bench/Verify/Scale10) applies around `name`'s
+    * execution against `dir`: the static [[confPins]] entry plus, for the
+    * iterative-graph family, the tiny-input pins iff the measured node
+    * domain is below [[TinyGraphNodes]] — derived from the data, not from
+    * the fixture the pin was tuned on.
+    */
+  def confPinsFor(spark: SparkSession, name: String, dir: String): Map[String, String] = {
+    val base = confPins.getOrElse(name, Map.empty)
+    graphNodeDomain.get(name) match {
+      case Some(tables)
+          if tables.map(tableRows(spark, dir, _)).sum < TinyGraphNodes =>
+        base ++ tinyGraphPins
+      case _ => base
+    }
+  }
 }

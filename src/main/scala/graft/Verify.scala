@@ -70,7 +70,7 @@ object Verify {
     var leaks = List.empty[String]
     selected.foreach { case (name, fn) =>
       // same per-query conf pins as Bench (restored after the query)
-      val pins = SparkEntry.confPins.getOrElse(name, Map.empty)
+      val pins = SparkEntry.confPinsFor(spark, name, sfDir)
       val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
       pins.foreach { case (k, v) => spark.conf.set(k, v) }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

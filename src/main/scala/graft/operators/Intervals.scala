@@ -45,15 +45,29 @@ object Intervals {
     val ord = Window.partitionBy(k: _*).orderBy(col(start), col(end))
     val prevMax = max(col(end))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    // the island test `start > prevMax + minGap` wraps in BIGINT when
+    // prevMax sits within minGap of the Long range end (snowflake-scale
+    // ids / far-future sentinels), silently splitting an island that
+    // overlaps. minGap is a Scala constant, so the overflow sliver is a
+    // compile-time range check and the verdict on it is forced: an
+    // overflowed true sum exceeds Long.MaxValue ≥ every representable
+    // start (island continues); an underflowed one is below Long.MinValue
+    // ≤ every start (island opens). Every row stays on the codegen'd
+    // long comparison — the all-decimal form took the whole scan off the
+    // long fast path (the same trade Spatial.floorDivSql measured at 4x).
+    val islandOpen =
+      if (minGap >= 0L)
+        when(prevMax.isNull, 1L)
+          .when(prevMax <= lit(Long.MaxValue - minGap),
+            when(col(start) > prevMax + lit(minGap), 1L).otherwise(0L))
+          .otherwise(0L)
+      else
+        when(prevMax.isNull, 1L)
+          .when(prevMax >= lit(Long.MinValue - minGap),
+            when(col(start) > prevMax + lit(minGap), 1L).otherwise(0L))
+          .otherwise(1L)
     val grouped = df
-      // the island test in DECIMAL: `prevMax + minGap` in BIGINT wraps
-      // when prevMax sits within minGap of Long.MaxValue (snowflake-scale
-      // ids / far-future sentinels), silently splitting an island that
-      // overlaps — the compare must be exact at every magnitude
-      .withColumn("_island_open",
-        when(prevMax.isNull || col(start).cast("decimal(21,0)") >
-            prevMax.cast("decimal(21,0)") + lit(minGap), 1L)
-          .otherwise(0L))
+      .withColumn("_island_open", islandOpen)
       .withColumn("_island",
         sum(col("_island_open"))
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

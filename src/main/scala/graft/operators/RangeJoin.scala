@@ -70,9 +70,17 @@ object RangeJoin {
       includeLower: Boolean = true, includeUpper: Boolean = true,
       joinType: String = "inner"): DataFrame = {
     require(upperMicros >= lowerMicros, "empty window")
+    // the default width is the window SPAN, which itself wraps in Long
+    // for windows covering more than half the axis (lower near MinValue,
+    // upper positive): a wrapped span reads tiny, the shift comes out
+    // near 0, and the bucket sequence() explodes toward 2^64 rows. The
+    // exact span lives in BigInt and clamps to Long.MaxValue — shift 63,
+    // ≤ 2 bucket copies, and the residual predicate (already exact in
+    // decimal) decides membership, so the clamp is lossless.
+    val span = (BigInt(upperMicros) - BigInt(lowerMicros))
+      .min(BigInt(Long.MaxValue)).toLong
     val shift = widthShift(
-      if (bucketMicros > 0) bucketMicros
-      else math.max(upperMicros - lowerMicros, 1L))
+      if (bucketMicros > 0) bucketMicros else math.max(span, 1L))
     // saturating add for the bucket bounds: `t + delta` in BIGINT wraps
     // for times/ids within `delta` of the Long range ends, mis-bucketing
     // the probe and silently DROPPING matching pairs. Clamping to the

@@ -3,26 +3,37 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10x scale probe: synthesize a pseudo-sf1 locally from the sf0.1
-  * fixtures and measure the most expensive queries against both, so the
-  * 100 TB scale story rests on a MEASURED 10x run, not only on plan
-  * audits. `runMain graft.tools.Scale10 [synth|probe|all] [outDir]`
-  * writes SCALE10.json with per-query sf0.1→sf1 minima, ratios, and a
-  * PlanLint pass over the sf1 executed plans.
+/** Scale probes: synthesize pseudo-sf1 (10 copies) and pseudo-sf10 (100
+  * copies) locally from the sf0.1 fixtures and measure the most
+  * expensive queries across the decades, so the 100 TB scale story rests
+  * on MEASURED 10x/100x runs, not only on plan audits.
   *
-  * Synthesis = 10 key-shifted copies of every fact table, constructed so
-  * the copies are INDEPENDENT the way 10x organic data would be — each
-  * transform below exists to kill a specific cross-copy coupling that
-  * would otherwise fabricate superlinear candidate generation (or hide
-  * real superlinearity the operator would also hit on organic data):
+  * `runMain graft.tools.Scale10 [synth|probe|sf10|stream|all] [outDir]`:
+  * - `synth`  — write the pseudo-sf1 tables to outDir
+  * - `probe`  — time [[PROBE]] at sf0.1 vs pseudo-sf1 → SCALE10.json
+  *              (batch queries + the [[STREAM_PROBE]] streaming set with
+  *              state-store metrics)
+  * - `sf10`   — synthesize pseudo-sf10 (100 copies) and time
+  *              [[SF10_PROBE]] (the 5 highest 10x ratios of round 10) at
+  *              pseudo-sf1 vs pseudo-sf10 → SCALE100.json, the second
+  *              measured decade
+  * - `all`    — synth + probe (the per-round default)
+  *
+  * Synthesis = `copies` key-shifted copies of every fact table,
+  * constructed so the copies are INDEPENDENT the way organic growth
+  * would be — each transform below exists to kill a specific cross-copy
+  * coupling that would otherwise fabricate superlinear candidate
+  * generation (or hide real superlinearity the operator would also hit
+  * on organic data):
   *
   * - surrogate keys shift by `STRIDE` (divisible by every small modulus
   *   the query suite uses as a deterministic slicer — %3 %4 %5 %7 %10
   *   %13 %100 %400 — so each copy selects the same per-copy subset);
-  * - customer/supplier NAMES get a 2-char copy code over the first two
-  *   digits: edit distance between any two copies of a name is exactly 2
-  *   (> the dist-1 graph radius, so the name graph stays copy-local) and
-  *   the entity-resolution 17-char-prefix blocks split per copy;
+  * - customer/supplier NAMES get a 4-char copy code `aabb` (digit pairs
+  *   of copy/10 and copy%10) over the first four always-zero digits:
+  *   Hamming — hence edit — distance between any two copies of a name is
+  *   ≥ 2 (> the dist-1 graph radius, so the name graph stays copy-local)
+  *   and the entity-resolution 17-char-prefix blocks split per copy;
   * - acctbal shifts +10000 per copy: the ER (nation, acctbal-bucket)
   *   blocking pass keeps its block SIZE as cardinality grows (a
   *   fixed-value-range attribute degenerates as a blocking key at any
@@ -31,19 +42,17 @@ import org.apache.spark.sql.functions._
   *   within-copy shingle/Jaccard structure is preserved EXACTLY (token
   *   bijections preserve set identities) while copies share zero tokens,
   *   hence zero shingles, hence zero cross-copy dedup/ANN candidates;
-  * - embeddings flip the sign of dims ≡ copy (mod 10): norms unchanged,
-  *   cross-copy cosine pushed well below clustering thresholds.
+  * - embeddings flip signs under per-copy Reed–Muller RM(1,6) masks
+  *   (codeword bit j = parity(a AND j) XOR b for copy code (a, b)):
+  *   norms unchanged, any two distinct copies disagree in sign on ≥ 32
+  *   of the 64 dims (RM(1,6) min distance), so cross-copy cosine
+  *   collapses even for vectors whose mass concentrates in a few dims.
   */
 object Scale10 {
 
   val STRIDE = 1092000000L // 2^4 · 3 · 5^2 · 7 · 13 · 10^4 — ≡ 0 mod all slicers
   val COPIES = 10
-
-  /** Per-copy 8-bit block-flip masks (bit b ⇒ negate embedding dims
-    * [8b, 8b+8)): pairwise Hamming distance ≥ 4, copy 0 = identity.
-    */
-  val BLOCK_MASKS: Array[Int] =
-    Array(0x00, 0xFF, 0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
+  val COPIES_SF10 = 100
 
   /** The 10 most expensive queries of the r9 bench (the probe set the
     * round-9 verdict prescribes), plus the shuffle-heavy CORE relational
@@ -60,20 +69,49 @@ object Scale10 {
     "cogroup", "masterjoin", "groupsort", "window_rank", "interval_merge",
     "sessionize", "salted_join", "dedup_exact", "asof_join")
 
-  private def copyCodeDigits(i: Int): String = ('0' + i).toChar.toString * 2
+  /** Streaming representatives (round-11 ask): the heaviest stream
+    * queries by r10 cost plus the stateful-session shape. Timed like the
+    * batch probe, PLUS state-store metrics (batch count, final state
+    * rows/bytes) from a [[org.apache.spark.sql.streaming
+    * .StreamingQueryListener]] — wall time alone says nothing about
+    * whether state grows with input.
+    */
+  val STREAM_PROBE: Seq[String] = Seq(
+    "stream_upsert", "stream_left_join", "stream_chained_agg",
+    "stream_sessionize")
+
+  /** The second measured decade: the 5 highest sf0.1→sf1 ratios of the
+    * round-10 probe (4.0–5.2x), timed at pseudo-sf1 vs pseudo-sf10.
+    */
+  val SF10_PROBE: Seq[String] = Seq(
+    "pagerank", "fuzzy_join2", "salted_join", "dedup_minhash_incremental",
+    "triangle_count")
+
+  /** 4-char name code "aabb": digit-pair repetition ⇒ any two distinct
+    * copies differ in ≥ 2 positions (equal-length strings, so edit
+    * distance ≥ 2 as well — one edit between equal-length strings is one
+    * substitution). Copy 0 = "0000" = the original zeros.
+    */
+  private def copyCodeDigits(i: Int): String = {
+    val (a, b) = (('0' + i / 10).toChar, ('0' + i % 10).toChar)
+    s"$a$a$b$b"
+  }
   // '~' never occurs in the fixture vocabulary, so a suffixed token can
   // never collide with a BASE token either (without the marker, base
   // "agg" == base "a" + copy-g suffix "gg" — one real collision the
-  // synthesis spec caught)
-  private def copyCodeAlpha(i: Int): String = "~" + ('a' + i).toChar.toString * 2
+  // synthesis spec caught). Distinct copies get distinct suffixes (all
+  // token sets need is inequality).
+  private def copyCodeAlpha(i: Int): String =
+    "~" + ('a' + i / 10).toChar.toString + ('a' + i % 10).toChar.toString
 
-  /** "Customer#000000123" → "Customer#cc0000123": the two code chars
-    * replace always-zero digits (max key 14999 « 10^7), so copy 0 keeps
-    * the original string and any two copies differ in exactly 2 chars.
+  /** "Customer#000000123" → "Customer#aabb00123": the four code chars
+    * replace always-zero digits (max key 14999 « 10^5 of the 9-digit
+    * field), so copy 0 keeps the original string and any two copies
+    * differ in ≥ 2 chars.
     */
   private def recodeName(c: Column, i: Int): Column =
     if (i == 0) c
-    else concat(substring(c, 1, 9), lit(copyCodeDigits(i)), substring(c, 12, 100))
+    else concat(substring(c, 1, 9), lit(copyCodeDigits(i)), substring(c, 14, 100))
 
   /** Per-token suffix bijection (copy 0 = identity). Empty tokens stay
     * empty so `tokens()`'s filter sees the same token count.
@@ -87,43 +125,48 @@ object Scale10 {
 
   private def shifted(c: Column, i: Int): Column = c + lit(STRIDE * i)
 
-  def synth(spark: SparkSession, src: String, out: String): Unit = {
+  /** @param copies number of key-shifted copies (10 → pseudo-sf1,
+    *               100 → pseudo-sf10); codes support up to 100.
+    */
+  def synth(spark: SparkSession, src: String, out: String,
+      copies: Int = COPIES): Unit = {
+    require(copies >= 1 && copies <= 100, "synth: 1..100 copies")
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scale10] wrote $name")
+      println(s"[scale10] wrote $name x$copies")
     }
     // fixed-domain dimensions: real TPC-H sf1 also has 5 regions / 25
     // nations — copying them once keeps every FK resolvable
     write(read("region"), "region")
     write(read("nation"), "nation")
-    def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
-      write((0 until COPIES).map(i => f(read(name), i)).reduce(_ unionByName _), name)
-    copies("customer") { (df, i) =>
+    def allCopies(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until copies).map(i => f(read(name), i)).reduce(_ unionByName _), name)
+    allCopies("customer") { (df, i) =>
       df.select(shifted(col("c_custkey"), i).as("c_custkey"),
         recodeName(col("c_name"), i).as("c_name"),
         col("c_nationkey"),
         (col("c_acctbal") + lit(10000.0 * i)).as("c_acctbal"),
         col("c_mktsegment"))
     }
-    copies("supplier") { (df, i) =>
+    allCopies("supplier") { (df, i) =>
       df.select(shifted(col("s_suppkey"), i).as("s_suppkey"),
         recodeName(col("s_name"), i).as("s_name"),
         col("s_nationkey"),
         (col("s_acctbal") + lit(10000.0 * i)).as("s_acctbal"))
     }
-    copies("part") { (df, i) =>
+    allCopies("part") { (df, i) =>
       df.select(shifted(col("p_partkey"), i).as("p_partkey"),
         recodeText(col("p_name"), i).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }
-    copies("orders") { (df, i) =>
+    allCopies("orders") { (df, i) =>
       df.select(shifted(col("o_orderkey"), i).as("o_orderkey"),
         shifted(col("o_custkey"), i).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
     }
-    copies("lineitem") { (df, i) =>
+    allCopies("lineitem") { (df, i) =>
       df.select(shifted(col("l_orderkey"), i).as("l_orderkey"),
         shifted(col("l_partkey"), i).as("l_partkey"),
         shifted(col("l_suppkey"), i).as("l_suppkey"),
@@ -131,52 +174,109 @@ object Scale10 {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     }
-    copies("events") { (df, i) =>
+    allCopies("events") { (df, i) =>
       df.select(shifted(col("event_id"), i).as("event_id"), col("ts"),
         shifted(col("user_id"), i).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }
-    copies("documents") { (df, i) =>
+    allCopies("documents") { (df, i) =>
       val text = recodeText(col("text"), i)
       df.select(shifted(col("doc_id"), i).as("doc_id"), text.as("text"),
         col("lang"), col("source"),
         length(text).cast("long").as("n_chars"))
     }
-    copies("embeddings") { (df, i) =>
-      // sign-flip whole 8-dim BLOCKS selected by per-copy masks with
-      // pairwise Hamming distance >= 4 blocks (>= half the vector): norms
-      // are untouched and any two copies disagree in sign on >= 32 of 64
-      // dims, so cross-copy cosine collapses even for vectors whose mass
-      // concentrates in a few dims (a sparse outlier defeated the earlier
-      // one-dim-in-ten flip: the spec measured 0.97 cosine)
+    allCopies("embeddings") { (df, i) =>
+      // Reed–Muller RM(1,6) sign masks over the 64 dims: copy code
+      // (a, b) = (i mod 64, i div 64); dim j flips iff
+      // parity(popcount(a AND j)) XOR b = 1. RM(1,6) has min distance
+      // 32, so ANY two distinct copies (up to 128 exist) disagree in
+      // sign on ≥ half the vector — norms untouched, cross-copy cosine
+      // collapses even for vectors concentrated in a few dims (a sparse
+      // outlier defeated a one-dim-in-ten flip: the spec measured 0.97
+      // cosine). Copy 0 = all-zero codeword = identity.
+      val (a, b) = (i % 64, i / 64)
       val vec =
         if (i == 0) col("embedding")
         else transform(col("embedding"),
           (x, j) => when(
-            pmod(call_function("shiftright", lit(BLOCK_MASKS(i)),
-              (j / 8).cast("int")), lit(2)) === 1,
+            pmod(call_function("bit_count",
+              j.cast("long").bitwiseAND(lit(a.toLong))) + lit(b), lit(2)) === 1,
             -x).otherwise(x))
       df.select(shifted(col("vec_id"), i).as("vec_id"),
         vec.as("embedding"), col("label"))
     }
   }
 
+  /** Accumulates streaming metrics across every streaming query started
+    * inside one probe-query execution: micro-batch count (progress
+    * events), and the FINAL state rows/bytes of each stream (its last
+    * progress), summed across streams. Events post asynchronously —
+    * [[await]] polls until every started stream has terminated and gone
+    * quiet.
+    */
+  private final class StreamStats
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val batches = new AtomicLong
+    val started = new AtomicLong
+    val terminated = new AtomicLong
+    private val lastState =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = { started.incrementAndGet(); () }
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      batches.incrementAndGet()
+      val ops = e.progress.stateOperators
+      lastState.put(e.progress.id,
+        (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
+      ()
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = { terminated.incrementAndGet(); () }
+    def reset(): Unit = {
+      batches.set(0); started.set(0); terminated.set(0); lastState.clear()
+    }
+    /** Wait (≤ 10 s) for the async listener bus to deliver the
+      * termination events of every stream this probe run started.
+      */
+    def await(): Unit = {
+      val deadline = System.nanoTime() + 10000000000L
+      while ((terminated.get < started.get || started.get == 0) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+    }
+    def stateRows: Long = {
+      import scala.jdk.CollectionConverters._
+      lastState.values.asScala.map(_._1).sum
+    }
+    def stateBytes: Long = {
+      import scala.jdk.CollectionConverters._
+      lastState.values.asScala.map(_._2).sum
+    }
+  }
+
+  private def fmt(d: Double) =
+    BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def jm(m: Map[String, Int]) =
+    m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+  private def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("/tmp/graft_pseudo_sf1")
+    val outSf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_pseudo_sf10")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val spark = graft.GraftSession.local()
-    if (mode == "synth" || mode == "all") synth(spark, src, out)
-    if (mode == "probe" || mode == "all") {
-      try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
-      graft.Caches.clear(spark)
-      def timeQuery(name: String, dir: String): Seq[Double] = {
-        val fn = graft.SparkEntry.queries(name)
-        val pins = graft.SparkEntry.confPins.getOrElse(name, Map.empty)
-        val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
-        pins.foreach { case (k, v) => spark.conf.set(k, v) }
-        val ts = (1 to runs).map { _ =>
+
+    def timeQuery(name: String, dir: String): Seq[Double] = {
+      val fn = graft.SparkEntry.queries(name)
+      // size-conditional pins: the SAME pin decision Bench/Verify make
+      // for this (query, input) — at sf0.1 the tiny-graph arm pins, at
+      // pseudo-sf1 the node domain exceeds the TINY class and the
+      // default AQE-on path runs, which is exactly what the probe
+      // should measure
+      val pins = graft.SparkEntry.confPinsFor(spark, name, dir)
+      graft.GraftSession.withConfs(spark, pins) {
+        (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, dir).count()
           val dt = (System.nanoTime() - t0) / 1e9
@@ -184,37 +284,98 @@ object Scale10 {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           dt
         }
-        saved.foreach { case (k, Some(v)) => spark.conf.set(k, v)
-                        case (k, None) => spark.conf.unset(k) }
-        System.gc()
-        ts
       }
-      def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-      val rows = PROBE.map { q =>
-        val a = timeQuery(q, src)
-        val b = timeQuery(q, out)
-        // plan audit at sf1: the gating findings PlanLint enforces per
-        // round, re-checked on the 10x EXECUTED plans
-        val (gate, info) =
-          try PlanLint.lint(graft.SparkEntry.queries(q)(spark, out))
-          catch { case e: Throwable => (Map("error" -> 1), Map.empty[String, Int]) }
-        graft.Caches.clear(spark, blocking = true)
-        val ratio = b.min / math.max(a.min, 1e-9)
-        println(f"[scale10] $q%-28s sf0.1=${a.min}%.2fs sf1=${b.min}%.2fs ratio=$ratio%.1fx gating=${gate.size}")
-        def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
-        def jm(m: Map[String, Int]) =
-          m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-        s""""$q":{"sf01_min":${fmt(a.min)},"sf1_min":${fmt(b.min)},"ratio":${fmt(ratio)},""" +
-          s""""sf01_runs":${arr(a)},"sf1_runs":${arr(b)},"gating":${jm(gate)},"info":${jm(info)}}"""
-      }
+    }
+
+    /** One probe row: time at `dirA` then `dirB`, lint the `dirB`
+      * executed plan UNDER THE SAME PINS the timed run used (the audit
+      * must inspect the plan that was measured, not the default-conf
+      * one), emit a JSON fragment.
+      */
+    def probeRow(q: String, dirA: String, dirB: String,
+        aKey: String, bKey: String): String = {
+      val a = timeQuery(q, dirA)
+      val b = timeQuery(q, dirB)
+      val pins = graft.SparkEntry.confPinsFor(spark, q, dirB)
+      val (gate, info) =
+        try graft.GraftSession.withConfs(spark, pins) {
+          PlanLint.lint(graft.SparkEntry.queries(q)(spark, dirB))
+        } catch { case _: Throwable => (Map("error" -> 1), Map.empty[String, Int]) }
+      graft.Caches.clear(spark, blocking = true)
+      System.gc()
+      val ratio = b.min / math.max(a.min, 1e-9)
+      println(f"[scale10] $q%-28s $aKey=${a.min}%.2fs $bKey=${b.min}%.2fs ratio=$ratio%.1fx gating=${gate.size}")
+      s""""$q":{"${aKey}_min":${fmt(a.min)},"${bKey}_min":${fmt(b.min)},"ratio":${fmt(ratio)},""" +
+        s""""${aKey}_runs":${arr(a)},"${bKey}_runs":${arr(b)},"gating":${jm(gate)},"info":${jm(info)}}"""
+    }
+
+    def warmup(): Unit = {
+      try { graft.SparkEntry.entry(spark).count(); () } catch { case _: Throwable => }
+      graft.Caches.clear(spark)
+    }
+
+    def writeJson(file: String, json: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(file),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[scale10] wrote $file")
+    }
+
+    if (mode == "synth" || mode == "all") synth(spark, src, out)
+
+    if (mode == "probe" || mode == "all") {
+      warmup()
+      val rows = PROBE.map(q => probeRow(q, src, out, "sf01", "sf1"))
+      // streaming probe: wall time + state metrics at both scales. No
+      // PlanLint row — the returned frame is the drained memory-sink
+      // result, not the streaming plan.
+      val stats = new StreamStats
+      spark.streams.addListener(stats)
+      val streamRows =
+        try STREAM_PROBE.map { q =>
+          def runAt(dir: String): (Seq[Double], Long, Long, Long) = {
+            stats.reset()
+            val ts = timeQuery(q, dir)
+            stats.await()
+            // the listener saw `runs` identical executions (each run
+            // starts fresh streams with fresh UUIDs) — divide totals back
+            // to per-run values. Batches scale with input only through
+            // AvailableNow's file grouping; state rows are the signal
+            // that must stay LINEAR in input (sublinear for windowed
+            // state that expires)
+            val n = math.max(ts.size, 1)
+            (ts, stats.batches.get / n, stats.stateRows / n, stats.stateBytes / n)
+          }
+          val (a, ab, ar, _) = runAt(src)
+          val (b, bb, br, bBytes) = runAt(out)
+          val ratio = b.min / math.max(a.min, 1e-9)
+          println(f"[scale10] $q%-28s sf01=${a.min}%.2fs sf1=${b.min}%.2fs ratio=$ratio%.1fx " +
+            f"stateRows ${ar}→$br batches ${ab}→$bb")
+          s""""$q":{"sf01_min":${fmt(a.min)},"sf1_min":${fmt(b.min)},"ratio":${fmt(ratio)},""" +
+            s""""sf01_runs":${arr(a)},"sf1_runs":${arr(b)},""" +
+            s""""sf01_batches":$ab,"sf1_batches":$bb,""" +
+            s""""sf01_state_rows":$ar,"sf1_state_rows":$br,"sf1_state_bytes":$bBytes}"""
+        } finally spark.streams.removeListener(stats)
       val json =
         s"""{"src":"$src","sf1":"$out","copies":$COPIES,"stride":$STRIDE,"runs":$runs,""" +
-          s""""queries":${rows.mkString("{", ",", "}")}}"""
-      val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE10_OUT", "SCALE10.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[scale10] wrote $outFile")
+          s""""queries":${(rows ++ streamRows).mkString("{", ",", "}")}}"""
+      writeJson(sys.env.getOrElse("SPARK_GRAFT_SCALE10_OUT", "SCALE10.json"), json)
     }
+
+    if (mode == "sf10") {
+      // second decade: pseudo-sf1 → pseudo-sf10 on the 5 highest 10x
+      // ratios. The sf1 side is (re)synthesized if missing so the two
+      // sides always share a synthesis version.
+      if (!new java.io.File(s"$out/lineitem.parquet").isDirectory)
+        synth(spark, src, out)
+      synth(spark, src, outSf10, COPIES_SF10)
+      warmup()
+      val rows = SF10_PROBE.map(q => probeRow(q, out, outSf10, "sf1", "sf10"))
+      val json =
+        s"""{"sf1":"$out","sf10":"$outSf10","copies":$COPIES_SF10,"stride":$STRIDE,"runs":$runs,""" +
+          s""""queries":${rows.mkString("{", ",", "}")}}"""
+      writeJson(sys.env.getOrElse("SPARK_GRAFT_SCALE100_OUT", "SCALE100.json"), json)
+    }
+
     spark.stop()
   }
 }
