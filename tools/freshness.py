@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Round-close artifact freshness gate.
+
+Round 9 committed a bench artifact that was generated under sbt load;
+round 10 closed with an uncommitted NEWER BENCH_LAST.json shadowing the
+committed one — both times the ambiguity had to be untangled by hand.
+This check makes artifact drift loud at round close:
+
+  1. every measurement artifact in the working tree must be byte-equal
+     to its committed (HEAD) version — an uncommitted artifact is either
+     a forgotten re-run (commit it) or a stale leftover (regenerate it);
+  2. the source tree (src/main, tools) must be clean — artifacts cannot
+     vouch for uncommitted code;
+  3. the last commit touching src/main must be no newer than the last
+     commit touching BENCH_LAST.json — source changes after the bench
+     run stale the artifact (re-run the idle bench, then commit);
+  4. the committed bench artifact must self-report an uncontended run
+     ("contended": false).
+
+Usage: python3 tools/freshness.py   (from the repo root; exit 0 = fresh)
+"""
+import json
+import os
+import subprocess
+import sys
+
+ARTIFACTS = ["BENCH_LAST.json", "SCALE10.json", "SCALE100.json"]
+
+
+def git(*args):
+    return subprocess.run(["git"] + list(args), capture_output=True,
+                          text=True, cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+
+
+def main():
+    failures = []
+
+    # 1. working tree artifact == HEAD artifact
+    for a in ARTIFACTS:
+        head = git("show", f"HEAD:{a}")
+        exists = os.path.exists(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), a))
+        if head.returncode != 0:
+            if exists:
+                failures.append(f"{a}: present in working tree but not in HEAD "
+                                "(commit it with the round or delete it)")
+            continue
+        if not exists:
+            failures.append(f"{a}: committed but missing from the working tree")
+            continue
+        with open(a, "rb") as f:
+            tree = f.read()
+        if tree.decode("utf-8", "replace") != head.stdout:
+            failures.append(f"{a}: working tree differs from HEAD — either a "
+                            "forgotten re-run (commit it) or stale (regenerate)")
+
+    # 2. clean source tree
+    dirty = git("status", "--porcelain", "src/main", "tools").stdout.strip()
+    if dirty:
+        failures.append("uncommitted source changes — artifacts cannot vouch "
+                        "for them:\n  " + dirty.replace("\n", "\n  "))
+
+    # 3. bench artifact newer than the last src/main commit
+    def last_commit_time(path):
+        r = git("log", "-1", "--format=%ct", "--", path)
+        out = r.stdout.strip()
+        return int(out) if out else 0
+
+    src_t = last_commit_time("src/main")
+    bench_t = last_commit_time("BENCH_LAST.json")
+    if bench_t and src_t > bench_t:
+        failures.append("src/main was committed after the last BENCH_LAST.json "
+                        "commit — the committed bench predates the source; "
+                        "re-run the idle bench and commit the artifact")
+
+    # 4. committed bench self-reports idle
+    head_bench = git("show", "HEAD:BENCH_LAST.json")
+    if head_bench.returncode == 0:
+        try:
+            b = json.loads(head_bench.stdout)
+            if b.get("contended") is True:
+                failures.append("committed BENCH_LAST.json says contended:true "
+                                "— regenerate on an idle box")
+            if b.get("failed"):
+                failures.append(f"committed BENCH_LAST.json has failed queries: "
+                                f"{b['failed']}")
+        except ValueError:
+            failures.append("committed BENCH_LAST.json is not valid JSON")
+
+    if failures:
+        print("FRESHNESS GATE FAILED:")
+        for f in failures:
+            print(f"  - {f}")
+        return 1
+    print("freshness: OK (artifacts match HEAD, source clean, bench is newest and idle)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
