@@ -157,14 +157,32 @@ object Dedup {
     * [[minhashCandidates]], [[minhashIndex]] and [[minhashIncremental]].
     */
   private def mhBanded(df: DataFrame, id: String, shingles: Column,
-      bands: Int, rows: Int, seed: Long): DataFrame = {
-    val sigs = df.select(col(id).as("_id"),
+      bands: Int, rows: Int, seed: Long): DataFrame =
+    mhBandRows(mhSigs(df, id, shingles, bands, rows, seed), bands, rows)
+      .select(col("_id"), col("_sig"), col("_band"), col("_bucket"))
+
+  /** Per-doc signatures: (_id, _sig) — one row per doc, the k-hash
+    * signature computed ONCE (the O(n·k) cost of every MinHash op).
+    */
+  private def mhSigs(df: DataFrame, id: String, shingles: Column,
+      bands: Int, rows: Int, seed: Long): DataFrame =
+    df.select(col(id).as("_id"),
       HashFunctions.minhash_signature(shingles, bands * rows, seed).as("_sig"))
+
+  /** Band rows of a signature frame: (_id, _sig, _band, _bucket). The
+    * join paths below PROJECT AWAY `_sig` before any exchange — a band
+    * row that carries the full bands·rows signature is ~1 kB where the
+    * (band, bucket, id) triple is 24 B, and the 10x probe measured the
+    * sig-carrying shape as multi-GB exchanges + sort spill on the
+    * candidate join (verification re-fetches signatures by id from the
+    * one-row-per-doc frame instead — the same fetch-by-id-after-pairing
+    * shape FuzzyJoin uses for strings).
+    */
+  private def mhBandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(col("_id"), col("_sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, lit(rows)))))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
-  }
 
   /** Estimated Jaccard: fraction of equal signature positions — a single
     * codegen'd loop ([[graft.functions.SigMatchFrac]]); this sits in the
@@ -181,15 +199,22 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: String, shingles: Column,
       bands: Int = 16, rows: Int = 8, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
-    val banded = mhBanded(df, id, shingles, bands, rows, seed)
-    // both sides of the self-join read this frame: persist so the
-    // signature computation (O(n*k)) runs once, not once per side
-    val guarded =
-      boundedBuckets(banded, Seq("_band", "_bucket"), maxBucket, "minhash_buckets")
-    val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"), col("_sig").as("sig_a"))
-    val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"), col("_sig").as("sig_b"))
+    // both the band explode and the two signature fetch-backs read this
+    // frame: persist so the signature computation (O(n·k)) runs once
+    val sigs = graft.Caches.track(
+      mhSigs(df, id, shingles, bands, rows, seed).persist())
+    // the bucket self-join moves (band, bucket, id) triples ONLY — the
+    // signatures rejoin by id onto the (deduped, tiny) pair set below
+    val guarded = boundedBuckets(
+      mhBandRows(sigs, bands, rows).select(col("_band"), col("_bucket"), col("_id")),
+      Seq("_band", "_bucket"), maxBucket, "minhash_buckets")
+    val a = guarded.select(col("_band"), col("_bucket"), col("_id").as("a"))
+    val b = guarded.select(col("_band"), col("_bucket"), col("_id").as("b"))
     a.hint("merge").join(b, Seq("_band", "_bucket")).filter(col("a") < col("b"))
-      .select("a", "b", "sig_a", "sig_b").dropDuplicates("a", "b")
+      .select("a", "b").dropDuplicates("a", "b")
+      .join(sigs.select(col("_id").as("a"), col("_sig").as("sig_a")), "a")
+      .join(sigs.select(col("_id").as("b"), col("_sig").as("sig_b")), "b")
+      .select("a", "b", "sig_a", "sig_b")
   }
 
   /** MinHash near-dup pairs: candidates whose *estimated* Jaccard
@@ -233,26 +258,46 @@ object Dedup {
       shingles: Column, threshold: Double, bands: Int = 16, rows: Int = 8,
       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     requireNoInternal(batch, Seq("_id"), allow = Set(id))
-    val banded = boundedBuckets(mhBanded(batch, id, shingles, bands, rows, seed),
+    val sigs = graft.Caches.track(
+      mhSigs(batch, id, shingles, bands, rows, seed).persist())
+    val banded = boundedBuckets(
+      mhBandRows(sigs, bands, rows).select(col("_band"), col("_bucket"), col("_id")),
       Seq("_band", "_bucket"), maxBucket, "minhash_inc_batch")
     val idx = boundedBuckets(
-      index.select(col("_band"), col("_bucket"), col("_sig").as("_isig")),
+      index.select(col("_band"), col("_bucket"), col("_id").as("_rid")),
       Seq("_band", "_bucket"), maxBucket, "minhash_inc_index", cache = false)
     // ONE candidate join: the right side unions the corpus index (always
-    // eligible to kill a batch doc — _rid null) with the batch itself
-    // (kills only LARGER ids: the deterministic keep-smallest-id rule).
-    // One join + one verification filter instead of two joins + a result
-    // union — half the exchanges and codegen stages of the r7 shape, same
-    // candidates. No distinct before the anti-join: left_anti semantics
-    // absorb duplicate drop ids, so the extra exchange bought nothing.
-    val idType = batch.schema(id).dataType
-    val right = idx.select(col("_band"), col("_bucket"), col("_isig"),
-        lit(null).cast(idType).as("_rid"))
+    // eligible to kill a batch doc) with the batch itself (kills only
+    // LARGER ids: the deterministic keep-smallest-id rule). `_fidx`
+    // keeps the two id spaces apart — an index doc and a batch doc may
+    // share an id value, and the partner-signature fetch below must
+    // resolve each against its own source. Everything that crosses the
+    // candidate exchange is (band, bucket, id) triples; the full
+    // signatures rejoin by id onto the band-deduped pair set, so
+    // verification runs once per PAIR, not once per band collision (the
+    // sig-carrying shape measured multi-GB exchanges + spill at the 10x
+    // probe).
+    val right = idx.select(col("_band"), col("_bucket"), col("_rid"),
+        lit(true).as("_fidx"))
       .unionByName(banded.select(col("_band"), col("_bucket"),
-        col("_sig").as("_isig"), col("_id").as("_rid")))
-    val dropIds = banded.join(right, Seq("_band", "_bucket"))
-      .filter((col("_rid").isNull || col("_rid") < col("_id")) &&
-        estJaccard(col("_sig"), col("_isig")) >= threshold)
+        col("_id").as("_rid"), lit(false).as("_fidx")))
+    val candPairs = banded.join(right, Seq("_band", "_bucket"))
+      .filter(col("_fidx") || col("_rid") < col("_id"))
+      .select(col("_id"), col("_rid"), col("_fidx"))
+      .dropDuplicates("_id", "_rid", "_fidx")
+    // partner signatures: index rows repeat one identical _sig per band —
+    // dropDuplicates collapses them deterministically (equal rows)
+    val rightSigs = index.select(col("_id").as("_rid"), col("_sig").as("_isig"))
+      .dropDuplicates("_rid")
+      .select(col("_rid"), col("_isig"), lit(true).as("_fidx"))
+      .unionByName(sigs.select(col("_id").as("_rid"), col("_sig").as("_isig"),
+        lit(false).as("_fidx")))
+    // no distinct before the anti-join: left_anti semantics absorb
+    // duplicate drop ids, so the extra exchange bought nothing
+    val dropIds = candPairs
+      .join(rightSigs, Seq("_rid", "_fidx"))
+      .join(sigs.select(col("_id"), col("_sig")), "_id")
+      .filter(estJaccard(col("_sig"), col("_isig")) >= threshold)
       .select(col("_id"))
     batch.join(dropIds, batch(id) === col("_id"), "left_anti")
   }
@@ -583,6 +628,20 @@ object Dedup {
       .filter(over)
       .select(kcols: _*)
     val guarded = cached.join(broadcast(overKeys), keys, "left_anti")
-    if (cache) graft.Caches.track(guarded.persist()) else guarded
+    if (cache) {
+      val out = graft.Caches.track(guarded.persist())
+      // fill EAGERLY: every caller self-joins this frame, and AQE
+      // materializes the join's exchanges CONCURRENTLY — a lazy cache is
+      // then computed once per concurrent consumer (first fill wins, the
+      // others redundantly re-run the banding + guard subtree; same
+      // stampede triangleCount documents on its oriented-edge cache). At
+      // sf0.1 the duplicate runs cost milliseconds and hid; at the 10x
+      // probe the stage dump showed the 8.5 GB banding subtree executed
+      // SIX times and the candidate join re-paid three 13.6 GB shuffle
+      // reads — one count() here serializes the fill and every consumer
+      // reads memory.
+      out.count()
+      out
+    } else guarded
   }
 }

@@ -99,10 +99,22 @@ object Scale10 {
   // '~' never occurs in the fixture vocabulary, so a suffixed token can
   // never collide with a BASE token either (without the marker, base
   // "agg" == base "a" + copy-g suffix "gg" — one real collision the
-  // synthesis spec caught). Distinct copies get distinct suffixes (all
-  // token sets need is inequality).
-  private def copyCodeAlpha(i: Int): String =
-    "~" + ('a' + i / 10).toChar.toString + ('a' + i % 10).toChar.toString
+  // synthesis spec caught). Two 3-char repetition blocks: any two
+  // distinct copies' suffixes are at edit distance ≥ 3, BEYOND the
+  // dist-2 fuzzy-join radius even for one-token strings — a 2-char code
+  // left short single-token names within dist ≤ 2 of their 99 copy
+  // twins, and the d=2 deletion-neighborhood join (fuzzy_join2)
+  // legitimately matched ~copies² twins per short name: the measured
+  // 32.9x/decade was the synthesis coupling, not the engine.
+  // (Repetition blocks, not an algebraic [4,2,3] code: linear codes
+  // admit SHIFT alignments — (x,y,x+y,x+2y) and (y,x+y,x+2y,·) overlap
+  // in 3 consecutive symbols, landing two valid codewords at edit
+  // distance 2 via one deletion + one insertion. Block repetition has
+  // no such alignment; all cases pairwise edit ≥ 3.)
+  private def copyCodeAlpha(i: Int): String = {
+    val (a, b) = (('a' + i / 10).toChar, ('a' + i % 10).toChar)
+    "~" + s"$a$a$a$b$b$b"
+  }
 
   /** "Customer#000000123" → "Customer#aabb00123": the four code chars
     * replace always-zero digits (max key 14999 « 10^5 of the 9-digit
@@ -266,6 +278,21 @@ object Scale10 {
     val outSf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_pseudo_sf10")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val spark = graft.GraftSession.local()
+    // probe-session sizing (same reasoning as Bench's advisory override):
+    // the local pseudo-SFs are MBs-to-GBs, not TBs, and the synthesized
+    // tables are many SMALL part files — under the production defaults
+    // (128 MB file splits, 64 MB AQE advisory) FilePartition packing
+    // collapses a 200 MB table to 2 map tasks and AQE coalesces every
+    // exchange toward 1 partition, so row-amplifying map stages (e.g.
+    // the salted build-side ×8 explode) serialize onto one core and the
+    // probe measures local file packing, not the engine (observed: one
+    // 4 GB single-task shuffle write at pseudo-sf10). A real cluster's
+    // map parallelism is bytes-proportional; scale the thresholds down
+    // so the probe's plans have it too — uniformly across all probed
+    // scales, so ratios compare like for like.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
 
     def timeQuery(name: String, dir: String): Seq[Double] = {
       val fn = graft.SparkEntry.queries(name)
