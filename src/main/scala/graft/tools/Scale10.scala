@@ -265,6 +265,26 @@ object Scale10 {
     }
   }
 
+  /** Probe session: GraftSession defaults plus the same scratch hygiene
+    * as Bench — shuffle/spill on tmpfs when one exists. Measured without
+    * it: fuzzy_join2's second-decade verification stage spilled 17 GB to
+    * rotational /tmp and the disk I/O, not the operator, set the wall
+    * time. A real cluster provisions executor local dirs on fast storage
+    * for exactly the same reason (spark.local.dir is static conf, so it
+    * must land in the builder, not on a live session).
+    */
+  private[tools] def probeSession(): SparkSession = {
+    val shm = new java.io.File("/dev/shm")
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_local"
+      else sys.props("java.io.tmpdir"))
+    val s = graft.GraftSession.builder()
+      .config("spark.local.dir", scratch)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   private def fmt(d: Double) =
     BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
   private def jm(m: Map[String, Int]) =
@@ -277,7 +297,16 @@ object Scale10 {
     val out = args.drop(1).headOption.getOrElse("/tmp/graft_pseudo_sf1")
     val outSf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_pseudo_sf10")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val spark = graft.GraftSession.local()
+    // SPARK_GRAFT_ONLY=q1,q2 restricts a probe mode's query set. The
+    // heavy sf10 probes should run ONE QUERY PER JVM: five cache-heavy
+    // queries sharing a JVM contaminate each other's absolute times
+    // (measured: fuzzy_join2's sf1 base read 34 s mid-sequence vs 11.6 s
+    // in a fresh JVM — a 3x base inflation that flattered the decade
+    // ratio 7.4x vs the honest 12.9x). tools/scale100.sh drives the
+    // per-query runs and merges the JSONs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def selected(qs: Seq[String]) = only.fold(qs)(f => qs.filter(f))
+    val spark = probeSession()
     // probe-session sizing (same reasoning as Bench's advisory override):
     // the local pseudo-SFs are MBs-to-GBs, not TBs, and the synthesized
     // tables are many SMALL part files — under the production defaults
@@ -351,14 +380,14 @@ object Scale10 {
 
     if (mode == "probe" || mode == "all") {
       warmup()
-      val rows = PROBE.map(q => probeRow(q, src, out, "sf01", "sf1"))
+      val rows = selected(PROBE).map(q => probeRow(q, src, out, "sf01", "sf1"))
       // streaming probe: wall time + state metrics at both scales. No
       // PlanLint row — the returned frame is the drained memory-sink
       // result, not the streaming plan.
       val stats = new StreamStats
       spark.streams.addListener(stats)
       val streamRows =
-        try STREAM_PROBE.map { q =>
+        try selected(STREAM_PROBE).map { q =>
           def runAt(dir: String): (Seq[Double], Long, Long, Long) = {
             stats.reset()
             val ts = timeQuery(q, dir)
@@ -394,9 +423,13 @@ object Scale10 {
       // sides always share a synthesis version.
       if (!new java.io.File(s"$out/lineitem.parquet").isDirectory)
         synth(spark, src, out)
-      synth(spark, src, outSf10, COPIES_SF10)
+      // reuse an existing pseudo-sf10 (same skip rule as the sf1 side);
+      // delete the directory to force a re-synthesis after a synthesis
+      // change
+      if (!new java.io.File(s"$outSf10/lineitem.parquet").isDirectory)
+        synth(spark, src, outSf10, COPIES_SF10)
       warmup()
-      val rows = SF10_PROBE.map(q => probeRow(q, out, outSf10, "sf1", "sf10"))
+      val rows = selected(SF10_PROBE).map(q => probeRow(q, out, outSf10, "sf1", "sf10"))
       val json =
         s"""{"sf1":"$out","sf10":"$outSf10","copies":$COPIES_SF10,"stride":$STRIDE,"runs":$runs,""" +
           s""""queries":${rows.mkString("{", ",", "}")}}"""
