@@ -204,7 +204,10 @@ object Dedup {
     val sigs = graft.Caches.track(
       mhSigs(df, id, shingles, bands, rows, seed).persist())
     // the bucket self-join moves (band, bucket, id) triples ONLY — the
-    // signatures rejoin by id onto the (deduped, tiny) pair set below
+    // signatures rejoin by id onto the (deduped, tiny) pair set below.
+    // (cacheInput=false was A/B'd at r12: re-running the explode from the
+    // sigs cache for the guard's two passes + eager-filling the banded
+    // OUTPUT cost ~1.5x the input-cache form at sf0.1 — keep the default.)
     val guarded = boundedBuckets(
       mhBandRows(sigs, bands, rows).select(col("_band"), col("_bucket"), col("_id")),
       Seq("_band", "_bucket"), maxBucket, "minhash_buckets")
@@ -286,9 +289,16 @@ object Dedup {
       .select(col("_id"), col("_rid"), col("_fidx"))
       .dropDuplicates("_id", "_rid", "_fidx")
     // partner signatures: index rows repeat one identical _sig per band —
-    // dropDuplicates collapses them deterministically (equal rows)
+    // dedup by (_rid, _sig), NOT by _rid alone: the documented
+    // append-each-batch index workflow can legitimately hold TWO distinct
+    // signatures for one id (a revised doc re-ingested under the same id),
+    // and an id-only dedup would verify against an arbitrary one of them,
+    // silently missing near-dups of the other version. With (_rid, _sig)
+    // the join below fans each candidate pair out once per distinct
+    // partner signature and verification runs against every version; the
+    // terminal left_anti absorbs the duplicate drop ids.
     val rightSigs = index.select(col("_id").as("_rid"), col("_sig").as("_isig"))
-      .dropDuplicates("_rid")
+      .dropDuplicates("_rid", "_isig")
       .select(col("_rid"), col("_isig"), lit(true).as("_fidx"))
       .unionByName(sigs.select(col("_id").as("_rid"), col("_sig").as("_isig"),
         lit(false).as("_fidx")))
@@ -628,19 +638,43 @@ object Dedup {
       .filter(over)
       .select(kcols: _*)
     val guarded = cached.join(broadcast(overKeys), keys, "left_anti")
-    if (cache) {
+    // EAGER FILL of the *expensive* subtree only. Every caller self-joins
+    // the guarded frame, and AQE materializes the join's exchanges
+    // CONCURRENTLY — left lazy, the banding subtree is then computed once
+    // per concurrent consumer (first fill wins, the others redundantly
+    // re-run it; same stampede triangleCount documents on its
+    // oriented-edge cache). At sf0.1 the duplicate runs cost milliseconds
+    // and hid; at the 10x probe the stage dump showed the 8.5 GB banding
+    // subtree executed SIX times and the candidate join re-paid three
+    // 13.6 GB shuffle reads.
+    //
+    // What to fill differs by path (the r11 form — eager count() of the
+    // guarded OUTPUT — serialized the fill but paid a second full
+    // materialization job per query; at sf0.1 that 3x'd dedup_minhash /
+    // dedup_simhash for zero benefit, since the work it fronted was work
+    // the first consumer fused into its own action anyway):
+    // - cacheInput: one count() of the INPUT cache serializes exactly the
+    //   expensive banding compute; the guarded output still persists
+    //   LAZILY — a concurrent first-consumer fill of it now re-runs only
+    //   an in-memory scan + broadcast anti-join (block-level cache locks
+    //   serialize per-partition computes within an executor), never the
+    //   banding.
+    // - !cacheInput (banding cheap to recompute, e.g. hyperplane signs):
+    //   the output cache is the ONLY materialization, so it is the frame
+    //   whose lazy fill would stampede the recompute — fill it eagerly.
+    //
+    // `spark.graft.bucketGuard.eagerFill=false` skips the
+    // construction-time action for plan-audit / explain / dry-run paths
+    // that never execute the frame (the fill is a perf guard, not a
+    // correctness requirement — lazy fills produce identical results).
+    val eager = df.sparkSession.conf
+      .get("spark.graft.bucketGuard.eagerFill", "true").toBoolean
+    if (cache && cacheInput) {
+      if (eager) cached.count()
+      graft.Caches.track(guarded.persist())
+    } else if (cache) {
       val out = graft.Caches.track(guarded.persist())
-      // fill EAGERLY: every caller self-joins this frame, and AQE
-      // materializes the join's exchanges CONCURRENTLY — a lazy cache is
-      // then computed once per concurrent consumer (first fill wins, the
-      // others redundantly re-run the banding + guard subtree; same
-      // stampede triangleCount documents on its oriented-edge cache). At
-      // sf0.1 the duplicate runs cost milliseconds and hid; at the 10x
-      // probe the stage dump showed the 8.5 GB banding subtree executed
-      // SIX times and the candidate join re-paid three 13.6 GB shuffle
-      // reads — one count() here serializes the fill and every consumer
-      // reads memory.
-      out.count()
+      if (eager) out.count()
       out
     } else guarded
   }

@@ -43,8 +43,13 @@ object StageDump {
       }
     }
     val app = spark.sparkContext.applicationId
+    // uiWebUrl, not a hardcoded :4040 — with another Spark UI up this
+    // app's UI binds 4041+, and a fixed port would scrape the WRONG
+    // application's stages (or fail after the runs completed)
+    val ui = spark.sparkContext.uiWebUrl.getOrElse(
+      sys.error("Spark UI is not running (spark.ui.enabled was overridden?)"))
     val json = scala.io.Source.fromURL(
-      s"http://localhost:4040/api/v1/applications/$app/stages?status=complete").mkString
+      s"$ui/api/v1/applications/$app/stages?status=complete").mkString
     // minimal JSON field scrape (no JSON lib on the runtime classpath):
     // stages arrive as an array of flat-ish objects; pull the fields we
     // print with regexes anchored to their names

@@ -35,12 +35,16 @@ def git(*args):
 
 def main():
     failures = []
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # 1. working tree artifact == HEAD artifact
     for a in ARTIFACTS:
         head = git("show", f"HEAD:{a}")
-        exists = os.path.exists(os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), a))
+        # same absolute path for exists() and open(): git commands run at
+        # the repo root, so a CWD-relative open() from any other directory
+        # would crash after the absolute exists() check passed
+        apath = os.path.join(repo_root, a)
+        exists = os.path.exists(apath)
         if head.returncode != 0:
             if exists:
                 failures.append(f"{a}: present in working tree but not in HEAD "
@@ -49,7 +53,7 @@ def main():
         if not exists:
             failures.append(f"{a}: committed but missing from the working tree")
             continue
-        with open(a, "rb") as f:
+        with open(apath, "rb") as f:
             tree = f.read()
         if tree.decode("utf-8", "replace") != head.stdout:
             failures.append(f"{a}: working tree differs from HEAD — either a "

@@ -29,10 +29,21 @@ IFS=',' read -ra QS <<< "$QUERIES"
 parts=()
 for q in "${QS[@]}"; do
   part="/tmp/scale100_${q}.json"
+  # delete any stale part BEFORE the run: a swallowed JVM failure must not
+  # let the merge silently pick up numbers from a previous invocation and
+  # present them as fresh
+  rm -f "$part"
   echo "[scale100] $q (fresh JVM)"
-  SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_SCALE100_OUT="$part" \
+  if ! SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_SCALE100_OUT="$part" \
     java "${JAVA_OPTS[@]}" -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.tools.Scale10 sf10 2>/dev/null | grep '\[scale10\]' || true
+    graft.tools.Scale10 sf10 2>/dev/null | grep '\[scale10\]'; then
+    echo "[scale100] FAILED: $q (JVM exit or no output)" >&2
+    exit 1
+  fi
+  if [[ ! -s "$part" ]]; then
+    echo "[scale100] FAILED: $q produced no $part" >&2
+    exit 1
+  fi
   parts+=("$part")
 done
 
