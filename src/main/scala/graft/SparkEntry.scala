@@ -125,6 +125,25 @@ object SparkEntry {
     "spark.sql.adaptive.enabled" -> "false",
     "spark.sql.shuffle.partitions" -> "8")
 
+  /** The deletion-neighborhood pair joins' source tables: above the tiny
+    * class their pair-emitting self-join is the dominant stage, and
+    * shuffled-hash beats sort-merge there (r12 StageDump at the 100x
+    * probe: the SMJ's two SortExecs were ~25% of the stage's CPU,
+    * decade ratio 8.6x -> 7.5x with preferSortMergeJoin=false). Below it
+    * the default planning wins — AQE broadcast-promotes the small
+    * candidate frame at runtime, which an explicit shuffle_hash hint (or
+    * this pin) would forgo for no benefit (A/B'd: fuzzy_join2
+    * 1.67 -> 2.21 s at sf0.1 with the hint baked in, stable across runs). Same
+    * pin-off-at-tiny / default-at-big structure as [[tinyGraphPins]],
+    * gated on measured input rows, not the fixture.
+    */
+  private val pairJoinDomain: Map[String, Seq[String]] = Map(
+    "fuzzy_join" -> Seq("customer"),
+    "fuzzy_join2" -> Seq("part"))
+
+  private val bigPairJoinPins = Map(
+    "spark.sql.join.preferSortMergeJoin" -> "false")
+
   // one footer-cheap count() per (dir, table) per JVM — outside every
   // harness's timed region (pins are computed before the clock starts)
   private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -142,11 +161,18 @@ object SparkEntry {
     */
   def confPinsFor(spark: SparkSession, name: String, dir: String): Map[String, String] = {
     val base = confPins.getOrElse(name, Map.empty)
-    graphNodeDomain.get(name) match {
+    val graph = graphNodeDomain.get(name) match {
       case Some(tables)
           if tables.map(tableRows(spark, dir, _)).sum < TinyGraphNodes =>
-        base ++ tinyGraphPins
-      case _ => base
+        tinyGraphPins
+      case _ => Map.empty[String, String]
     }
+    val pair = pairJoinDomain.get(name) match {
+      case Some(tables)
+          if tables.map(tableRows(spark, dir, _)).sum >= TinyGraphNodes =>
+        bigPairJoinPins
+      case _ => Map.empty[String, String]
+    }
+    base ++ graph ++ pair
   }
 }

@@ -81,11 +81,20 @@ object Scale10 {
     "stream_sessionize")
 
   /** The second measured decade: the 5 highest sf0.1→sf1 ratios of the
-    * round-10 probe (4.0–5.2x), timed at pseudo-sf1 vs pseudo-sf10.
+    * round-10 probe (4.0–5.2x), timed at pseudo-sf1 vs pseudo-sf10 —
+    * plus (round-12 ask) the dedup/ER bulk, so the second decade covers
+    * the candidate-generation families, not only the steepest curves.
     */
   val SF10_PROBE: Seq[String] = Seq(
     "pagerank", "fuzzy_join2", "salted_join", "dedup_minhash_incremental",
-    "triangle_count")
+    "triangle_count", "dedup_canonical", "entity_resolution")
+
+  /** Streaming representatives for the SECOND decade (round-12 ask):
+    * timed like [[SF10_PROBE]] but with state-store metrics — the claim
+    * that state stays linear in input must hold decade over decade, not
+    * only at 10x.
+    */
+  val SF10_STREAM_PROBE: Seq[String] = Seq("stream_upsert", "stream_left_join")
 
   /** 4-char name code "aabb": digit-pair repetition ⇒ any two distinct
     * copies differ in ≥ 2 positions (equal-length strings, so edit
@@ -322,6 +331,20 @@ object Scale10 {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+    // Reduce parallelism stays at the session's 32 — DELIBERATELY, and
+    // it was A/B'd (r12): raising AQE's initialPartitionNum to 256 so
+    // reduce stages could fan out with the decade did NOT touch
+    // fuzzy_join2's 16.5 GB spill (that spill is the map-side shuffle
+    // WRITE sorter flushing a ~6 GB pair exchange — proportional to
+    // bytes written, not to reduce-task state) and TRIPLED the written
+    // bytes of the row-amplifying pair exchange at BOTH scales
+    // (568 MB→2.0 GB at sf1, 5.6→17.9 GB at sf10: 256 output streams
+    // per map task shrink the lz4 blocks of highly-delta-compressible
+    // sorted pair runs). On one 32-core JVM, 32 reduce tasks IS the
+    // hardware; a real cluster fans reduce out across nodes with
+    // shuffle.partitions=O(bytes/128MB), which this probe cannot model
+    // without paying the small-block compression tax on both sides of
+    // every ratio.
 
     def timeQuery(name: String, dir: String): Seq[Double] = {
       val fn = graft.SparkEntry.queries(name)
@@ -376,41 +399,46 @@ object Scale10 {
       println(s"[scale10] wrote $file")
     }
 
+    // streaming probe rows: wall time + state metrics at both scales. No
+    // PlanLint row — the returned frame is the drained memory-sink
+    // result, not the streaming plan. Shared by the first (sf0.1→sf1)
+    // and second (sf1→sf10) decades.
+    def streamProbeRows(qs: Seq[String], dirA: String, dirB: String,
+        aKey: String, bKey: String): Seq[String] = {
+      val stats = new StreamStats
+      spark.streams.addListener(stats)
+      try qs.map { q =>
+        def runAt(dir: String): (Seq[Double], Long, Long, Long) = {
+          stats.reset()
+          val ts = timeQuery(q, dir)
+          stats.await()
+          // the listener saw `runs` identical executions (each run
+          // starts fresh streams with fresh UUIDs) — divide totals back
+          // to per-run values. Batches scale with input only through
+          // AvailableNow's file grouping; state rows are the signal
+          // that must stay LINEAR in input (sublinear for windowed
+          // state that expires)
+          val n = math.max(ts.size, 1)
+          (ts, stats.batches.get / n, stats.stateRows / n, stats.stateBytes / n)
+        }
+        val (a, ab, ar, _) = runAt(dirA)
+        val (b, bb, br, bBytes) = runAt(dirB)
+        val ratio = b.min / math.max(a.min, 1e-9)
+        println(f"[scale10] $q%-28s $aKey=${a.min}%.2fs $bKey=${b.min}%.2fs ratio=$ratio%.1fx " +
+          f"stateRows ${ar}→$br batches ${ab}→$bb")
+        s""""$q":{"${aKey}_min":${fmt(a.min)},"${bKey}_min":${fmt(b.min)},"ratio":${fmt(ratio)},""" +
+          s""""${aKey}_runs":${arr(a)},"${bKey}_runs":${arr(b)},""" +
+          s""""${aKey}_batches":$ab,"${bKey}_batches":$bb,""" +
+          s""""${aKey}_state_rows":$ar,"${bKey}_state_rows":$br,"${bKey}_state_bytes":$bBytes}"""
+      } finally spark.streams.removeListener(stats)
+    }
+
     if (mode == "synth" || mode == "all") synth(spark, src, out)
 
     if (mode == "probe" || mode == "all") {
       warmup()
       val rows = selected(PROBE).map(q => probeRow(q, src, out, "sf01", "sf1"))
-      // streaming probe: wall time + state metrics at both scales. No
-      // PlanLint row — the returned frame is the drained memory-sink
-      // result, not the streaming plan.
-      val stats = new StreamStats
-      spark.streams.addListener(stats)
-      val streamRows =
-        try selected(STREAM_PROBE).map { q =>
-          def runAt(dir: String): (Seq[Double], Long, Long, Long) = {
-            stats.reset()
-            val ts = timeQuery(q, dir)
-            stats.await()
-            // the listener saw `runs` identical executions (each run
-            // starts fresh streams with fresh UUIDs) — divide totals back
-            // to per-run values. Batches scale with input only through
-            // AvailableNow's file grouping; state rows are the signal
-            // that must stay LINEAR in input (sublinear for windowed
-            // state that expires)
-            val n = math.max(ts.size, 1)
-            (ts, stats.batches.get / n, stats.stateRows / n, stats.stateBytes / n)
-          }
-          val (a, ab, ar, _) = runAt(src)
-          val (b, bb, br, bBytes) = runAt(out)
-          val ratio = b.min / math.max(a.min, 1e-9)
-          println(f"[scale10] $q%-28s sf01=${a.min}%.2fs sf1=${b.min}%.2fs ratio=$ratio%.1fx " +
-            f"stateRows ${ar}→$br batches ${ab}→$bb")
-          s""""$q":{"sf01_min":${fmt(a.min)},"sf1_min":${fmt(b.min)},"ratio":${fmt(ratio)},""" +
-            s""""sf01_runs":${arr(a)},"sf1_runs":${arr(b)},""" +
-            s""""sf01_batches":$ab,"sf1_batches":$bb,""" +
-            s""""sf01_state_rows":$ar,"sf1_state_rows":$br,"sf1_state_bytes":$bBytes}"""
-        } finally spark.streams.removeListener(stats)
+      val streamRows = streamProbeRows(selected(STREAM_PROBE), src, out, "sf01", "sf1")
       val json =
         s"""{"src":"$src","sf1":"$out","copies":$COPIES,"stride":$STRIDE,"runs":$runs,""" +
           s""""queries":${(rows ++ streamRows).mkString("{", ",", "}")}}"""
@@ -430,9 +458,11 @@ object Scale10 {
         synth(spark, src, outSf10, COPIES_SF10)
       warmup()
       val rows = selected(SF10_PROBE).map(q => probeRow(q, out, outSf10, "sf1", "sf10"))
+      val streamRows =
+        streamProbeRows(selected(SF10_STREAM_PROBE), out, outSf10, "sf1", "sf10")
       val json =
         s"""{"sf1":"$out","sf10":"$outSf10","copies":$COPIES_SF10,"stride":$STRIDE,"runs":$runs,""" +
-          s""""queries":${rows.mkString("{", ",", "}")}}"""
+          s""""queries":${(rows ++ streamRows).mkString("{", ",", "}")}}"""
       writeJson(sys.env.getOrElse("SPARK_GRAFT_SCALE100_OUT", "SCALE100.json"), json)
     }
 

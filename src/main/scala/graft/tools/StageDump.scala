@@ -32,6 +32,7 @@ object StageDump {
     // same probe sizing as Scale10, so the dump profiles the probe's plan
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
     val pins = graft.SparkEntry.confPinsFor(spark, q, dir)
     graft.GraftSession.withConfs(spark, pins) {
       (1 to runs).foreach { i =>
@@ -61,15 +62,20 @@ object StageDump {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSzzz")
     def t(s: String): Long =
       try java.time.ZonedDateTime.parse(s, fmt).toInstant.toEpochMilli catch { case _: Throwable => 0L }
+    // run_s = executorRunTime (task wall on the executor: CPU + GC
+    // pauses + I/O waits); cpu_s = executorCpuTime (pure CPU ns) — the
+    // GAP between them is the memory-subsystem story (GC, spill I/O)
+    // that raw run time alone can't attribute
     val rows = objs.map { o =>
       val wall = (t(str(o, "completionTime")) - t(str(o, "firstTaskLaunchedTime"))) / 1000.0
       (wall, longs(o, "stageId"), longs(o, "numCompleteTasks"), longs(o, "inputBytes"),
         longs(o, "shuffleReadBytes"), longs(o, "shuffleWriteBytes"),
-        longs(o, "executorRunTime"), longs(o, "diskBytesSpilled"))
+        longs(o, "executorRunTime"), longs(o, "executorCpuTime"),
+        longs(o, "diskBytesSpilled"))
     }.sortBy(-_._1).take(15)
-    println(f"[stagedump] ${"stage"}%6s ${"wall_s"}%8s ${"tasks"}%6s ${"in_MB"}%9s ${"shr_MB"}%9s ${"shw_MB"}%9s ${"cpu_s"}%8s ${"spill_MB"}%9s")
-    rows.foreach { case (w, id, tk, in, sr, sw, cpu, sp) =>
-      println(f"[stagedump] $id%6d $w%8.1f $tk%6d ${in / 1e6}%9.1f ${sr / 1e6}%9.1f ${sw / 1e6}%9.1f ${cpu / 1e3}%8.1f ${sp / 1e6}%9.1f")
+    println(f"[stagedump] ${"stage"}%6s ${"wall_s"}%8s ${"tasks"}%6s ${"in_MB"}%9s ${"shr_MB"}%9s ${"shw_MB"}%9s ${"run_s"}%8s ${"cpu_s"}%8s ${"spill_MB"}%9s")
+    rows.foreach { case (w, id, tk, in, sr, sw, run, cpu, sp) =>
+      println(f"[stagedump] $id%6d $w%8.1f $tk%6d ${in / 1e6}%9.1f ${sr / 1e6}%9.1f ${sw / 1e6}%9.1f ${run / 1e3}%8.1f ${cpu / 1e9}%8.1f ${sp / 1e6}%9.1f")
     }
     spark.stop()
   }
