@@ -140,6 +140,41 @@ object NorthStarQueries {
           length(TextFunctions.redactEmails(col("_t"))).as("redacted_len"))
     },
 
+    /** URL canonicalization ([[graft.functions.UrlFunctions]]): every doc
+      * gets a deterministically MESSY url (scheme/host case, www, default
+      * port, tracking params, unsorted params, fragment, trailing slash —
+      * shape keyed off doc_id so all rules fire across the corpus) plus an
+      * independently-messy VARIANT of the same logical page; both engines
+      * canonicalize both through their own full pipelines and must agree
+      * on the canonical string, the host, and that the pair COLLAPSED —
+      * the property URL-keyed dedup depends on. Pure codegen'd string
+      * algebra per row; nothing crosses an exchange.
+      */
+    "url_canonicalize" -> { (s, dir) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+        when(id % 3 === 0, "WWW.").otherwise(""),
+        col("source"), lit(".Example.COM"),
+        when(id % 2 === 0, ":80").when(id % 5 === 1, ":8443").otherwise(""),
+        lit("/"), col("lang"), lit("/Doc/"), id.cast("string"),
+        when(id % 4 === 0, "/")
+          .when(id % 4 === 1, "?utm_source=feed&b=2&a=1")
+          .when(id % 4 === 2, "?z=9&utm_campaign=x&a=1#frag")
+          .otherwise("#top"))
+      val variant = concat(
+        when(id % 2 === 0, "http").otherwise("https"), lit("://"),
+        col("source"), lit(".example.com"),
+        when(id % 2 =!= 0 && id % 5 === 1, ":8443").otherwise(""),
+        lit("/"), col("lang"), lit("/Doc/"), id.cast("string"),
+        when(id % 4 === 1, "?b=2&a=1&gclid=g1")
+          .when(id % 4 === 2, "?a=1&z=9#other").otherwise(""))
+      val cu = graft.functions.UrlFunctions.canonicalizeUrl(url)
+      tableSpread(s, dir, "documents").select(col("doc_id"), cu.as("canonical_url"),
+        graft.functions.UrlFunctions.canonicalHost(cu).as("host"),
+        (cu === graft.functions.UrlFunctions.canonicalizeUrl(variant)).as("collapsed"))
+    },
+
     /** Repetition-ratio quality signal (Gopher/C4-style): the most frequent
       * token's share of the document ([[TextFunctions.repetitionStats]] —
       * two partial-aggregated shuffles; counts only cross the exchange).
@@ -2187,6 +2222,75 @@ object NorthStarQueries {
         |       length(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'))
         |         AS redacted_len
         |FROM t""".stripMargin,
+    // the oracle canonicalizes BOTH generated urls through its own full
+    // DuckDB pipeline (stacked via w=0/1, one pass, re-joined) — a
+    // differential test of every rule, not a literal-expectation check
+    "url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':80'
+        |          WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END) ||
+        |    '/' || lang || '/Doc/' || doc_id ||
+        |    (CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=feed&b=2&a=1'
+        |          WHEN 2 THEN '?z=9&utm_campaign=x&a=1#frag' ELSE '#top' END) AS raw0,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |    source || '.example.com' ||
+        |    (CASE WHEN doc_id % 2 <> 0 AND doc_id % 5 = 1 THEN ':8443' ELSE '' END) ||
+        |    '/' || lang || '/Doc/' || doc_id ||
+        |    (CASE doc_id % 4 WHEN 1 THEN '?b=2&a=1&gclid=g1'
+        |          WHEN 2 THEN '?a=1&z=9#other' ELSE '' END) AS raw1
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, 0 AS w, raw0 AS raw FROM u
+        |  UNION ALL SELECT doc_id, 1, raw1 FROM u
+        |), q AS (
+        |  SELECT doc_id, w,
+        |    split_part(split_part(raw, '#', 1), '?', 1) AS base,
+        |    CASE WHEN len(split_part(raw, '#', 1)) > len(split_part(split_part(raw, '#', 1), '?', 1))
+        |         THEN substr(split_part(raw, '#', 1), len(split_part(split_part(raw, '#', 1), '?', 1)) + 2)
+        |         ELSE '' END AS qs
+        |  FROM s
+        |), r AS (
+        |  SELECT doc_id, w, qs,
+        |    lower(split_part(base, '://', 1)) AS scheme,
+        |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
+        |  FROM q
+        |), h AS (
+        |  SELECT doc_id, w, qs, scheme,
+        |    split_part(rest, '/', 1) AS hostport,
+        |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path0
+        |  FROM r
+        |), d AS (
+        |  SELECT doc_id, w, qs, scheme, path0,
+        |    lower(split_part(hostport, ':', 1)) AS host0,
+        |    CASE WHEN len(hostport) > len(split_part(hostport, ':', 1))
+        |         THEN substr(hostport, len(split_part(hostport, ':', 1)) + 2) ELSE '' END AS port
+        |  FROM h
+        |), f AS (
+        |  SELECT doc_id, w, scheme, port,
+        |    CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, len(path0) - 1)
+        |         ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |        AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid='))), '&') AS params
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id, w, host,
+        |    scheme || '://' || host ||
+        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |         THEN ':' || port ELSE '' END ||
+        |    path || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS cu
+        |  FROM f
+        |)
+        |SELECT a.doc_id, a.cu AS canonical_url, a.host AS host,
+        |       a.cu = b.cu AS collapsed
+        |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w = 0 AND b.w = 1""".stripMargin,
     "text_repetition" ->
       """WITH tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf

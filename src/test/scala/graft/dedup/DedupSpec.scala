@@ -115,6 +115,27 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
   }
 
+  test("incremental minhash verifies against EVERY signature version of a re-ingested id") {
+    import graft.functions.TextFunctions.{shinglesOf, tokens}
+    val sh = shinglesOf(tokens(col("text")), 3)
+    val longDoc = "incremental ingestion pipelines persist a banded signature index " +
+      "between batches so that every newly arriving document can be checked " +
+      "for near duplication against the whole history without ever rereading text"
+    // the documented append-each-batch workflow re-ingested id=1 with
+    // REVISED text: the index now holds two distinct signatures for one
+    // id. A batch doc near either version must be dropped — an id-only
+    // signature dedup would verify against an arbitrary one of them and
+    // silently keep the other version's near-dups.
+    val index = Dedup.minhashIndex(Seq((1L, base)).toDF("id", "text"), "id", sh)
+      .unionByName(Dedup.minhashIndex(Seq((1L, longDoc)).toDF("id", "text"), "id", sh))
+    val batch = Seq(
+      (10L, nearDup), // near-dup of version 1 (base) -> dropped
+      (11L, longDoc.split(" ").dropRight(2).mkString(" ")), // near-dup of version 2 -> dropped
+      (12L, distinct2)).toDF("id", "text") // kept
+    val out = Dedup.minhashIncremental(batch, index, "id", sh, threshold = 0.5)
+    assert(out.select("id").as[Long].collect().toSeq === Seq(12L))
+  }
+
   test("minhash index survives a parquet round-trip between batches") {
     import graft.functions.TextFunctions.{shinglesOf, tokens}
     val sh = shinglesOf(tokens(col("text")), 3)
