@@ -1,0 +1,149 @@
+package graft.props
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.functions.UrlFunctions
+
+/** Round-12 seam fuzz, same discipline as Round10/11PropertiesSpec:
+  *
+  *  - [[Dedup.boundedBuckets]] was restructured (eager fill moved from
+  *    the guarded OUTPUT to the cached INPUT, gated by
+  *    `spark.graft.bucketGuard.eagerFill`) — every (cache, cacheInput,
+  *    eagerFill) arm must return EXACTLY the naive survivor set, on
+  *    random bucket distributions;
+  *  - [[UrlFunctions.canonicalizeUrl]] became a one-pass custom
+  *    expression — random messifications of one logical page must
+  *    collapse to a single canonical string, canonicalization must be
+  *    idempotent, and canonical strings must satisfy the rule set's
+  *    invariants;
+  *  - [[Dedup.minhashIncremental]] now verifies against every distinct
+  *    (id, signature) pair in the index — duplicate index rows must not
+  *    change the survivor set, and a larger index can only shrink it.
+  */
+class Round12PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  private val obsN = new AtomicInteger(0)
+
+  test("boundedBuckets: every cache/eagerFill arm returns the naive survivor set") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0L, 400L), Gen.choose(0, 5)))
+    for ((data, bound) <- samples(Gen.zip(rows, Gen.choose(1, 4)), 4, seed = 121L)) {
+      val distinctRows = data.distinct // survivor SETS compare; dup rows survive as sets
+      val naive = {
+        val sizes = distinctRows.groupBy(_._2).view.mapValues(_.size).toMap
+        distinctRows.filter { case (_, b) => sizes(b) <= bound }.toSet
+      }
+      for {
+        (cache, cacheInput) <- Seq((true, true), (true, false), (false, true))
+        eager <- Seq("true", "false")
+      } {
+        val prev = spark.conf.getOption("spark.graft.bucketGuard.eagerFill")
+        spark.conf.set("spark.graft.bucketGuard.eagerFill", eager)
+        try {
+          val df = distinctRows.toDF("_id", "_bucket")
+          val got = Dedup.boundedBuckets(df, Seq("_bucket"), bound,
+              s"r12_bb_${obsN.incrementAndGet()}", cache = cache, cacheInput = cacheInput)
+            .select("_id", "_bucket").as[(Long, Int)].collect().toSet
+          assert(got === naive,
+            s"cache=$cache cacheInput=$cacheInput eager=$eager bound=$bound data=$distinctRows")
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.graft.bucketGuard.eagerFill", v)
+          case None => spark.conf.unset("spark.graft.bucketGuard.eagerFill")
+        }
+      }
+    }
+  }
+
+  // one logical page = (scheme, host, port-kind, path segments, params);
+  // a messification perturbs only what canonicalization must erase
+  private case class Page(https: Boolean, host: String, port: String,
+      segs: List[String], params: List[String])
+
+  private val pageGen: Gen[Page] = for {
+    https <- Gen.oneOf(true, false)
+    host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(cs => cs.take(8).mkString + ".example.com")
+    port <- Gen.oneOf("", "8080", "8443")
+    segs <- Gen.listOf(Gen.nonEmptyListOf(Gen.alphaChar).map(_.take(6).mkString)).map(_.take(3))
+    params <- Gen.someOf(List("a=1", "b=2", "z=9", "k=vV")).map(_.toList)
+  } yield Page(https, host, port, segs, params)
+
+  private def messify(p: Page, caseUp: Boolean, www: Boolean, defaultPort: Boolean,
+      shuffleRight: Boolean, tracking: Boolean, frag: Boolean, trailSlash: Boolean): String = {
+    val scheme = (if (p.https) "https" else "http") match {
+      case s if caseUp => s.toUpperCase
+      case s => s
+    }
+    val host = (if (www) "www." else "") + (if (caseUp) p.host.toUpperCase else p.host)
+    val port =
+      if (p.port.nonEmpty) ":" + p.port
+      else if (defaultPort) (if (p.https) ":443" else ":80")
+      else ""
+    val path = p.segs.map("/" + _).mkString +
+      (if (trailSlash && p.segs.nonEmpty) "/" else "")
+    val ps = (if (shuffleRight) p.params.reverse else p.params) ++
+      (if (tracking) List("utm_source=x", "gclid=g", "fbclid=f") else Nil)
+    val query = if (ps.nonEmpty) "?" + ps.mkString("&") else ""
+    s"$scheme://$host$port$path$query" + (if (frag) "#sec2" else "")
+  }
+
+  test("UrlCanonicalize: all messifications of one page collapse; idempotent; invariants hold") {
+    val flags = Gen.listOfN(7, Gen.oneOf(true, false))
+    for ((page, fs) <- samples(Gen.zip(pageGen, Gen.listOfN(3, flags)), 6, seed = 122L)) {
+      val urls = fs.map {
+        case List(a, b, c, d, e, f, g) => messify(page, a, b, c, d, e, f, g)
+        case _ => messify(page, false, false, false, false, false, false, false)
+      }
+      val canon = urls.toDF("u")
+        .select(UrlFunctions.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+      // collapse: one logical page -> ONE canonical string
+      assert(canon.toSet.size === 1, s"page=$page urls=$urls canon=$canon")
+      val c = canon.head
+      // idempotence through the same engine path
+      val again = Seq(c).toDF("u")
+        .select(UrlFunctions.canonicalizeUrl(col("u"))).as[String].collect().head
+      assert(again === c)
+      // rule invariants on the canonical form
+      assert(!c.contains('#') && !c.contains("utm_") &&
+        !c.contains("fbclid=") && !c.contains("gclid="), c)
+      assert(!c.contains("://www."), c)
+      assert(!c.contains(":80/") && !c.endsWith(":80") &&
+        !c.contains(":443/") && !c.endsWith(":443"), c)
+      val hostPart = c.substring(c.indexOf("://") + 3).takeWhile(ch => ch != '/' && ch != '?')
+      assert(hostPart == hostPart.toLowerCase, c)
+      if (c.contains('?')) {
+        val ps = c.substring(c.indexOf('?') + 1).split("&").toSeq
+        assert(ps === ps.sorted, c)
+        assert(ps.toSet === page.params.toSet, s"page=$page canon=$c")
+      } else assert(page.params.isEmpty, s"page=$page canon=$c")
+    }
+  }
+
+  test("minhashIncremental: duplicate index rows never change survivors; a larger index only shrinks them") {
+    import graft.functions.TextFunctions.{shinglesOf, tokens}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(12, Gen.choose(0, vocab.size - 1)).map(_.map(vocab).mkString(" "))
+    val corpusGen = Gen.listOfN(3, docGen)
+    val batchGen = Gen.listOfN(4, docGen)
+    val sh = shinglesOf(tokens(col("text")), 2)
+    for ((corpus, batch) <- samples(Gen.zip(corpusGen, batchGen), 3, seed = 123L)) {
+      val corpusDf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val batchDf = batch.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("id", "text")
+      val idxA = Dedup.minhashIndex(corpusDf.filter(col("id") < 1), "id", sh)
+      val idxAll = Dedup.minhashIndex(corpusDf, "id", sh)
+      def survivors(idx: org.apache.spark.sql.DataFrame): Set[Long] =
+        Dedup.minhashIncremental(batchDf, idx, "id", sh, threshold = 0.5)
+          .select("id").as[Long].collect().toSet
+      val sAll = survivors(idxAll)
+      assert(survivors(idxAll.unionByName(idxAll)) === sAll,
+        s"duplicated index changed survivors: corpus=$corpus batch=$batch")
+      assert(sAll.subsetOf(survivors(idxA)),
+        s"larger index grew survivors: corpus=$corpus batch=$batch")
+    }
+  }
+}
