@@ -87,7 +87,11 @@ object Scale10 {
     */
   val SF10_PROBE: Seq[String] = Seq(
     "pagerank", "fuzzy_join2", "salted_join", "dedup_minhash_incremental",
-    "triangle_count", "dedup_canonical", "entity_resolution")
+    "triangle_count", "dedup_canonical", "entity_resolution",
+    // the two steepest core-algebra 10x curves (r12: 3.62x / 3.26x) —
+    // the §2 algebra a 100 TB job is made of deserves the second decade
+    // as much as the exotic ops
+    "ssjoin_prefix", "masterjoin")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim
