@@ -82,6 +82,9 @@ object GraftExtensions {
     ("ascii_char_count",
       "ascii_char_count(text, chars) - occurrences of any of `chars` in text",
       exprs => AsciiCharCount(exprs.head, strArg(exprs, 1, "ascii_char_count", "chars"))),
+    ("normalize_text",
+      "normalize_text(text) - NFC + lowercase + whitespace-collapse (dedup keying)",
+      exprs => NormalizeText(exprs.head)),
     ("sig_match_frac",
       "sig_match_frac(a, b) - fraction of equal positions in two long-array signatures (MinHash Jaccard estimate)",
       exprs => SigMatchFrac(exprs(0), exprs(1))),

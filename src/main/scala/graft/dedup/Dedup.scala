@@ -145,6 +145,62 @@ object Dedup {
         count(lit(1)).as("n_chunks_kept"))
   }
 
+  /** Boilerplate-line removal (the C4/CCNet corpus-frequency filter —
+    * distinct from [[paragraphDedup]]'s keep-first dedup): a line whose
+    * exact content occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, copyright footers) and EVERY
+    * occurrence is dropped, including the first; each document is then
+    * reassembled from its surviving lines in order. Returns
+    * (id, clean_text, n_lines, n_removed) — one row per input document,
+    * `clean_text` empty when everything was boilerplate.
+    *
+    * Scale shape: three key-equality shuffles, no self-join. (1) distinct
+    * (line-hash, doc) — map-side partial dedup caps a line repeated 10⁸
+    * times within documents at one candidate per task; (2) count per
+    * line-hash over the deduped pairs — partial-aggregated, and the
+    * per-hash row count is bounded by the corpus document count, not by
+    * occurrence count; (3) per-document reassembly keyed by doc, balanced
+    * by document size. The hot set (count ≥ minDocs) is at most
+    * totalLines/minDocs rows of 16 bytes and in practice tiny — AQE
+    * broadcast-promotes the anti-join at runtime; at 100 TB with a
+    * pathological threshold it degrades to a shuffled anti-join, still
+    * O(data). Line identity is the two-seed 128-bit hash of
+    * [[exactFingerprint]]: one 64-bit hash collides at the birthday bound
+    * and a collision here deletes an innocent rare line from every
+    * document that contains it.
+    */
+  def stripFrequentLines(docs: DataFrame, id: String, text: Column,
+      sep: String = "\n", minDocs: Int = 10): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    requireNoInternal(docs, Seq("_id", "_text", "_idx", "_line", "_h1", "_h2"))
+    val litSep = java.util.regex.Pattern.quote(sep)
+    val base = docs.select(col(id).as("_id"), text.as("_text"))
+    val lines = base.select(col("_id"),
+      posexplode(split(col("_text"), litSep)).as(Seq("_idx", "_line")))
+      .withColumn("_h1", xxhash64(col("_line")))
+      .withColumn("_h2", xxhash64(lit(0x5eed), col("_line")))
+    val hot = lines.select(col("_h1"), col("_h2"), col("_id")).distinct()
+      .groupBy(col("_h1"), col("_h2"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h1"), col("_h2"))
+    val rebuilt = lines
+      .join(hot, Seq("_h1", "_h2"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("_idx"), col("_line")))),
+          c => c("_line")), sep).as("clean_text"),
+        count(lit(1)).as("_nkept"))
+    base
+      .select(col("_id"),
+        size(split(col("_text"), litSep)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_nkept"), lit(0L))).as("n_removed"))
+  }
+
   /** Candidate pairs sharing an LSH band of the MinHash signature.
     *
     * bands × rows = k; two docs with Jaccard s share ≥1 band with

@@ -345,6 +345,9 @@ object HashFunctions {
   def sig_match_frac(a: Column, b: Column): Column =
     column(SigMatchFrac(expression(a), expression(b)))
 
+  def normalize_text(text: Column): Column =
+    column(NormalizeText(expression(text)))
+
   /** Register ALL graft SQL functions on a session (spark.sql usable) —
     * delegates to the single shared table in [[graft.GraftExtensions]] so
     * this path cannot drift from the extension injection. For new

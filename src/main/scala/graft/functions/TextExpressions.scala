@@ -189,3 +189,64 @@ object WordShingleHashes {
     new GenericArrayData(out)
   }
 }
+
+/** Canonical text normalization for dedup keying — the step that runs
+  * BEFORE any content hash in a multilingual corpus: the same page
+  * arrives as `Café MENU` (decomposed, cased, double-spaced) and
+  * `café menu`, and exact/fingerprint dedup only works after both
+  * collapse to one canonical string. Three rules, in order:
+  *   1. Unicode NFC composition (a decomposed `e` + U+0301 and the
+  *      precomposed `é` become the same code point);
+  *   2. lowercase (same simple case mapping as `functions.lower` /
+  *      DuckDB `lower` — [[UTF8String.toLowerCase]]);
+  *   3. whitespace canonicalization: runs of space/tab/CR/LF collapse to
+  *      one space, leading/trailing runs are dropped.
+  * One pass per row inside whole-stage codegen; null text → null. The
+  * equivalent built-in composition needs a regexp_replace (non-codegen
+  * regex per row) and has no NFC at all — Spark ships no Unicode
+  * normalizer, which is what makes this an Expression.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeText.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeText.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  def compute(text: UTF8String): UTF8String = {
+    // NFC via the JDK (skipped when already normalized — the common case
+    // costs one isNormalized scan), then the exact lower() mapping
+    val s = text.toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val lowered = UTF8String.fromString(nfc).toLowerCase.toString
+    val n = lowered.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < n) {
+      val c = lowered.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        if (started) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -157,6 +157,14 @@ object TextFunctions {
   def winnowFingerprints(text: Column, n: Int = 5, w: Int = 4): Column =
     winnowFromHashes(ngramHashes(text, n), w)
 
+  /** Canonical dedup-keying normalization: Unicode NFC, then lowercase,
+    * then whitespace-run collapse + trim — one codegen'd pass
+    * ([[NormalizeText]]; DuckDB replays it as
+    * `trim(regexp_replace(lower(nfc_normalize(x)), '[ \t\n\r]+', ' ', 'g'))`).
+    */
+  def normalizeText(text: Column): Column =
+    HashFunctions.normalize_text(text)
+
   /** Email pattern in the common Java/RE2 regex subset, so Spark and
     * SQL-engine oracles agree byte-for-byte on matches.
     */

@@ -175,6 +175,81 @@ object NorthStarQueries {
         (cu === graft.functions.UrlFunctions.canonicalizeUrl(variant)).as("collapsed"))
     },
 
+    /** Host-level crawl aggregation — the per-domain rollup every crawl
+      * curation loop runs (politeness budgets, domain quality scores,
+      * spam-host blocklists): canonicalize each doc's URL, key by the
+      * canonical host, count docs vs distinct canonical PAGES (many raw
+      * URLs collapse to one page — path is bucketed by doc_id % 50, so
+      * the collapse is real and the distinct count is what proves the
+      * canonical keying). Per-row codegen'd canonicalization + one
+      * partial-aggregated shuffle on the host key; distinct counts
+      * expand map-side, never a second pass over the input.
+      */
+    "host_stats" -> { (s, dir) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+        when(id % 3 === 0, "WWW.").otherwise(""),
+        col("source"), lit(".Example.COM"),
+        when(id % 2 === 0, ":80").otherwise(""),
+        lit("/"), col("lang"), lit("/page/"), (id % 50).cast("string"),
+        when(id % 4 === 0, "/")
+          .when(id % 4 === 1, "?utm_source=feed&b=2&a=1")
+          .otherwise(""))
+      val cu = graft.functions.UrlFunctions.canonicalizeUrl(url)
+      tableSpread(s, dir, "documents")
+        .select(graft.functions.UrlFunctions.canonicalHost(cu).as("host"),
+          cu.as("_cu"), col("lang"), col("n_chars"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("_cu")).as("n_pages"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
+    /** Boilerplate-line removal ([[Dedup.stripFrequentLines]] — the
+      * C4/CCNet corpus-frequency filter, distinct from dedup_paragraph's
+      * keep-first dedup): every doc gets a synthesized multi-line page —
+      * two global boilerplate lines (every doc), a per-source line
+      * (corpus_size/20 docs), the doc's own text, and a per-lang-or-unique
+      * line — and lines present in ≥ 10 distinct docs must vanish from
+      * every document while the rest reassemble in order. The oracle
+      * recomputes the frequency table and the reassembly; byte equality
+      * of clean_text proves threshold, removal, and ordering at once.
+      */
+    "boilerplate_strip" -> { (s, dir) =>
+      val mtext = concat_ws("\n",
+        lit("home | about | contact"),
+        concat(lit("source: "), col("source")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit("lang "), col("lang")))
+          .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
+        lit("(c) example corp 2026"))
+      Dedup.stripFrequentLines(tableSpread(s, dir, "documents"),
+        "doc_id", mtext, sep = "\n", minDocs = 10)
+    },
+
+    /** Canonical text normalization ([[TextFunctions.normalizeText]] —
+      * NFC + lowercase + whitespace collapse, the step before any content
+      * hash in a multilingual corpus): ids 0/1 mod 4 get the SAME logical
+      * prefix in decomposed-cased-double-spaced vs precomposed-lowercase
+      * form (both must normalize to identical bytes — the property
+      * normalized dedup keying depends on), id 2 mod 4 gets trailing
+      * newlines + an uppercase precomposed É, id 3 mod 4 is untouched
+      * (already-normal text must come back unchanged). Differential vs
+      * DuckDB's own nfc_normalize/lower/regexp pipeline.
+      */
+    "text_normalize" -> { (s, dir) =>
+      val id = col("doc_id")
+      val m = when(id % 4 === 0, concat(lit("  Cafe\u0301  MENU\t"), col("text")))
+        .when(id % 4 === 1, concat(lit("caf\u00e9 menu "), col("text"), lit(" ")))
+        .when(id % 4 === 2, concat(col("text"), lit("\n\nEND\u00c9")))
+        .otherwise(col("text"))
+      val norm = TextFunctions.normalizeText(m)
+      tableSpread(s, dir, "documents").select(col("doc_id"),
+        norm.as("norm_text"), (norm === m).as("unchanged"))
+    },
+
     /** Repetition-ratio quality signal (Gopher/C4-style): the most frequent
       * token's share of the document ([[TextFunctions.repetitionStats]] —
       * two partial-aggregated shuffles; counts only cross the exchange).
@@ -2291,6 +2366,115 @@ object NorthStarQueries {
         |SELECT a.doc_id, a.cu AS canonical_url, a.host AS host,
         |       a.cu = b.cu AS collapsed
         |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w = 0 AND b.w = 1""".stripMargin,
+    // same full canonicalization pipeline as the url_canonicalize oracle,
+    // then the host rollup — n_pages counts DISTINCT canonical urls, so a
+    // wrong canonicalizer shows up as a wrong page count per host
+    "host_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) ||
+        |    '/' || lang || '/page/' || (doc_id % 50) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/'
+        |          WHEN doc_id % 4 = 1 THEN '?utm_source=feed&b=2&a=1' ELSE '' END) AS raw
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    split_part(split_part(raw, '#', 1), '?', 1) AS base,
+        |    CASE WHEN len(split_part(raw, '#', 1)) > len(split_part(split_part(raw, '#', 1), '?', 1))
+        |         THEN substr(split_part(raw, '#', 1), len(split_part(split_part(raw, '#', 1), '?', 1)) + 2)
+        |         ELSE '' END AS qs
+        |  FROM u
+        |), r AS (
+        |  SELECT doc_id, lang, n_chars, qs,
+        |    lower(split_part(base, '://', 1)) AS scheme,
+        |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
+        |  FROM q
+        |), h AS (
+        |  SELECT doc_id, lang, n_chars, qs, scheme,
+        |    split_part(rest, '/', 1) AS hostport,
+        |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path0
+        |  FROM r
+        |), d AS (
+        |  SELECT doc_id, lang, n_chars, qs, scheme, path0,
+        |    lower(split_part(hostport, ':', 1)) AS host0,
+        |    CASE WHEN len(hostport) > len(split_part(hostport, ':', 1))
+        |         THEN substr(hostport, len(split_part(hostport, ':', 1)) + 2) ELSE '' END AS port
+        |  FROM h
+        |), f AS (
+        |  SELECT doc_id, lang, n_chars, scheme, port,
+        |    CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, len(path0) - 1)
+        |         ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |        AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid='))), '&') AS params
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id, lang, n_chars, host,
+        |    scheme || '://' || host ||
+        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |         THEN ':' || port ELSE '' END ||
+        |    path || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS cu
+        |  FROM f
+        |)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT cu) AS BIGINT) AS n_pages,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM g GROUP BY host""".stripMargin,
+    // recomputes the line-frequency table, the >= 10-distinct-docs
+    // threshold, the removal of EVERY occurrence, and the in-order
+    // reassembly — byte equality of clean_text checks all four
+    "boilerplate_strip" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         'home | about | contact' || chr(10) ||
+        |         'source: ' || source || chr(10) ||
+        |         text || chr(10) ||
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'lang ' || lang
+        |               ELSE 'doc ' || doc_id END) || chr(10) ||
+        |         '(c) example corp 2026' AS mtext
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM base
+        |), l AS (
+        |  SELECT doc_id, i AS idx, ls[i + 1] AS line
+        |  FROM t, UNNEST(range(0, len(ls))) AS u(i)
+        |), hot AS (
+        |  SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10
+        |), k AS (
+        |  SELECT doc_id, idx, line FROM l
+        |  WHERE line NOT IN (SELECT line FROM hot)
+        |)
+        |SELECT t.doc_id,
+        |       coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS clean_text,
+        |       CAST(len(t.ls) AS BIGINT) AS n_lines,
+        |       CAST(len(t.ls) - COUNT(k.line) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN k USING (doc_id)
+        |GROUP BY t.doc_id, len(t.ls)""".stripMargin,
+    // chr(769) = U+0301 combining acute (decomposed form), chr(233) = é,
+    // chr(201) = É — the oracle runs DuckDB's OWN nfc_normalize/lower/
+    // regexp pipeline, a differential test of the normalization rules
+    "text_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN '  Cafe' || chr(769) || '  MENU' || chr(9) || text
+        |         WHEN doc_id % 4 = 1 THEN 'caf' || chr(233) || ' menu ' || text || ' '
+        |         WHEN doc_id % 4 = 2 THEN text || chr(10) || chr(10) || 'END' || chr(201)
+        |         ELSE text END AS m
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, m,
+        |    trim(regexp_replace(lower(nfc_normalize(m)),
+        |         '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS norm_text
+        |  FROM t
+        |)
+        |SELECT doc_id, norm_text, norm_text = m AS unchanged FROM n""".stripMargin,
     "text_repetition" ->
       """WITH tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf

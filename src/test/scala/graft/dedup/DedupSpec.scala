@@ -30,6 +30,36 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("stripFrequentLines drops every occurrence of a >=minDocs line, keeps order") {
+    // "nav" is in 3 docs (>= minDocs 3) -> removed everywhere, including
+    // doc 3 where it appears twice; "footer" is in 2 docs -> kept
+    val d = Seq(
+      (0L, "nav\nalpha\nfooter"),
+      (1L, "nav\nbeta"),
+      (2L, "gamma\nfooter"),
+      (3L, "nav\ndelta\nnav"),
+      (4L, "nav") // all boilerplate -> empty clean_text, row survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripFrequentLines(d, "doc_id", col("text"), minDocs = 3)
+      .select("doc_id", "clean_text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      0L -> (("alpha\nfooter", 3L, 1L)),
+      1L -> (("beta", 2L, 1L)),
+      2L -> (("gamma\nfooter", 2L, 0L)),
+      3L -> (("delta", 3L, 2L)),
+      4L -> (("", 1L, 1L))))
+  }
+
+  test("stripFrequentLines counts distinct docs, not occurrences") {
+    // "spam" occurs 3 times but only in 2 docs -> below minDocs 3 -> kept
+    val d = Seq((0L, "spam\nspam\na"), (1L, "spam\nb"), (2L, "c")).toDF("doc_id", "text")
+    val out = Dedup.stripFrequentLines(d, "doc_id", col("text"), minDocs = 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("paragraph dedup keeps first chunk occurrences and reassembles docs") {
     val d = Seq(
       (0L, "a b c d e f g h"),  // chunks "a b c d" | "e f g h"
