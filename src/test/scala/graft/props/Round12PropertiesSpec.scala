@@ -23,7 +23,16 @@ import graft.functions.UrlFunctions
   *    invariants;
   *  - [[Dedup.minhashIncremental]] now verifies against every distinct
   *    (id, signature) pair in the index — duplicate index rows must not
-  *    change the survivor set, and a larger index can only shrink it.
+  *    change the survivor set, and a larger index can only shrink it;
+  *  - [[Dedup.stripFrequentLines]] (new this round) must return EXACTLY
+  *    the naive per-doc survivor lines on random corpora drawn from a
+  *    small line alphabet (forcing frequency collisions), across random
+  *    minDocs thresholds, repeated lines within a doc, and empty lines;
+  *  - [[graft.functions.NormalizeText]] (new this round): on random
+  *    strings mixing case, combining marks, CJK, and whitespace runs,
+  *    the output must be NFC-normalized, fixed under a second
+  *    normalization pass, free of un-collapsed whitespace, and equal for
+  *    the NFD and NFC spellings of the same string.
   */
 class Round12PropertiesSpec extends SparkSpec {
   import spark.implicits._
@@ -121,6 +130,52 @@ class Round12PropertiesSpec extends SparkSpec {
         assert(ps === ps.sorted, c)
         assert(ps.toSet === page.params.toSet, s"page=$page canon=$c")
       } else assert(page.params.isEmpty, s"page=$page canon=$c")
+    }
+  }
+
+  test("stripFrequentLines: random corpora match the naive survivor lines exactly") {
+    // tiny line alphabet -> heavy cross-doc frequency collisions
+    val lineGen = Gen.oneOf("nav", "footer", "alpha", "beta", "gamma", "", "x y", "nav")
+    val docGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, lineGen)).map(_.mkString("\n"))
+    val corpusGen = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, docGen))
+    for ((corpus, minDocs) <- samples(Gen.zip(corpusGen, Gen.choose(2, 4)), 8, seed = 124L)) {
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val naive: Map[Long, (String, Long, Long)] = {
+        val perDoc = docs.map { case (i, t) => i -> t.split("\n", -1).toSeq }.toMap
+        val nd = perDoc.values.flatMap(_.distinct).groupBy(identity).map {
+          case (l, _) => l -> perDoc.values.count(_.contains(l))
+        }
+        perDoc.map { case (i, ls) =>
+          val kept = ls.filter(l => nd(l) < minDocs)
+          i -> ((kept.mkString("\n"), ls.size.toLong, (ls.size - kept.size).toLong))
+        }
+      }
+      val got = Dedup.stripFrequentLines(docs.toDF("doc_id", "text"),
+          "doc_id", col("text"), minDocs = minDocs)
+        .select("doc_id", "clean_text", "n_lines", "n_removed")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === naive, s"minDocs=$minDocs corpus=${corpus.map(_.replace("\n", "|"))}")
+    }
+  }
+
+  test("NormalizeText: NFC-fixed, idempotent, whitespace-canonical, NFD==NFC on random strings") {
+    import java.text.Normalizer
+    val piece = Gen.oneOf("Café", "Café", "ÉCOLE", "MiXeD", "中文",
+      "x", "", " ", "  ", "\t", "\n", "\r\n", "a b")
+    val strGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, piece)).map(_.mkString)
+    val toDF = (ss: Seq[String]) => ss.toDF("t")
+      .select(graft.functions.TextFunctions.normalizeText(col("t"))).as[String].collect().toSeq
+    val inputs = samples(strGen, 40, seed = 125L)
+    val outs = toDF(inputs)
+    val again = toDF(outs)
+    val nfdOuts = toDF(inputs.map(Normalizer.normalize(_, Normalizer.Form.NFD)))
+    for (((in, out), (re, viaNfd)) <- inputs.zip(outs).zip(again.zip(nfdOuts))) {
+      assert(Normalizer.isNormalized(out, Normalizer.Form.NFC), s"not NFC: $in -> $out")
+      assert(re === out, s"not idempotent: $in -> $out -> $re")
+      assert(!out.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        !out.contains("  ") && out.trim == out, s"ws not canonical: $in -> '$out'")
+      assert(viaNfd === out, s"NFD spelling diverged: $in -> $out vs $viaNfd")
     }
   }
 
