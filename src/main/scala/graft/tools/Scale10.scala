@@ -67,7 +67,12 @@ object Scale10 {
     // global window rank, interval islands, watermarkless sessionization,
     // skew-salted join, exact dedup, asof join
     "cogroup", "masterjoin", "groupsort", "window_rank", "interval_merge",
-    "sessionize", "salted_join", "dedup_exact", "asof_join")
+    "sessionize", "salted_join", "dedup_exact", "asof_join",
+    // round-12 addition: the corpus-frequency line filter — explode +
+    // three key-equality shuffles over every line in the corpus; its
+    // synthesized global boilerplate lines repeat across ALL copies, so
+    // the hot-key (one line in every document) path is what scales here
+    "boilerplate_strip")
 
   /** Streaming representatives (round-11 ask): the heaviest stream
     * queries by r10 cost plus the stateful-session shape. Timed like the
