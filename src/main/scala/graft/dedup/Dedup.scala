@@ -171,20 +171,62 @@ object Dedup {
     */
   def stripFrequentLines(docs: DataFrame, id: String, text: Column,
       sep: String = "\n", minDocs: Int = 10): DataFrame = {
-    require(minDocs >= 2, "minDocs must be >= 2")
     requireNoInternal(docs, Seq("_id", "_text", "_idx", "_line", "_h1", "_h2"))
-    val litSep = java.util.regex.Pattern.quote(sep)
     val base = docs.select(col(id).as("_id"), text.as("_text"))
-    val lines = base.select(col("_id"),
-      posexplode(split(col("_text"), litSep)).as(Seq("_idx", "_line")))
+    stripAgainst(base, hotLines(lineRows(base, sep), minDocs), sep, id)
+  }
+
+  /** Hot-line index of a reference corpus — the artifact a production
+    * pipeline computes ONCE over the full corpus and then ships to every
+    * ingestion batch (the incremental shape of [[stripFrequentLines]],
+    * same contract as [[fingerprintIndex]]/[[minhashIndex]]): the
+    * two-seed 128-bit hashes (_h1, _h2) of every line occurring in at
+    * least `minDocs` distinct documents. 16 bytes per hot line, nothing
+    * of the text — safe to persist and broadcast. Append-compatible:
+    * union per-epoch indexes and the dedup inside [[stripLinesIndexed]]
+    * keeps duplicated entries harmless (pinned in DedupSpec).
+    */
+  def lineIndex(docs: DataFrame, id: String, text: Column,
+      sep: String = "\n", minDocs: Int = 10): DataFrame = {
+    requireNoInternal(docs, Seq("_id", "_text", "_idx", "_line", "_h1", "_h2"))
+    hotLines(lineRows(docs.select(col(id).as("_id"), text.as("_text")), sep), minDocs)
+  }
+
+  /** Remove from `docs` every line whose hash is in `index` (built by
+    * [[lineIndex]] over the reference corpus): the per-batch half of
+    * incremental boilerplate removal — the batch never re-scans the
+    * corpus, it joins its lines against the 16-byte-per-entry index.
+    * Output shape identical to [[stripFrequentLines]].
+    */
+  def stripLinesIndexed(docs: DataFrame, index: DataFrame, id: String,
+      text: Column, sep: String = "\n"): DataFrame = {
+    requireNoInternal(docs, Seq("_id", "_text", "_idx", "_line", "_h1", "_h2"))
+    val base = docs.select(col(id).as("_id"), text.as("_text"))
+    stripAgainst(base, index.select(col("_h1"), col("_h2")).distinct(), sep, id)
+  }
+
+  /** (_id, _idx, _line, _h1, _h2) — one row per line of `base`. */
+  private def lineRows(base: DataFrame, sep: String): DataFrame =
+    base.select(col("_id"),
+      posexplode(split(col("_text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_idx", "_line")))
       .withColumn("_h1", xxhash64(col("_line")))
       .withColumn("_h2", xxhash64(lit(0x5eed), col("_line")))
-    val hot = lines.select(col("_h1"), col("_h2"), col("_id")).distinct()
+
+  /** Line hashes in >= minDocs distinct docs of a [[lineRows]] frame. */
+  private def hotLines(lines: DataFrame, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    lines.select(col("_h1"), col("_h2"), col("_id")).distinct()
       .groupBy(col("_h1"), col("_h2"))
       .agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("_h1"), col("_h2"))
-    val rebuilt = lines
+  }
+
+  /** Anti-join `base`'s lines against the hot set, reassemble per doc. */
+  private def stripAgainst(base: DataFrame, hot: DataFrame, sep: String,
+      id: String): DataFrame = {
+    val rebuilt = lineRows(base, sep)
       .join(hot, Seq("_h1", "_h2"), "left_anti")
       .groupBy(col("_id"))
       .agg(
@@ -193,7 +235,8 @@ object Dedup {
         count(lit(1)).as("_nkept"))
     base
       .select(col("_id"),
-        size(split(col("_text"), litSep)).cast("long").as("n_lines"))
+        size(split(col("_text"), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("n_lines"))
       .join(rebuilt, Seq("_id"), "left")
       .select(col("_id").as(id),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

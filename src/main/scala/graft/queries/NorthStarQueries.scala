@@ -229,6 +229,34 @@ object NorthStarQueries {
         "doc_id", mtext, sep = "\n", minDocs = 10)
     },
 
+    /** Incremental boilerplate removal — the PRODUCTION shape of the
+      * corpus-frequency filter (CCNet computes the frequency table once
+      * over the corpus, then every ingestion batch filters against it):
+      * the hot-line index ([[Dedup.lineIndex]] — 16 bytes per hot line,
+      * parquet-persisted between batches via [[persistedIndex]]) is built
+      * from docs < 400; the batch (docs ≥ 400, same multi-line recipe)
+      * strips ONLY against the index, never re-scanning the corpus. The
+      * global/per-source/per-lang boilerplate lines are all above the
+      * corpus threshold, so they must vanish from every batch doc while
+      * batch-only lines survive — even ones frequent WITHIN the batch,
+      * which is what distinguishes index-filtering from the batch op.
+      */
+    "boilerplate_strip_incremental" -> { (s, dir) =>
+      def mtext = concat_ws("\n",
+        lit("home | about | contact"),
+        concat(lit("source: "), col("source")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit("lang "), col("lang")))
+          .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
+        lit("(c) example corp 2026"))
+      val docs = tableSpread(s, dir, "documents")
+      val idx = persistedIndex(s, dir,
+        Dedup.lineIndex(docs.filter(col("doc_id") < 400), "doc_id", mtext,
+          minDocs = 10), "lines")
+      Dedup.stripLinesIndexed(docs.filter(col("doc_id") >= 400), idx,
+        "doc_id", mtext)
+    },
+
     /** Canonical text normalization ([[TextFunctions.normalizeText]] —
       * NFC + lowercase + whitespace collapse, the step before any content
       * hash in a multilingual corpus): ids 0/1 mod 4 get the SAME logical
@@ -2457,6 +2485,39 @@ object NorthStarQueries {
         |       CAST(len(t.ls) - COUNT(k.line) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN k USING (doc_id)
         |GROUP BY t.doc_id, len(t.ls)""".stripMargin,
+    // hot set from the corpus half ONLY (doc_id < 400) — a line frequent
+    // within the batch but absent from the index must SURVIVE, which is
+    // the semantic difference from the batch oracle above
+    "boilerplate_strip_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         'home | about | contact' || chr(10) ||
+        |         'source: ' || source || chr(10) ||
+        |         text || chr(10) ||
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'lang ' || lang
+        |               ELSE 'doc ' || doc_id END) || chr(10) ||
+        |         '(c) example corp 2026' AS mtext
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM base
+        |), l AS (
+        |  SELECT doc_id, i AS idx, ls[i + 1] AS line
+        |  FROM t, UNNEST(range(0, len(ls))) AS u(i)
+        |), hot AS (
+        |  SELECT line FROM l WHERE doc_id < 400
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10
+        |), bt AS (
+        |  SELECT doc_id, ls FROM t WHERE doc_id >= 400
+        |), k AS (
+        |  SELECT doc_id, idx, line FROM l
+        |  WHERE doc_id >= 400 AND line NOT IN (SELECT line FROM hot)
+        |)
+        |SELECT bt.doc_id,
+        |       coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS clean_text,
+        |       CAST(len(bt.ls) AS BIGINT) AS n_lines,
+        |       CAST(len(bt.ls) - COUNT(k.line) AS BIGINT) AS n_removed
+        |FROM bt LEFT JOIN k USING (doc_id)
+        |GROUP BY bt.doc_id, len(bt.ls)""".stripMargin,
     // chr(769) = U+0301 combining acute (decomposed form), chr(233) = é,
     // chr(201) = É — the oracle runs DuckDB's OWN nfc_normalize/lower/
     // regexp pipeline, a differential test of the normalization rules

@@ -60,6 +60,40 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("lineIndex + stripLinesIndexed: batch filters against the corpus index only") {
+    val corpus = Seq(
+      (0L, "nav\nalpha"), (1L, "nav\nbeta"), (2L, "nav\ngamma")).toDF("doc_id", "text")
+    val idx = Dedup.lineIndex(corpus, "doc_id", col("text"), minDocs = 3)
+    // "local" is in every batch doc but NOT in the index -> survives;
+    // "nav" is indexed -> stripped from every batch doc
+    val batch = Seq(
+      (10L, "nav\nlocal\nx"), (11L, "local\nnav"), (12L, "nav")).toDF("doc_id", "text")
+    val out = Dedup.stripLinesIndexed(batch, idx, "doc_id", col("text"))
+      .select("doc_id", "clean_text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      10L -> (("local\nx", 3L, 1L)),
+      11L -> (("local", 2L, 1L)),
+      12L -> (("", 1L, 1L))))
+    // appending the index to itself (per-epoch union) changes nothing
+    val out2 = Dedup.stripLinesIndexed(batch, idx.unionByName(idx), "doc_id", col("text"))
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(out2 === Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
+  test("lineIndex survives a parquet round-trip between batches") {
+    val corpus = Seq((0L, "nav\na"), (1L, "nav\nb"), (2L, "nav")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_lineidx").toString + "/idx"
+    Dedup.lineIndex(corpus, "doc_id", col("text"), minDocs = 3)
+      .write.mode("overwrite").parquet(p)
+    val out = Dedup.stripLinesIndexed(
+        Seq((9L, "nav\nkeep")).toDF("doc_id", "text"),
+        spark.read.parquet(p), "doc_id", col("text"))
+      .select("clean_text").as[String].collect()
+    assert(out === Array("keep"))
+  }
+
   test("paragraph dedup keeps first chunk occurrences and reassembles docs") {
     val d = Seq(
       (0L, "a b c d e f g h"),  // chunks "a b c d" | "e f g h"
