@@ -205,6 +205,34 @@ object Dedup {
     stripAgainst(base, index.select(col("_h1"), col("_h2")).distinct(), sep, id)
   }
 
+  /** Broadcast-index variant of [[stripLinesIndexed]] for STREAMS (and
+    * any per-row path): the batch op's explode → anti-join → reassemble
+    * is the right shape at rest but the reassembly is an unbounded
+    * stateful aggregation in a stream, so here the [[lineIndex]] pairs
+    * fold to ONE row (array<long>, 16 B per hot line), ride a broadcast
+    * cross join to every task, and a single codegen'd expression
+    * ([[graft.functions.StripLinesByHash]] — hash-parity with the index
+    * pinned in DedupSpec) filters each document's lines in place.
+    * Stateless, no shuffle on the document side; output shape identical
+    * to [[stripFrequentLines]].
+    */
+  def stripLinesBroadcast(docs: DataFrame, index: DataFrame, id: String,
+      text: Column): DataFrame = {
+    requireNoInternal(docs, Seq("_hot", "_s"))
+    val hot = index
+      .agg(flatten(collect_list(array(col("_h1"), col("_h2")))).as("_hot"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs
+      .join(org.apache.spark.sql.functions.broadcast(hot))
+      .select(col(id),
+        Bridge.column(graft.functions.StripLinesByHash(
+          Bridge.expression(text), Bridge.expression(col("_hot")))).as("_s"))
+      .select(col(id),
+        col("_s.clean_text").as("clean_text"),
+        col("_s.n_lines").cast("long").as("n_lines"),
+        col("_s.n_removed").cast("long").as("n_removed"))
+  }
+
   /** (_id, _idx, _line, _h1, _h2) — one row per line of `base`. */
   private def lineRows(base: DataFrame, sep: String): DataFrame =
     base.select(col("_id"),

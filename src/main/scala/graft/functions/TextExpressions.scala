@@ -190,6 +190,97 @@ object WordShingleHashes {
   }
 }
 
+/** One-pass boilerplate-line strip against a broadcast hash index — the
+  * STREAMING form of [[graft.dedup.Dedup.stripLinesIndexed]]: the batch
+  * op explodes lines and anti-joins (right at rest, wrong in a stream —
+  * per-document reassembly would be an unbounded stateful aggregation),
+  * while this expression filters a document's lines in place, per row,
+  * no state, no shuffle. `hot` is the [[graft.dedup.Dedup.lineIndex]]
+  * pairs flattened to array<long> [h1₀, h2₀, h1₁, h2₁, …] and ridden in
+  * on a 1-row broadcast.
+  *
+  * Hash parity is the contract: line hashes are computed with catalyst's
+  * own XXH64 exactly as `xxhash64(line)` / `xxhash64(0x5eed, line)`
+  * evaluate them, so an index built by the batch operator drives this
+  * expression byte-for-byte (pinned in DedupSpec). Splits on the LF byte
+  * (0x0A never occurs inside a multi-byte UTF-8 sequence), preserving
+  * trailing empties like `split(text, "\n")`. Membership is a linear
+  * scan of the pair array per line — the index is broadcast-small by
+  * construction (16 B per hot line); at tens of entries a scan beats any
+  * per-row set build. Returns struct(clean_text, n_lines, n_removed);
+  * null text → null.
+  */
+case class StripLinesByHash(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(text: Any, hot: Any): Any =
+    StripLinesByHash.compute(text.asInstanceOf[UTF8String], hot.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, h) =>
+      s"${ev.value} = graft.functions.StripLinesByHash.compute($t, $h);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StripLinesByHash = copy(left = newLeft, right = newRight)
+}
+
+object StripLinesByHash {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** seed of `xxhash64(0x5eed, line)`: the 0x5eed literal hashed first —
+    * with hashInt, because an undecorated Scala integer literal is
+    * IntegerType (hashLong here would silently zero the match rate; the
+    * DedupSpec parity test exists to catch exactly that).
+    */
+  private val Seed2 = XXH64.hashInt(0x5eed, 42L)
+
+  def compute(text: UTF8String, hot: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val pairs = hot.toLongArray()
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var outLen = 0
+    var kept = 0
+    var total = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        total += 1
+        val len = i - start
+        // hashUTF8String, not hashUnsafeBytes: the word-block tail
+        // handling differs, and parity with xxhash64() is the contract
+        val line = UTF8String.fromBytes(bytes, start, len)
+        val h1 = XXH64.hashUTF8String(line, 42L)
+        var isHot = false
+        var j = 0
+        while (j + 1 < pairs.length && !isHot) {
+          if (pairs(j) == h1 && pairs(j + 1) == XXH64.hashUTF8String(line, Seed2))
+            isHot = true
+          j += 2
+        }
+        if (!isHot) {
+          if (kept > 0) { out(outLen) = '\n'; outLen += 1 }
+          System.arraycopy(bytes, start, out, outLen, len)
+          outLen += len
+          kept += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(java.util.Arrays.copyOf(out, outLen)),
+      total, total - kept))
+  }
+}
+
 /** Canonical text normalization for dedup keying — the step that runs
   * BEFORE any content hash in a multilingual corpus: the same page
   * arrives as `Café MENU` (decomposed, cased, double-spaced) and

@@ -257,6 +257,35 @@ object NorthStarQueries {
         "doc_id", mtext)
     },
 
+    /** Streaming boilerplate removal — the ONLINE-ingest twin of
+      * `boilerplate_strip_incremental`, same parquet-persisted hot-line
+      * index, same oracle semantics: documents arrive as a file stream
+      * and each one is cleaned in place by a single codegen'd pass
+      * ([[Dedup.stripLinesBroadcast]] / StripLinesByHash) against the
+      * index folded to one broadcast row. No explode, no join state, no
+      * stateful aggregation — the filter table rides to every task once,
+      * which is the only shape that holds when the stream never ends.
+      */
+    "stream_boilerplate" -> { (s, dir) =>
+      def mtext = concat_ws("\n",
+        lit("home | about | contact"),
+        concat(lit("source: "), col("source")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit("lang "), col("lang")))
+          .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
+        lit("(c) example corp 2026"))
+      val docs = table(s, dir, "documents")
+      val idx = persistedIndex(s, dir,
+        Dedup.lineIndex(docs.filter(col("doc_id") < 400), "doc_id", mtext,
+          minDocs = 10), "lines")
+      val stream = graft.streaming.StreamOps
+        .parquetStream(s, s"$dir/documents.parquet")
+        .filter(col("doc_id") >= 400)
+      val cleaned = Dedup.stripLinesBroadcast(stream, idx, "doc_id", mtext)
+      graft.streaming.StreamOps.drainToBatch(cleaned, outputMode = "append",
+        statePartitions = 8)
+    },
+
     /** Canonical text normalization ([[TextFunctions.normalizeText]] —
       * NFC + lowercase + whitespace collapse, the step before any content
       * hash in a multilingual corpus): ids 0/1 mod 4 get the SAME logical
@@ -2489,6 +2518,39 @@ object NorthStarQueries {
     // within the batch but absent from the index must SURVIVE, which is
     // the semantic difference from the batch oracle above
     "boilerplate_strip_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         'home | about | contact' || chr(10) ||
+        |         'source: ' || source || chr(10) ||
+        |         text || chr(10) ||
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'lang ' || lang
+        |               ELSE 'doc ' || doc_id END) || chr(10) ||
+        |         '(c) example corp 2026' AS mtext
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM base
+        |), l AS (
+        |  SELECT doc_id, i AS idx, ls[i + 1] AS line
+        |  FROM t, UNNEST(range(0, len(ls))) AS u(i)
+        |), hot AS (
+        |  SELECT line FROM l WHERE doc_id < 400
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10
+        |), bt AS (
+        |  SELECT doc_id, ls FROM t WHERE doc_id >= 400
+        |), k AS (
+        |  SELECT doc_id, idx, line FROM l
+        |  WHERE doc_id >= 400 AND line NOT IN (SELECT line FROM hot)
+        |)
+        |SELECT bt.doc_id,
+        |       coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS clean_text,
+        |       CAST(len(bt.ls) AS BIGINT) AS n_lines,
+        |       CAST(len(bt.ls) - COUNT(k.line) AS BIGINT) AS n_removed
+        |FROM bt LEFT JOIN k USING (doc_id)
+        |GROUP BY bt.doc_id, len(bt.ls)""".stripMargin,
+    // identical semantics to boilerplate_strip_incremental (same index,
+    // same batch) — the engine-side difference is the streaming per-row
+    // path, which this differential proves equal to the batch anti-join
+    "stream_boilerplate" ->
       """WITH base AS (
         |  SELECT doc_id,
         |         'home | about | contact' || chr(10) ||

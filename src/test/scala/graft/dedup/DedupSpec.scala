@@ -82,6 +82,34 @@ class DedupSpec extends SparkSpec {
     assert(out2 === Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
 
+  test("stripLinesBroadcast (codegen'd per-row path) equals stripLinesIndexed exactly") {
+    // hash parity contract: the expression recomputes xxhash64(line) /
+    // xxhash64(0x5eed, line) itself; any drift from the index's hashes
+    // shows up here as a kept boilerplate line or a dropped unique one
+    val corpus = Seq(
+      (0L, "nav\nalpha\n"), (1L, "nav\n\nbeta"), (2L, "nav\n中文 line\n"),
+      (3L, "\n\n"), (4L, "中文 line\nnav")).toDF("doc_id", "text")
+    val idx = Dedup.lineIndex(corpus, "doc_id", col("text"), minDocs = 2)
+    val batch = Seq(
+      (10L, "nav\nlocal\n中文 line"), (11L, ""), (12L, "\nnav\n"),
+      (13L, "nav"), (14L, "edge\n\nnav\nlast")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_text", "n_lines", "n_removed")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(Dedup.stripLinesBroadcast(batch, idx, "doc_id", col("text"))) ===
+      rows(Dedup.stripLinesIndexed(batch, idx, "doc_id", col("text"))))
+  }
+
+  test("stripLinesBroadcast with an empty index keeps every document intact") {
+    val corpus = Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text")
+    val idx = Dedup.lineIndex(corpus, "doc_id", col("text"), minDocs = 2)
+    val out = Dedup.stripLinesBroadcast(
+        Seq((9L, "x\ny")).toDF("doc_id", "text"), idx, "doc_id", col("text"))
+      .select("clean_text", "n_lines", "n_removed")
+      .as[(String, Long, Long)].collect()
+    assert(out === Array(("x\ny", 2L, 0L)))
+  }
+
   test("lineIndex survives a parquet round-trip between batches") {
     val corpus = Seq((0L, "nav\na"), (1L, "nav\nb"), (2L, "nav")).toDF("doc_id", "text")
     val p = java.nio.file.Files.createTempDirectory("graft_lineidx").toString + "/idx"
