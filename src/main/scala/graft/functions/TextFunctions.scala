@@ -180,6 +180,31 @@ object TextFunctions {
   def redactEmails(text: Column, replacement: String = "[EMAIL]"): Column =
     regexp_replace(text, emailPattern, replacement)
 
+  /** IPv4 address (word-bounded dotted quad) in the common Java/RE2
+    * subset — `\b`, `(?:…)`, `\d`, bounded repetition all agree between
+    * the engines, so the DuckDB oracle replays matches byte-for-byte.
+    */
+  val ipv4Pattern: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** International-ish phone shape `+CC DDD-DDDD` (the deterministic
+    * fixture shape; real pipelines swap in their locale set — the
+    * mechanics are identical).
+    */
+  val phonePattern: String = "\\+\\d{2} \\d{3}-\\d{4}"
+
+  /** Multi-family PII scrub (the Dolma/CCNet release-gating step: email +
+    * IP + phone, not email alone): one fixed replacement chain — email
+    * first (an email can embed an IP-shaped host, and chain ORDER is part
+    * of the contract both engines replay), then IPv4, then phone. Pure
+    * per-row codegen'd expressions.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        ipv4Pattern, "[IP]"),
+      phonePattern, "[PHONE]")
+
   /** Gopher-style document quality signals (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", appendix A1.1 — the subset expressible
     * over whitespace tokens): word count within [50, 100000], mean word

@@ -140,6 +140,35 @@ object NorthStarQueries {
           length(TextFunctions.redactEmails(col("_t"))).as("redacted_len"))
     },
 
+    /** Multi-family PII scrub ([[TextFunctions.redactPii]] — email + IPv4
+      * + phone, the Dolma/CCNet release-gating families, vs text_redact's
+      * email-only pass): each doc gets a deterministic plant keyed off
+      * doc_id mod 5 (one family, a mixed doc with two, or clean), and the
+      * oracle replays the SAME three-pattern replacement chain in DuckDB
+      * — byte equality of the scrubbed text checks patterns, chain order,
+      * and the per-family counts at once.
+      */
+    "text_pii" -> { (s, dir) =>
+      val id = col("doc_id")
+      val t = when(id % 5 === 0,
+          concat(col("text"), lit(" reach user"), id.cast("string"),
+            lit("@example.com now")))
+        .when(id % 5 === 1,
+          concat(lit("from 10."), (id % 250).cast("string"), lit(".0."),
+            (id % 200).cast("string"), lit(" "), col("text")))
+        .when(id % 5 === 2,
+          concat(col("text"), lit(" call +12 555-01"),
+            lpad((id % 100).cast("string"), 2, "0")))
+        .when(id % 5 === 3,
+          concat(lit("mix 192.168.1.1 and a@b.io "), col("text")))
+        .otherwise(col("text"))
+      tableSpread(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(t, lit(TextFunctions.emailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(t, lit(TextFunctions.ipv4Pattern), lit(0))).as("n_ips"),
+        size(regexp_extract_all(t, lit(TextFunctions.phonePattern), lit(0))).as("n_phones"),
+        TextFunctions.redactPii(t).as("clean"))
+    },
+
     /** URL canonicalization ([[graft.functions.UrlFunctions]]): every doc
       * gets a deterministically MESSY url (scheme/host case, www, default
       * port, tracking params, unsorted params, fragment, trailing slash —
@@ -2423,6 +2452,35 @@ object NorthStarQueries {
         |SELECT a.doc_id, a.cu AS canonical_url, a.host AS host,
         |       a.cu = b.cu AS collapsed
         |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w = 0 AND b.w = 1""".stripMargin,
+    // same three patterns, same chain order (email -> ip -> phone) — the
+    // scrubbed text must match byte-for-byte
+    "text_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val phone = "\\+\\d{2} \\d{3}-\\d{4}"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |           THEN text || ' reach user' || doc_id || '@example.com now'
+         |         WHEN doc_id % 5 = 1
+         |           THEN 'from 10.' || (doc_id % 250) || '.0.' || (doc_id % 200)
+         |                || ' ' || text
+         |         WHEN doc_id % 5 = 2
+         |           THEN text || ' call +12 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |         WHEN doc_id % 5 = 3
+         |           THEN 'mix 192.168.1.1 and a@b.io ' || text
+         |         ELSE text END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '$email')) AS n_emails,
+         |       len(regexp_extract_all(t, '$ip')) AS n_ips,
+         |       len(regexp_extract_all(t, '$phone')) AS n_phones,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+         |         '$phone', '[PHONE]', 'g') AS clean
+         |FROM t""".stripMargin
+    },
     // same full canonicalization pipeline as the url_canonicalize oracle,
     // then the host rollup — n_pages counts DISTINCT canonical urls, so a
     // wrong canonicalizer shows up as a wrong page count per host

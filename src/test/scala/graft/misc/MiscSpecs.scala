@@ -70,6 +70,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1).getString(1) === "no pii here")
   }
 
+  test("redactPii scrubs email, IPv4, and phone in a fixed chain order") {
+    val df = Seq(
+      "mail a@b.co ip 10.0.255.1 ph +12 345-6789 end",
+      "u@10.0.0.1.com or bare 10.0.0.1", // email-first order keeps the host intact
+      "x255.1.1.12y is not word-bounded, keep it",
+      "no pii").toDF("t")
+    val out = df.select(TextFunctions.redactPii($"t")).as[String].collect()
+    assert(out(0) === "mail [EMAIL] ip [IP] ph [PHONE] end")
+    assert(out(1) === "[EMAIL] or bare [IP]")
+    assert(out(2) === "x255.1.1.12y is not word-bounded, keep it")
+    assert(out(3) === "no pii")
+  }
+
   test("repetitionStats counts total/distinct/top token frequencies per doc") {
     val df = Seq(
       (1L, "spam spam spam ham"),
