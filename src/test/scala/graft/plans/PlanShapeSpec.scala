@@ -122,6 +122,41 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(joinUnderAgg, s"anti-join did not push below the aggregate:\n$plan")
   }
 
+  test("stripFrequentLines: the frequency path exchanges hashes, never line text") {
+    val docs = GraftSession.table(spark, dir, "documents")
+    val q = graft.dedup.Dedup.stripFrequentLines(
+      docs, "doc_id", concat_ws("\n", col("text"), col("source")), minDocs = 2)
+    val plan = executed(q)
+    val exchanges = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    // only the per-document REASSEMBLY shuffle may carry line text (it
+    // rides with _idx); the distinct/count frequency exchanges must be
+    // hash-only — at corpus scale they see every line occurrence
+    for (e <- exchanges if e.output.exists(_.name == "_line"))
+      assert(e.output.exists(_.name == "_idx"),
+        s"line text crossed a frequency exchange:\n${e.output.mkString(", ")}")
+    assert(exchanges.exists(!_.output.exists(_.name == "_line")),
+      s"no hash-only exchange found:\n$plan")
+  }
+
+  test("stripLinesBroadcast: document rows never shuffle; the index rides a broadcast") {
+    val docs = GraftSession.table(spark, dir, "documents")
+    val idx = graft.dedup.Dedup.lineIndex(
+      docs, "doc_id", concat_ws("\n", col("text"), col("source")), minDocs = 2)
+    val q = graft.dedup.Dedup.stripLinesBroadcast(
+      docs, idx, "doc_id", concat_ws("\n", col("text"), col("source")))
+    val plan = executed(q)
+    // the only exchanges belong to the index fold (hash pairs); a
+    // document row entering a shuffle would sink the streaming use
+    val exchanges = collect(plan) { case e: ShuffleExchangeExec => e }
+    for (e <- exchanges; attr <- e.output)
+      assert(attr.name != "_text" && attr.name != "text" && attr.name != "clean_text",
+        s"document rows crossed an exchange:\n${e.output.mkString(", ")}")
+    assert(collect(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, s"index did not broadcast:\n$plan")
+  }
+
   test("quantized IVF probe: only int8 codes cross the corpus exchange") {
     val emb = GraftSession.table(spark, dir, "embeddings")
     val q = graft.similarity.Ivf.topKQuantized(
