@@ -96,7 +96,11 @@ object Scale10 {
     // the two steepest core-algebra 10x curves (r12: 3.62x / 3.26x) —
     // the §2 algebra a 100 TB job is made of deserves the second decade
     // as much as the exotic ops
-    "ssjoin_prefix", "masterjoin")
+    "ssjoin_prefix", "masterjoin",
+    // r12 line filter: its 10x ratio (0.8x) is overhead-dominated and
+    // says nothing about the data term — the second decade is where the
+    // hot-line counting and anti-join actually see volume
+    "boilerplate_strip")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim
