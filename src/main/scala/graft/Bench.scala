@@ -311,7 +311,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","contended":$contended,"busySiblings":{"start":$busyStart,"end":$busyEnd},"failed":$failedJson,"queries_min":$qsMin,"queries":$qs,"queries_med":$qs,"queries_runs":$qsRuns,"diag":$qsDiag}"""
     System.out.println(line)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // a SPARK_GRAFT_ONLY subset run must NEVER clobber the committed
+    // round artifact: a later `git add -u` would silently promote a
+    // 4-query iteration file to the round's bench (it happened — r12),
+    // which is exactly the artifact drift tools/freshness.py polices.
+    // Subset runs default to /tmp; the full set defaults to the artifact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) s"${sys.props("java.io.tmpdir")}/BENCH_SUBSET.json"
+      else "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST write failed: $e") }

@@ -179,6 +179,50 @@ class Round12PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("stripLinesBroadcast == stripLinesIndexed == naive on random corpus/batch splits") {
+    // the broadcast path recomputes hashes inside a custom expression;
+    // the indexed path joins on the index's own hashes — agreement across
+    // random inputs is the strongest parity evidence short of the oracle
+    val lineGen = Gen.oneOf("nav", "footer", "alpha", "beta", "", "x y", "中文 行")
+    val docGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, lineGen)).map(_.mkString("\n"))
+    val splitGen = Gen.zip(
+      Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, docGen)), // corpus
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, docGen)), // batch
+      Gen.choose(2, 3))                                      // minDocs
+    for ((corpus, batch, minDocs) <- samples(splitGen, 6, seed = 126L)) {
+      val corpusDf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batchDf = batch.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val idx = Dedup.lineIndex(corpusDf, "doc_id", col("text"), minDocs = minDocs)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "clean_text", "n_lines", "n_removed")
+          .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      val viaJoin = rows(Dedup.stripLinesIndexed(batchDf, idx, "doc_id", col("text")))
+      val viaBroadcast = rows(Dedup.stripLinesBroadcast(batchDf, idx, "doc_id", col("text")))
+      val naive = {
+        val perDoc = corpus.zipWithIndex.map { case (t, i) => i.toLong -> t.split("\n", -1).toSeq }
+        val hot = perDoc.flatMap(_._2.distinct).groupBy(identity)
+          .collect { case (l, os) if os.size >= minDocs => l }.toSet
+        batch.zipWithIndex.map { case (t, i) =>
+          val ls = t.split("\n", -1).toSeq
+          val kept = ls.filterNot(hot)
+          (100L + i, kept.mkString("\n"), ls.size.toLong, (ls.size - kept.size).toLong)
+        }.sortBy(_._1)
+      }
+      assert(viaJoin === naive, s"indexed path diverged: corpus=$corpus batch=$batch")
+      assert(viaBroadcast === naive, s"broadcast path diverged: corpus=$corpus batch=$batch")
+    }
+  }
+
+  test("NormalizeText: astral-plane text (surrogate pairs) passes through ws-collapse intact") {
+    val emoji = "😀" // U+1F600, a surrogate pair in UTF-16
+    val inputs = Seq(s"$emoji  $emoji", s"  A $emoji\tB ", s"$emoji", s"Café $emoji")
+    val out = inputs.toDF("t")
+      .select(graft.functions.TextFunctions.normalizeText(col("t"))).as[String].collect()
+    assert(out === Array(s"$emoji $emoji", s"a $emoji b", emoji, s"café $emoji"))
+  }
+
   test("minhashIncremental: duplicate index rows never change survivors; a larger index only shrinks them") {
     import graft.functions.TextFunctions.{shinglesOf, tokens}
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
