@@ -39,21 +39,32 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
+  /** The query modules, in ONE place: [[queries]] and [[oracleSql]]
+    * merge these, and ContractSpec audits cross-module duplicate names
+    * from the SAME list — a module added here is automatically under the
+    * duplicate/bijection guards; a module added anywhere else won't
+    * compile into the driver surface at all.
+    */
+  val queryModules: Seq[Seq[(String, (SparkSession, String) => DataFrame)]] = Seq(
+    graft.queries.CoreQueries.queries, graft.queries.NorthStarQueries.queries,
+    graft.queries.PipelineQueries.queries, graft.queries.FlagshipQueries.queries,
+    graft.queries.RelationalQueries.queries, graft.queries.CurationQueries.queries,
+    graft.queries.AnalyticsQueries.queries)
+
+  val oracleModules: Seq[Seq[(String, String)]] = Seq(
+    graft.queries.CoreQueries.oracles, graft.queries.NorthStarQueries.oracles,
+    graft.queries.PipelineQueries.oracles, graft.queries.FlagshipQueries.oracles,
+    graft.queries.RelationalQueries.oracles, graft.queries.CurationQueries.oracles,
+    graft.queries.AnalyticsQueries.oracles)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (graft.queries.CoreQueries.queries ++ graft.queries.NorthStarQueries.queries ++
-      graft.queries.PipelineQueries.queries ++ graft.queries.FlagshipQueries.queries ++
-      graft.queries.RelationalQueries.queries ++ graft.queries.CurationQueries.queries ++
-      graft.queries.AnalyticsQueries.queries).toMap
+    queryModules.flatten.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
-  def oracleSql: Map[String, String] =
-    (graft.queries.CoreQueries.oracles ++ graft.queries.NorthStarQueries.oracles ++
-      graft.queries.PipelineQueries.oracles ++ graft.queries.FlagshipQueries.oracles ++
-      graft.queries.RelationalQueries.oracles ++ graft.queries.CurationQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles).toMap
+  def oracleSql: Map[String, String] = oracleModules.flatten.toMap
 
   /** Per-query session-conf pins, applied by Bench/Verify around a
     * query's execution (previous values restored afterwards). Results

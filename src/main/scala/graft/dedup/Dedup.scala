@@ -217,8 +217,15 @@ object Dedup {
     * to [[stripFrequentLines]].
     */
   def stripLinesBroadcast(docs: DataFrame, index: DataFrame, id: String,
-      text: Column): DataFrame = {
+      text: Column, sep: String = "\n"): DataFrame = {
     requireNoInternal(docs, Seq("_hot", "_s"))
+    // the expression splits on one ASCII byte (never part of a multi-byte
+    // UTF-8 sequence); a multi-char sep built into an index would
+    // otherwise silently never match here — reject it loudly
+    require(sep.length == 1 && sep.charAt(0) < 128,
+      s"stripLinesBroadcast: sep must be a single ASCII char " +
+        s"(got ${sep.map(_.toInt).mkString("[", ",", "]")}); " +
+        "use stripLinesIndexed for other separators")
     val hot = index
       .agg(flatten(collect_list(array(col("_h1"), col("_h2")))).as("_hot"))
     import org.apache.spark.sql.graftbridge.Bridge
@@ -226,9 +233,13 @@ object Dedup {
       .join(org.apache.spark.sql.functions.broadcast(hot))
       .select(col(id),
         Bridge.column(graft.functions.StripLinesByHash(
-          Bridge.expression(text), Bridge.expression(col("_hot")))).as("_s"))
+          Bridge.expression(text), Bridge.expression(col("_hot")),
+          sep.charAt(0).toByte)).as("_s"))
       .select(col(id),
-        col("_s.clean_text").as("clean_text"),
+        // null text -> "" with null counts, byte-identical to the batch
+        // paths (where posexplode drops the doc and the final select
+        // coalesces) — pinned in DedupSpec
+        coalesce(col("_s.clean_text"), lit("")).as("clean_text"),
         col("_s.n_lines").cast("long").as("n_lines"),
         col("_s.n_removed").cast("long").as("n_removed"))
   }

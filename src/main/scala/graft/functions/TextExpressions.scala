@@ -210,8 +210,9 @@ object WordShingleHashes {
   * per-row set build. Returns struct(clean_text, n_lines, n_removed);
   * null text → null.
   */
-case class StripLinesByHash(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+case class StripLinesByHash(left: Expression, right: Expression,
+    sep: Byte = '\n') extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(sep >= 0, s"sep must be an ASCII byte (got $sep)")
 
   override def dataType: DataType = StructType(Seq(
     StructField("clean_text", StringType, nullable = false),
@@ -220,11 +221,11 @@ case class StripLinesByHash(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
 
   override protected def nullSafeEval(text: Any, hot: Any): Any =
-    StripLinesByHash.compute(text.asInstanceOf[UTF8String], hot.asInstanceOf[ArrayData])
+    StripLinesByHash.compute(text.asInstanceOf[UTF8String], hot.asInstanceOf[ArrayData], sep)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, h) =>
-      s"${ev.value} = graft.functions.StripLinesByHash.compute($t, $h);")
+      s"${ev.value} = graft.functions.StripLinesByHash.compute($t, $h, (byte) $sep);")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StripLinesByHash = copy(left = newLeft, right = newRight)
@@ -240,7 +241,8 @@ object StripLinesByHash {
     */
   private val Seed2 = XXH64.hashInt(0x5eed, 42L)
 
-  def compute(text: UTF8String, hot: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+  def compute(text: UTF8String, hot: ArrayData,
+      sep: Byte): org.apache.spark.sql.catalyst.InternalRow = {
     val pairs = hot.toLongArray()
     val bytes = text.getBytes
     val n = bytes.length
@@ -251,7 +253,7 @@ object StripLinesByHash {
     var start = 0
     var i = 0
     while (i <= n) {
-      if (i == n || bytes(i) == '\n') {
+      if (i == n || bytes(i) == sep) {
         total += 1
         val len = i - start
         // hashUTF8String, not hashUnsafeBytes: the word-block tail
@@ -266,7 +268,7 @@ object StripLinesByHash {
           j += 2
         }
         if (!isHot) {
-          if (kept > 0) { out(outLen) = '\n'; outLen += 1 }
+          if (kept > 0) { out(outLen) = sep; outLen += 1 }
           System.arraycopy(bytes, start, out, outLen, len)
           outLen += len
           kept += 1
@@ -316,12 +318,17 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 object NormalizeText {
   def compute(text: UTF8String): UTF8String = {
     // NFC via the JDK (skipped when already normalized — the common case
-    // costs one isNormalized scan), then the exact lower() mapping
+    // costs one isNormalized scan and no re-encode: lowercase the
+    // original UTF8String directly instead of round-tripping its bytes
+    // through a fresh String), then the exact lower() mapping
     val s = text.toString
-    val nfc =
-      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-    val lowered = UTF8String.fromString(nfc).toLowerCase.toString
+    val lowered =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+        text.toLowerCase.toString
+      else
+        UTF8String.fromString(
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+          .toLowerCase.toString
     val n = lowered.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0

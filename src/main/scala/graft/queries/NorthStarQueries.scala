@@ -28,6 +28,95 @@ object NorthStarQueries {
   private val AnnQueries = 10
   private val AnnK = 5
 
+  /** The synthesized multi-line boilerplate page shared by
+    * `boilerplate_strip` / `_incremental` / `stream_boilerplate` — ONE
+    * definition (plus its SQL twin [[boilerplateMtextSql]]) because the
+    * incremental and stream queries share the SAME persisted index
+    * ([[persistedIndex]] tag "lines"): a recipe drift between them would
+    * make whichever runs second silently filter against the other's
+    * index.
+    */
+  private def boilerplateMtext: org.apache.spark.sql.Column = concat_ws("\n",
+    lit("home | about | contact"),
+    concat(lit("source: "), col("source")),
+    col("text"),
+    when(col("doc_id") % 3 === 0, concat(lit("lang "), col("lang")))
+      .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
+    lit("(c) example corp 2026"))
+
+  /** DuckDB twin of [[boilerplateMtext]]: the `base`+`t`+`l` CTE prefix
+    * (per-doc mtext, its line list, and the exploded (doc_id, idx, line)
+    * rows) shared by the three boilerplate oracles.
+    */
+  private val boilerplateMtextSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         'home | about | contact' || chr(10) ||
+      |         'source: ' || source || chr(10) ||
+      |         text || chr(10) ||
+      |         (CASE WHEN doc_id % 3 = 0 THEN 'lang ' || lang
+      |               ELSE 'doc ' || doc_id END) || chr(10) ||
+      |         '(c) example corp 2026' AS mtext
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM base
+      |), l AS (
+      |  SELECT doc_id, i AS idx, ls[i + 1] AS line
+      |  FROM t, UNNEST(range(0, len(ls))) AS u(i)
+      |)""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.UrlCanonicalize]]'s full rule
+    * chain, as the CTE bodies `q…g` over an input CTE exposing
+    * (doc_id[, carry…], raw); `g` exposes (doc_id[, carry…], host, cu).
+    * ONE definition feeds both URL oracles (url_canonicalize,
+    * host_stats) so a rule change cannot drift between them.
+    */
+  private def urlCanonCtes(input: String, carry: Seq[String]): String = {
+    val c = carry.map(", " + _).mkString
+    s"""q AS (
+       |  SELECT doc_id$c,
+       |    split_part(split_part(raw, '#', 1), '?', 1) AS base,
+       |    CASE WHEN len(split_part(raw, '#', 1)) > len(split_part(split_part(raw, '#', 1), '?', 1))
+       |         THEN substr(split_part(raw, '#', 1), len(split_part(split_part(raw, '#', 1), '?', 1)) + 2)
+       |         ELSE '' END AS qs
+       |  FROM $input
+       |), r AS (
+       |  SELECT doc_id$c, qs,
+       |    lower(split_part(base, '://', 1)) AS scheme,
+       |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
+       |  FROM q
+       |), h AS (
+       |  SELECT doc_id$c, qs, scheme,
+       |    split_part(rest, '/', 1) AS hostport,
+       |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path0
+       |  FROM r
+       |), d AS (
+       |  SELECT doc_id$c, qs, scheme, path0,
+       |    lower(split_part(hostport, ':', 1)) AS host0,
+       |    CASE WHEN len(hostport) > len(split_part(hostport, ':', 1))
+       |         THEN substr(hostport, len(split_part(hostport, ':', 1)) + 2) ELSE '' END AS port
+       |  FROM h
+       |), f AS (
+       |  SELECT doc_id$c, scheme, port,
+       |    CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
+       |    CASE WHEN path0 = '' THEN '/'
+       |         WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, len(path0) - 1)
+       |         ELSE path0 END AS path,
+       |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+       |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+       |        AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid='))), '&') AS params
+       |  FROM d
+       |), g AS (
+       |  SELECT doc_id$c, host,
+       |    scheme || '://' || host ||
+       |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+       |              AND NOT (scheme = 'https' AND port = '443')
+       |         THEN ':' || port ELSE '' END ||
+       |    path || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS cu
+       |  FROM f
+       |)""".stripMargin
+  }
+
   /** Persist a dedup index to parquet and read it back — the PRODUCTION
     * shape of incremental dedup (the index lives on disk between
     * ingestion batches by definition). Beyond fidelity, it matters for
@@ -247,15 +336,8 @@ object NorthStarQueries {
       * of clean_text proves threshold, removal, and ordering at once.
       */
     "boilerplate_strip" -> { (s, dir) =>
-      val mtext = concat_ws("\n",
-        lit("home | about | contact"),
-        concat(lit("source: "), col("source")),
-        col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit("lang "), col("lang")))
-          .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
-        lit("(c) example corp 2026"))
       Dedup.stripFrequentLines(tableSpread(s, dir, "documents"),
-        "doc_id", mtext, sep = "\n", minDocs = 10)
+        "doc_id", boilerplateMtext, sep = "\n", minDocs = 10)
     },
 
     /** Incremental boilerplate removal — the PRODUCTION shape of the
@@ -271,19 +353,12 @@ object NorthStarQueries {
       * which is what distinguishes index-filtering from the batch op.
       */
     "boilerplate_strip_incremental" -> { (s, dir) =>
-      def mtext = concat_ws("\n",
-        lit("home | about | contact"),
-        concat(lit("source: "), col("source")),
-        col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit("lang "), col("lang")))
-          .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
-        lit("(c) example corp 2026"))
       val docs = tableSpread(s, dir, "documents")
       val idx = persistedIndex(s, dir,
-        Dedup.lineIndex(docs.filter(col("doc_id") < 400), "doc_id", mtext,
+        Dedup.lineIndex(docs.filter(col("doc_id") < 400), "doc_id", boilerplateMtext,
           minDocs = 10), "lines")
       Dedup.stripLinesIndexed(docs.filter(col("doc_id") >= 400), idx,
-        "doc_id", mtext)
+        "doc_id", boilerplateMtext)
     },
 
     /** Streaming boilerplate removal — the ONLINE-ingest twin of
@@ -296,21 +371,14 @@ object NorthStarQueries {
       * which is the only shape that holds when the stream never ends.
       */
     "stream_boilerplate" -> { (s, dir) =>
-      def mtext = concat_ws("\n",
-        lit("home | about | contact"),
-        concat(lit("source: "), col("source")),
-        col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit("lang "), col("lang")))
-          .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
-        lit("(c) example corp 2026"))
       val docs = table(s, dir, "documents")
       val idx = persistedIndex(s, dir,
-        Dedup.lineIndex(docs.filter(col("doc_id") < 400), "doc_id", mtext,
+        Dedup.lineIndex(docs.filter(col("doc_id") < 400), "doc_id", boilerplateMtext,
           minDocs = 10), "lines")
       val stream = graft.streaming.StreamOps
         .parquetStream(s, s"$dir/documents.parquet")
         .filter(col("doc_id") >= 400)
-      val cleaned = Dedup.stripLinesBroadcast(stream, idx, "doc_id", mtext)
+      val cleaned = Dedup.stripLinesBroadcast(stream, idx, "doc_id", boilerplateMtext)
       graft.streaming.StreamOps.drainToBatch(cleaned, outputMode = "append",
         statePartitions = 8)
     },
@@ -2386,8 +2454,9 @@ object NorthStarQueries {
     // the oracle canonicalizes BOTH generated urls through its own full
     // DuckDB pipeline (stacked via w=0/1, one pass, re-joined) — a
     // differential test of every rule, not a literal-expectation check
-    "url_canonicalize" ->
-      """WITH u AS (
+    "url_canonicalize" -> {
+      val chain = urlCanonCtes("s", Seq("w"))
+      s"""WITH u AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
         |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
@@ -2407,51 +2476,11 @@ object NorthStarQueries {
         |), s AS (
         |  SELECT doc_id, 0 AS w, raw0 AS raw FROM u
         |  UNION ALL SELECT doc_id, 1, raw1 FROM u
-        |), q AS (
-        |  SELECT doc_id, w,
-        |    split_part(split_part(raw, '#', 1), '?', 1) AS base,
-        |    CASE WHEN len(split_part(raw, '#', 1)) > len(split_part(split_part(raw, '#', 1), '?', 1))
-        |         THEN substr(split_part(raw, '#', 1), len(split_part(split_part(raw, '#', 1), '?', 1)) + 2)
-        |         ELSE '' END AS qs
-        |  FROM s
-        |), r AS (
-        |  SELECT doc_id, w, qs,
-        |    lower(split_part(base, '://', 1)) AS scheme,
-        |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
-        |  FROM q
-        |), h AS (
-        |  SELECT doc_id, w, qs, scheme,
-        |    split_part(rest, '/', 1) AS hostport,
-        |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path0
-        |  FROM r
-        |), d AS (
-        |  SELECT doc_id, w, qs, scheme, path0,
-        |    lower(split_part(hostport, ':', 1)) AS host0,
-        |    CASE WHEN len(hostport) > len(split_part(hostport, ':', 1))
-        |         THEN substr(hostport, len(split_part(hostport, ':', 1)) + 2) ELSE '' END AS port
-        |  FROM h
-        |), f AS (
-        |  SELECT doc_id, w, scheme, port,
-        |    CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
-        |    CASE WHEN path0 = '' THEN '/'
-        |         WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, len(path0) - 1)
-        |         ELSE path0 END AS path,
-        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
-        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
-        |        AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid='))), '&') AS params
-        |  FROM d
-        |), g AS (
-        |  SELECT doc_id, w, host,
-        |    scheme || '://' || host ||
-        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-        |              AND NOT (scheme = 'https' AND port = '443')
-        |         THEN ':' || port ELSE '' END ||
-        |    path || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS cu
-        |  FROM f
-        |)
+        |), $chain
         |SELECT a.doc_id, a.cu AS canonical_url, a.host AS host,
         |       a.cu = b.cu AS collapsed
-        |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w = 0 AND b.w = 1""".stripMargin,
+        |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w = 0 AND b.w = 1""".stripMargin
+    },
     // same three patterns, same chain order (email -> ip -> phone) — the
     // scrubbed text must match byte-for-byte
     "text_pii" -> {
@@ -2484,8 +2513,9 @@ object NorthStarQueries {
     // same full canonicalization pipeline as the url_canonicalize oracle,
     // then the host rollup — n_pages counts DISTINCT canonical urls, so a
     // wrong canonicalizer shows up as a wrong page count per host
-    "host_stats" ->
-      """WITH u AS (
+    "host_stats" -> {
+      val chain = urlCanonCtes("u", Seq("lang", "n_chars"))
+      s"""WITH u AS (
         |  SELECT doc_id, lang, n_chars,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
         |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
@@ -2495,72 +2525,18 @@ object NorthStarQueries {
         |    (CASE WHEN doc_id % 4 = 0 THEN '/'
         |          WHEN doc_id % 4 = 1 THEN '?utm_source=feed&b=2&a=1' ELSE '' END) AS raw
         |  FROM documents
-        |), q AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    split_part(split_part(raw, '#', 1), '?', 1) AS base,
-        |    CASE WHEN len(split_part(raw, '#', 1)) > len(split_part(split_part(raw, '#', 1), '?', 1))
-        |         THEN substr(split_part(raw, '#', 1), len(split_part(split_part(raw, '#', 1), '?', 1)) + 2)
-        |         ELSE '' END AS qs
-        |  FROM u
-        |), r AS (
-        |  SELECT doc_id, lang, n_chars, qs,
-        |    lower(split_part(base, '://', 1)) AS scheme,
-        |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
-        |  FROM q
-        |), h AS (
-        |  SELECT doc_id, lang, n_chars, qs, scheme,
-        |    split_part(rest, '/', 1) AS hostport,
-        |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path0
-        |  FROM r
-        |), d AS (
-        |  SELECT doc_id, lang, n_chars, qs, scheme, path0,
-        |    lower(split_part(hostport, ':', 1)) AS host0,
-        |    CASE WHEN len(hostport) > len(split_part(hostport, ':', 1))
-        |         THEN substr(hostport, len(split_part(hostport, ':', 1)) + 2) ELSE '' END AS port
-        |  FROM h
-        |), f AS (
-        |  SELECT doc_id, lang, n_chars, scheme, port,
-        |    CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
-        |    CASE WHEN path0 = '' THEN '/'
-        |         WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, len(path0) - 1)
-        |         ELSE path0 END AS path,
-        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
-        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
-        |        AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid='))), '&') AS params
-        |  FROM d
-        |), g AS (
-        |  SELECT doc_id, lang, n_chars, host,
-        |    scheme || '://' || host ||
-        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-        |              AND NOT (scheme = 'https' AND port = '443')
-        |         THEN ':' || port ELSE '' END ||
-        |    path || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS cu
-        |  FROM f
-        |)
+        |), $chain
         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(COUNT(DISTINCT cu) AS BIGINT) AS n_pages,
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM g GROUP BY host""".stripMargin,
+        |FROM g GROUP BY host""".stripMargin
+    },
     // recomputes the line-frequency table, the >= 10-distinct-docs
     // threshold, the removal of EVERY occurrence, and the in-order
     // reassembly — byte equality of clean_text checks all four
     "boilerplate_strip" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |         'home | about | contact' || chr(10) ||
-        |         'source: ' || source || chr(10) ||
-        |         text || chr(10) ||
-        |         (CASE WHEN doc_id % 3 = 0 THEN 'lang ' || lang
-        |               ELSE 'doc ' || doc_id END) || chr(10) ||
-        |         '(c) example corp 2026' AS mtext
-        |  FROM documents
-        |), t AS (
-        |  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM base
-        |), l AS (
-        |  SELECT doc_id, i AS idx, ls[i + 1] AS line
-        |  FROM t, UNNEST(range(0, len(ls))) AS u(i)
-        |), hot AS (
+      s"""$boilerplateMtextSql, hot AS (
         |  SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10
         |), k AS (
         |  SELECT doc_id, idx, line FROM l
@@ -2576,21 +2552,7 @@ object NorthStarQueries {
     // within the batch but absent from the index must SURVIVE, which is
     // the semantic difference from the batch oracle above
     "boilerplate_strip_incremental" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |         'home | about | contact' || chr(10) ||
-        |         'source: ' || source || chr(10) ||
-        |         text || chr(10) ||
-        |         (CASE WHEN doc_id % 3 = 0 THEN 'lang ' || lang
-        |               ELSE 'doc ' || doc_id END) || chr(10) ||
-        |         '(c) example corp 2026' AS mtext
-        |  FROM documents
-        |), t AS (
-        |  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM base
-        |), l AS (
-        |  SELECT doc_id, i AS idx, ls[i + 1] AS line
-        |  FROM t, UNNEST(range(0, len(ls))) AS u(i)
-        |), hot AS (
+      s"""$boilerplateMtextSql, hot AS (
         |  SELECT line FROM l WHERE doc_id < 400
         |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10
         |), bt AS (
@@ -2609,21 +2571,7 @@ object NorthStarQueries {
     // same batch) — the engine-side difference is the streaming per-row
     // path, which this differential proves equal to the batch anti-join
     "stream_boilerplate" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |         'home | about | contact' || chr(10) ||
-        |         'source: ' || source || chr(10) ||
-        |         text || chr(10) ||
-        |         (CASE WHEN doc_id % 3 = 0 THEN 'lang ' || lang
-        |               ELSE 'doc ' || doc_id END) || chr(10) ||
-        |         '(c) example corp 2026' AS mtext
-        |  FROM documents
-        |), t AS (
-        |  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM base
-        |), l AS (
-        |  SELECT doc_id, i AS idx, ls[i + 1] AS line
-        |  FROM t, UNNEST(range(0, len(ls))) AS u(i)
-        |), hot AS (
+      s"""$boilerplateMtextSql, hot AS (
         |  SELECT line FROM l WHERE doc_id < 400
         |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10
         |), bt AS (

@@ -27,16 +27,14 @@ class ContractSpec extends SparkSpec {
   }
 
   test("no duplicate query names across the query modules") {
-    val all =
-      graft.queries.CoreQueries.queries.map(_._1) ++
-        graft.queries.NorthStarQueries.queries.map(_._1) ++
-        graft.queries.PipelineQueries.queries.map(_._1) ++
-        graft.queries.FlagshipQueries.queries.map(_._1) ++
-        graft.queries.RelationalQueries.queries.map(_._1) ++
-        graft.queries.CurationQueries.queries.map(_._1) ++
-        graft.queries.AnalyticsQueries.queries.map(_._1)
+    // built from SparkEntry.queryModules — the SAME list the driver
+    // surface merges, so a new module is under this guard automatically
+    val all = SparkEntry.queryModules.flatten.map(_._1)
     val dups = all.groupBy(identity).collect { case (n, os) if os.size > 1 => n }
     assert(dups.isEmpty,
       s"duplicate query names (the Map silently keeps one): ${dups.toSeq.sorted}")
+    val allOracles = SparkEntry.oracleModules.flatten.map(_._1)
+    val odups = allOracles.groupBy(identity).collect { case (n, os) if os.size > 1 => n }
+    assert(odups.isEmpty, s"duplicate oracle names: ${odups.toSeq.sorted}")
   }
 }

@@ -100,6 +100,27 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.stripLinesIndexed(batch, idx, "doc_id", col("text"))))
   }
 
+  test("stripLinesBroadcast matches the batch paths on NULL text and honors sep") {
+    val corpus = Seq((0L, "nav;a"), (1L, "nav;b"), (2L, "nav")).toDF("doc_id", "text")
+    val idx = Dedup.lineIndex(corpus, "doc_id", col("text"), sep = ";", minDocs = 3)
+    val batch = Seq[(Long, String)]((9L, "nav;keep")).toDF("doc_id", "text")
+      .unionByName(Seq(10L).toDF("doc_id").withColumn("text", lit(null).cast("string")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_text", "n_lines", "n_removed")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).sortBy(_._1).toSeq
+    val viaJoin = rows(Dedup.stripLinesIndexed(batch, idx, "doc_id", col("text"), sep = ";"))
+    val viaBroadcast = rows(Dedup.stripLinesBroadcast(batch, idx, "doc_id", col("text"), sep = ";"))
+    assert(viaBroadcast === viaJoin)
+    assert(viaJoin === Seq((9L, "keep", 2L, 1L), (10L, "", null, null)))
+    // a multi-char (or non-ASCII) sep cannot match the expression's
+    // single-byte split — rejected loudly, not silently unfiltered
+    intercept[IllegalArgumentException] {
+      Dedup.stripLinesBroadcast(batch, idx, "doc_id", col("text"), sep = "\r\n")
+    }
+  }
+
   test("stripLinesBroadcast with an empty index keeps every document intact") {
     val corpus = Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text")
     val idx = Dedup.lineIndex(corpus, "doc_id", col("text"), minDocs = 2)
