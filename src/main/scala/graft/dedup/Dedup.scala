@@ -205,20 +205,36 @@ object Dedup {
     stripAgainst(base, index.select(col("_h1"), col("_h2")).distinct(), sep, id)
   }
 
+  /** Driver-side row bound for a broadcast hot-line index: 4M entries ×
+    * 16 B = 64 MB — the same dimension-table size class as
+    * [[graft.operators.Views.DefaultMaxRows]]. A real corpus's hot set
+    * (every line in ≥ minDocs distinct docs) is plausibly 10⁵–10⁷, so
+    * the bound is a CONTRACT, not an assumption: an oversized index
+    * fails with a pointer at the join path before any unbounded driver
+    * allocation.
+    */
+  val DefaultMaxIndexEntries: Int = 4000000
+
   /** Broadcast-index variant of [[stripLinesIndexed]] for STREAMS (and
     * any per-row path): the batch op's explode → anti-join → reassemble
     * is the right shape at rest but the reassembly is an unbounded
     * stateful aggregation in a stream, so here the [[lineIndex]] pairs
-    * fold to ONE row (array<long>, 16 B per hot line), ride a broadcast
-    * cross join to every task, and a single codegen'd expression
-    * ([[graft.functions.StripLinesByHash]] — hash-parity with the index
-    * pinned in DedupSpec) filters each document's lines in place.
-    * Stateless, no shuffle on the document side; output shape identical
-    * to [[stripFrequentLines]].
+    * are collected under a fail-fast row bound (`maxEntries`, the
+    * [[graft.operators.Views]] pattern: a parallel count probes the size
+    * BEFORE any driver materialization), sorted once, and shipped as ONE
+    * executor-decoded broadcast ([[graft.functions.SortedHashPairs]]);
+    * a single codegen'd expression ([[graft.functions.StripLinesByHash]]
+    * — hash-parity with the index pinned in DedupSpec) then filters each
+    * document's lines in place with an O(log n) binary search per line.
+    * Stateless, no shuffle and no join on the document side; output
+    * shape identical to [[stripFrequentLines]]. An index above
+    * `maxEntries` must use [[stripLinesIndexed]] (the distributed
+    * anti-join never materializes the index anywhere).
     */
   def stripLinesBroadcast(docs: DataFrame, index: DataFrame, id: String,
-      text: Column, sep: String = "\n"): DataFrame = {
-    requireNoInternal(docs, Seq("_hot", "_s"))
+      text: Column, sep: String = "\n",
+      maxEntries: Int = DefaultMaxIndexEntries): DataFrame = {
+    requireNoInternal(docs, Seq("_s"))
     // the expression splits on one ASCII byte (never part of a multi-byte
     // UTF-8 sequence); a multi-char sep built into an index would
     // otherwise silently never match here — reject it loudly
@@ -226,15 +242,29 @@ object Dedup {
       s"stripLinesBroadcast: sep must be a single ASCII char " +
         s"(got ${sep.map(_.toInt).mkString("[", ",", "]")}); " +
         "use stripLinesIndexed for other separators")
-    val hot = index
-      .agg(flatten(collect_list(array(col("_h1"), col("_h2")))).as("_hot"))
+    // count-probe + collect over one persisted snapshot (Views.groupView
+    // rationale: a limit(n+1) probe funnels through few tasks; the
+    // persist keeps the probe and the collect on one computation)
+    val pairsDf = index.select(col("_h1"), col("_h2")).distinct()
+    val cached = pairsDf.persist()
+    val sorted =
+      try {
+        val n = cached.count()
+        if (n > maxEntries) throw new IllegalArgumentException(
+          s"stripLinesBroadcast: hot-line index has $n entries, exceeding " +
+            s"maxEntries=$maxEntries — the index is driver-collected and " +
+            "broadcast, so it must stay dimension-sized; use " +
+            "stripLinesIndexed (distributed anti-join) for large indexes, " +
+            "or raise maxEntries")
+        graft.functions.SortedHashPairs.build(
+          cached.collect().map(r => (r.getLong(0), r.getLong(1))))
+      } finally { cached.unpersist(false); () }
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
     import org.apache.spark.sql.graftbridge.Bridge
     docs
-      .join(org.apache.spark.sql.functions.broadcast(hot))
       .select(col(id),
         Bridge.column(graft.functions.StripLinesByHash(
-          Bridge.expression(text), Bridge.expression(col("_hot")),
-          sep.charAt(0).toByte)).as("_s"))
+          Bridge.expression(text), bc, sep.charAt(0).toByte)).as("_s"))
       .select(col(id),
         // null text -> "" with null counts, byte-identical to the batch
         // paths (where posexplode drops the doc and the final select

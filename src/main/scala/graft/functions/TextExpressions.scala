@@ -190,45 +190,90 @@ object WordShingleHashes {
   }
 }
 
+/** Hot-line hash pairs sorted lexicographically by (h1, h2), as two
+  * parallel primitive arrays — the broadcast payload of
+  * [[StripLinesByHash]]. 16 B per entry, built ONCE on the driver
+  * (inside the fail-fast row bound of
+  * [[graft.dedup.Dedup.stripLinesBroadcast]]), decoded once per executor
+  * by Spark's broadcast manager, and probed by binary search on h1 —
+  * membership is O(log n) per line with ZERO per-row allocation. The
+  * round-12 shape (array<long> column on a 1-row broadcast join, decoded
+  * and linearly scanned per document row) copied the whole index for
+  * every row and went O(doc_lines × index): harmless at the fixture's
+  * dozens of hot lines, quadratic at a real corpus's 10⁵–10⁷.
+  */
+final class SortedHashPairs private (val h1: Array[Long], val h2: Array[Long])
+    extends Serializable {
+  def size: Int = h1.length
+}
+
+object SortedHashPairs {
+  val Empty: SortedHashPairs = new SortedHashPairs(Array.empty, Array.empty)
+
+  /** Sort (h1, h2) pairs lexicographically; duplicates are harmless
+    * (membership is any-match), so unioned per-epoch indexes need no
+    * driver-side dedup here.
+    */
+  def build(pairs: Array[(Long, Long)]): SortedHashPairs = {
+    if (pairs.isEmpty) return Empty
+    val sorted = pairs.sorted
+    val a = new Array[Long](sorted.length)
+    val b = new Array[Long](sorted.length)
+    var i = 0
+    while (i < sorted.length) { a(i) = sorted(i)._1; b(i) = sorted(i)._2; i += 1 }
+    new SortedHashPairs(a, b)
+  }
+}
+
 /** One-pass boilerplate-line strip against a broadcast hash index — the
   * STREAMING form of [[graft.dedup.Dedup.stripLinesIndexed]]: the batch
   * op explodes lines and anti-joins (right at rest, wrong in a stream —
   * per-document reassembly would be an unbounded stateful aggregation),
   * while this expression filters a document's lines in place, per row,
-  * no state, no shuffle. `hot` is the [[graft.dedup.Dedup.lineIndex]]
-  * pairs flattened to array<long> [h1₀, h2₀, h1₁, h2₁, …] and ridden in
-  * on a 1-row broadcast.
+  * no state, no shuffle, no join at all. `index` is the
+  * [[graft.dedup.Dedup.lineIndex]] pairs collected under a fail-fast row
+  * bound, sorted, and broadcast as [[SortedHashPairs]] — one decode per
+  * executor, binary-searched per line.
   *
   * Hash parity is the contract: line hashes are computed with catalyst's
   * own XXH64 exactly as `xxhash64(line)` / `xxhash64(0x5eed, line)`
   * evaluate them, so an index built by the batch operator drives this
   * expression byte-for-byte (pinned in DedupSpec). Splits on the LF byte
   * (0x0A never occurs inside a multi-byte UTF-8 sequence), preserving
-  * trailing empties like `split(text, "\n")`. Membership is a linear
-  * scan of the pair array per line — the index is broadcast-small by
-  * construction (16 B per hot line); at tens of entries a scan beats any
-  * per-row set build. Returns struct(clean_text, n_lines, n_removed);
-  * null text → null.
+  * trailing empties like `split(text, "\n")`. The second hash is only
+  * computed for lines whose h1 hits the index. Returns
+  * struct(clean_text, n_lines, n_removed); null text → null.
   */
-case class StripLinesByHash(left: Expression, right: Expression,
-    sep: Byte = '\n') extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+case class StripLinesByHash(child: Expression,
+    index: org.apache.spark.broadcast.Broadcast[SortedHashPairs],
+    sep: Byte = '\n') extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(sep >= 0, s"sep must be an ASCII byte (got $sep)")
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("clean_text", StringType, nullable = false),
     StructField("n_lines", IntegerType, nullable = false),
     StructField("n_removed", IntegerType, nullable = false)))
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(text: Any, hot: Any): Any =
-    StripLinesByHash.compute(text.asInstanceOf[UTF8String], hot.asInstanceOf[ArrayData], sep)
+  @transient private lazy val sorted: SortedHashPairs = index.value
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, h) =>
-      s"${ev.value} = graft.functions.StripLinesByHash.compute($t, $h, (byte) $sep);")
+  override protected def nullSafeEval(text: Any): Any =
+    StripLinesByHash.compute(text.asInstanceOf[UTF8String], sorted, sep)
 
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): StripLinesByHash = copy(left = newLeft, right = newRight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("hotLineIndex", index,
+      "org.apache.spark.broadcast.Broadcast")
+    // broadcast decoded ONCE per operator instance (per task), not per row
+    val sortedVar = ctx.addMutableState("graft.functions.SortedHashPairs",
+      "hotSorted", v => s"$v = (graft.functions.SortedHashPairs) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.StripLinesByHash.compute($t, $sortedVar, (byte) $sep);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripLinesByHash =
+    copy(child = newChild)
 }
 
 object StripLinesByHash {
@@ -241,9 +286,10 @@ object StripLinesByHash {
     */
   private val Seed2 = XXH64.hashInt(0x5eed, 42L)
 
-  def compute(text: UTF8String, hot: ArrayData,
+  def compute(text: UTF8String, hot: SortedHashPairs,
       sep: Byte): org.apache.spark.sql.catalyst.InternalRow = {
-    val pairs = hot.toLongArray()
+    val h1s = hot.h1
+    val h2s = hot.h2
     val bytes = text.getBytes
     val n = bytes.length
     val out = new Array[Byte](n)
@@ -261,11 +307,15 @@ object StripLinesByHash {
         val line = UTF8String.fromBytes(bytes, start, len)
         val h1 = XXH64.hashUTF8String(line, 42L)
         var isHot = false
-        var j = 0
-        while (j + 1 < pairs.length && !isHot) {
-          if (pairs(j) == h1 && pairs(j + 1) == XXH64.hashUTF8String(line, Seed2))
-            isHot = true
-          j += 2
+        var j = java.util.Arrays.binarySearch(h1s, h1)
+        if (j >= 0) {
+          // h2 computed only on an h1 hit; walk the (rare) equal-h1 run
+          val h2 = XXH64.hashUTF8String(line, Seed2)
+          while (j > 0 && h1s(j - 1) == h1) j -= 1
+          while (j < h1s.length && h1s(j) == h1 && !isHot) {
+            if (h2s(j) == h2) isHot = true
+            j += 1
+          }
         }
         if (!isHot) {
           if (kept > 0) { out(outLen) = sep; outLen += 1 }
@@ -292,15 +342,22 @@ object StripLinesByHash {
   *      precomposed `é` become the same code point);
   *   2. lowercase (same simple case mapping as `functions.lower` /
   *      DuckDB `lower` — [[UTF8String.toLowerCase]]);
-  *   3. whitespace canonicalization: runs of space/tab/CR/LF collapse to
-  *      one space, leading/trailing runs are dropped.
+  *   3. whitespace canonicalization: runs of UNICODE whitespace collapse
+  *      to one space, leading/trailing runs are dropped. The class is
+  *      `Character.isWhitespace ∪ Character.isSpaceChar` = `\p{Z}` plus
+  *      the controls {09–0D, 1C–1F} — so an NBSP (U+00A0) or ideographic
+  *      space (U+3000) page collapses to the same dedup key as its
+  *      ASCII-space twin (the round-12 ASCII-only class missed exactly
+  *      those; the DuckDB oracle replays the identical RE2 class).
   * One pass per row inside whole-stage codegen; null text → null. The
   * equivalent built-in composition needs a regexp_replace (non-codegen
   * regex per row) and has no NFC at all — Spark ships no Unicode
   * normalizer, which is what makes this an Expression.
   */
-case class NormalizeText(child: Expression) extends UnaryExpression {
+case class NormalizeText(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
 
@@ -336,7 +393,11 @@ object NormalizeText {
     var started = false
     while (i < n) {
       val c = lowered.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+      // Unicode whitespace: isWhitespace ∪ isSpaceChar = \p{Z} plus the
+      // controls {09-0D, 1C-1F} — exactly the RE2 class
+      // [\t\n\x0b\f\r\x1c-\x1f\p{Z}] the DuckDB oracle uses (all Unicode
+      // whitespace is BMP, so the per-char test is complete)
+      if (Character.isWhitespace(c) || Character.isSpaceChar(c)) {
         if (started) pendingSpace = true
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }

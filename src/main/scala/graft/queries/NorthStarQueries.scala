@@ -395,7 +395,11 @@ object NorthStarQueries {
       */
     "text_normalize" -> { (s, dir) =>
       val id = col("doc_id")
-      val m = when(id % 4 === 0, concat(lit("  Cafe\u0301  MENU\t"), col("text")))
+      // case 0 carries NBSP (U+00A0) and ideographic space (U+3000):
+      // Unicode whitespace must collapse exactly like ASCII space \u2014 the
+      // CCNet-style property the round-12 ASCII-only class missed
+      val m = when(id % 4 === 0,
+          concat(lit("  Cafe\u0301 \u00a0MENU\t\u3000"), col("text")))
         .when(id % 4 === 1, concat(lit("caf\u00e9 menu "), col("text"), lit(" ")))
         .when(id % 4 === 2, concat(col("text"), lit("\n\nEND\u00c9")))
         .otherwise(col("text"))
@@ -2592,7 +2596,8 @@ object NorthStarQueries {
     "text_normalize" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 4 = 0 THEN '  Cafe' || chr(769) || '  MENU' || chr(9) || text
+        |    CASE WHEN doc_id % 4 = 0 THEN '  Cafe' || chr(769) || ' ' || chr(160)
+        |                                  || 'MENU' || chr(9) || chr(12288) || text
         |         WHEN doc_id % 4 = 1 THEN 'caf' || chr(233) || ' menu ' || text || ' '
         |         WHEN doc_id % 4 = 2 THEN text || chr(10) || chr(10) || 'END' || chr(201)
         |         ELSE text END AS m
@@ -2600,7 +2605,8 @@ object NorthStarQueries {
         |), n AS (
         |  SELECT doc_id, m,
         |    trim(regexp_replace(lower(nfc_normalize(m)),
-        |         '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS norm_text
+        |         '[' || chr(9) || '-' || chr(13) || chr(28) || '-' || chr(31)
+        |             || '\p{Z}]+', ' ', 'g')) AS norm_text
         |  FROM t
         |)
         |SELECT doc_id, norm_text, norm_text = m AS unchanged FROM n""".stripMargin,

@@ -131,6 +131,40 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(("x\ny", 2L, 0L)))
   }
 
+  test("stripLinesBroadcast fails fast on an index above maxEntries") {
+    val corpus = Seq((0L, "nav\na"), (1L, "nav\nb"), (2L, "nav\nc")).toDF("doc_id", "text")
+    // minDocs=2: hot set = {nav} plus nothing else → 1 entry; bound of 0
+    // must trip BEFORE any driver materialization, naming the escape hatch
+    val idx = Dedup.lineIndex(corpus, "doc_id", col("text"), minDocs = 2)
+    val batch = Seq((9L, "nav\nkeep")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.stripLinesBroadcast(batch, idx, "doc_id", col("text"), maxEntries = 0)
+    }
+    assert(e.getMessage.contains("stripLinesIndexed"))
+    // at the default bound the same call goes through
+    assert(Dedup.stripLinesBroadcast(batch, idx, "doc_id", col("text"))
+      .select("clean_text").as[String].collect() === Array("keep"))
+  }
+
+  test("stripLinesBroadcast binary-search membership is exact on a 100k-entry index") {
+    // 100k synthetic hash pairs (NOT hashes of any real line — membership
+    // must come only from true (h1,h2) equality) + the real hot lines of a
+    // small corpus, unioned the way per-epoch indexes are; includes
+    // adversarial rows sharing h1 with a real hot line but differing in h2
+    val corpus = Seq((0L, "nav\na"), (1L, "nav\nb"), (2L, "nav\nc")).toDF("doc_id", "text")
+    val real = Dedup.lineIndex(corpus, "doc_id", col("text"), minDocs = 3)
+    val noise = spark.range(100000)
+      .select(xxhash64(concat(lit("n1_"), col("id"))).as("_h1"),
+        xxhash64(concat(lit("n2_"), col("id"))).as("_h2"))
+    val h1Collide = real.select(col("_h1"), (col("_h2") + 1).as("_h2"))
+    val idx = real.unionByName(noise).unionByName(h1Collide)
+    val batch = Seq((9L, "nav\nkeep"), (10L, "keep2\nnav")).toDF("doc_id", "text")
+    val out = Dedup.stripLinesBroadcast(batch, idx, "doc_id", col("text"))
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out === Array((9L, "keep", 1L), (10L, "keep2", 1L)))
+  }
+
   test("lineIndex survives a parquet round-trip between batches") {
     val corpus = Seq((0L, "nav\na"), (1L, "nav\nb"), (2L, "nav")).toDF("doc_id", "text")
     val p = java.nio.file.Files.createTempDirectory("graft_lineidx").toString + "/idx"
