@@ -17,20 +17,44 @@ This check makes artifact drift loud at round close:
   4. the committed bench artifact must self-report an uncontended run
      ("contended": false).
 
+Round 13: the gate is DRIVER-AWARE. The round driver commits its own
+post-round artifact drop ("round NN: verdict/advice/correctness/bench"),
+which may include ITS bench run of the builder's HEAD — ambient-load
+numbers the builder neither produced nor vouches for. Rules 3 and 4
+therefore anchor on the newest BUILDER commit touching BENCH_LAST.json
+(any commit whose subject does not match the driver-drop pattern), so a
+round can never open failed because of a driver artifact, while a
+genuinely stale builder bench still fails.
+
 Usage: python3 tools/freshness.py   (from the repo root; exit 0 = fresh)
 """
 import json
 import os
+import re
 import subprocess
 import sys
 
 ARTIFACTS = ["BENCH_LAST.json", "SCALE10.json", "SCALE100.json"]
+
+# the driver's artifact-drop commits: "round 12: verdict/advice/..."
+DRIVER_DROP_RE = re.compile(r"^round\s+\d+\b")
 
 
 def git(*args):
     return subprocess.run(["git"] + list(args), capture_output=True,
                           text=True, cwd=os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))))
+
+
+def last_builder_commit(path):
+    """(unix time, sha) of the newest commit touching `path` whose subject
+    is not a driver artifact drop; (0, None) if none exists."""
+    r = git("log", "--format=%ct %H %s", "--", path)
+    for line in r.stdout.splitlines():
+        t, sha, subject = line.split(" ", 2)
+        if not DRIVER_DROP_RE.match(subject):
+            return int(t), sha
+    return 0, None
 
 
 def main():
@@ -65,32 +89,36 @@ def main():
         failures.append("uncommitted source changes — artifacts cannot vouch "
                         "for them:\n  " + dirty.replace("\n", "\n  "))
 
-    # 3. bench artifact newer than the last src/main commit
+    # 3. the last BUILDER-committed bench must be newer than the last
+    # src/main commit (the driver's own post-round drop commits a bench of
+    # ambient provenance — it can neither freshen nor stale the builder's)
     def last_commit_time(path):
         r = git("log", "-1", "--format=%ct", "--", path)
         out = r.stdout.strip()
         return int(out) if out else 0
 
     src_t = last_commit_time("src/main")
-    bench_t = last_commit_time("BENCH_LAST.json")
+    bench_t, bench_sha = last_builder_commit("BENCH_LAST.json")
     if bench_t and src_t > bench_t:
-        failures.append("src/main was committed after the last BENCH_LAST.json "
-                        "commit — the committed bench predates the source; "
-                        "re-run the idle bench and commit the artifact")
+        failures.append("src/main was committed after the last BUILDER "
+                        "BENCH_LAST.json commit — the committed bench predates "
+                        "the source; re-run the idle bench and commit the "
+                        "artifact")
 
-    # 4. committed bench self-reports idle
-    head_bench = git("show", "HEAD:BENCH_LAST.json")
-    if head_bench.returncode == 0:
+    # 4. the last BUILDER-committed bench self-reports idle (a driver drop
+    # with contended/ambient numbers is the driver's evidence, not ours)
+    if bench_sha:
+        head_bench = git("show", f"{bench_sha}:BENCH_LAST.json")
         try:
             b = json.loads(head_bench.stdout)
             if b.get("contended") is True:
-                failures.append("committed BENCH_LAST.json says contended:true "
-                                "— regenerate on an idle box")
+                failures.append("builder-committed BENCH_LAST.json says "
+                                "contended:true — regenerate on an idle box")
             if b.get("failed"):
-                failures.append(f"committed BENCH_LAST.json has failed queries: "
-                                f"{b['failed']}")
+                failures.append(f"builder-committed BENCH_LAST.json has failed "
+                                f"queries: {b['failed']}")
         except ValueError:
-            failures.append("committed BENCH_LAST.json is not valid JSON")
+            failures.append("builder-committed BENCH_LAST.json is not valid JSON")
 
     if failures:
         print("FRESHNESS GATE FAILED:")
