@@ -155,6 +155,28 @@ object SparkEntry {
   private val bigPairJoinPins = Map(
     "spark.sql.join.preferSortMergeJoin" -> "false")
 
+  /** ssjoin_prefix's verify joins (candidates ⋈ ordered token sets):
+    * below this document count AQE's default planning runs and
+    * broadcast-promotes the ordered-sets frame — the right call in the
+    * toy regime. At or above it broadcasts are pinned OFF, because that
+    * is the plan every LARGER scale gets anyway: the ordered-sets frame
+    * grows with the corpus, so the broadcast arm is a transient the
+    * operator passes through exactly once on its way up — r12's SCALE100
+    * measured that transition as a misleading 14.2×/decade headline
+    * (shuffle-to-shuffle was 6.4×, output pairs exactly 10.0×). Pinning
+    * the big class onto the shuffle arm makes pseudo-sf1 and pseudo-sf10
+    * plan identically, so the decade ratio measures operator growth, not
+    * a planner threshold. Same pin-off-at-tiny / fixed-at-big structure
+    * as [[tinyGraphPins]]/[[bigPairJoinPins]], gated on measured rows.
+    */
+  private val ssjoinDomain: Map[String, Seq[String]] = Map(
+    "ssjoin_prefix" -> Seq("documents"))
+
+  private val SsjoinBroadcastOffDocs = 20000L
+
+  private val ssjoinPins = Map(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
   // one footer-cheap count() per (dir, table) per JVM — outside every
   // harness's timed region (pins are computed before the clock starts)
   private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -184,6 +206,12 @@ object SparkEntry {
         bigPairJoinPins
       case _ => Map.empty[String, String]
     }
-    base ++ graph ++ pair
+    val ssjoin = ssjoinDomain.get(name) match {
+      case Some(tables)
+          if tables.map(tableRows(spark, dir, _)).sum >= SsjoinBroadcastOffDocs =>
+        ssjoinPins
+      case _ => Map.empty[String, String]
+    }
+    base ++ graph ++ pair ++ ssjoin
   }
 }

@@ -100,7 +100,14 @@ object Scale10 {
     // r12 line filter: its 10x ratio (0.8x) is overhead-dominated and
     // says nothing about the data term — the second decade is where the
     // hot-line counting and anti-join actually see volume
-    "boilerplate_strip")
+    "boilerplate_strip",
+    // round-13 ask: the curation heavyweights — the suffix-ish substring
+    // family is the costliest text op in the bench (substring_clean
+    // 1.6 s at sf0.1) and had no decade entry; ssjoin_prefix's entry now
+    // measures the SHUFFLE arm at both ends (the size-conditional
+    // broadcast-off pin in SparkEntry engages at ≥20k documents, i.e. at
+    // pseudo-sf1 AND pseudo-sf10 but not at sf0.1)
+    "substring_clean", "substring_spans")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim

@@ -14,11 +14,14 @@ class PinsSpec extends SparkSpec {
   private def synthDir(rows: Long): String = {
     val dir = java.nio.file.Files.createTempDirectory("pins_spec").toString
     // fuzzy_join2 gates on part, fuzzy_join on customer, pagerank on
-    // customer — one synthesized count serves all three probes
+    // customer, ssjoin_prefix on documents — one synthesized count
+    // serves all four probes
     spark.range(rows).select(col("id").as("k")).write
       .parquet(s"$dir/part.parquet")
     spark.range(rows).select(col("id").as("k")).write
       .parquet(s"$dir/customer.parquet")
+    spark.range(rows).select(col("id").as("k")).write
+      .parquet(s"$dir/documents.parquet")
     dir
   }
 
@@ -43,6 +46,22 @@ class PinsSpec extends SparkSpec {
       .get("spark.sql.adaptive.enabled") === Some("false"))
     assert(!SparkEntry.confPinsFor(spark, "pagerank", big)
       .contains("spark.sql.adaptive.enabled"))
+  }
+
+  test("ssjoin_prefix: broadcasts pinned off only at/above the big class") {
+    // 5k docs (the sf0.1 fixture's size) keeps AQE's default planning;
+    // 50k (pseudo-sf1) and up pin broadcasts off, so both ends of the
+    // second decade plan shuffle-to-shuffle — the ratio measures the
+    // operator, not a planner threshold
+    val small = synthDir(5000L)
+    val big = synthDir(50000L)
+    assert(!SparkEntry.confPinsFor(spark, "ssjoin_prefix", small)
+      .contains("spark.sql.autoBroadcastJoinThreshold"))
+    assert(SparkEntry.confPinsFor(spark, "ssjoin_prefix", big)
+      .get("spark.sql.autoBroadcastJoinThreshold") === Some("-1"))
+    // the pin is family-scoped: no other query sees it
+    assert(!SparkEntry.confPinsFor(spark, "dedup_minhash", big)
+      .contains("spark.sql.autoBroadcastJoinThreshold"))
   }
 
   test("unreadable input assumes BIG: graph pin off, pair-join pin on") {
