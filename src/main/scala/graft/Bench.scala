@@ -173,11 +173,25 @@ object Bench {
       // cache holds), [19,19,19] is CHURN (every run re-pays janino);
       // the totals alone cannot tell the two apart
       var compilesRuns: List[Long] = Nil
-      // per-run contention markers captured at run START: 1-min loadavg
-      // and sibling java JVM count — outlier runs self-document as
-      // contended or clean
+      // per-run contention markers captured at run START and END: 1-min
+      // loadavg and sibling java JVM count — outlier runs self-document
+      // as contended or clean. The END marker exists because a host-
+      // external I/O or CPU burst that lands INSIDE a timed run never
+      // shows in the start marker (r12: ssjoin_prefix swung 1.96→37.7 s
+      // while the start-time jvms stayed 0)
       var loadRuns: List[Double] = Nil
+      var loadEndRuns: List[Double] = Nil
       var jvmsRuns: List[Int] = Nil
+      /** Intra-query load climb: max over all start/end markers divided
+        * by the min (floored at 1.0 so near-idle noise can't trip it).
+        * The 1-min loadavg moves slowly, so a >2x step across one
+        * query's back-to-back runs means an external burst — the bench's
+        * own steady-state load is flat at that horizon.
+        */
+      def loadClimb: Double = {
+        val ls = loadRuns ++ loadEndRuns
+        if (ls.isEmpty) 1.0 else ls.max / math.max(ls.min, 1.0)
+      }
     }
     val failed = Seq.newBuilder[String]
     var sinceGc = 0
@@ -211,6 +225,7 @@ object Bench {
       // bench bookkeeping, not query cost. Blocking, so the removal work
       // cannot bleed into the next run's timed region.
       val dt = (System.nanoTime() - t0) / 1e9
+      a.loadEndRuns ::= loadMarker()._1
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
@@ -283,9 +298,15 @@ object Bench {
         .map(l => BigDecimal(l).setScale(1, BigDecimal.RoundingMode.HALF_UP))
         .mkString("[", ",", "]")
       val jvmsArr = acc(k).jvmsRuns.reverse.mkString("[", ",", "]")
+      val loadEndArr = acc(k).loadEndRuns.reverse
+        .map(l => BigDecimal(l).setScale(1, BigDecimal.RoundingMode.HALF_UP))
+        .mkString("[", ",", "]")
+      val climb = BigDecimal(acc(k).loadClimb)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
       s"\"" + k + "\":" + (d.toSeq.sortBy(_._1)
         .map { case (dk, dv) => s"\"$dk\":$dv" } :+ s"\"compilesRuns\":$runsArr"
-        :+ s"\"loadRuns\":$loadArr" :+ s"\"jvmsRuns\":$jvmsArr")
+        :+ s"\"loadRuns\":$loadArr" :+ s"\"loadEndRuns\":$loadEndArr"
+        :+ s"\"loadClimb\":$climb" :+ s"\"jvmsRuns\":$jvmsArr")
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val failedQueries = failed.result().distinct
@@ -305,11 +326,22 @@ object Bench {
     val contended = busyStart > 0 || busyEnd > 0
     if (contended)
       System.err.println(s"[bench] CONTAMINATED RUN: busy sibling JVMs start=$busyStart end=$busyEnd")
+    // load-climb self-report (round-13 ask): busySiblings only sees JAVA
+    // processes, so a host-external CPU/I-O burst (the r12 driver-bench
+    // contamination) sailed through with contended:false. Any query whose
+    // 1-min loadavg climbed >2x across its own back-to-back runs now
+    // names itself in the artifact — loadNoisy:true means the medians are
+    // suspect and queries_min is the only robust signal.
+    val loadClimbQueries = names.map(_._1).filter(n => acc(n).loadClimb > 2.0)
+    val loadNoisy = loadClimbQueries.nonEmpty
+    if (loadNoisy)
+      System.err.println(s"[bench] LOAD CLIMB >2x during: ${loadClimbQueries.mkString(",")}")
+    val loadClimbJson = loadClimbQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The COMPLETE line (headline + per-query minima + medians + diag):
     // printed for full-stdout captures and written to a file the repo
     // commits, so the full maps always survive.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","contended":$contended,"busySiblings":{"start":$busyStart,"end":$busyEnd},"failed":$failedJson,"queries_min":$qsMin,"queries":$qs,"queries_med":$qs,"queries_runs":$qsRuns,"diag":$qsDiag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","contended":$contended,"busySiblings":{"start":$busyStart,"end":$busyEnd},"loadNoisy":$loadNoisy,"loadClimbQueries":$loadClimbJson,"failed":$failedJson,"queries_min":$qsMin,"queries":$qs,"queries_med":$qs,"queries_runs":$qsRuns,"diag":$qsDiag}"""
     System.out.println(line)
     // a SPARK_GRAFT_ONLY subset run must NEVER clobber the committed
     // round artifact: a later `git add -u` would silently promote a
