@@ -409,3 +409,88 @@ object NormalizeText {
     UTF8String.fromString(sb.toString)
   }
 }
+
+/** Per-document top-n-gram coverage — the Gopher repetition family's
+  * n-gram signals (dup/top n-gram fractions), computed WITHIN one row:
+  * counting a document's own n-grams needs no shuffle, so the naive
+  * explode -> groupBy(doc, gram) shape (every gram of every document
+  * crossing an exchange) is replaced by one codegen'd pass with a
+  * per-row count map keyed by the exact gram STRING (hash-keying would
+  * merge colliding grams and corrupt the max).
+  *
+  * Output struct (all integers, so the acceptance algebra downstream is
+  * engine-exact):
+  *   - n_tokens, total_chars: token count and `array_join(toks, " ")`
+  *     character length (code points, = DuckDB `len`);
+  *   - n_ngrams: number of n-grams (max(0, n_tokens - n + 1));
+  *   - top_count: the highest occurrence count of any single n-gram;
+  *   - top_cover: max over n-grams of occurrences x gram characters —
+  *     the numerator of the "top n-gram character fraction" (the gram's
+  *     chars include its n-1 separator spaces).
+  * Null tokens array -> null. Array elements must be non-null (the
+  * tokenizer never emits null tokens).
+  */
+case class TopNgramStats(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1 (got $n)")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("total_chars", IntegerType, nullable = false),
+    StructField("n_ngrams", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false),
+    StructField("top_cover", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    TopNgramStats.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TopNgramStats.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramStats =
+    copy(child = newChild)
+}
+
+object TopNgramStats {
+  def compute(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nTok = arr.numElements()
+    val toks = new Array[UTF8String](nTok)
+    var totalChars = 0
+    var i = 0
+    while (i < nTok) {
+      toks(i) = arr.getUTF8String(i)
+      totalChars += toks(i).numChars()
+      i += 1
+    }
+    if (nTok > 1) totalChars += nTok - 1
+    val nGrams = math.max(0, nTok - n + 1)
+    var topCount = 0
+    var topCover = 0
+    if (nGrams > 0) {
+      val counts = new java.util.HashMap[UTF8String, Array[Int]](nGrams * 2)
+      i = 0
+      while (i < nGrams) {
+        val gram =
+          if (n == 1) toks(i)
+          else UTF8String.concatWs(UTF8String.fromString(" "),
+            java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+        val prev = counts.get(gram)
+        if (prev == null) counts.put(gram, Array(1)) else prev(0) += 1
+        i += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        val cover = c * e.getKey.numChars()
+        if (c > topCount) topCount = c
+        if (cover > topCover) topCover = cover
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nTok, totalChars, nGrams, topCount, topCover))
+  }
+}

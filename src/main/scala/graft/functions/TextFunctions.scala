@@ -165,6 +165,16 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     HashFunctions.normalize_text(text)
 
+  /** Per-document top-n-gram coverage stats ([[TopNgramStats]] — the
+    * Gopher repetition family's n-gram signals, one codegen'd pass with
+    * a per-row count map; nothing crosses an exchange). Returns
+    * struct(n_tokens, total_chars, n_ngrams, top_count, top_cover),
+    * all integers.
+    */
+  def topNgramStats(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      TopNgramStats(org.apache.spark.sql.graftbridge.Bridge.expression(toks), n))
+
   /** Email pattern in the common Java/RE2 regex subset, so Spark and
     * SQL-engine oracles agree byte-for-byte on matches.
     */

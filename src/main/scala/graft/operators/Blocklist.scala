@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-blocklist filtering — the crawl-curation gate that runs right
+  * after URL canonicalization in a training-data pipeline (UT1-style
+  * blocklists in RefinedWeb/FineWeb): an entry `b.c` blocks the host
+  * `b.c` AND every subdomain `*.b.c`, so membership is a match on any
+  * registrable SUFFIX of the host's label chain, not a string equality.
+  * (North-star op beyond the reference's surface; the hierarchical-key
+  * semi-join shape is the same one a path-prefix ACL check uses.)
+  *
+  * Scale shape (100-TB lens): the document payload NEVER amplifies —
+  * the suffix explosion (≤ label-count rows, hosts have ~2-6 labels)
+  * carries (id, suffix) only; the blocklist is dimension-sized and AQE
+  * broadcast-promotes the membership join; what comes back is a
+  * DISTINCT id-only frame (8 B/row) that anti-joins the documents —
+  * blocked ids are a small fraction of the corpus, so AQE broadcasts
+  * that side too, and the documents themselves cross no exchange. The
+  * per-row alternative (`arrays_overlap` against one collected-array
+  * row) re-scans the whole blocklist per document — the exact shape the
+  * round-13 StripLinesByHash fix removed.
+  */
+object Blocklist {
+
+  /** All dot-suffixes of `host` that start at a label boundary:
+    * `a.b.co` → [`a.b.co`, `b.co`, `co`].
+    */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** Rows of `docs` whose `host` matches no blocklist entry (exact host
+    * or any parent domain). `blocklist` must expose a `pattern` column
+    * of lowercase registrable domains; `id` must be unique in `docs`
+    * (it keys the anti-join back onto the untouched payload).
+    */
+  def filterBlocked(docs: DataFrame, id: String, host: Column,
+      blocklist: DataFrame): DataFrame = {
+    val blockedIds = docs
+      .select(col(id).as("_bl_id"), explode(hostSuffixes(host)).as("_sfx"))
+      .join(blocklist.select(col("pattern").as("_sfx")).distinct(), "_sfx")
+      .select(col("_bl_id")).distinct()
+    docs.join(blockedIds, col(id) === col("_bl_id"), "left_anti")
+  }
+}

@@ -552,6 +552,40 @@ object CurationQueries {
           col("_q.n_alpha_words"), col("_q.n_stop"), col("_q.pass"))
     },
 
+    /** Gopher repetition signals at the n-gram level ([[graft.functions
+      * .TopNgramStats]] — the dup/top-n-gram half of the Gopher rules,
+      * complementing `gopher_quality`'s word-level half and
+      * `text_repetition`'s unigram top-term): per document, the bigram
+      * and trigram counts plus the top n-gram's occurrence count and
+      * character COVERAGE (occurrences × gram chars — the numerator of
+      * Gopher's "top n-gram character fraction"), and the combined
+      * repetitive flag via integer threshold algebra (top-2-gram
+      * coverage > 20% of joined chars, or top-3-gram > 18%). One
+      * codegen'd pass per row with a per-document count map — a
+      * document's own n-grams never need a shuffle, so the naive
+      * explode → groupBy(doc, gram) exchange (every gram of the corpus
+      * crossing the wire) does not exist in this plan.
+      */
+    "gopher_repetition" -> { (s, dir) =>
+      val docs = tableSpread(s, dir, "documents")
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+        .withColumn("_g2", TextFunctions.topNgramStats(col("_toks"), 2))
+        .withColumn("_g3", TextFunctions.topNgramStats(col("_toks"), 3))
+      docs.select(col("doc_id"),
+        col("_g2.n_tokens").cast("long").as("n_tokens"),
+        col("_g2.total_chars").cast("long").as("total_chars"),
+        col("_g2.n_ngrams").cast("long").as("n_bigrams"),
+        col("_g2.top_count").cast("long").as("top2_count"),
+        col("_g2.top_cover").cast("long").as("top2_cover"),
+        col("_g3.n_ngrams").cast("long").as("n_trigrams"),
+        col("_g3.top_count").cast("long").as("top3_count"),
+        col("_g3.top_cover").cast("long").as("top3_cover"),
+        (col("_g2.top_cover").cast("long") * 100 >
+            col("_g2.total_chars").cast("long") * 20 ||
+          col("_g3.top_cover").cast("long") * 100 >
+            col("_g2.total_chars").cast("long") * 18).as("repetitive"))
+    },
+
     /** EXACT set-similarity self-join ([[graft.operators.SetJoin
       * .prefixJaccard]], AllPairs/PPJoin prefix filtering): every
       * document pair with token-set Jaccard ≥ 3/5, with true
@@ -1018,6 +1052,48 @@ object CurationQueries {
         |   AND n_alpha_words * 5 >= n_words * 4
         |   AND n_stop >= 2) AS pass
         |FROM sig""".stripMargin,
+    "gopher_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+        |      + CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END AS BIGINT)
+        |      AS total_chars,
+        |    ts
+        |  FROM tk
+        |), g2 AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+        |  FROM base, UNNEST(range(1, len(ts))) u(i)
+        |), c2 AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+        |         MAX(c) AS tc2, MAX(c * len(g)) AS cov2
+        |  FROM c2 GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+        |  FROM base, UNNEST(range(1, len(ts) - 1)) u(i)
+        |), c3 AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g3 GROUP BY 1, 2
+        |), t3 AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+        |         MAX(c) AS tc3, MAX(c * len(g)) AS cov3
+        |  FROM c3 GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_tokens, b.total_chars,
+        |  CAST(COALESCE(t2.n2, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(t2.tc2, 0) AS BIGINT) AS top2_count,
+        |  CAST(COALESCE(t2.cov2, 0) AS BIGINT) AS top2_cover,
+        |  CAST(COALESCE(t3.n3, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(COALESCE(t3.tc3, 0) AS BIGINT) AS top3_count,
+        |  CAST(COALESCE(t3.cov3, 0) AS BIGINT) AS top3_cover,
+        |  (COALESCE(t2.cov2, 0) * 100 > b.total_chars * 20
+        |   OR COALESCE(t3.cov3, 0) * 100 > b.total_chars * 18) AS repetitive
+        |FROM base b LEFT JOIN t2 ON b.doc_id = t2.doc_id
+        |            LEFT JOIN t3 ON b.doc_id = t3.doc_id""".stripMargin,
     "ssjoin_prefix" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |tk AS (

@@ -325,6 +325,34 @@ object NorthStarQueries {
           sum(col("n_chars")).as("sum_chars"))
     },
 
+    /** Domain-blocklist filtering ([[graft.operators.Blocklist]] — the
+      * UT1-style curation gate right after canonicalization): an entry
+      * blocks its host AND every subdomain, so membership is a match on
+      * any label-boundary SUFFIX of the host. The fixture plants both
+      * match modes: `src3.example.com` blocks the bare host and its
+      * `cdn.` subdomain variant (hierarchy), `cdn.src7.example.com`
+      * blocks only the cdn variant (exact). Suffix explosion carries
+      * (id, suffix) only; the dimension-sized blocklist and the blocked
+      * id set both ride AQE broadcasts — document payloads cross no
+      * exchange.
+      */
+    "url_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+        when(id % 3 === 0, "WWW.").otherwise(""),
+        when(id % 5 === 0, "cdn.").otherwise(""),
+        col("source"), lit(".Example.COM"),
+        when(id % 2 === 0, ":80").otherwise(""),
+        lit("/"), col("lang"), lit("/page/"), (id % 50).cast("string"))
+      val cu = graft.functions.UrlFunctions.canonicalizeUrl(url)
+      val docs = tableSpread(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.UrlFunctions.canonicalHost(cu).as("host"))
+      val blocklist = Seq("src3.example.com", "cdn.src7.example.com").toDF("pattern")
+      graft.operators.Blocklist.filterBlocked(docs, "doc_id", col("host"), blocklist)
+    },
+
     /** Boilerplate-line removal ([[Dedup.stripFrequentLines]] — the
       * C4/CCNet corpus-frequency filter, distinct from dedup_paragraph's
       * keep-first dedup): every doc gets a synthesized multi-line page —
@@ -611,6 +639,28 @@ object NorthStarQueries {
       Dedup.embeddingCosine(all, id = "vec_id",
         vec = col("embedding"), threshold = 0.9, dim = 64)
         .select(col("a"), col("b"))
+    },
+
+    /** Bitext mining ([[graft.similarity.Bitext.mine]] — CCMatrix/LASER
+      * margin criterion): label-0 vectors are the source-language batch,
+      * label-1 the target corpus; a pair is mined only when it is MUTUAL
+      * top-1 by cosine and the top-1 clears a 21/20 ratio margin over
+      * the runner-up. The fixture's random vectors mostly fail the
+      * margin (the realistic negative), so each label-0 vec_id < 100
+      * gets a planted translation twin (×2 scale, cosine exactly 1 in
+      * both engines) on the target side — guaranteed positives whose
+      * mutual-top-1 status is provable. The oracle replays the full
+      * double-precision ranking both directions.
+      */
+    "bitext_mine" -> { (s, dir) =>
+      val emb = tableSpread(s, dir, "embeddings")
+      val src = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+      val plants = src.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val tgt = emb.filter(col("label") === 1).select(col("vec_id"), col("embedding"))
+        .unionByName(plants)
+      graft.similarity.Bitext.mine(src, tgt, "vec_id", "embedding", "vec_id", "embedding")
     },
 
     /** Incremental embedding dedup against the int8-quantized hyperplane
@@ -2536,6 +2586,62 @@ object NorthStarQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM g GROUP BY host""".stripMargin
     },
+    // same canonicalization chain, then the label-suffix blocklist replay:
+    // a host is blocked iff ANY of its dot-suffixes equals a pattern
+    "url_blocklist" -> {
+      val chain = urlCanonCtes("u", Seq())
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) ||
+        |    source || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) ||
+        |    '/' || lang || '/page/' || (doc_id % 50) AS raw
+        |  FROM documents
+        |), $chain, bl AS (
+        |  SELECT * FROM (VALUES ('src3.example.com'), ('cdn.src7.example.com')) b(pattern)
+        |), sfx AS (
+        |  SELECT doc_id, array_to_string(ls[i:], '.') AS sfx
+        |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM g),
+        |       UNNEST(range(1, len(ls) + 1)) u2(i)
+        |), blocked AS (
+        |  SELECT DISTINCT doc_id FROM sfx JOIN bl ON sfx.sfx = bl.pattern
+        |)
+        |SELECT g.doc_id, g.host FROM g
+        |WHERE g.doc_id NOT IN (SELECT doc_id FROM blocked)""".stripMargin
+    },
+    // full double-precision replay of both ranking directions + the
+    // 21/20 margin: spurious pairs and dropped plants both fail the hash
+    "bitext_mine" ->
+      """WITH src AS (
+        |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+        |  FROM embeddings WHERE label = 0
+        |), tg AS (
+        |  SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS tv
+        |  FROM embeddings WHERE label = 1
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS tid,
+        |         CAST(list_transform(embedding, x -> x * CAST(2 AS FLOAT)) AS DOUBLE[]) AS tv
+        |  FROM embeddings WHERE label = 0 AND vec_id < 100
+        |), sc AS (
+        |  SELECT sid, tid, list_cosine_similarity(sv, tv) AS c FROM src, tg
+        |), r1 AS (
+        |  SELECT sid, tid, c,
+        |         row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS r
+        |  FROM sc
+        |), m AS (
+        |  SELECT b.sid, b.tid FROM
+        |    (SELECT sid, tid, c FROM r1 WHERE r = 1) b
+        |    LEFT JOIN (SELECT sid, c AS c2 FROM r1 WHERE r = 2) s2 USING (sid)
+        |  WHERE b.c > 0 AND (s2.c2 IS NULL OR b.c * 20 >= s2.c2 * 21)
+        |), rt AS (
+        |  SELECT tid, sid,
+        |         row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS r
+        |  FROM sc WHERE tid IN (SELECT tid FROM m)
+        |)
+        |SELECT m.sid AS src_id, m.tid AS tgt_id
+        |FROM m JOIN rt ON m.tid = rt.tid AND rt.r = 1 AND rt.sid = m.sid""".stripMargin,
     // recomputes the line-frequency table, the >= 10-distinct-docs
     // threshold, the removal of EVERY occurrence, and the in-order
     // reassembly — byte equality of clean_text checks all four

@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Bitext mining — the margin-based mutual-nearest-neighbor pairing of
+  * the CCMatrix/LASER pipelines: a source-language batch is matched
+  * against a target-language corpus in a shared embedding space, and a
+  * pair is mined only when (1) the target is the source's top-1 by
+  * cosine, (2) the source wins the REVERSE direction too (mutual top-1 —
+  * kills hubs that are "closest" to everything), and (3) the top-1
+  * clears a RATIO margin over the runner-up (`marginNum/marginDen`,
+  * default 21/20 = 1.05 — a translation is much closer than the next
+  * candidate; a topically-similar non-translation is not).
+  *
+  * Scale shape (100-TB lens): the source batch is the bounded side (the
+  * realistic shape — mining runs per ingest batch against the big
+  * corpus) and rides a broadcast, so the corpus crosses no exchange
+  * during scoring; the per-source rank exchange carries (ids, cos) only;
+  * the reverse direction re-ranks ONLY the matched targets (semi-join
+  * first), not the corpus. The scored frame is persisted across the two
+  * directions so both rank in one computation.
+  */
+object Bitext {
+
+  /** Mined (src_id, tgt_id) pairs: mutual top-1 by cosine with a ratio
+    * margin over the source side's runner-up, positive-cosine only.
+    * Deterministic ties on neighbor id (same convention as [[Ann]]).
+    */
+  def mine(src: DataFrame, tgt: DataFrame, sId: String, sVec: String,
+      tId: String, tVec: String,
+      marginNum: Int = 21, marginDen: Int = 20): DataFrame = {
+    require(marginNum >= marginDen && marginDen > 0,
+      s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
+    val s = broadcast(src.select(col(sId).as("src_id"),
+      col(sVec).cast("array<double>").as("_sv")))
+    val t = tgt.select(col(tId).as("tgt_id"),
+      col(tVec).cast("array<double>").as("_tv"))
+    val scored = graft.Caches.track(t.crossJoin(s)
+      .select(col("src_id"), col("tgt_id"),
+        cosineFused(col("_sv"), col("_tv")).as("_cos"))
+      .persist())
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("_cos").desc, col("tgt_id").asc)
+    val top2 = scored.withColumn("_r", row_number().over(wS)).filter(col("_r") <= 2)
+    val best = top2.filter(col("_r") === 1)
+      .select(col("src_id"), col("tgt_id"), col("_cos").as("_c1"))
+    val second = top2.filter(col("_r") === 2)
+      .select(col("src_id"), col("_cos").as("_c2"))
+    val margined = best.join(second, Seq("src_id"), "left")
+      .filter(col("_c1") > 0 &&
+        (col("_c2").isNull || col("_c1") * marginDen >= col("_c2") * marginNum))
+    // reverse direction, restricted to the targets that survived margin:
+    // the matched target's best SOURCE (bounded set) must be this source
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("_cos").desc, col("src_id").asc)
+    val bestSrc = scored
+      .join(margined.select(col("tgt_id")).distinct(), Seq("tgt_id"), "left_semi")
+      .withColumn("_r", row_number().over(wT)).filter(col("_r") === 1)
+      .select(col("tgt_id"), col("src_id").as("_back"))
+    margined.join(bestSrc, Seq("tgt_id"))
+      .filter(col("src_id") === col("_back"))
+      .select(col("src_id"), col("tgt_id"))
+  }
+}
