@@ -157,6 +157,36 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"unexpected join in the per-row strip path:\n$plan")
   }
 
+  /** Key-equality exchanges of a plan — the fixture-spreading round-robin
+    * repartition (`tableSpread`) is harness plumbing, not operator shape.
+    */
+  private def keyedExchanges(plan: org.apache.spark.sql.execution.SparkPlan) =
+    collect(plan) {
+      case e: ShuffleExchangeExec if !e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+    }
+
+  test("gopher_repetition: a document's n-grams never cross an exchange") {
+    val q = graft.SparkEntry.queries("gopher_repetition")(spark, dir)
+    val plan = executed(q)
+    // per-row count map inside the expression: the whole query is
+    // scan -> project with zero keyed exchanges (the naive shape
+    // explodes every gram of the corpus into a groupBy(doc, gram)
+    // shuffle)
+    assert(keyedExchanges(plan).isEmpty, s"gopher_repetition shuffled:\n$plan")
+  }
+
+  test("url_blocklist: suffix explosion carries ids only; payload never amplifies") {
+    val q = graft.SparkEntry.queries("url_blocklist")(spark, dir)
+    val plan = executed(q)
+    // the (id, suffix) explosion and the blocked-id set may shuffle /
+    // broadcast, but no KEYED exchange row may carry the host payload —
+    // the document side re-joins by id only
+    for (e <- keyedExchanges(plan); attr <- e.output)
+      assert(attr.name == "_bl_id" || attr.name == "_sfx",
+        s"payload column '${attr.name}' crossed an exchange:\n${e.output.mkString(", ")}")
+  }
+
   test("quantized IVF probe: only int8 codes cross the corpus exchange") {
     val emb = GraftSession.table(spark, dir, "embeddings")
     val q = graft.similarity.Ivf.topKQuantized(
