@@ -208,7 +208,29 @@ final class SortedHashPairs private (val h1: Array[Long], val h2: Array[Long])
 }
 
 object SortedHashPairs {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
   val Empty: SortedHashPairs = new SortedHashPairs(Array.empty, Array.empty)
+
+  /** seed of `xxhash64(0x5eed, s)`: the 0x5eed literal hashed first —
+    * with hashInt, because an undecorated Scala integer literal is
+    * IntegerType (hashLong here would silently zero the match rate; the
+    * DedupSpec parity test exists to catch exactly that).
+    */
+  val Seed2: Long = XXH64.hashInt(0x5eed, 42L)
+
+  /** The two-seed 128-bit hash pair of a string — the same pair
+    * `xxhash64(s)` / `xxhash64(0x5eed, s)` evaluate to, so driver-built
+    * indexes stay hash-parity with engine-built ones.
+    */
+  def hashPair(s: UTF8String): (Long, Long) =
+    (XXH64.hashUTF8String(s, 42L), XXH64.hashUTF8String(s, Seed2))
+
+  /** Driver-side index build from raw strings (e.g. blocklist patterns):
+    * hash with [[hashPair]], sort once.
+    */
+  def ofStrings(values: Array[String]): SortedHashPairs =
+    build(values.map(v => hashPair(UTF8String.fromString(v))))
 
   /** Sort (h1, h2) pairs lexicographically; duplicates are harmless
     * (membership is any-match), so unioned per-epoch indexes need no
@@ -279,12 +301,7 @@ case class StripLinesByHash(child: Expression,
 object StripLinesByHash {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  /** seed of `xxhash64(0x5eed, line)`: the 0x5eed literal hashed first —
-    * with hashInt, because an undecorated Scala integer literal is
-    * IntegerType (hashLong here would silently zero the match rate; the
-    * DedupSpec parity test exists to catch exactly that).
-    */
-  private val Seed2 = XXH64.hashInt(0x5eed, 42L)
+  private val Seed2 = SortedHashPairs.Seed2
 
   def compute(text: UTF8String, hot: SortedHashPairs,
       sep: Byte): org.apache.spark.sql.catalyst.InternalRow = {
@@ -492,5 +509,73 @@ object TopNgramStats {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       nTok, totalChars, nGrams, topCount, topCover))
+  }
+}
+
+/** TRUE iff any element of a string-array column is a member of the
+  * broadcast [[SortedHashPairs]] index — the per-row membership probe
+  * behind [[graft.operators.Blocklist.filterBlockedBroadcast]] (host
+  * dot-suffixes vs a blocklist) and any other bounded string-set filter
+  * that must run with ZERO shuffle (streams, map-side pre-filters).
+  * Same structure discipline as [[StripLinesByHash]]: the index is
+  * decoded once per operator instance and binary-searched per element
+  * (h2 computed only on an h1 hit); identity is the two-seed 128-bit
+  * hash, so a false positive needs a 128-bit collision. Null array →
+  * null; null elements never match.
+  */
+case class AnyHashInIndex(child: Expression,
+    index: org.apache.spark.broadcast.Broadcast[SortedHashPairs])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val sorted: SortedHashPairs = index.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      AnyHashInIndex.compute(input.asInstanceOf[ArrayData], sorted))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("hashIndex", index,
+      "org.apache.spark.broadcast.Broadcast")
+    val sortedVar = ctx.addMutableState("graft.functions.SortedHashPairs",
+      "hashSorted", v => s"$v = (graft.functions.SortedHashPairs) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AnyHashInIndex.compute($c, $sortedVar);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnyHashInIndex =
+    copy(child = newChild)
+}
+
+object AnyHashInIndex {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def compute(arr: ArrayData, hot: SortedHashPairs): Boolean = {
+    val h1s = hot.h1
+    val h2s = hot.h2
+    if (h1s.length == 0) return false
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XXH64.hashUTF8String(s, 42L)
+        var j = java.util.Arrays.binarySearch(h1s, h1)
+        if (j >= 0) {
+          val h2 = XXH64.hashUTF8String(s, SortedHashPairs.Seed2)
+          while (j > 0 && h1s(j - 1) == h1) j -= 1
+          while (j < h1s.length && h1s(j) == h1) {
+            if (h2s(j) == h2) return true
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    false
   }
 }

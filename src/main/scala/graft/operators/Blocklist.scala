@@ -46,4 +46,44 @@ object Blocklist {
       .select(col("_bl_id")).distinct()
     docs.join(blockedIds, col(id) === col("_bl_id"), "left_anti")
   }
+
+  /** Driver-side row bound for a broadcast blocklist: real blocklists
+    * are dimension-sized (UT1's adult list is ~4M domains = 64 MB of
+    * hash pairs at this bound), and the membership index is 16 B per
+    * entry — same size class and fail-fast contract as
+    * [[graft.dedup.Dedup.DefaultMaxIndexEntries]].
+    */
+  val DefaultMaxPatterns: Int = 4000000
+
+  /** Zero-shuffle variant of [[filterBlocked]] for STREAMS and map-side
+    * pre-filters: the blocklist is collected under a fail-fast row bound
+    * (count probe BEFORE any driver materialization), hashed to a sorted
+    * [[graft.functions.SortedHashPairs]] index (16 B per pattern),
+    * broadcast once, and each row's host suffixes are probed by one
+    * codegen'd binary-search expression — no explode, no join, no
+    * exchange of any kind on the document side, the only shape that
+    * holds when the stream never ends. Membership is by the two-seed
+    * 128-bit hash (a false block needs a 128-bit collision). Semantics
+    * identical to [[filterBlocked]] (fuzz-pinned in Round13Spec); an
+    * above-bound blocklist must use the distributed join path.
+    */
+  def filterBlockedBroadcast(docs: DataFrame, host: Column,
+      blocklist: DataFrame, maxPatterns: Int = DefaultMaxPatterns): DataFrame = {
+    val cached = blocklist.select(col("pattern")).distinct().persist()
+    val sorted =
+      try {
+        val n = cached.count()
+        if (n > maxPatterns) throw new IllegalArgumentException(
+          s"filterBlockedBroadcast: blocklist has $n patterns, exceeding " +
+            s"maxPatterns=$maxPatterns — the list is driver-collected and " +
+            "broadcast; use filterBlocked (distributed join) for larger " +
+            "lists, or raise maxPatterns")
+        graft.functions.SortedHashPairs.ofStrings(
+          cached.collect().map(_.getString(0)))
+      } finally { cached.unpersist(false); () }
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.filter(!Bridge.column(graft.functions.AnyHashInIndex(
+      Bridge.expression(hostSuffixes(host)), bc)))
+  }
 }

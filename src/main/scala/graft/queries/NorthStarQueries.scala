@@ -117,6 +117,35 @@ object NorthStarQueries {
        |)""".stripMargin
   }
 
+  /** DuckDB replay of the blocklist fixture (canonicalization chain +
+    * label-suffix membership) — shared verbatim by `url_blocklist` and
+    * `stream_url_blocklist`: the broadcast hash-probe path must be
+    * semantics-identical to the distributed join path.
+    */
+  private val urlBlocklistSql: String = {
+    val chain = urlCanonCtes("u", Seq())
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) ||
+      |    source || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) ||
+      |    '/' || lang || '/page/' || (doc_id % 50) AS raw
+      |  FROM documents
+      |), $chain, bl AS (
+      |  SELECT * FROM (VALUES ('src3.example.com'), ('cdn.src7.example.com')) b(pattern)
+      |), sfx AS (
+      |  SELECT doc_id, array_to_string(ls[i:], '.') AS sfx
+      |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM g),
+      |       UNNEST(range(1, len(ls) + 1)) u2(i)
+      |), blocked AS (
+      |  SELECT DISTINCT doc_id FROM sfx JOIN bl ON sfx.sfx = bl.pattern
+      |)
+      |SELECT g.doc_id, g.host FROM g
+      |WHERE g.doc_id NOT IN (SELECT doc_id FROM blocked)""".stripMargin
+  }
+
   /** Persist a dedup index to parquet and read it back — the PRODUCTION
     * shape of incremental dedup (the index lives on disk between
     * ingestion batches by definition). Beyond fidelity, it matters for
@@ -351,6 +380,36 @@ object NorthStarQueries {
         .select(col("doc_id"), graft.functions.UrlFunctions.canonicalHost(cu).as("host"))
       val blocklist = Seq("src3.example.com", "cdn.src7.example.com").toDF("pattern")
       graft.operators.Blocklist.filterBlocked(docs, "doc_id", col("host"), blocklist)
+    },
+
+    /** Streaming domain-blocklist filtering ([[graft.operators.Blocklist
+      * .filterBlockedBroadcast]] — the crawl-firehose twin of
+      * `url_blocklist`, same fixture, same oracle semantics): the
+      * blocklist is collected under a fail-fast row bound, hashed to a
+      * sorted 16-B-per-pattern index, broadcast once, and every
+      * streamed document's host suffixes are probed by one codegen'd
+      * binary-search expression ([[graft.functions.AnyHashInIndex]]) —
+      * no explode, no join, no state, no exchange on the stream side.
+      */
+    "stream_url_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+        when(id % 3 === 0, "WWW.").otherwise(""),
+        when(id % 5 === 0, "cdn.").otherwise(""),
+        col("source"), lit(".Example.COM"),
+        when(id % 2 === 0, ":80").otherwise(""),
+        lit("/"), col("lang"), lit("/page/"), (id % 50).cast("string"))
+      val cu = graft.functions.UrlFunctions.canonicalizeUrl(url)
+      val blocklist = Seq("src3.example.com", "cdn.src7.example.com").toDF("pattern")
+      val stream = graft.streaming.StreamOps
+        .parquetStream(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.functions.UrlFunctions.canonicalHost(cu).as("host"))
+      val kept = graft.operators.Blocklist.filterBlockedBroadcast(
+        stream, col("host"), blocklist)
+      graft.streaming.StreamOps.drainToBatch(kept, outputMode = "append",
+        statePartitions = 8)
     },
 
     /** Boilerplate-line removal ([[Dedup.stripFrequentLines]] — the
@@ -2587,30 +2646,12 @@ object NorthStarQueries {
         |FROM g GROUP BY host""".stripMargin
     },
     // same canonicalization chain, then the label-suffix blocklist replay:
-    // a host is blocked iff ANY of its dot-suffixes equals a pattern
-    "url_blocklist" -> {
-      val chain = urlCanonCtes("u", Seq())
-      s"""WITH u AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) ||
-        |    source || '.Example.COM' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) ||
-        |    '/' || lang || '/page/' || (doc_id % 50) AS raw
-        |  FROM documents
-        |), $chain, bl AS (
-        |  SELECT * FROM (VALUES ('src3.example.com'), ('cdn.src7.example.com')) b(pattern)
-        |), sfx AS (
-        |  SELECT doc_id, array_to_string(ls[i:], '.') AS sfx
-        |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM g),
-        |       UNNEST(range(1, len(ls) + 1)) u2(i)
-        |), blocked AS (
-        |  SELECT DISTINCT doc_id FROM sfx JOIN bl ON sfx.sfx = bl.pattern
-        |)
-        |SELECT g.doc_id, g.host FROM g
-        |WHERE g.doc_id NOT IN (SELECT doc_id FROM blocked)""".stripMargin
-    },
+    // a host is blocked iff ANY of its dot-suffixes equals a pattern.
+    // ONE definition feeds both the batch and the streaming twin — the
+    // broadcast hash-probe path must be semantics-identical to the join
+    // path, so the oracles must be literally the same SQL.
+    "url_blocklist" -> urlBlocklistSql,
+    "stream_url_blocklist" -> urlBlocklistSql,
     // full double-precision replay of both ranking directions + the
     // 21/20 margin: spurious pairs and dropped plants both fail the hash
     "bitext_mine" ->

@@ -52,6 +52,34 @@ class Round13Spec extends SparkSpec {
       .select("doc_id").as[Long].collect() === Array(2L))
   }
 
+  test("filterBlockedBroadcast == filterBlocked on random host/blocklist sets") {
+    // small label alphabet forces suffix collisions between hosts and
+    // patterns of every depth
+    val labelGen = Gen.oneOf("a", "b", "cc", "d1")
+    val hostGen = Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k, labelGen)).map(_.mkString("."))
+    val caseGen = Gen.zip(
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, hostGen)),
+      Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, hostGen)))
+    for (((hosts, patterns), i) <- samples(caseGen, 25).zipWithIndex) {
+      val docs = hosts.zipWithIndex.map { case (h, j) => (j.toLong, h) }.toDF("doc_id", "host")
+      val bl = patterns.toDF("pattern")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").as[Long].collect().sorted.toSeq
+      val viaJoin = ids(Blocklist.filterBlocked(docs, "doc_id", col("host"), bl))
+      val viaBc = ids(Blocklist.filterBlockedBroadcast(docs, col("host"), bl))
+      assert(viaBc === viaJoin, s"case $i hosts=$hosts patterns=$patterns")
+    }
+  }
+
+  test("filterBlockedBroadcast fails fast above maxPatterns") {
+    val docs = Seq((1L, "a.b")).toDF("doc_id", "host")
+    val bl = Seq("a.b", "c.d").toDF("pattern")
+    val e = intercept[IllegalArgumentException] {
+      Blocklist.filterBlockedBroadcast(docs, col("host"), bl, maxPatterns = 1)
+    }
+    assert(e.getMessage.contains("filterBlocked"))
+  }
+
   // ------------------------------------------------------ TopNgramStats
 
   private def naiveNgram(toks: Seq[String], n: Int): (Int, Int, Int, Int, Int) = {
