@@ -83,7 +83,11 @@ object Blocklist {
       } finally { cached.unpersist(false); () }
     val bc = docs.sparkSession.sparkContext.broadcast(sorted)
     import org.apache.spark.sql.graftbridge.Bridge
-    docs.filter(!Bridge.column(graft.functions.AnyHashInIndex(
-      Bridge.expression(hostSuffixes(host)), bc)))
+    // coalesce(probe, false): a NULL host probes to null, and filter(!null)
+    // would silently DROP the row — while the join path keeps it (explode
+    // of a null suffix array yields no blocked id). Null hosts are kept on
+    // both paths (null-host case fuzz-pinned in Round13Spec).
+    docs.filter(!coalesce(Bridge.column(graft.functions.AnyHashInIndex(
+      Bridge.expression(hostSuffixes(host)), bc)), lit(false)))
   }
 }

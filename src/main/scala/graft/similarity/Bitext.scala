@@ -26,17 +26,37 @@ import graft.functions.VectorFunctions._
   */
 object Bitext {
 
+  /** Fail-fast row bound for the broadcast source batch: 1M 64-dim double
+    * vectors ≈ 512 MB of broadcast payload — the practical ceiling for a
+    * batch that every corpus partition must hold resident. Same count-probe
+    * contract as [[graft.operators.Blocklist.DefaultMaxPatterns]] /
+    * [[graft.dedup.Dedup.DefaultMaxIndexEntries]]: an oversized batch must
+    * fail by name, not OOM the broadcast.
+    */
+  val DefaultMaxSrcRows: Long = 1000000L
+
   /** Mined (src_id, tgt_id) pairs: mutual top-1 by cosine with a ratio
     * margin over the source side's runner-up, positive-cosine only.
     * Deterministic ties on neighbor id (same convention as [[Ann]]).
     */
   def mine(src: DataFrame, tgt: DataFrame, sId: String, sVec: String,
       tId: String, tVec: String,
-      marginNum: Int = 21, marginDen: Int = 20): DataFrame = {
+      marginNum: Int = 21, marginDen: Int = 20,
+      maxSrcRows: Long = DefaultMaxSrcRows): DataFrame = {
     require(marginNum >= marginDen && marginDen > 0,
       s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
-    val s = broadcast(src.select(col(sId).as("src_id"),
-      col(sVec).cast("array<double>").as("_sv")))
+    val sPlain = graft.Caches.track(src.select(col(sId).as("src_id"),
+      col(sVec).cast("array<double>").as("_sv")).persist())
+    // count-probe BEFORE the broadcast materializes: mining is per-batch
+    // against the big corpus, and the batch is the side that must stay
+    // bounded — an above-bound batch should be split, not broadcast
+    val n = sPlain.count()
+    require(n <= maxSrcRows,
+      s"Bitext.mine: source batch has $n rows, exceeding maxSrcRows=" +
+        s"$maxSrcRows — the batch is broadcast to every corpus partition; " +
+        "mine in smaller batches (or raise maxSrcRows if the vectors are " +
+        "small enough to hold resident)")
+    val s = broadcast(sPlain)
     val t = tgt.select(col(tId).as("tgt_id"),
       col(tVec).cast("array<double>").as("_tv"))
     val scored = graft.Caches.track(t.crossJoin(s)

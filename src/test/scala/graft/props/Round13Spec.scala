@@ -54,12 +54,14 @@ class Round13Spec extends SparkSpec {
 
   test("filterBlockedBroadcast == filterBlocked on random host/blocklist sets") {
     // small label alphabet forces suffix collisions between hosts and
-    // patterns of every depth
+    // patterns of every depth; ~1 in 8 hosts is NULL (a malformed URL
+    // whose canonical host did not parse) — both paths must KEEP it
     val labelGen = Gen.oneOf("a", "b", "cc", "d1")
-    val hostGen = Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k, labelGen)).map(_.mkString("."))
+    val realHost = Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k, labelGen)).map(_.mkString("."))
+    val hostGen = Gen.frequency(7 -> realHost, 1 -> Gen.const(null: String))
     val caseGen = Gen.zip(
       Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, hostGen)),
-      Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, hostGen)))
+      Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, realHost)))
     for (((hosts, patterns), i) <- samples(caseGen, 25).zipWithIndex) {
       val docs = hosts.zipWithIndex.map { case (h, j) => (j.toLong, h) }.toDF("doc_id", "host")
       val bl = patterns.toDF("pattern")
@@ -69,6 +71,16 @@ class Round13Spec extends SparkSpec {
       val viaBc = ids(Blocklist.filterBlockedBroadcast(docs, col("host"), bl))
       assert(viaBc === viaJoin, s"case $i hosts=$hosts patterns=$patterns")
     }
+  }
+
+  test("null host survives both blocklist paths") {
+    val docs = Seq((1L, "bad.com"), (2L, null: String), (3L, "ok.org"))
+      .toDF("doc_id", "host")
+    val bl = Seq("bad.com").toDF("pattern")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(Blocklist.filterBlocked(docs, "doc_id", col("host"), bl)) === Seq(2L, 3L))
+    assert(ids(Blocklist.filterBlockedBroadcast(docs, col("host"), bl)) === Seq(2L, 3L))
   }
 
   test("filterBlockedBroadcast fails fast above maxPatterns") {
@@ -144,5 +156,15 @@ class Round13Spec extends SparkSpec {
     val src = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
     val tgt = Seq((2L, Seq(-1f, 0f)), (3L, Seq(-1f, 0.1f))).toDF("vec_id", "embedding")
     assert(Bitext.mine(src, tgt, "vec_id", "embedding", "vec_id", "embedding").count() === 0L)
+  }
+
+  test("bitext mine fails fast above maxSrcRows") {
+    val src = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val tgt = Seq((3L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Bitext.mine(src, tgt, "vec_id", "embedding", "vec_id", "embedding",
+        maxSrcRows = 1L).count()
+    }
+    assert(e.getMessage.contains("smaller batches"))
   }
 }

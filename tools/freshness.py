@@ -26,7 +26,15 @@ therefore anchor on the newest BUILDER commit touching BENCH_LAST.json
 round can never open failed because of a driver artifact, while a
 genuinely stale builder bench still fails.
 
-Usage: python3 tools/freshness.py   (from the repo root; exit 0 = fresh)
+Round 14 closes the two remaining driver holes:
+  - rule 1 also passes when a drifted BENCH_LAST.json is byte-equal to a
+    COMMITTED BENCH_rNN.json — that drift is the driver's own post-round
+    overwrite of its committed artifact, not builder staleness (the
+    round-13 judge reproduced exactly this exit-1 at round open);
+  - an existing BENCH_LAST.json with NO builder commit at all now FAILS
+    instead of vacuously skipping rules 3-4 (nothing vouches for it).
+
+Usage: python3 tools/freshness.py [repo_root]   (exit 0 = fresh)
 """
 import json
 import os
@@ -40,10 +48,13 @@ ARTIFACTS = ["BENCH_LAST.json", "SCALE10.json", "SCALE100.json"]
 DRIVER_DROP_RE = re.compile(r"^round\s+\d+\b")
 
 
+REPO_ROOT = (os.path.abspath(sys.argv[1]) if len(sys.argv) > 1
+             else os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 def git(*args):
     return subprocess.run(["git"] + list(args), capture_output=True,
-                          text=True, cwd=os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))))
+                          text=True, cwd=REPO_ROOT)
 
 
 def last_builder_commit(path):
@@ -57,9 +68,22 @@ def last_builder_commit(path):
     return 0, None
 
 
+def driver_drop_twin(tree_text):
+    """True iff `tree_text` is byte-equal to some committed BENCH_rNN.json —
+    i.e. the working-tree drift is the round driver overwriting
+    BENCH_LAST.json with its own (already committed) per-round artifact."""
+    ls = git("ls-tree", "--name-only", "HEAD")
+    for name in ls.stdout.splitlines():
+        if re.fullmatch(r"BENCH_r\d+(_\w+)?\.json", name):
+            shown = git("show", f"HEAD:{name}")
+            if shown.returncode == 0 and shown.stdout == tree_text:
+                return name
+    return None
+
+
 def main():
     failures = []
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = REPO_ROOT
 
     # 1. working tree artifact == HEAD artifact
     for a in ARTIFACTS:
@@ -79,9 +103,19 @@ def main():
             continue
         with open(apath, "rb") as f:
             tree = f.read()
-        if tree.decode("utf-8", "replace") != head.stdout:
-            failures.append(f"{a}: working tree differs from HEAD — either a "
-                            "forgotten re-run (commit it) or stale (regenerate)")
+        tree_text = tree.decode("utf-8", "replace")
+        if tree_text != head.stdout:
+            # the driver's post-round overwrite: BENCH_LAST.json replaced
+            # with bytes identical to a committed BENCH_rNN.json — driver
+            # provenance, not builder staleness (rules 3-4 still anchor on
+            # the builder's own committed bench)
+            twin = driver_drop_twin(tree_text) if a == "BENCH_LAST.json" else None
+            if twin:
+                print(f"note: {a} drifted from HEAD but matches committed "
+                      f"{twin} — driver overwrite, not staleness")
+            else:
+                failures.append(f"{a}: working tree differs from HEAD — either a "
+                                "forgotten re-run (commit it) or stale (regenerate)")
 
     # 2. clean source tree
     dirty = git("status", "--porcelain", "src/main", "tools").stdout.strip()
@@ -107,6 +141,11 @@ def main():
 
     # 4. the last BUILDER-committed bench self-reports idle (a driver drop
     # with contended/ambient numbers is the driver's evidence, not ours)
+    if bench_sha is None and git("show", "HEAD:BENCH_LAST.json").returncode == 0:
+        failures.append("BENCH_LAST.json is committed but NO builder commit "
+                        "touches it (every touching commit is a driver drop) — "
+                        "nothing vouches for the bench; run the idle bench and "
+                        "commit it")
     if bench_sha:
         head_bench = git("show", f"{bench_sha}:BENCH_LAST.json")
         try:

@@ -27,7 +27,21 @@ def main():
                 continue
             m = merged["queries"][q]
             for side in ("sf1", "sf10"):
-                runs = m.get(f"{side}_runs", []) + v.get(f"{side}_runs", [])
+                # older artifact schemas carry only sfX_min: seed the runs
+                # list from it so a missing runs array neither raises on
+                # min([]) nor silently discards the committed minimum
+                def runs_of(d):
+                    r = d.get(f"{side}_runs")
+                    if r:
+                        return list(r)
+                    if f"{side}_min" in d:
+                        return [d[f"{side}_min"]]
+                    return []
+                runs = runs_of(m) + runs_of(v)
+                if not runs:
+                    raise SystemExit(
+                        f"scale100_merge: {q}/{side} has neither runs nor min "
+                        "in any input artifact — schema mismatch, not noise")
                 m[f"{side}_runs"] = runs
                 m[f"{side}_min"] = min(runs)
             m["ratio"] = round(m["sf10_min"] / max(m["sf1_min"], 1e-9), 3)
