@@ -475,40 +475,223 @@ object TopNgramStats {
   def compute(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val nTok = arr.numElements()
     val toks = new Array[UTF8String](nTok)
-    var totalChars = 0
-    var i = 0
-    while (i < nTok) {
-      toks(i) = arr.getUTF8String(i)
-      totalChars += toks(i).numChars()
-      i += 1
-    }
-    if (nTok > 1) totalChars += nTok - 1
+    val starts = GramTable.charStarts(arr, toks)
+    val totalChars = if (nTok == 0) 0 else starts(nTok) - 1
     val nGrams = math.max(0, nTok - n + 1)
     var topCount = 0
     var topCover = 0
     if (nGrams > 0) {
-      val counts = new java.util.HashMap[UTF8String, Array[Int]](nGrams * 2)
-      i = 0
-      while (i < nGrams) {
-        val gram =
-          if (n == 1) toks(i)
-          else UTF8String.concatWs(UTF8String.fromString(" "),
-            java.util.Arrays.copyOfRange(toks, i, i + n): _*)
-        val prev = counts.get(gram)
-        if (prev == null) counts.put(gram, Array(1)) else prev(0) += 1
-        i += 1
-      }
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val c = e.getValue()(0)
-        val cover = c * e.getKey.numChars()
-        if (c > topCount) topCount = c
-        if (cover > topCover) topCover = cover
+      val table = new GramTable(toks, n, nGrams)
+      var i = 0
+      while (i < nGrams) { table.add(i); i += 1 }
+      var s = 0
+      while (s < table.capacity) {
+        val first = table.slotFirst(s)
+        if (first >= 0) {
+          val c = table.slotCount(s)
+          // gram chars = token chars + internal separators, read off the
+          // prefix-sum offsets (== numChars of the space-joined gram)
+          val cover = c * (starts(first + n) - 1 - starts(first))
+          if (c > topCount) topCount = c
+          if (cover > topCover) topCover = cover
+        }
+        s += 1
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       nTok, totalChars, nGrams, topCount, topCover))
+  }
+}
+
+/** Open-addressed per-row n-gram counter keyed by a 64-bit rolling hash of
+  * per-token hashes, with EXACT-string verification against the slot's
+  * first occurrence on every hash hit — identical results to a map keyed
+  * by the gram string (a collision cannot merge two grams: equality is
+  * verified token-by-token), without ever materializing a gram string.
+  * Per-row allocation is O(n_grams) CONSTANT-SIZE slots (~24 B each) plus
+  * the token/offset arrays — the previous string-keyed map allocated
+  * O(doc_chars × n) transient chars per row, a multi-MB document's worst
+  * case (flagged by the round-13 review; bounded-allocation spec in
+  * Round14Spec).
+  */
+private[functions] final class GramTable(toks: Array[UTF8String], n: Int, nGrams: Int) {
+  val capacity: Int = {
+    var c = 4L
+    while (c < nGrams.toLong * 2) c <<= 1
+    // fail by name rather than deadlock the probe loop: a row with > 2^29
+    // grams is a corrupt input, not a document
+    require(c <= (1L << 30),
+      s"GramTable: $nGrams n-grams in ONE row exceeds the per-row bound " +
+        "(2^29) — split the document before n-gram analysis")
+    c.toInt
+  }
+  private val mask = capacity - 1
+  private val slotHash = new Array[Long](capacity)
+  val slotFirst = new Array[Int](capacity)
+  val slotCount = new Array[Int](capacity)
+  java.util.Arrays.fill(slotFirst, -1)
+
+  // per-token FNV-1a (mixed) computed once; gram hash chains them so no
+  // token's bytes are rescanned per gram
+  private val tokHash: Array[Long] = {
+    val h = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { h(i) = Hash64.hashString(toks(i)); i += 1 }
+    h
+  }
+
+  private def gramHash(i: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < n) { h = (h ^ tokHash(i + j)) * 0x100000001b3L; j += 1 }
+    Hash64.mix(h)
+  }
+
+  private def gramsEqual(a: Int, b: Int): Boolean = {
+    var j = 0
+    while (j < n) {
+      if (!toks(a + j).equals(toks(b + j))) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Count the gram starting at token `i`. */
+  def add(i: Int): Unit = {
+    val h = gramHash(i)
+    var s = (h & mask).toInt
+    while (true) {
+      val first = slotFirst(s)
+      if (first < 0) {
+        slotHash(s) = h; slotFirst(s) = i; slotCount(s) = 1
+        return
+      }
+      if (slotHash(s) == h && gramsEqual(first, i)) {
+        slotCount(s) += 1
+        return
+      }
+      s = (s + 1) & mask
+    }
+  }
+
+  /** Occurrence count of the gram starting at token `i` (after all adds). */
+  def countOf(i: Int): Int = {
+    val h = gramHash(i)
+    var s = (h & mask).toInt
+    while (true) {
+      val first = slotFirst(s)
+      if (first < 0) return 0
+      if (slotHash(s) == h && gramsEqual(first, i)) return slotCount(s)
+      s = (s + 1) & mask
+    }
+    0
+  }
+}
+
+private[functions] object GramTable {
+  /** Fill `toks` from `arr` and return the prefix-sum char offsets of each
+    * token in the space-joined text: starts(i) = code-point offset of
+    * token i, starts(nTok) = totalChars + 1 (the virtual next start).
+    */
+  def charStarts(arr: ArrayData, toks: Array[UTF8String]): Array[Int] = {
+    val nTok = toks.length
+    val starts = new Array[Int](nTok + 1)
+    var off = 0
+    var i = 0
+    while (i < nTok) {
+      toks(i) = arr.getUTF8String(i)
+      starts(i) = off
+      off += toks(i).numChars() + 1
+      i += 1
+    }
+    starts(nTok) = off
+    starts
+  }
+}
+
+/** Per-document DUPLICATE-n-gram character coverage — the second half of
+  * the Gopher repetition rules (Rae et al. 2021, arXiv:2112.11446,
+  * Table A1): for each n in [minN, maxN], the number of characters of the
+  * space-joined text covered by at least one occurrence of an n-gram that
+  * occurs MORE THAN ONCE in the document. Coverage is the POSITIONAL
+  * union — overlapping occurrences of duplicated grams never double-count
+  * a character — computed by an ascending sweep over occurrence intervals
+  * (occurrence starts are strictly increasing in token index, so the
+  * union is one pass with a running max-end). Complements
+  * [[TopNgramStats]]' top-gram half (n = 2..4 thresholds); Gopher gates
+  * on dup fractions for n = 5..10 (0.15 down to 0.10).
+  *
+  * Output struct (integers, so downstream threshold algebra is exact):
+  * n_tokens, total_chars, and dup_chars — an array of maxN-minN+1 counts,
+  * element k for n = minN+k. Same zero-shuffle shape as the sibling
+  * expressions: a document's own n-grams never cross an exchange. Null
+  * tokens array → null.
+  */
+case class DupNgramStats(child: Expression, minN: Int, maxN: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(minN >= 1 && maxN >= minN,
+    s"need 1 <= minN <= maxN (got $minN..$maxN)")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("total_chars", IntegerType, nullable = false),
+    StructField("dup_chars", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    DupNgramStats.compute(input.asInstanceOf[ArrayData], minN, maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DupNgramStats.compute($c, $minN, $maxN);")
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramStats =
+    copy(child = newChild)
+}
+
+object DupNgramStats {
+  def compute(arr: ArrayData, minN: Int,
+      maxN: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nTok = arr.numElements()
+    val toks = new Array[UTF8String](nTok)
+    val starts = GramTable.charStarts(arr, toks)
+    val totalChars = if (nTok == 0) 0 else starts(nTok) - 1
+    val dup = new Array[Int](maxN - minN + 1)
+    var n = minN
+    while (n <= maxN) {
+      val nGrams = nTok - n + 1
+      // a single occurrence can never be a duplicate: n-gram counts need
+      // at least 2 grams to produce one
+      if (nGrams >= 2) {
+        val table = new GramTable(toks, n, nGrams)
+        var i = 0
+        while (i < nGrams) { table.add(i); i += 1 }
+        // ascending sweep: occurrence i covers chars
+        // [starts(i), starts(i+n)-1); both ends increase with i, so the
+        // positional union is sum of the parts past the running max end
+        var dupChars = 0
+        var maxEnd = 0
+        i = 0
+        while (i < nGrams) {
+          if (table.countOf(i) > 1) {
+            val s = starts(i)
+            val e = starts(i + n) - 1
+            if (e > maxEnd) {
+              dupChars += e - math.max(s, maxEnd)
+              maxEnd = e
+            }
+          }
+          i += 1
+        }
+        dup(n - minN) = dupChars
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nTok, totalChars, new GenericArrayData(dup)))
   }
 }
 

@@ -175,6 +175,17 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       TopNgramStats(org.apache.spark.sql.graftbridge.Bridge.expression(toks), n))
 
+  /** Duplicate-n-gram character coverage for every n in [minN, maxN]
+    * ([[DupNgramStats]] — the dup half of the Gopher repetition rules,
+    * positional union so overlapping duplicate grams never double-count
+    * a character). Returns struct(n_tokens, total_chars,
+    * dup_chars array<int>), all integers, one codegen'd pass per row.
+    */
+  def dupNgramStats(toks: Column, minN: Int, maxN: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DupNgramStats(org.apache.spark.sql.graftbridge.Bridge.expression(toks),
+        minN, maxN))
+
   /** Email pattern in the common Java/RE2 regex subset, so Spark and
     * SQL-engine oracles agree byte-for-byte on matches.
     */

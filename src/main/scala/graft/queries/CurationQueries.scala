@@ -586,6 +586,55 @@ object CurationQueries {
             col("_g2.total_chars").cast("long") * 18).as("repetitive"))
     },
 
+    /** Duplicate-n-gram character fractions ([[graft.functions
+      * .DupNgramStats]] — the dup half of the Gopher repetition rules,
+      * n = 5..10, completing `gopher_repetition`'s top-gram half): per
+      * document, the characters covered by n-grams occurring more than
+      * once (POSITIONAL union — overlapping duplicate grams never
+      * double-count a character), and the combined repetitive flag via
+      * Gopher's per-n thresholds in exact integer algebra (dup-5-gram
+      * > 15% of joined chars, 6 > 14%, 7 > 13%, 8 > 12%, 9 > 11%,
+      * 10 > 10%). One codegen'd pass per row with hash-keyed,
+      * exact-verified gram counting — a document's own n-grams never
+      * cross an exchange, and no gram string is ever materialized. The
+      * oracle replays the positional union in SQL as a running-max-end
+      * interval sweep over occurrence char offsets.
+      *
+      * The fixture's word-salad documents contain ZERO organic duplicate
+      * 5-grams (measured), so the positive path is exercised by PLANTED
+      * twins both engines construct identically: a full self-concat
+      * (`text ⧺ " " ⧺ text` — every gram duplicated, union = whole text)
+      * and a 10-token prefix repeat (a bounded duplicated run whose
+      * overlapping occurrences exercise the union's clipping). All 172
+      * plants at sf0.01 flag repetitive; no organic document does — the
+      * threshold boundary is decisive, not grazed.
+      */
+    "gopher_dup_ngrams" -> { (s, dir) =>
+      val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val plantFull = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val plantPrefix = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(array_join(slice(TextFunctions.tokens(col("text")), 1, 10), " "),
+            lit(" "), col("text")).as("text"))
+      val docs = base.unionByName(plantFull).unionByName(plantPrefix)
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+        .withColumn("_d", TextFunctions.dupNgramStats(col("_toks"), 5, 10))
+      def dup(n: Int) = element_at(col("_d.dup_chars"), n - 4).cast("long")
+      val total = col("_d.total_chars").cast("long")
+      docs.select(col("doc_id"),
+        col("_d.n_tokens").cast("long").as("n_tokens"),
+        total.as("total_chars"),
+        dup(5).as("dup5_chars"), dup(6).as("dup6_chars"),
+        dup(7).as("dup7_chars"), dup(8).as("dup8_chars"),
+        dup(9).as("dup9_chars"), dup(10).as("dup10_chars"),
+        (dup(5) * 100 > total * 15 || dup(6) * 100 > total * 14 ||
+          dup(7) * 100 > total * 13 || dup(8) * 100 > total * 12 ||
+          dup(9) * 100 > total * 11 || dup(10) * 100 > total * 10)
+          .as("repetitive"))
+    },
+
     /** EXACT set-similarity self-join ([[graft.operators.SetJoin
       * .prefixJaccard]], AllPairs/PPJoin prefix filtering): every
       * document pair with token-set Jaccard ≥ 3/5, with true
@@ -1094,6 +1143,71 @@ object CurationQueries {
         |   OR COALESCE(t3.cov3, 0) * 100 > b.total_chars * 18) AS repetitive
         |FROM base b LEFT JOIN t2 ON b.doc_id = t2.doc_id
         |            LEFT JOIN t3 ON b.doc_id = t3.doc_id""".stripMargin,
+    "gopher_dup_ngrams" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text || ' ' || text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x != '')[1:10], ' ')
+        |      || ' ' || text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM aug
+        |), base AS (
+        |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+        |      + CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END AS BIGINT)
+        |      AS total_chars
+        |  FROM tk
+        |), tok AS (
+        |  SELECT doc_id, i, ts[i] AS t
+        |  FROM base, UNNEST(range(1, len(ts) + 1)) u(i)
+        |), st AS (
+        |  SELECT doc_id, i,
+        |    CAST(COALESCE(SUM(length(t) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM tok
+        |), grams AS (
+        |  SELECT b.doc_id, ns.n, u.i,
+        |         array_to_string(b.ts[u.i:u.i + ns.n - 1], ' ') AS g
+        |  FROM base b
+        |  CROSS JOIN (SELECT UNNEST([5, 6, 7, 8, 9, 10]) AS n) ns,
+        |  UNNEST(range(1, len(b.ts) - ns.n + 2)) u(i)
+        |), gi AS (
+        |  SELECT g.doc_id, g.n, st.s, st.s + length(g.g) AS e,
+        |    COUNT(*) OVER (PARTITION BY g.doc_id, g.n, g.g) AS c
+        |  FROM grams g JOIN st ON g.doc_id = st.doc_id AND g.i = st.i
+        |), sweep AS (
+        |  SELECT doc_id, n, s, e,
+        |    MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM gi WHERE c > 1
+        |), agg AS (
+        |  SELECT doc_id, n,
+        |    CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pe, 0)))) AS BIGINT) AS dc
+        |  FROM sweep GROUP BY 1, 2
+        |), px AS (
+        |  SELECT b.doc_id, b.n_tokens, b.total_chars,
+        |    CAST(COALESCE(MAX(CASE WHEN a.n = 5 THEN a.dc END), 0) AS BIGINT) AS dup5_chars,
+        |    CAST(COALESCE(MAX(CASE WHEN a.n = 6 THEN a.dc END), 0) AS BIGINT) AS dup6_chars,
+        |    CAST(COALESCE(MAX(CASE WHEN a.n = 7 THEN a.dc END), 0) AS BIGINT) AS dup7_chars,
+        |    CAST(COALESCE(MAX(CASE WHEN a.n = 8 THEN a.dc END), 0) AS BIGINT) AS dup8_chars,
+        |    CAST(COALESCE(MAX(CASE WHEN a.n = 9 THEN a.dc END), 0) AS BIGINT) AS dup9_chars,
+        |    CAST(COALESCE(MAX(CASE WHEN a.n = 10 THEN a.dc END), 0) AS BIGINT) AS dup10_chars
+        |  FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT *,
+        |  (dup5_chars * 100 > total_chars * 15 OR dup6_chars * 100 > total_chars * 14
+        |   OR dup7_chars * 100 > total_chars * 13 OR dup8_chars * 100 > total_chars * 12
+        |   OR dup9_chars * 100 > total_chars * 11 OR dup10_chars * 100 > total_chars * 10)
+        |  AS repetitive
+        |FROM px""".stripMargin,
     "ssjoin_prefix" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |tk AS (
