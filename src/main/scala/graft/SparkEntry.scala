@@ -180,7 +180,7 @@ object SparkEntry {
   // one footer-cheap count() per (dir, table) per JVM — outside every
   // harness's timed region (pins are computed before the clock starts)
   private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def tableRows(spark: SparkSession, dir: String, t: String): Long =
+  private[graft] def tableRows(spark: SparkSession, dir: String, t: String): Long =
     rowsMemo.computeIfAbsent(s"$dir/$t", _ =>
       try spark.read.parquet(s"$dir/$t.parquet").count()
       // unreadable → assume big: never pin a shape we could not measure

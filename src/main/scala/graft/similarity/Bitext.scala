@@ -85,4 +85,76 @@ object Bitext {
       .filter(col("src_id") === col("_back"))
       .select(col("src_id"), col("tgt_id"))
   }
+
+  /** IVF-pruned arm of [[mine]] for 100-TB corpora: instead of scoring
+    * every (src, tgt) pair, candidates come from the [[Ivf]] index —
+    * each source vector scores only the targets in its `nProbe` nearest
+    * cells (cost |corpus|·nProbe/nCells per source instead of |corpus|).
+    * The margin and forward top-2 are computed over the candidate set
+    * (exact re-rank of candidates); the REVERSE direction (mutuality) is
+    * computed EXACTLY against the full bounded source batch, so
+    * approximation enters only through forward candidate recall: with
+    * `nProbe = nCells` this arm equals [[mine]] pair-for-pair
+    * (fuzz-pinned in Round14Spec), and a planted translation twin
+    * (scaled copy ⇒ identical direction ⇒ same nearest cell) is always a
+    * candidate of its source at any nProbe ≥ 1.
+    *
+    * Scale shape: the corpus is scanned once for cell assignment and
+    * shuffled once on cell id; the probe join carries candidate
+    * (ids, cos) only; the reverse pass scores ONLY the margin survivors
+    * against the broadcast batch. Same fail-fast batch bound as [[mine]].
+    */
+  def mineIvf(src: DataFrame, tgt: DataFrame, sId: String, sVec: String,
+      tId: String, tVec: String,
+      marginNum: Int = 21, marginDen: Int = 20,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 11L,
+      sampleN: Int = 10000, sampleMod: Int = 1,
+      maxSrcRows: Long = DefaultMaxSrcRows): DataFrame = {
+    require(marginNum >= marginDen && marginDen > 0,
+      s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
+    val sPlain = graft.Caches.track(src.select(col(sId).as("src_id"),
+      col(sVec).cast("array<double>").as("_sv")).persist())
+    val n = sPlain.count()
+    require(n <= maxSrcRows,
+      s"Bitext.mineIvf: source batch has $n rows, exceeding maxSrcRows=" +
+        s"$maxSrcRows — the batch is broadcast to every corpus partition; " +
+        "mine in smaller batches (or raise maxSrcRows if the vectors are " +
+        "small enough to hold resident)")
+    val centroids = Ivf.trainCentroids(tgt, tId, tVec, nCells, seed = seed,
+      sampleN = sampleN, sampleMod = sampleMod)
+    val indexed = Ivf.index(tgt, tId, tVec, centroids)
+    // each target lives in exactly ONE cell, so distinct probed cells
+    // yield distinct (src, tgt) candidates — no post-join dedup needed
+    val q = sPlain.select(col("src_id"), col("_sv"),
+      explode(Ivf.nearestCells(col("_sv"), centroids, nProbe)).as("_cell"))
+    val cands = indexed.join(q, "_cell")
+      .select(col("src_id"), col("neighbor_id").as("tgt_id"),
+        cosineFused(col("_sv"), col("_cv")).as("_cos"))
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("_cos").desc, col("tgt_id").asc)
+    val top2 = cands.withColumn("_r", row_number().over(wS)).filter(col("_r") <= 2)
+    val best = top2.filter(col("_r") === 1)
+      .select(col("src_id"), col("tgt_id"), col("_cos").as("_c1"))
+    val second = top2.filter(col("_r") === 2)
+      .select(col("src_id"), col("_cos").as("_c2"))
+    val margined = best.join(second, Seq("src_id"), "left")
+      .filter(col("_c1") > 0 &&
+        (col("_c2").isNull || col("_c1") * marginDen >= col("_c2") * marginNum))
+    // reverse direction EXACT: margin survivors (a bounded set) re-score
+    // against the whole broadcast batch — the matched target's true best
+    // source must be this source, not merely its best candidate
+    val matchedTgt = tgt.select(col(tId).as("tgt_id"),
+        col(tVec).cast("array<double>").as("_tv"))
+      .join(margined.select(col("tgt_id")).distinct(), Seq("tgt_id"), "left_semi")
+    val back = matchedTgt.crossJoin(broadcast(sPlain))
+      .select(col("tgt_id"), col("src_id"),
+        cosineFused(col("_sv"), col("_tv")).as("_cos"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("_cos").desc, col("src_id").asc)
+    val bestSrc = back.withColumn("_r", row_number().over(wT)).filter(col("_r") === 1)
+      .select(col("tgt_id"), col("src_id").as("_back"))
+    margined.join(bestSrc, Seq("tgt_id"))
+      .filter(col("src_id") === col("_back"))
+      .select(col("src_id"), col("tgt_id"))
+  }
 }

@@ -136,7 +136,7 @@ object Ivf {
     override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
   }
 
-  private def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+  private[similarity] def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
     column(NearestCells(expression(vec.cast("array<double>")), centroids, nProbe))
   }

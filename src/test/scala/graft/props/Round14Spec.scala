@@ -129,4 +129,53 @@ class Round14Spec extends SparkSpec {
     assert(top === ((grams.size, counts.values.max,
       counts.map { case (g, c) => c * g.length }.max)))
   }
+
+  // -------------------------------------------------------- bitext / IVF
+
+  import graft.similarity.Bitext
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.as[(Long, Long)].collect().toSet
+
+  test("mineIvf with nProbe = nCells equals the exact arm on random vectors") {
+    // exhaustive probing makes the candidate set the full corpus, so the
+    // two arms must agree PAIR-FOR-PAIR (same ranking, ties, margin)
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-10, 10).map(_ / 10f))
+      .map(v => if (v.forall(_ == 0f)) v.updated(0, 1f) else v)
+    val caseGen = Gen.zip(
+      Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k, vecGen)),
+      Gen.chooseNum(4, 12).flatMap(k => Gen.listOfN(k, vecGen)))
+    for (((srcV, tgtV), i) <- samples(caseGen, 15).zipWithIndex) {
+      val src = srcV.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val tgt = tgtV.zipWithIndex.map { case (v, j) => (100L + j, v) }
+        .toDF("vec_id", "embedding")
+      val exact = pairs(Bitext.mine(src, tgt,
+        "vec_id", "embedding", "vec_id", "embedding"))
+      val ivf = pairs(Bitext.mineIvf(src, tgt,
+        "vec_id", "embedding", "vec_id", "embedding", nCells = 4, nProbe = 4))
+      assert(ivf === exact, s"case $i src=$srcV tgt=$tgtV")
+    }
+  }
+
+  test("mineIvf recalls every planted twin at nProbe = 1") {
+    // a scaled twin has the source's exact direction, hence the same
+    // nearest centroid — probing ONE cell always finds it; margin holds
+    // because nothing else in the fixture comes near cosine 1
+    val dim = 8
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val src = (0 until dim).map(i => (i.toLong, unit(i))).toDF("vec_id", "embedding")
+    val twins = (0 until dim).map(i => (1000L + i, unit(i).map(_ * 2f)))
+    val noise = Seq(
+      (2000L, Seq.fill(dim)(0.5f)),
+      (2001L, Seq.tabulate(dim)(j => if (j < 2) 0.6f else 0.1f)))
+    val tgt = (twins ++ noise).toDF("vec_id", "embedding")
+    val got = pairs(Bitext.mineIvf(src, tgt,
+      "vec_id", "embedding", "vec_id", "embedding", nCells = 4, nProbe = 1))
+    val want = (0 until dim).map(i => (i.toLong, 1000L + i)).toSet
+    assert(got === want)
+    // and the exact arm agrees on this fixture
+    assert(pairs(Bitext.mine(src, tgt,
+      "vec_id", "embedding", "vec_id", "embedding")) === want)
+  }
 }
