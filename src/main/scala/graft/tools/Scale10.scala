@@ -72,7 +72,15 @@ object Scale10 {
     // three key-equality shuffles over every line in the corpus; its
     // synthesized global boilerplate lines repeat across ALL copies, so
     // the hot-key (one line in every document) path is what scales here
-    "boilerplate_strip")
+    "boilerplate_strip",
+    // round-14 ask: the round-13/14 curation operators. url_blocklist's
+    // exchanges are id-only (expect ~linear); gopher_repetition and
+    // gopher_dup_ngrams are per-row passes with zero exchanges (expect
+    // ~10x flat); bitext_mine holds its source batch FIXED (the id-slice
+    // pin in the query), so the decade measures corpus growth through
+    // the IVF candidate join, which both ends plan (the size pin
+    // engages below sf0.1)
+    "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine")
 
   /** Streaming representatives (round-11 ask): the heaviest stream
     * queries by r10 cost plus the stateful-session shape. Timed like the
@@ -83,7 +91,11 @@ object Scale10 {
     */
   val STREAM_PROBE: Seq[String] = Seq(
     "stream_upsert", "stream_left_join", "stream_chained_agg",
-    "stream_sessionize")
+    "stream_sessionize",
+    // round-14 ask: the zero-exchange broadcast blocklist probe — wall
+    // time should track input ~linearly with ZERO state rows (the whole
+    // point of the stateless probe shape)
+    "stream_url_blocklist")
 
   /** The second measured decade: the 5 highest sf0.1→sf1 ratios of the
     * round-10 probe (4.0–5.2x), timed at pseudo-sf1 vs pseudo-sf10 —
@@ -107,7 +119,12 @@ object Scale10 {
     // measures the SHUFFLE arm at both ends (the size-conditional
     // broadcast-off pin in SparkEntry engages at ≥20k documents, i.e. at
     // pseudo-sf1 AND pseudo-sf10 but not at sf0.1)
-    "substring_clean", "substring_spans")
+    "substring_clean", "substring_spans",
+    // round-14 ask: second decade for the new curation front —
+    // url_blocklist (id-only exchanges), gopher_dup_ngrams (the heavier
+    // of the two per-row n-gram passes), bitext_mine (fixed batch vs
+    // 100x corpus through the IVF join)
+    "url_blocklist", "gopher_dup_ngrams", "bitext_mine")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim
