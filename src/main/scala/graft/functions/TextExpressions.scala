@@ -695,6 +695,91 @@ object DupNgramStats {
   }
 }
 
+/** Per-document DUPLICATE-LINE statistics — the line-level Gopher
+  * repetition rules (Rae et al. 2021, arXiv:2112.11446, Table A1:
+  * duplicate line fraction 0.30, duplicate line character fraction
+  * 0.20): lines are the `sep`-separated segments of the text (trailing
+  * empties preserved, exactly like `split(text, "\n")`), a duplicate is
+  * every occurrence of a line value BEYOND its first, and the char
+  * fraction counts the code points of those beyond-first occurrences.
+  * Counting rides the same hash-keyed, exact-verified [[GramTable]] as
+  * the n-gram expressions (lines are 1-grams of the line array): no
+  * per-row string map, O(n_lines) fixed-size slots.
+  *
+  * Output struct (integers): n_lines, total_chars (code points of the
+  * whole text), dup_lines, dup_chars. Null text → null. One codegen'd
+  * pass per row, zero exchanges — a document's own lines never need a
+  * shuffle (the CORPUS-frequency line filter is
+  * [[graft.dedup.Dedup.stripLinesIndexed]]'s job; this is the
+  * within-document signal).
+  */
+case class DupLineStats(child: Expression, sep: Byte = '\n')
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(sep >= 0, s"sep must be an ASCII byte (got $sep)")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("total_chars", IntegerType, nullable = false),
+    StructField("dup_lines", IntegerType, nullable = false),
+    StructField("dup_chars", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    DupLineStats.compute(input.asInstanceOf[UTF8String], sep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DupLineStats.compute($c, (byte) $sep);")
+
+  override protected def withNewChildInternal(newChild: Expression): DupLineStats =
+    copy(child = newChild)
+}
+
+object DupLineStats {
+  def compute(text: UTF8String, sep: Byte): org.apache.spark.sql.catalyst.InternalRow = {
+    // split on the separator byte (an ASCII byte never occurs inside a
+    // multi-byte UTF-8 sequence), preserving empties like split()
+    val bytes = text.getBytes
+    val n = bytes.length
+    var nLines = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == sep) nLines += 1; i += 1 }
+    val lines = new Array[UTF8String](nLines)
+    var start = 0
+    var li = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == sep) {
+        lines(li) = UTF8String.fromBytes(bytes, start, i - start)
+        li += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val table = new GramTable(lines, 1, nLines)
+    i = 0
+    while (i < nLines) { table.add(i); i += 1 }
+    var dupLines = 0
+    var dupChars = 0
+    var s = 0
+    while (s < table.capacity) {
+      val first = table.slotFirst(s)
+      if (first >= 0) {
+        val extra = table.slotCount(s) - 1
+        if (extra > 0) {
+          dupLines += extra
+          dupChars += extra * lines(first).numChars()
+        }
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nLines, text.numChars(), dupLines, dupChars))
+  }
+}
+
 /** TRUE iff any element of a string-array column is a member of the
   * broadcast [[SortedHashPairs]] index — the per-row membership probe
   * behind [[graft.operators.Blocklist.filterBlockedBroadcast]] (host

@@ -186,6 +186,14 @@ object TextFunctions {
       DupNgramStats(org.apache.spark.sql.graftbridge.Bridge.expression(toks),
         minN, maxN))
 
+  /** Duplicate-line statistics ([[DupLineStats]] — the line-level Gopher
+    * repetition rules): struct(n_lines, total_chars, dup_lines,
+    * dup_chars), all integers, one codegen'd pass per row.
+    */
+  def dupLineStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DupLineStats(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** Email pattern in the common Java/RE2 regex subset, so Spark and
     * SQL-engine oracles agree byte-for-byte on matches.
     */

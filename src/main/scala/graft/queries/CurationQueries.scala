@@ -635,6 +635,91 @@ object CurationQueries {
           .as("repetitive"))
     },
 
+    /** Duplicate-line statistics ([[graft.functions.DupLineStats]] —
+      * the LINE-level Gopher repetition rules, completing the family:
+      * word-level `gopher_quality`, n-gram `gopher_repetition` /
+      * `gopher_dup_ngrams`, and now lines): per document, how many lines
+      * repeat (occurrences beyond the first) and how many characters
+      * those repeats carry, plus the combined flag (dup lines > 30% or
+      * dup chars > 20%, Gopher Table A1) in exact integer algebra. The
+      * fixture's documents are single-line, so the line structure comes
+      * from PLANTED twins both engines construct identically: one-token-
+      * per-line re-layouts (organic token repeats become duplicate
+      * lines) and a 6+3-line prefix repeat (guaranteed duplicates).
+      * Within-document signal only — one codegen'd pass per row, zero
+      * exchanges (the CORPUS-frequency line filter is
+      * `boilerplate_strip`'s job).
+      */
+    "gopher_dup_lines" -> { (s, dir) =>
+      val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextFunctions.tokens(col("text"))
+      val plantLines = base.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          array_join(toks, "\n").as("text"))
+      val plantDouble = base.filter(col("doc_id") % 6 === 2)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat(array_join(slice(toks, 1, 6), "\n"), lit("\n"),
+            array_join(slice(toks, 1, 3), "\n")).as("text"))
+      val docs = base.unionByName(plantLines).unionByName(plantDouble)
+        .withColumn("_d", TextFunctions.dupLineStats(col("text")))
+      docs.select(col("doc_id"),
+        col("_d.n_lines").cast("long").as("n_lines"),
+        col("_d.total_chars").cast("long").as("total_chars"),
+        col("_d.dup_lines").cast("long").as("dup_lines"),
+        col("_d.dup_chars").cast("long").as("dup_chars"),
+        (col("_d.dup_lines").cast("long") * 100 >
+            col("_d.n_lines").cast("long") * 30 ||
+          col("_d.dup_chars").cast("long") * 100 >
+            col("_d.total_chars").cast("long") * 20).as("repetitive"))
+    },
+
+    /** The COMPLETE Gopher n-gram repetition gate in one query: top-gram
+      * character fractions for n = 2, 3, 4 (thresholds 20/18/16%) and
+      * duplicate-n-gram character fractions for n = 5..10 (15% down to
+      * 10%), evaluated per document in priority order to a single
+      * `fail_reason` ('top2'..'dup10', or 'ok') and a pass flag — the
+      * shape a real curation run ships: one row-local pass over four
+      * expressions ([[graft.functions.TopNgramStats]] ×3,
+      * [[graft.functions.DupNgramStats]]), zero exchanges, integer
+      * threshold algebra throughout. Plants exercise both halves: a
+      * 40-token spam run (every bigram identical → 'top2') and the
+      * self-concat twin ('dup5' — its top fractions are UNCHANGED by
+      * doubling, so it provably reaches the dup branch). The oracle
+      * replays every fraction and the CASE priority in SQL.
+      */
+    "gopher_repetition_gate" -> { (s, dir) =>
+      val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks0 = TextFunctions.tokens(col("text"))
+      val plantSpam = base.filter(col("doc_id") % 9 === 3 && size(toks0) >= 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(repeat(concat(element_at(toks0, 1), lit(" ")), 39),
+            element_at(toks0, 1)).as("text"))
+      val plantFull = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val docs = base.unionByName(plantSpam).unionByName(plantFull)
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+        .withColumn("_g2", TextFunctions.topNgramStats(col("_toks"), 2))
+        .withColumn("_g3", TextFunctions.topNgramStats(col("_toks"), 3))
+        .withColumn("_g4", TextFunctions.topNgramStats(col("_toks"), 4))
+        .withColumn("_d", TextFunctions.dupNgramStats(col("_toks"), 5, 10))
+      val total = col("_g2.total_chars").cast("long")
+      def dup(n: Int) = element_at(col("_d.dup_chars"), n - 4).cast("long")
+      val reason =
+        when(col("_g2.top_cover").cast("long") * 100 > total * 20, "top2")
+          .when(col("_g3.top_cover").cast("long") * 100 > total * 18, "top3")
+          .when(col("_g4.top_cover").cast("long") * 100 > total * 16, "top4")
+          .when(dup(5) * 100 > total * 15, "dup5")
+          .when(dup(6) * 100 > total * 14, "dup6")
+          .when(dup(7) * 100 > total * 13, "dup7")
+          .when(dup(8) * 100 > total * 12, "dup8")
+          .when(dup(9) * 100 > total * 11, "dup9")
+          .when(dup(10) * 100 > total * 10, "dup10")
+          .otherwise("ok")
+      docs.select(col("doc_id"), reason.as("fail_reason"),
+        (reason === "ok").as("pass"))
+    },
+
     /** EXACT set-similarity self-join ([[graft.operators.SetJoin
       * .prefixJaccard]], AllPairs/PPJoin prefix filtering): every
       * document pair with token-set Jaccard ≥ 3/5, with true
@@ -1208,6 +1293,126 @@ object CurationQueries {
         |   OR dup9_chars * 100 > total_chars * 11 OR dup10_chars * 100 > total_chars * 10)
         |  AS repetitive
         |FROM px""".stripMargin,
+    "gopher_dup_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> x != ''),
+        |                    chr(10))
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 8000000,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x != '')[1:6], chr(10))
+        |    || chr(10) ||
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x != '')[1:3], chr(10))
+        |  FROM documents WHERE doc_id % 6 = 2
+        |), ln AS (
+        |  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM aug
+        |), c AS (
+        |  SELECT doc_id, line, COUNT(*) AS cnt FROM ln GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |    CAST(SUM(cnt - 1) AS BIGINT) AS dup_lines,
+        |    CAST(SUM((cnt - 1) * length(line)) AS BIGINT) AS dup_chars
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT a.doc_id, g.n_lines,
+        |  CAST(length(a.text) AS BIGINT) AS total_chars,
+        |  g.dup_lines, g.dup_chars,
+        |  (g.dup_lines * 100 > g.n_lines * 30
+        |   OR g.dup_chars * 100 > length(a.text) * 20) AS repetitive
+        |FROM aug a JOIN agg g USING (doc_id)""".stripMargin,
+    "gopher_repetition_gate" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    repeat(list_filter(string_split(text, ' '), x -> x != '')[1] || ' ', 39)
+        |      || list_filter(string_split(text, ' '), x -> x != '')[1]
+        |  FROM documents
+        |  WHERE doc_id % 9 = 3
+        |    AND len(list_filter(string_split(text, ' '), x -> x != '')) >= 1
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text || ' ' || text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM aug
+        |), base AS (
+        |  SELECT doc_id, ts,
+        |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+        |      + CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END AS BIGINT)
+        |      AS total_chars
+        |  FROM tk
+        |), topg AS (
+        |  SELECT doc_id, n, MAX(c * length(g)) AS cover FROM (
+        |    SELECT b.doc_id, ns.n,
+        |           array_to_string(b.ts[u.i:u.i + ns.n - 1], ' ') AS g,
+        |           COUNT(*) AS c
+        |    FROM base b CROSS JOIN (SELECT UNNEST([2, 3, 4]) AS n) ns,
+        |    UNNEST(range(1, len(b.ts) - ns.n + 2)) u(i)
+        |    GROUP BY 1, 2, 3
+        |  ) GROUP BY 1, 2
+        |), tok AS (
+        |  SELECT doc_id, i, ts[i] AS t
+        |  FROM base, UNNEST(range(1, len(ts) + 1)) u(i)
+        |), st AS (
+        |  SELECT doc_id, i,
+        |    CAST(COALESCE(SUM(length(t) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM tok
+        |), grams AS (
+        |  SELECT b.doc_id, ns.n, u.i,
+        |         array_to_string(b.ts[u.i:u.i + ns.n - 1], ' ') AS g
+        |  FROM base b
+        |  CROSS JOIN (SELECT UNNEST([5, 6, 7, 8, 9, 10]) AS n) ns,
+        |  UNNEST(range(1, len(b.ts) - ns.n + 2)) u(i)
+        |), gi AS (
+        |  SELECT g.doc_id, g.n, st.s, st.s + length(g.g) AS e,
+        |    COUNT(*) OVER (PARTITION BY g.doc_id, g.n, g.g) AS c
+        |  FROM grams g JOIN st ON g.doc_id = st.doc_id AND g.i = st.i
+        |), sweep AS (
+        |  SELECT doc_id, n, s, e,
+        |    MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM gi WHERE c > 1
+        |), agg AS (
+        |  SELECT doc_id, n,
+        |    CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pe, 0)))) AS BIGINT) AS dc
+        |  FROM sweep GROUP BY 1, 2
+        |), px AS (
+        |  SELECT b.doc_id, b.total_chars,
+        |    COALESCE(MAX(CASE WHEN tg.n = 2 THEN tg.cover END), 0) AS top2,
+        |    COALESCE(MAX(CASE WHEN tg.n = 3 THEN tg.cover END), 0) AS top3,
+        |    COALESCE(MAX(CASE WHEN tg.n = 4 THEN tg.cover END), 0) AS top4,
+        |    COALESCE(MAX(CASE WHEN a.n = 5 THEN a.dc END), 0) AS dup5,
+        |    COALESCE(MAX(CASE WHEN a.n = 6 THEN a.dc END), 0) AS dup6,
+        |    COALESCE(MAX(CASE WHEN a.n = 7 THEN a.dc END), 0) AS dup7,
+        |    COALESCE(MAX(CASE WHEN a.n = 8 THEN a.dc END), 0) AS dup8,
+        |    COALESCE(MAX(CASE WHEN a.n = 9 THEN a.dc END), 0) AS dup9,
+        |    COALESCE(MAX(CASE WHEN a.n = 10 THEN a.dc END), 0) AS dup10
+        |  FROM base b LEFT JOIN topg tg ON b.doc_id = tg.doc_id
+        |              LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |  GROUP BY 1, 2
+        |), rsn AS (
+        |  SELECT doc_id,
+        |    CASE WHEN top2 * 100 > total_chars * 20 THEN 'top2'
+        |         WHEN top3 * 100 > total_chars * 18 THEN 'top3'
+        |         WHEN top4 * 100 > total_chars * 16 THEN 'top4'
+        |         WHEN dup5 * 100 > total_chars * 15 THEN 'dup5'
+        |         WHEN dup6 * 100 > total_chars * 14 THEN 'dup6'
+        |         WHEN dup7 * 100 > total_chars * 13 THEN 'dup7'
+        |         WHEN dup8 * 100 > total_chars * 12 THEN 'dup8'
+        |         WHEN dup9 * 100 > total_chars * 11 THEN 'dup9'
+        |         WHEN dup10 * 100 > total_chars * 10 THEN 'dup10'
+        |         ELSE 'ok' END AS fail_reason
+        |  FROM px
+        |)
+        |SELECT doc_id, fail_reason, fail_reason = 'ok' AS pass FROM rsn""".stripMargin,
     "ssjoin_prefix" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |tk AS (

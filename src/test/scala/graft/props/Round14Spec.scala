@@ -130,6 +130,39 @@ class Round14Spec extends SparkSpec {
       counts.map { case (g, c) => c * g.length }.max)))
   }
 
+  // --------------------------------------------------------- DupLineStats
+
+  test("DupLineStats equals the naive split-and-count on random line lists") {
+    // tiny line alphabet (with empties and multi-byte) forces duplicates;
+    // a duplicate is every occurrence beyond a value's first
+    val lineGen = Gen.oneOf("", "home", "éé menu", "x")
+    val docGen = Gen.chooseNum(0, 12).flatMap(k => Gen.listOfN(k, lineGen))
+    for ((lines, i) <- samples(docGen, 40).zipWithIndex) {
+      val text = lines.mkString("\n")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.dupLineStats(col("text")).as("d"))
+        .select("d.n_lines", "d.total_chars", "d.dup_lines", "d.dup_chars")
+        .as[(Int, Int, Int, Int)].collect()(0)
+      // split keeps empties: "" splits to one empty line
+      val split = text.split("\n", -1).toSeq
+      val counts = split.groupBy(identity).map { case (l, o) => (l, o.size) }
+      val dupLines = counts.values.map(_ - 1).sum
+      val dupChars = counts.map { case (l, c) => (c - 1) * l.codePointCount(0, l.length) }.sum
+      assert(got === ((split.size, text.codePointCount(0, text.length),
+        dupLines, dupChars)), s"case $i lines=$lines")
+    }
+  }
+
+  test("DupLineStats hand case") {
+    // "a\nbb\na\n\nbb\na": a x3 (2 dups), bb x2 (1 dup), "" x1 ->
+    // dup_lines 3, dup_chars 2*1 + 1*2 = 4; 6 lines, 12 chars
+    val got = Seq(Tuple1("a\nbb\na\n\nbb\na")).toDF("text")
+      .select(TextFunctions.dupLineStats(col("text")).as("d"))
+      .select("d.n_lines", "d.total_chars", "d.dup_lines", "d.dup_chars")
+      .as[(Int, Int, Int, Int)].collect()(0)
+    assert(got === ((6, 12, 3, 4)))
+  }
+
   // -------------------------------------------------------- bitext / IVF
 
   import graft.similarity.Bitext
