@@ -121,17 +121,20 @@ object Scale10 {
     // pseudo-sf1 AND pseudo-sf10 but not at sf0.1)
     "substring_clean", "substring_spans",
     // round-14 ask: second decade for the new curation front —
-    // url_blocklist (id-only exchanges), gopher_dup_ngrams (the heavier
-    // of the two per-row n-gram passes), bitext_mine (fixed batch vs
-    // 100x corpus through the IVF join)
-    "url_blocklist", "gopher_dup_ngrams", "bitext_mine")
+    // url_blocklist (id-only exchanges), gopher_repetition and
+    // gopher_dup_ngrams (zero-exchange per-row n-gram passes),
+    // bitext_mine (fixed batch vs 100x corpus through the IVF join)
+    "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim
     * that state stays linear in input must hold decade over decade, not
     * only at 10x.
     */
-  val SF10_STREAM_PROBE: Seq[String] = Seq("stream_upsert", "stream_left_join")
+  val SF10_STREAM_PROBE: Seq[String] = Seq("stream_upsert", "stream_left_join",
+    // round-14 ask: the stateless broadcast-probe filter — expect ~10x
+    // wall (linear input) with ZERO state rows at both ends
+    "stream_url_blocklist")
 
   /** 4-char name code "aabb": digit-pair repetition ⇒ any two distinct
     * copies differ in ≥ 2 positions (equal-length strings, so edit
