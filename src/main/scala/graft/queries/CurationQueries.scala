@@ -17,6 +17,55 @@ import graft.similarity.SemDedup
   */
 object CurationQueries {
 
+  /** The Gopher n-gram gate columns over a (doc_id, text) frame — shared
+    * by the batch `gopher_repetition_gate` and its streaming twin so the
+    * two paths are the same CODE, not two copies that can drift (both
+    * replay against the one [[gopherGateSql]] oracle). Row-local
+    * expressions only: valid in a streaming plan with zero state.
+    */
+  private def repetitionGateCols(docs: DataFrame): DataFrame = {
+    val g = docs
+      .withColumn("_toks", TextFunctions.tokens(col("text")))
+      .withColumn("_g2", TextFunctions.topNgramStats(col("_toks"), 2))
+      .withColumn("_g3", TextFunctions.topNgramStats(col("_toks"), 3))
+      .withColumn("_g4", TextFunctions.topNgramStats(col("_toks"), 4))
+      .withColumn("_d", TextFunctions.dupNgramStats(col("_toks"), 5, 10))
+    val total = col("_g2.total_chars").cast("long")
+    def dup(n: Int) = element_at(col("_d.dup_chars"), n - 4).cast("long")
+    val reason =
+      when(col("_g2.top_cover").cast("long") * 100 > total * 20, "top2")
+        .when(col("_g3.top_cover").cast("long") * 100 > total * 18, "top3")
+        .when(col("_g4.top_cover").cast("long") * 100 > total * 16, "top4")
+        .when(dup(5) * 100 > total * 15, "dup5")
+        .when(dup(6) * 100 > total * 14, "dup6")
+        .when(dup(7) * 100 > total * 13, "dup7")
+        .when(dup(8) * 100 > total * 12, "dup8")
+        .when(dup(9) * 100 > total * 11, "dup9")
+        .when(dup(10) * 100 > total * 10, "dup10")
+        .otherwise("ok")
+    g.select(col("doc_id"), reason.as("fail_reason"), (reason === "ok").as("pass"))
+  }
+
+  /** The spam and self-concat plants as ROW-LOCAL variants of a
+    * (doc_id, text) row — an `explode` of this array yields the same
+    * augmented corpus the batch gate unions together, in a shape a
+    * STREAM can produce too (a streaming frame cannot union a batch
+    * frame; it can explode per-row arrays).
+    */
+  private def gatePlantVariants: org.apache.spark.sql.Column = {
+    val toks0 = TextFunctions.tokens(col("text"))
+    val spam = concat(repeat(concat(element_at(toks0, 1), lit(" ")), 39),
+      element_at(toks0, 1))
+    val variants = array(
+      struct(col("doc_id").as("doc_id"), col("text").as("text")),
+      when(col("doc_id") % 9 === 3 && size(toks0) >= 1,
+        struct((col("doc_id") + 3000000L).as("doc_id"), spam.as("text"))),
+      when(col("doc_id") % 7 === 0,
+        struct((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))))
+    filter(variants, v => v.isNotNull)
+  }
+
   /** Shared decontamination fixture: benchmark = docs 0-24; batch = the
     * remaining docs PLUS planted leaks — copies of benchmark docs 0-9
     * truncated by their last two tokens (so they share almost every
@@ -689,35 +738,28 @@ object CurationQueries {
       */
     "gopher_repetition_gate" -> { (s, dir) =>
       val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks0 = TextFunctions.tokens(col("text"))
-      val plantSpam = base.filter(col("doc_id") % 9 === 3 && size(toks0) >= 1)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(repeat(concat(element_at(toks0, 1), lit(" ")), 39),
-            element_at(toks0, 1)).as("text"))
-      val plantFull = base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 5000000L).as("doc_id"),
-          concat(col("text"), lit(" "), col("text")).as("text"))
-      val docs = base.unionByName(plantSpam).unionByName(plantFull)
-        .withColumn("_toks", TextFunctions.tokens(col("text")))
-        .withColumn("_g2", TextFunctions.topNgramStats(col("_toks"), 2))
-        .withColumn("_g3", TextFunctions.topNgramStats(col("_toks"), 3))
-        .withColumn("_g4", TextFunctions.topNgramStats(col("_toks"), 4))
-        .withColumn("_d", TextFunctions.dupNgramStats(col("_toks"), 5, 10))
-      val total = col("_g2.total_chars").cast("long")
-      def dup(n: Int) = element_at(col("_d.dup_chars"), n - 4).cast("long")
-      val reason =
-        when(col("_g2.top_cover").cast("long") * 100 > total * 20, "top2")
-          .when(col("_g3.top_cover").cast("long") * 100 > total * 18, "top3")
-          .when(col("_g4.top_cover").cast("long") * 100 > total * 16, "top4")
-          .when(dup(5) * 100 > total * 15, "dup5")
-          .when(dup(6) * 100 > total * 14, "dup6")
-          .when(dup(7) * 100 > total * 13, "dup7")
-          .when(dup(8) * 100 > total * 12, "dup8")
-          .when(dup(9) * 100 > total * 11, "dup9")
-          .when(dup(10) * 100 > total * 10, "dup10")
-          .otherwise("ok")
-      docs.select(col("doc_id"), reason.as("fail_reason"),
-        (reason === "ok").as("pass"))
+      repetitionGateCols(base
+        .select(explode(gatePlantVariants).as("_v"))
+        .select(col("_v.doc_id").as("doc_id"), col("_v.text").as("text")))
+    },
+
+    /** Streaming twin of `gopher_repetition_gate` — the firehose shape:
+      * the gate is row-local expressions only (tokenize + four n-gram
+      * passes + integer CASE), so it runs on an unbounded stream with
+      * ZERO state, zero exchanges, append mode — the only shape that
+      * holds when the stream never ends. Same code (the shared
+      * [[repetitionGateCols]]/[[gatePlantVariants]]), same oracle SQL
+      * verbatim — the stream result must hash-equal the batch replay.
+      */
+    "stream_repetition_gate" -> { (s, dir) =>
+      val stream = graft.streaming.StreamOps
+        .parquetStream(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val gated = repetitionGateCols(stream
+        .select(explode(gatePlantVariants).as("_v"))
+        .select(col("_v.doc_id").as("doc_id"), col("_v.text").as("text")))
+      graft.streaming.StreamOps.drainToBatch(gated, outputMode = "append",
+        statePartitions = 8)
     },
 
     /** EXACT set-similarity self-join ([[graft.operators.SetJoin
@@ -789,6 +831,100 @@ object CurationQueries {
         .select(col("lang"), col("doc_id"), col("n_chars"), col("med"),
           col("mad"))
     })
+
+  /** One oracle for BOTH `gopher_repetition_gate` and its streaming twin
+    * (lazy: referenced from the Seq below before this line initializes).
+    * Replays the plants, every top-/dup-gram fraction, and the CASE
+    * priority; the dup half is the same running-max-end interval sweep
+    * as the `gopher_dup_ngrams` oracle.
+    */
+  private lazy val gopherGateSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    repeat(list_filter(string_split(text, ' '), x -> x != '')[1] || ' ', 39)
+      |      || list_filter(string_split(text, ' '), x -> x != '')[1]
+      |  FROM documents
+      |  WHERE doc_id % 9 = 3
+      |    AND len(list_filter(string_split(text, ' '), x -> x != '')) >= 1
+      |  UNION ALL
+      |  SELECT doc_id + 5000000, text || ' ' || text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+      |  FROM aug
+      |), base AS (
+      |  SELECT doc_id, ts,
+      |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+      |      + CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END AS BIGINT)
+      |      AS total_chars
+      |  FROM tk
+      |), topg AS (
+      |  SELECT doc_id, n, MAX(c * length(g)) AS cover FROM (
+      |    SELECT b.doc_id, ns.n,
+      |           array_to_string(b.ts[u.i:u.i + ns.n - 1], ' ') AS g,
+      |           COUNT(*) AS c
+      |    FROM base b CROSS JOIN (SELECT UNNEST([2, 3, 4]) AS n) ns,
+      |    UNNEST(range(1, len(b.ts) - ns.n + 2)) u(i)
+      |    GROUP BY 1, 2, 3
+      |  ) GROUP BY 1, 2
+      |), tok AS (
+      |  SELECT doc_id, i, ts[i] AS t
+      |  FROM base, UNNEST(range(1, len(ts) + 1)) u(i)
+      |), st AS (
+      |  SELECT doc_id, i,
+      |    CAST(COALESCE(SUM(length(t) + 1) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      |  FROM tok
+      |), grams AS (
+      |  SELECT b.doc_id, ns.n, u.i,
+      |         array_to_string(b.ts[u.i:u.i + ns.n - 1], ' ') AS g
+      |  FROM base b
+      |  CROSS JOIN (SELECT UNNEST([5, 6, 7, 8, 9, 10]) AS n) ns,
+      |  UNNEST(range(1, len(b.ts) - ns.n + 2)) u(i)
+      |), gi AS (
+      |  SELECT g.doc_id, g.n, st.s, st.s + length(g.g) AS e,
+      |    COUNT(*) OVER (PARTITION BY g.doc_id, g.n, g.g) AS c
+      |  FROM grams g JOIN st ON g.doc_id = st.doc_id AND g.i = st.i
+      |), sweep AS (
+      |  SELECT doc_id, n, s, e,
+      |    MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      |  FROM gi WHERE c > 1
+      |), agg AS (
+      |  SELECT doc_id, n,
+      |    CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pe, 0)))) AS BIGINT) AS dc
+      |  FROM sweep GROUP BY 1, 2
+      |), px AS (
+      |  SELECT b.doc_id, b.total_chars,
+      |    COALESCE(MAX(CASE WHEN tg.n = 2 THEN tg.cover END), 0) AS top2,
+      |    COALESCE(MAX(CASE WHEN tg.n = 3 THEN tg.cover END), 0) AS top3,
+      |    COALESCE(MAX(CASE WHEN tg.n = 4 THEN tg.cover END), 0) AS top4,
+      |    COALESCE(MAX(CASE WHEN a.n = 5 THEN a.dc END), 0) AS dup5,
+      |    COALESCE(MAX(CASE WHEN a.n = 6 THEN a.dc END), 0) AS dup6,
+      |    COALESCE(MAX(CASE WHEN a.n = 7 THEN a.dc END), 0) AS dup7,
+      |    COALESCE(MAX(CASE WHEN a.n = 8 THEN a.dc END), 0) AS dup8,
+      |    COALESCE(MAX(CASE WHEN a.n = 9 THEN a.dc END), 0) AS dup9,
+      |    COALESCE(MAX(CASE WHEN a.n = 10 THEN a.dc END), 0) AS dup10
+      |  FROM base b LEFT JOIN topg tg ON b.doc_id = tg.doc_id
+      |              LEFT JOIN agg a ON b.doc_id = a.doc_id
+      |  GROUP BY 1, 2
+      |), rsn AS (
+      |  SELECT doc_id,
+      |    CASE WHEN top2 * 100 > total_chars * 20 THEN 'top2'
+      |         WHEN top3 * 100 > total_chars * 18 THEN 'top3'
+      |         WHEN top4 * 100 > total_chars * 16 THEN 'top4'
+      |         WHEN dup5 * 100 > total_chars * 15 THEN 'dup5'
+      |         WHEN dup6 * 100 > total_chars * 14 THEN 'dup6'
+      |         WHEN dup7 * 100 > total_chars * 13 THEN 'dup7'
+      |         WHEN dup8 * 100 > total_chars * 12 THEN 'dup8'
+      |         WHEN dup9 * 100 > total_chars * 11 THEN 'dup9'
+      |         WHEN dup10 * 100 > total_chars * 10 THEN 'dup10'
+      |         ELSE 'ok' END AS fail_reason
+      |  FROM px
+      |)
+      |SELECT doc_id, fail_reason, fail_reason = 'ok' AS pass FROM rsn""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "flagship_curation" ->
@@ -1326,93 +1462,10 @@ object CurationQueries {
         |  (g.dup_lines * 100 > g.n_lines * 30
         |   OR g.dup_chars * 100 > length(a.text) * 20) AS repetitive
         |FROM aug a JOIN agg g USING (doc_id)""".stripMargin,
-    "gopher_repetition_gate" ->
-      """WITH aug AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000,
-        |    repeat(list_filter(string_split(text, ' '), x -> x != '')[1] || ' ', 39)
-        |      || list_filter(string_split(text, ' '), x -> x != '')[1]
-        |  FROM documents
-        |  WHERE doc_id % 9 = 3
-        |    AND len(list_filter(string_split(text, ' '), x -> x != '')) >= 1
-        |  UNION ALL
-        |  SELECT doc_id + 5000000, text || ' ' || text
-        |  FROM documents WHERE doc_id % 7 = 0
-        |), tk AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
-        |  FROM aug
-        |), base AS (
-        |  SELECT doc_id, ts,
-        |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
-        |      + CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END AS BIGINT)
-        |      AS total_chars
-        |  FROM tk
-        |), topg AS (
-        |  SELECT doc_id, n, MAX(c * length(g)) AS cover FROM (
-        |    SELECT b.doc_id, ns.n,
-        |           array_to_string(b.ts[u.i:u.i + ns.n - 1], ' ') AS g,
-        |           COUNT(*) AS c
-        |    FROM base b CROSS JOIN (SELECT UNNEST([2, 3, 4]) AS n) ns,
-        |    UNNEST(range(1, len(b.ts) - ns.n + 2)) u(i)
-        |    GROUP BY 1, 2, 3
-        |  ) GROUP BY 1, 2
-        |), tok AS (
-        |  SELECT doc_id, i, ts[i] AS t
-        |  FROM base, UNNEST(range(1, len(ts) + 1)) u(i)
-        |), st AS (
-        |  SELECT doc_id, i,
-        |    CAST(COALESCE(SUM(length(t) + 1) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
-        |  FROM tok
-        |), grams AS (
-        |  SELECT b.doc_id, ns.n, u.i,
-        |         array_to_string(b.ts[u.i:u.i + ns.n - 1], ' ') AS g
-        |  FROM base b
-        |  CROSS JOIN (SELECT UNNEST([5, 6, 7, 8, 9, 10]) AS n) ns,
-        |  UNNEST(range(1, len(b.ts) - ns.n + 2)) u(i)
-        |), gi AS (
-        |  SELECT g.doc_id, g.n, st.s, st.s + length(g.g) AS e,
-        |    COUNT(*) OVER (PARTITION BY g.doc_id, g.n, g.g) AS c
-        |  FROM grams g JOIN st ON g.doc_id = st.doc_id AND g.i = st.i
-        |), sweep AS (
-        |  SELECT doc_id, n, s, e,
-        |    MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-        |  FROM gi WHERE c > 1
-        |), agg AS (
-        |  SELECT doc_id, n,
-        |    CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pe, 0)))) AS BIGINT) AS dc
-        |  FROM sweep GROUP BY 1, 2
-        |), px AS (
-        |  SELECT b.doc_id, b.total_chars,
-        |    COALESCE(MAX(CASE WHEN tg.n = 2 THEN tg.cover END), 0) AS top2,
-        |    COALESCE(MAX(CASE WHEN tg.n = 3 THEN tg.cover END), 0) AS top3,
-        |    COALESCE(MAX(CASE WHEN tg.n = 4 THEN tg.cover END), 0) AS top4,
-        |    COALESCE(MAX(CASE WHEN a.n = 5 THEN a.dc END), 0) AS dup5,
-        |    COALESCE(MAX(CASE WHEN a.n = 6 THEN a.dc END), 0) AS dup6,
-        |    COALESCE(MAX(CASE WHEN a.n = 7 THEN a.dc END), 0) AS dup7,
-        |    COALESCE(MAX(CASE WHEN a.n = 8 THEN a.dc END), 0) AS dup8,
-        |    COALESCE(MAX(CASE WHEN a.n = 9 THEN a.dc END), 0) AS dup9,
-        |    COALESCE(MAX(CASE WHEN a.n = 10 THEN a.dc END), 0) AS dup10
-        |  FROM base b LEFT JOIN topg tg ON b.doc_id = tg.doc_id
-        |              LEFT JOIN agg a ON b.doc_id = a.doc_id
-        |  GROUP BY 1, 2
-        |), rsn AS (
-        |  SELECT doc_id,
-        |    CASE WHEN top2 * 100 > total_chars * 20 THEN 'top2'
-        |         WHEN top3 * 100 > total_chars * 18 THEN 'top3'
-        |         WHEN top4 * 100 > total_chars * 16 THEN 'top4'
-        |         WHEN dup5 * 100 > total_chars * 15 THEN 'dup5'
-        |         WHEN dup6 * 100 > total_chars * 14 THEN 'dup6'
-        |         WHEN dup7 * 100 > total_chars * 13 THEN 'dup7'
-        |         WHEN dup8 * 100 > total_chars * 12 THEN 'dup8'
-        |         WHEN dup9 * 100 > total_chars * 11 THEN 'dup9'
-        |         WHEN dup10 * 100 > total_chars * 10 THEN 'dup10'
-        |         ELSE 'ok' END AS fail_reason
-        |  FROM px
-        |)
-        |SELECT doc_id, fail_reason, fail_reason = 'ok' AS pass FROM rsn""".stripMargin,
+    "gopher_repetition_gate" -> gopherGateSql,
+    // the streaming twin replays the IDENTICAL SQL: same plants, same
+    // fractions, same CASE priority — batch and stream must hash-agree
+    "stream_repetition_gate" -> gopherGateSql,
     "ssjoin_prefix" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |tk AS (
