@@ -556,22 +556,26 @@ private[functions] final class GramTable(toks: Array[UTF8String], n: Int, nGrams
     true
   }
 
-  /** Count the gram starting at token `i`. */
-  def add(i: Int): Unit = {
+  /** Count the gram starting at token `i`; returns its occurrence count
+    * AFTER this add (1 = first time seen), which is what keep-first
+    * dedup needs in the same single pass.
+    */
+  def add(i: Int): Int = {
     val h = gramHash(i)
     var s = (h & mask).toInt
     while (true) {
       val first = slotFirst(s)
       if (first < 0) {
         slotHash(s) = h; slotFirst(s) = i; slotCount(s) = 1
-        return
+        return 1
       }
       if (slotHash(s) == h && gramsEqual(first, i)) {
         slotCount(s) += 1
-        return
+        return slotCount(s)
       }
       s = (s + 1) & mask
     }
+    0
   }
 
   /** Occurrence count of the gram starting at token `i` (after all adds). */
@@ -777,6 +781,83 @@ object DupLineStats {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       nLines, text.numChars(), dupLines, dupChars))
+  }
+}
+
+/** Within-document keep-first line dedup — the REMOVAL action paired
+  * with [[DupLineStats]]' signal (C4-style cleanup: navigation menus and
+  * cookie banners repeat inside one page; the first occurrence stays,
+  * the repeats go): lines are the `sep`-separated segments (empties
+  * preserved), each line VALUE keeps its first occurrence in original
+  * order, and every later occurrence is dropped. One pass on the
+  * hash-keyed exact-verified [[GramTable]] (add() returns the running
+  * occurrence count, so detection and reassembly share the pass);
+  * returns struct(clean_text, n_lines, n_removed) — the same shape as
+  * the corpus-frequency filter [[StripLinesByHash]], because pipelines
+  * chain the two. Null text → null; zero state, zero exchanges.
+  */
+case class DedupLinesInDoc(child: Expression, sep: Byte = '\n')
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(sep >= 0, s"sep must be an ASCII byte (got $sep)")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupLinesInDoc.compute(input.asInstanceOf[UTF8String], sep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DedupLinesInDoc.compute($c, (byte) $sep);")
+
+  override protected def withNewChildInternal(newChild: Expression): DedupLinesInDoc =
+    copy(child = newChild)
+}
+
+object DedupLinesInDoc {
+  def compute(text: UTF8String, sep: Byte): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var nLines = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == sep) nLines += 1; i += 1 }
+    val lines = new Array[UTF8String](nLines)
+    val starts = new Array[Int](nLines) // byte offsets, for the rebuild
+    var start = 0
+    var li = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == sep) {
+        lines(li) = UTF8String.fromBytes(bytes, start, i - start)
+        starts(li) = start
+        li += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val table = new GramTable(lines, 1, nLines)
+    val out = new Array[Byte](n)
+    var outLen = 0
+    var kept = 0
+    li = 0
+    while (li < nLines) {
+      if (table.add(li) == 1) {
+        val len = lines(li).numBytes()
+        if (kept > 0) { out(outLen) = sep; outLen += 1 }
+        System.arraycopy(bytes, starts(li), out, outLen, len)
+        outLen += len
+        kept += 1
+      }
+      li += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(java.util.Arrays.copyOf(out, outLen)),
+      nLines, nLines - kept))
   }
 }
 

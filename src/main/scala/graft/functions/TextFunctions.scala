@@ -194,6 +194,13 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       DupLineStats(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
+  /** Within-document keep-first line dedup ([[DedupLinesInDoc]]):
+    * struct(clean_text, n_lines, n_removed), one codegen'd pass per row.
+    */
+  def dedupLinesInDoc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DedupLinesInDoc(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** Email pattern in the common Java/RE2 regex subset, so Spark and
     * SQL-engine oracles agree byte-for-byte on matches.
     */

@@ -722,6 +722,35 @@ object CurationQueries {
             col("_d.total_chars").cast("long") * 20).as("repetitive"))
     },
 
+    /** Within-document keep-first line dedup ([[graft.functions
+      * .DedupLinesInDoc]] — the removal ACTION paired with
+      * `gopher_dup_lines`' signal, over the same planted multi-line
+      * corpus): each line value keeps its first occurrence in original
+      * order, repeats are dropped, and the cleaned text reassembles
+      * byte-exactly (the oracle string_aggs the rank-1 occurrences in
+      * line order, so a wrong keep, drop, or ordering all break the
+      * hash). Distinct from `boilerplate_strip` (corpus-frequency, needs
+      * the corpus) and `dedup_paragraph` (cross-document): this is the
+      * zero-exchange per-row transform a firehose can run.
+      */
+    "dedup_lines_in_doc" -> { (s, dir) =>
+      val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextFunctions.tokens(col("text"))
+      val plantLines = base.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          array_join(toks, "\n").as("text"))
+      val plantDouble = base.filter(col("doc_id") % 6 === 2)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat(array_join(slice(toks, 1, 6), "\n"), lit("\n"),
+            array_join(slice(toks, 1, 3), "\n")).as("text"))
+      base.unionByName(plantLines).unionByName(plantDouble)
+        .withColumn("_d", TextFunctions.dedupLinesInDoc(col("text")))
+        .select(col("doc_id"),
+          col("_d.clean_text").as("clean_text"),
+          col("_d.n_lines").cast("long").as("n_lines"),
+          col("_d.n_removed").cast("long").as("n_removed"))
+    },
+
     /** The COMPLETE Gopher n-gram repetition gate in one query: top-gram
       * character fractions for n = 2, 3, 4 (thresholds 20/18/16%) and
       * duplicate-n-gram character fractions for n = 5..10 (15% down to
@@ -1462,6 +1491,37 @@ object CurationQueries {
         |  (g.dup_lines * 100 > g.n_lines * 30
         |   OR g.dup_chars * 100 > length(a.text) * 20) AS repetitive
         |FROM aug a JOIN agg g USING (doc_id)""".stripMargin,
+    "dedup_lines_in_doc" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> x != ''),
+        |                    chr(10))
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 8000000,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x != '')[1:6], chr(10))
+        |    || chr(10) ||
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x != '')[1:3], chr(10))
+        |  FROM documents WHERE doc_id % 6 = 2
+        |), ln AS (
+        |  SELECT doc_id, u.i, ls[u.i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+        |       UNNEST(range(1, len(ls) + 1)) u(i)
+        |), rk AS (
+        |  SELECT doc_id, i, line,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS r
+        |  FROM ln
+        |)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE r = 1),
+        |           '') AS clean_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) FILTER (WHERE r > 1) AS BIGINT) AS n_removed
+        |FROM rk GROUP BY doc_id""".stripMargin,
     "gopher_repetition_gate" -> gopherGateSql,
     // the streaming twin replays the IDENTICAL SQL: same plants, same
     // fractions, same CASE priority — batch and stream must hash-agree

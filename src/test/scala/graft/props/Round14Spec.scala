@@ -163,6 +163,32 @@ class Round14Spec extends SparkSpec {
     assert(got === ((6, 12, 3, 4)))
   }
 
+  // ------------------------------------------------------ DedupLinesInDoc
+
+  test("DedupLinesInDoc equals naive keep-first on random line lists") {
+    val lineGen = Gen.oneOf("", "home", "éé menu", "x", "home")
+    val docGen = Gen.chooseNum(0, 12).flatMap(k => Gen.listOfN(k, lineGen))
+    for ((lines, i) <- samples(docGen, 40).zipWithIndex) {
+      val text = lines.mkString("\n")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.dedupLinesInDoc(col("text")).as("d"))
+        .select("d.clean_text", "d.n_lines", "d.n_removed")
+        .as[(String, Int, Int)].collect()(0)
+      val split = text.split("\n", -1).toSeq
+      val kept = split.distinct // Seq.distinct keeps first occurrences in order
+      assert(got === ((kept.mkString("\n"), split.size, split.size - kept.size)),
+        s"case $i lines=$lines")
+    }
+  }
+
+  test("DedupLinesInDoc hand case: repeats drop, order and empties survive") {
+    val got = Seq(Tuple1("menu\nbody\nmenu\n\nfooter\n\nbody")).toDF("text")
+      .select(TextFunctions.dedupLinesInDoc(col("text")).as("d"))
+      .select("d.clean_text", "d.n_lines", "d.n_removed")
+      .as[(String, Int, Int)].collect()(0)
+    assert(got === (("menu\nbody\n\nfooter", 7, 3)))
+  }
+
   // -------------------------------------------------------- bitext / IVF
 
   import graft.similarity.Bitext
