@@ -717,10 +717,11 @@ object DupNgramStats {
   * [[graft.dedup.Dedup.stripLinesIndexed]]'s job; this is the
   * within-document signal).
   */
-case class DupLineStats(child: Expression, sep: Byte = '\n')
+case class DupLineStats(child: Expression, sep: String = "\n")
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
-  require(sep >= 0, s"sep must be an ASCII byte (got $sep)")
+  require(sep.nonEmpty && sep.forall(_ < 128),
+    s"sep must be a non-empty ASCII string (got '$sep')")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -733,37 +734,67 @@ case class DupLineStats(child: Expression, sep: Byte = '\n')
   override protected def nullSafeEval(input: Any): Any =
     DupLineStats.compute(input.asInstanceOf[UTF8String], sep)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("lineSep", sep, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.DupLineStats.compute($c, (byte) $sep);")
+      s"${ev.value} = graft.functions.DupLineStats.compute($c, $sepRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): DupLineStats =
     copy(child = newChild)
 }
 
-object DupLineStats {
-  def compute(text: UTF8String, sep: Byte): org.apache.spark.sql.catalyst.InternalRow = {
-    // split on the separator byte (an ASCII byte never occurs inside a
-    // multi-byte UTF-8 sequence), preserving empties like split()
-    val bytes = text.getBytes
+/** Shared byte-level segment splitting on an ASCII separator SEQUENCE
+  * (non-overlapping, leftmost-first — exactly `split(text, sep)` /
+  * DuckDB `string_split` with a literal separator), preserving empties.
+  * ASCII bytes never occur inside multi-byte UTF-8 sequences, so the
+  * byte scan splits on true character boundaries.
+  */
+private[functions] object SegmentSplit {
+  def split(bytes: Array[Byte], sep: Array[Byte]): Array[UTF8String] = {
     val n = bytes.length
-    var nLines = 1
+    val m = sep.length
+    var count = 1
     var i = 0
-    while (i < n) { if (bytes(i) == sep) nLines += 1; i += 1 }
-    val lines = new Array[UTF8String](nLines)
+    while (i + m <= n) {
+      if (matchesAt(bytes, sep, i)) { count += 1; i += m } else i += 1
+    }
+    val segs = new Array[UTF8String](count)
     var start = 0
-    var li = 0
+    var si = 0
     i = 0
     while (i <= n) {
-      if (i == n || bytes(i) == sep) {
-        lines(li) = UTF8String.fromBytes(bytes, start, i - start)
-        li += 1
-        start = i + 1
-      }
-      i += 1
+      if (i + m <= n && matchesAt(bytes, sep, i)) {
+        segs(si) = UTF8String.fromBytes(bytes, start, i - start)
+        si += 1
+        i += m
+        start = i
+      } else if (i == n) {
+        segs(si) = UTF8String.fromBytes(bytes, start, i - start)
+        si += 1
+        i += 1
+      } else i += 1
     }
+    segs
+  }
+
+  @inline private def matchesAt(bytes: Array[Byte], sep: Array[Byte], i: Int): Boolean = {
+    var j = 0
+    while (j < sep.length) {
+      if (bytes(i + j) != sep(j)) return false
+      j += 1
+    }
+    true
+  }
+}
+
+object DupLineStats {
+  def compute(text: UTF8String, sep: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val lines = SegmentSplit.split(text.getBytes,
+      sep.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val nLines = lines.length
     val table = new GramTable(lines, 1, nLines)
-    i = 0
+    var i = 0
     while (i < nLines) { table.add(i); i += 1 }
     var dupLines = 0
     var dupChars = 0
@@ -796,10 +827,11 @@ object DupLineStats {
   * the corpus-frequency filter [[StripLinesByHash]], because pipelines
   * chain the two. Null text → null; zero state, zero exchanges.
   */
-case class DedupLinesInDoc(child: Expression, sep: Byte = '\n')
+case class DedupLinesInDoc(child: Expression, sep: String = "\n")
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
-  require(sep >= 0, s"sep must be an ASCII byte (got $sep)")
+  require(sep.nonEmpty && sep.forall(_ < 128),
+    s"sep must be a non-empty ASCII string (got '$sep')")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -811,46 +843,37 @@ case class DedupLinesInDoc(child: Expression, sep: Byte = '\n')
   override protected def nullSafeEval(input: Any): Any =
     DedupLinesInDoc.compute(input.asInstanceOf[UTF8String], sep)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("lineSep", sep, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.DedupLinesInDoc.compute($c, (byte) $sep);")
+      s"${ev.value} = graft.functions.DedupLinesInDoc.compute($c, $sepRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): DedupLinesInDoc =
     copy(child = newChild)
 }
 
 object DedupLinesInDoc {
-  def compute(text: UTF8String, sep: Byte): org.apache.spark.sql.catalyst.InternalRow = {
+  def compute(text: UTF8String, sep: String): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = text.getBytes
-    val n = bytes.length
-    var nLines = 1
-    var i = 0
-    while (i < n) { if (bytes(i) == sep) nLines += 1; i += 1 }
-    val lines = new Array[UTF8String](nLines)
-    val starts = new Array[Int](nLines) // byte offsets, for the rebuild
-    var start = 0
-    var li = 0
-    i = 0
-    while (i <= n) {
-      if (i == n || bytes(i) == sep) {
-        lines(li) = UTF8String.fromBytes(bytes, start, i - start)
-        starts(li) = start
-        li += 1
-        start = i + 1
-      }
-      i += 1
-    }
+    val sepBytes = sep.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val lines = SegmentSplit.split(bytes, sepBytes)
+    val nLines = lines.length
     val table = new GramTable(lines, 1, nLines)
-    val out = new Array[Byte](n)
+    // dedup can only shrink: input bytes bound the rebuild buffer
+    val out = new Array[Byte](bytes.length)
     var outLen = 0
     var kept = 0
-    li = 0
+    var li = 0
     while (li < nLines) {
       if (table.add(li) == 1) {
-        val len = lines(li).numBytes()
-        if (kept > 0) { out(outLen) = sep; outLen += 1 }
-        System.arraycopy(bytes, starts(li), out, outLen, len)
-        outLen += len
+        if (kept > 0) {
+          System.arraycopy(sepBytes, 0, out, outLen, sepBytes.length)
+          outLen += sepBytes.length
+        }
+        val seg = lines(li)
+        seg.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + outLen)
+        outLen += seg.numBytes()
         kept += 1
       }
       li += 1

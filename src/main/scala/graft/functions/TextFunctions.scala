@@ -190,16 +190,16 @@ object TextFunctions {
     * repetition rules): struct(n_lines, total_chars, dup_lines,
     * dup_chars), all integers, one codegen'd pass per row.
     */
-  def dupLineStats(text: Column): Column =
+  def dupLineStats(text: Column, sep: String = "\n"): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
-      DupLineStats(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+      DupLineStats(org.apache.spark.sql.graftbridge.Bridge.expression(text), sep))
 
   /** Within-document keep-first line dedup ([[DedupLinesInDoc]]):
     * struct(clean_text, n_lines, n_removed), one codegen'd pass per row.
     */
-  def dedupLinesInDoc(text: Column): Column =
+  def dedupLinesInDoc(text: Column, sep: String = "\n"): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
-      DedupLinesInDoc(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+      DedupLinesInDoc(org.apache.spark.sql.graftbridge.Bridge.expression(text), sep))
 
   /** Email pattern in the common Java/RE2 regex subset, so Spark and
     * SQL-engine oracles agree byte-for-byte on matches.

@@ -722,6 +722,38 @@ object CurationQueries {
             col("_d.total_chars").cast("long") * 20).as("repetitive"))
     },
 
+    /** Duplicate-PARAGRAPH statistics — the paragraph half of Gopher's
+      * line/paragraph dup rules (same thresholds: 30% of paragraphs or
+      * 20% of characters): [[graft.functions.DupLineStats]] with the
+      * two-byte separator "\n\n", exercising the multi-byte segment
+      * split (consecutive blank lines produce empty paragraphs exactly
+      * like `string_split` with a two-char literal). Plants re-layout
+      * token pairs into paragraphs and append a duplicated prefix run;
+      * the oracle replays split, count, and thresholds in SQL.
+      */
+    "gopher_dup_paragraphs" -> { (s, dir) =>
+      val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = TextFunctions.tokens(col("text"))
+      val plantParas = base.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          array_join(toks, "\n\n").as("text"))
+      val plantDouble = base.filter(col("doc_id") % 6 === 2)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat(array_join(slice(toks, 1, 6), "\n\n"), lit("\n\n"),
+            array_join(slice(toks, 1, 3), "\n\n")).as("text"))
+      base.unionByName(plantParas).unionByName(plantDouble)
+        .withColumn("_d", TextFunctions.dupLineStats(col("text"), "\n\n"))
+        .select(col("doc_id"),
+          col("_d.n_lines").cast("long").as("n_paragraphs"),
+          col("_d.total_chars").cast("long").as("total_chars"),
+          col("_d.dup_lines").cast("long").as("dup_paragraphs"),
+          col("_d.dup_chars").cast("long").as("dup_chars"),
+          (col("_d.dup_lines").cast("long") * 100 >
+              col("_d.n_lines").cast("long") * 30 ||
+            col("_d.dup_chars").cast("long") * 100 >
+              col("_d.total_chars").cast("long") * 20).as("repetitive"))
+    },
+
     /** Within-document keep-first line dedup ([[graft.functions
       * .DedupLinesInDoc]] — the removal ACTION paired with
       * `gopher_dup_lines`' signal, over the same planted multi-line
@@ -1489,6 +1521,42 @@ object CurationQueries {
         |  CAST(length(a.text) AS BIGINT) AS total_chars,
         |  g.dup_lines, g.dup_chars,
         |  (g.dup_lines * 100 > g.n_lines * 30
+        |   OR g.dup_chars * 100 > length(a.text) * 20) AS repetitive
+        |FROM aug a JOIN agg g USING (doc_id)""".stripMargin,
+    "gopher_dup_paragraphs" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> x != ''),
+        |                    chr(10) || chr(10))
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 8000000,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x != '')[1:6],
+        |      chr(10) || chr(10))
+        |    || chr(10) || chr(10) ||
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x != '')[1:3],
+        |      chr(10) || chr(10))
+        |  FROM documents WHERE doc_id % 6 = 2
+        |), ln AS (
+        |  SELECT doc_id, UNNEST(string_split(text, chr(10) || chr(10))) AS p
+        |  FROM aug
+        |), c AS (
+        |  SELECT doc_id, p, COUNT(*) AS cnt FROM ln GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_paragraphs,
+        |    CAST(SUM(cnt - 1) AS BIGINT) AS dup_paragraphs,
+        |    CAST(SUM((cnt - 1) * length(p)) AS BIGINT) AS dup_chars
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT a.doc_id, g.n_paragraphs,
+        |  CAST(length(a.text) AS BIGINT) AS total_chars,
+        |  g.dup_paragraphs, g.dup_chars,
+        |  (g.dup_paragraphs * 100 > g.n_paragraphs * 30
         |   OR g.dup_chars * 100 > length(a.text) * 20) AS repetitive
         |FROM aug a JOIN agg g USING (doc_id)""".stripMargin,
     "dedup_lines_in_doc" ->

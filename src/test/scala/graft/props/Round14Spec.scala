@@ -153,6 +153,37 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("DupLineStats with a multi-byte separator equals naive string split") {
+    // paragraph mode: sep = "\n\n"; raw text fuzz (not joined segments)
+    // exercises partial-separator runs ("\n\n\n" = one sep + a "\n" char
+    // in the next segment, leftmost-first like split/string_split)
+    val charGen = Gen.frequency(4 -> Gen.const("a"), 2 -> Gen.const("\n"),
+      1 -> Gen.const("é"), 1 -> Gen.const("b"))
+    val textGen = Gen.chooseNum(0, 30).flatMap(k => Gen.listOfN(k, charGen)).map(_.mkString)
+    for ((text, i) <- samples(textGen, 50).zipWithIndex) {
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.dupLineStats(col("text"), "\n\n").as("d"))
+        .select("d.n_lines", "d.total_chars", "d.dup_lines", "d.dup_chars")
+        .as[(Int, Int, Int, Int)].collect()(0)
+      // java split on a LITERAL (quoted) pattern matches the
+      // leftmost-first non-overlapping semantics
+      val segs = text.split(java.util.regex.Pattern.quote("\n\n"), -1).toSeq
+      val counts = segs.groupBy(identity).map { case (l, o) => (l, o.size) }
+      val dupLines = counts.values.map(_ - 1).sum
+      val dupChars = counts.map { case (l, c) => (c - 1) * l.codePointCount(0, l.length) }.sum
+      assert(got === ((segs.size, text.codePointCount(0, text.length),
+        dupLines, dupChars)), s"case $i text=${text.replace("\n", "\\n")}")
+      // and the dedup twin rebuilds exactly the keep-first join
+      val ded = Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.dedupLinesInDoc(col("text"), "\n\n").as("d"))
+        .select("d.clean_text", "d.n_lines", "d.n_removed")
+        .as[(String, Int, Int)].collect()(0)
+      val kept = segs.distinct
+      assert(ded === ((kept.mkString("\n\n"), segs.size, segs.size - kept.size)),
+        s"case $i text=${text.replace("\n", "\\n")}")
+    }
+  }
+
   test("DupLineStats hand case") {
     // "a\nbb\na\n\nbb\na": a x3 (2 dups), bb x2 (1 dup), "" x1 ->
     // dup_lines 3, dup_chars 2*1 + 1*2 = 4; 6 lines, 12 chars
