@@ -36,6 +36,22 @@ object NorthStarQueries {
     */
   private val BitextIvfMinCorpusRows = 1000L
 
+  /** Centroids trained once per (data dir, session) and reused across
+    * executions — the production shape (a corpus version trains its IVF
+    * once; every ingest batch mines against it), and the same
+    * keyed-by-(tag, dir, applicationId) discipline as [[persistedIndex]].
+    * Training is deterministic (seeded hash init over a sorted-id
+    * sample), so memoization cannot change results, only skip the
+    * retrain.
+    */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def bitextCentroids(s: SparkSession, dir: String,
+      tgt: DataFrame): Array[Array[Double]] =
+    centroidMemo.computeIfAbsent(s"bitext|$dir|${s.sparkContext.applicationId}",
+      _ => graft.similarity.Ivf.trainCentroids(tgt, "vec_id", "embedding", 16))
+
   /** The synthesized multi-line boilerplate page shared by
     * `boilerplate_strip` / `_incremental` / `stream_boilerplate` — ONE
     * definition (plus its SQL twin [[boilerplateMtextSql]]) because the
@@ -744,7 +760,8 @@ object NorthStarQueries {
         .unionByName(plants)
       if (graft.SparkEntry.tableRows(s, dir, "embeddings") >= BitextIvfMinCorpusRows)
         graft.similarity.Bitext.mineIvf(src, tgt,
-          "vec_id", "embedding", "vec_id", "embedding")
+          "vec_id", "embedding", "vec_id", "embedding",
+          centroids = bitextCentroids(s, dir, tgt))
       else
         graft.similarity.Bitext.mine(src, tgt,
           "vec_id", "embedding", "vec_id", "embedding")

@@ -109,7 +109,8 @@ object Bitext {
       marginNum: Int = 21, marginDen: Int = 20,
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 11L,
       sampleN: Int = 10000, sampleMod: Int = 1,
-      maxSrcRows: Long = DefaultMaxSrcRows): DataFrame = {
+      maxSrcRows: Long = DefaultMaxSrcRows,
+      centroids: Array[Array[Double]] = null): DataFrame = {
     require(marginNum >= marginDen && marginDen > 0,
       s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
     val sPlain = graft.Caches.track(src.select(col(sId).as("src_id"),
@@ -120,13 +121,18 @@ object Bitext {
         s"$maxSrcRows — the batch is broadcast to every corpus partition; " +
         "mine in smaller batches (or raise maxSrcRows if the vectors are " +
         "small enough to hold resident)")
-    val centroids = Ivf.trainCentroids(tgt, tId, tVec, nCells, seed = seed,
-      sampleN = sampleN, sampleMod = sampleMod)
-    val indexed = Ivf.index(tgt, tId, tVec, centroids)
+    // production mining trains centroids once per corpus version and
+    // reuses them across ingest batches (pass `centroids`); training here
+    // is the convenience path for one-shot calls
+    val cs =
+      if (centroids != null) centroids
+      else Ivf.trainCentroids(tgt, tId, tVec, nCells, seed = seed,
+        sampleN = sampleN, sampleMod = sampleMod)
+    val indexed = Ivf.index(tgt, tId, tVec, cs)
     // each target lives in exactly ONE cell, so distinct probed cells
     // yield distinct (src, tgt) candidates — no post-join dedup needed
     val q = sPlain.select(col("src_id"), col("_sv"),
-      explode(Ivf.nearestCells(col("_sv"), centroids, nProbe)).as("_cell"))
+      explode(Ivf.nearestCells(col("_sv"), cs, nProbe)).as("_cell"))
     val cands = indexed.join(q, "_cell")
       .select(col("src_id"), col("neighbor_id").as("tgt_id"),
         cosineFused(col("_sv"), col("_cv")).as("_cos"))
