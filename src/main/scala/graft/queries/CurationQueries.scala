@@ -156,6 +156,37 @@ object CurationQueries {
       |    USING (doc_id)
       |)""".stripMargin
 
+  /** The multi-line plants of the line-dedup family (one-token-per-line
+    * re-layout, 6+3-line prefix repeat) as ROW-LOCAL variants, so the
+    * batch queries and the streaming twin build the same augmented
+    * corpus from the same code (explode works on streams; union with a
+    * batch frame does not).
+    */
+  private def dupLinePlantVariants(sep: String): org.apache.spark.sql.Column = {
+    val toks = TextFunctions.tokens(col("text"))
+    filter(array(
+      struct(col("doc_id").as("doc_id"), col("text").as("text")),
+      when(col("doc_id") % 4 === 1,
+        struct((col("doc_id") + 7000000L).as("doc_id"),
+          array_join(toks, sep).as("text"))),
+      when(col("doc_id") % 6 === 2,
+        struct((col("doc_id") + 8000000L).as("doc_id"),
+          concat(array_join(slice(toks, 1, 6), sep), lit(sep),
+            array_join(slice(toks, 1, 3), sep)).as("text")))),
+      v => v.isNotNull)
+  }
+
+  private def withDupLinePlants(docs: DataFrame, sep: String): DataFrame =
+    docs.select(explode(dupLinePlantVariants(sep)).as("_v"))
+      .select(col("_v.doc_id").as("doc_id"), col("_v.text").as("text"))
+
+  private def dedupLinesCols(docs: DataFrame): DataFrame =
+    docs.withColumn("_d", TextFunctions.dedupLinesInDoc(col("text")))
+      .select(col("doc_id"),
+        col("_d.clean_text").as("clean_text"),
+        col("_d.n_lines").cast("long").as("n_lines"),
+        col("_d.n_removed").cast("long").as("n_removed"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     /** Duplicated-substring spans (Lee et al. 2022 exact-substring dedup,
@@ -701,15 +732,7 @@ object CurationQueries {
       */
     "gopher_dup_lines" -> { (s, dir) =>
       val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks = TextFunctions.tokens(col("text"))
-      val plantLines = base.filter(col("doc_id") % 4 === 1)
-        .select((col("doc_id") + 7000000L).as("doc_id"),
-          array_join(toks, "\n").as("text"))
-      val plantDouble = base.filter(col("doc_id") % 6 === 2)
-        .select((col("doc_id") + 8000000L).as("doc_id"),
-          concat(array_join(slice(toks, 1, 6), "\n"), lit("\n"),
-            array_join(slice(toks, 1, 3), "\n")).as("text"))
-      val docs = base.unionByName(plantLines).unionByName(plantDouble)
+      val docs = withDupLinePlants(base, "\n")
         .withColumn("_d", TextFunctions.dupLineStats(col("text")))
       docs.select(col("doc_id"),
         col("_d.n_lines").cast("long").as("n_lines"),
@@ -733,15 +756,7 @@ object CurationQueries {
       */
     "gopher_dup_paragraphs" -> { (s, dir) =>
       val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks = TextFunctions.tokens(col("text"))
-      val plantParas = base.filter(col("doc_id") % 4 === 1)
-        .select((col("doc_id") + 7000000L).as("doc_id"),
-          array_join(toks, "\n\n").as("text"))
-      val plantDouble = base.filter(col("doc_id") % 6 === 2)
-        .select((col("doc_id") + 8000000L).as("doc_id"),
-          concat(array_join(slice(toks, 1, 6), "\n\n"), lit("\n\n"),
-            array_join(slice(toks, 1, 3), "\n\n")).as("text"))
-      base.unionByName(plantParas).unionByName(plantDouble)
+      withDupLinePlants(base, "\n\n")
         .withColumn("_d", TextFunctions.dupLineStats(col("text"), "\n\n"))
         .select(col("doc_id"),
           col("_d.n_lines").cast("long").as("n_paragraphs"),
@@ -767,20 +782,21 @@ object CurationQueries {
       */
     "dedup_lines_in_doc" -> { (s, dir) =>
       val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
-      val toks = TextFunctions.tokens(col("text"))
-      val plantLines = base.filter(col("doc_id") % 4 === 1)
-        .select((col("doc_id") + 7000000L).as("doc_id"),
-          array_join(toks, "\n").as("text"))
-      val plantDouble = base.filter(col("doc_id") % 6 === 2)
-        .select((col("doc_id") + 8000000L).as("doc_id"),
-          concat(array_join(slice(toks, 1, 6), "\n"), lit("\n"),
-            array_join(slice(toks, 1, 3), "\n")).as("text"))
-      base.unionByName(plantLines).unionByName(plantDouble)
-        .withColumn("_d", TextFunctions.dedupLinesInDoc(col("text")))
-        .select(col("doc_id"),
-          col("_d.clean_text").as("clean_text"),
-          col("_d.n_lines").cast("long").as("n_lines"),
-          col("_d.n_removed").cast("long").as("n_removed"))
+      dedupLinesCols(withDupLinePlants(base, "\n"))
+    },
+
+    /** Streaming twin of `dedup_lines_in_doc` — cleanup ON the firehose:
+      * keep-first line dedup is row-local, so the stream runs it with
+      * zero state in append mode (same shared code, same oracle SQL
+      * verbatim; the stream result must hash-equal the batch replay).
+      */
+    "stream_dedup_lines" -> { (s, dir) =>
+      val stream = graft.streaming.StreamOps
+        .parquetStream(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.streaming.StreamOps.drainToBatch(
+        dedupLinesCols(withDupLinePlants(stream, "\n")),
+        outputMode = "append", statePartitions = 8)
     },
 
     /** The COMPLETE Gopher n-gram repetition gate in one query: top-gram
@@ -892,6 +908,41 @@ object CurationQueries {
         .select(col("lang"), col("doc_id"), col("n_chars"), col("med"),
           col("mad"))
     })
+
+  /** One oracle for BOTH `dedup_lines_in_doc` and its streaming twin
+    * (lazy: referenced from the Seq below before this line initializes).
+    */
+  private lazy val dedupLinesSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 7000000,
+      |    array_to_string(list_filter(string_split(text, ' '), x -> x != ''),
+      |                    chr(10))
+      |  FROM documents WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 8000000,
+      |    array_to_string(
+      |      list_filter(string_split(text, ' '), x -> x != '')[1:6], chr(10))
+      |    || chr(10) ||
+      |    array_to_string(
+      |      list_filter(string_split(text, ' '), x -> x != '')[1:3], chr(10))
+      |  FROM documents WHERE doc_id % 6 = 2
+      |), ln AS (
+      |  SELECT doc_id, u.i, ls[u.i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+      |       UNNEST(range(1, len(ls) + 1)) u(i)
+      |), rk AS (
+      |  SELECT doc_id, i, line,
+      |    row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS r
+      |  FROM ln
+      |)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE r = 1),
+      |           '') AS clean_text,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(COUNT(*) FILTER (WHERE r > 1) AS BIGINT) AS n_removed
+      |FROM rk GROUP BY doc_id""".stripMargin
 
   /** One oracle for BOTH `gopher_repetition_gate` and its streaming twin
     * (lazy: referenced from the Seq below before this line initializes).
@@ -1559,37 +1610,10 @@ object CurationQueries {
         |  (g.dup_paragraphs * 100 > g.n_paragraphs * 30
         |   OR g.dup_chars * 100 > length(a.text) * 20) AS repetitive
         |FROM aug a JOIN agg g USING (doc_id)""".stripMargin,
-    "dedup_lines_in_doc" ->
-      """WITH aug AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 7000000,
-        |    array_to_string(list_filter(string_split(text, ' '), x -> x != ''),
-        |                    chr(10))
-        |  FROM documents WHERE doc_id % 4 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 8000000,
-        |    array_to_string(
-        |      list_filter(string_split(text, ' '), x -> x != '')[1:6], chr(10))
-        |    || chr(10) ||
-        |    array_to_string(
-        |      list_filter(string_split(text, ' '), x -> x != '')[1:3], chr(10))
-        |  FROM documents WHERE doc_id % 6 = 2
-        |), ln AS (
-        |  SELECT doc_id, u.i, ls[u.i] AS line
-        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
-        |       UNNEST(range(1, len(ls) + 1)) u(i)
-        |), rk AS (
-        |  SELECT doc_id, i, line,
-        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS r
-        |  FROM ln
-        |)
-        |SELECT doc_id,
-        |  COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE r = 1),
-        |           '') AS clean_text,
-        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |  CAST(COUNT(*) FILTER (WHERE r > 1) AS BIGINT) AS n_removed
-        |FROM rk GROUP BY doc_id""".stripMargin,
+    "dedup_lines_in_doc" -> dedupLinesSql,
+    // the streaming twin replays the IDENTICAL SQL — batch and stream
+    // must hash-agree on the rebuilt clean_text
+    "stream_dedup_lines" -> dedupLinesSql,
     "gopher_repetition_gate" -> gopherGateSql,
     // the streaming twin replays the IDENTICAL SQL: same plants, same
     // fractions, same CASE priority — batch and stream must hash-agree
