@@ -514,7 +514,16 @@ object TopNgramStats {
   * case (flagged by the round-13 review; bounded-allocation spec in
   * Round14Spec).
   */
-private[functions] final class GramTable(toks: Array[UTF8String], n: Int, nGrams: Int) {
+private[functions] final class GramTable(toks: Array[UTF8String],
+    tokHash: Array[Long], n: Int, nGrams: Int) {
+
+  /** Convenience constructor for single-n callers; multi-n callers
+    * (e.g. [[DupNgramStats]] over n = 5..10) hoist ONE
+    * [[GramTable.hashTokens]] array across their tables instead of
+    * re-hashing every token's bytes per n.
+    */
+  def this(toks: Array[UTF8String], n: Int, nGrams: Int) =
+    this(toks, GramTable.hashTokens(toks), n, nGrams)
   val capacity: Int = {
     var c = 4L
     while (c < nGrams.toLong * 2) c <<= 1
@@ -530,15 +539,6 @@ private[functions] final class GramTable(toks: Array[UTF8String], n: Int, nGrams
   val slotFirst = new Array[Int](capacity)
   val slotCount = new Array[Int](capacity)
   java.util.Arrays.fill(slotFirst, -1)
-
-  // per-token FNV-1a (mixed) computed once; gram hash chains them so no
-  // token's bytes are rescanned per gram
-  private val tokHash: Array[Long] = {
-    val h = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) { h(i) = Hash64.hashString(toks(i)); i += 1 }
-    h
-  }
 
   private def gramHash(i: Int): Long = {
     var h = 0xcbf29ce484222325L
@@ -593,6 +593,16 @@ private[functions] final class GramTable(toks: Array[UTF8String], n: Int, nGrams
 }
 
 private[functions] object GramTable {
+  /** Per-token FNV-1a (mixed), computed once per row; gram hashes chain
+    * these, so no token's bytes are rescanned per gram (or per n).
+    */
+  def hashTokens(toks: Array[UTF8String]): Array[Long] = {
+    val h = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { h(i) = Hash64.hashString(toks(i)); i += 1 }
+    h
+  }
+
   /** Fill `toks` from `arr` and return the prefix-sum char offsets of each
     * token in the space-joined text: starts(i) = code-point offset of
     * token i, starts(nTok) = totalChars + 1 (the virtual next start).
@@ -664,13 +674,15 @@ object DupNgramStats {
     val starts = GramTable.charStarts(arr, toks)
     val totalChars = if (nTok == 0) 0 else starts(nTok) - 1
     val dup = new Array[Int](maxN - minN + 1)
+    // token bytes hashed ONCE for the whole n range
+    val tokHash = GramTable.hashTokens(toks)
     var n = minN
     while (n <= maxN) {
       val nGrams = nTok - n + 1
       // a single occurrence can never be a duplicate: n-gram counts need
       // at least 2 grams to produce one
       if (nGrams >= 2) {
-        val table = new GramTable(toks, n, nGrams)
+        val table = new GramTable(toks, tokHash, n, nGrams)
         var i = 0
         while (i < nGrams) { table.add(i); i += 1 }
         // ascending sweep: occurrence i covers chars

@@ -30,11 +30,16 @@ object NorthStarQueries {
 
   /** Size pin for `bitext_mine`: measured corpus rows at or above this
     * switch the query from the exact brute-force arm to the IVF-pruned
-    * one. Below the sf0.1 corpus (5000 vectors) so both ends of every
-    * measured decade plan on the SAME arm — the oracle-checked sf0.01
-    * fixture (500 vectors) stays exact.
+    * one. Unlike the plan-shape pins, this pin changes RESULTS (IVF
+    * forward recall is approximate), so the threshold sits ABOVE every
+    * oracle-checked fixture (sf0.001–sf0.1 all run the exact arm and
+    * replay the exact-ranking oracle at any of them) and engages only at
+    * the pseudo scales — same structure as the ssjoin broadcast-off pin
+    * at the same 20k: the SECOND measured decade (pseudo-sf1 → sf10) is
+    * IVF-to-IVF, while the first crosses the arm transition and is read
+    * as such.
     */
-  private val BitextIvfMinCorpusRows = 1000L
+  private val BitextIvfMinCorpusRows = 20000L
 
   /** Centroids trained once per (data dir, session) and reused across
     * executions — the production shape (a corpus version trains its IVF
@@ -743,18 +748,21 @@ object NorthStarQueries {
       * [[BitextIvfMinCorpusRows]] measured corpus rows the size pin
       * switches to the IVF-pruned arm ([[graft.similarity.Bitext
       * .mineIvf]] — candidates from nProbe cells, exact re-rank, exact
-      * reverse direction): the oracle-checked sf0.01 fixture (500
-      * vectors) stays on the exact arm, and BOTH ends of each measured
-      * decade (sf0.1 → sf1 → sf10) plan on the IVF arm, so ratios
-      * measure operator growth, not the arm transition (the ssjoin
-      * round-13 lesson).
+      * reverse direction). The pin threshold (20k) sits above EVERY
+      * oracle-checked fixture — IVF forward recall is approximate, so no
+      * scale the exact-ranking oracle replays may plan it — and the
+      * second measured decade (pseudo-sf1 → sf10) is IVF at both ends,
+      * the same structure as the ssjoin broadcast-off pin at the same
+      * 20k. Plant ids ride at +9e11, above the largest strided
+      * pseudo-scale id, so a plant can never collide with an organic
+      * vector.
       */
     "bitext_mine" -> { (s, dir) =>
       val emb = tableSpread(s, dir, "embeddings")
       val src = emb.filter(col("label") === 0 && col("vec_id") < 2000)
         .select(col("vec_id"), col("embedding"))
       val plants = src.filter(col("vec_id") < 100)
-        .select((col("vec_id") + 2000000L).as("vec_id"),
+        .select((col("vec_id") + 900000000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       val tgt = emb.filter(col("label") === 1).select(col("vec_id"), col("embedding"))
         .unionByName(plants)
@@ -2707,7 +2715,7 @@ object NorthStarQueries {
         |  SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS tv
         |  FROM embeddings WHERE label = 1
         |  UNION ALL
-        |  SELECT vec_id + 2000000 AS tid,
+        |  SELECT vec_id + 900000000000 AS tid,
         |         CAST(list_transform(embedding, x -> x * CAST(2 AS FLOAT)) AS DOUBLE[]) AS tv
         |  FROM embeddings WHERE label = 0 AND vec_id < 100
         |), sc AS (

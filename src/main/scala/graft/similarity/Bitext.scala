@@ -20,9 +20,13 @@ import graft.functions.VectorFunctions._
   * realistic shape — mining runs per ingest batch against the big
   * corpus) and rides a broadcast, so the corpus crosses no exchange
   * during scoring; the per-source rank exchange carries (ids, cos) only;
-  * the reverse direction re-ranks ONLY the matched targets (semi-join
-  * first), not the corpus. The scored frame is persisted across the two
-  * directions so both rank in one computation.
+  * the reverse direction re-ranks ONLY the margin survivors against the
+  * broadcast batch.
+  *
+  * Both arms share the legs below — the exact arm scores every
+  * (src, tgt) pair, the IVF arm scores only probed-cell candidates; the
+  * margin/mutuality algebra is ONE implementation, so the documented
+  * pair-for-pair equality at nProbe = nCells cannot drift.
   */
 object Bitext {
 
@@ -35,8 +39,68 @@ object Bitext {
     */
   val DefaultMaxSrcRows: Long = 1000000L
 
-  /** Mined (src_id, tgt_id) pairs: mutual top-1 by cosine with a ratio
-    * margin over the source side's runner-up, positive-cosine only.
+  /** Project + persist the batch, count-probe it BEFORE any broadcast
+    * materializes, and unpersist on the failure path (the contract the
+    * sibling broadcast-materializing ops follow).
+    */
+  private def boundedBatch(src: DataFrame, sId: String, sVec: String,
+      maxSrcRows: Long, arm: String): DataFrame = {
+    val s = graft.Caches.track(src.select(col(sId).as("src_id"),
+      col(sVec).cast("array<double>").as("_sv")).persist())
+    val n = s.count()
+    if (n > maxSrcRows) {
+      s.unpersist(false)
+      throw new IllegalArgumentException(
+        s"Bitext.$arm: source batch has $n rows, exceeding maxSrcRows=" +
+          s"$maxSrcRows — the batch is broadcast to every corpus partition; " +
+          "mine in smaller batches (or raise maxSrcRows if the vectors are " +
+          "small enough to hold resident)")
+    }
+    s
+  }
+
+  /** Forward leg over a scored (src_id, tgt_id, _cos) frame: per-source
+    * top-1 with the ratio margin over the runner-up, positive-cosine
+    * only, deterministic ties on tgt_id.
+    */
+  private def forwardMargin(scored: DataFrame,
+      marginNum: Int, marginDen: Int): DataFrame = {
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("_cos").desc, col("tgt_id").asc)
+    val top2 = scored.withColumn("_r", row_number().over(wS)).filter(col("_r") <= 2)
+    val best = top2.filter(col("_r") === 1)
+      .select(col("src_id"), col("tgt_id"), col("_cos").as("_c1"))
+    val second = top2.filter(col("_r") === 2)
+      .select(col("src_id"), col("_cos").as("_c2"))
+    best.join(second, Seq("src_id"), "left")
+      .filter(col("_c1") > 0 &&
+        (col("_c2").isNull || col("_c1") * marginDen >= col("_c2") * marginNum))
+      .select(col("src_id"), col("tgt_id"))
+  }
+
+  /** Reverse leg, EXACT in both arms: the margin survivors' targets (a
+    * bounded set, semi-join first) re-score against the WHOLE broadcast
+    * batch, and a pair survives only if its target's true best source is
+    * this pair's source — mutual top-1, deterministic ties on src_id.
+    */
+  private def mutualExact(margined: DataFrame, tgt: DataFrame, tId: String,
+      tVec: String, sPlain: DataFrame): DataFrame = {
+    val matchedTgt = tgt.select(col(tId).as("tgt_id"),
+        col(tVec).cast("array<double>").as("_tv"))
+      .join(margined.select(col("tgt_id")).distinct(), Seq("tgt_id"), "left_semi")
+    val back = matchedTgt.crossJoin(broadcast(sPlain))
+      .select(col("tgt_id"), col("src_id"),
+        cosineFused(col("_sv"), col("_tv")).as("_cos"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("_cos").desc, col("src_id").asc)
+    val bestSrc = back.withColumn("_r", row_number().over(wT)).filter(col("_r") === 1)
+      .select(col("tgt_id"), col("src_id").as("_back"))
+    margined.join(bestSrc, Seq("tgt_id"))
+      .filter(col("src_id") === col("_back"))
+      .select(col("src_id"), col("tgt_id"))
+  }
+
+  /** Mined (src_id, tgt_id) pairs, EXACT: every (src, tgt) pair scored.
     * Deterministic ties on neighbor id (same convention as [[Ann]]).
     */
   def mine(src: DataFrame, tgt: DataFrame, sId: String, sVec: String,
@@ -45,59 +109,28 @@ object Bitext {
       maxSrcRows: Long = DefaultMaxSrcRows): DataFrame = {
     require(marginNum >= marginDen && marginDen > 0,
       s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
-    val sPlain = graft.Caches.track(src.select(col(sId).as("src_id"),
-      col(sVec).cast("array<double>").as("_sv")).persist())
-    // count-probe BEFORE the broadcast materializes: mining is per-batch
-    // against the big corpus, and the batch is the side that must stay
-    // bounded — an above-bound batch should be split, not broadcast
-    val n = sPlain.count()
-    require(n <= maxSrcRows,
-      s"Bitext.mine: source batch has $n rows, exceeding maxSrcRows=" +
-        s"$maxSrcRows — the batch is broadcast to every corpus partition; " +
-        "mine in smaller batches (or raise maxSrcRows if the vectors are " +
-        "small enough to hold resident)")
-    val s = broadcast(sPlain)
+    val sPlain = boundedBatch(src, sId, sVec, maxSrcRows, "mine")
     val t = tgt.select(col(tId).as("tgt_id"),
       col(tVec).cast("array<double>").as("_tv"))
-    val scored = graft.Caches.track(t.crossJoin(s)
+    val scored = t.crossJoin(broadcast(sPlain))
       .select(col("src_id"), col("tgt_id"),
         cosineFused(col("_sv"), col("_tv")).as("_cos"))
-      .persist())
-    val wS = Window.partitionBy(col("src_id"))
-      .orderBy(col("_cos").desc, col("tgt_id").asc)
-    val top2 = scored.withColumn("_r", row_number().over(wS)).filter(col("_r") <= 2)
-    val best = top2.filter(col("_r") === 1)
-      .select(col("src_id"), col("tgt_id"), col("_cos").as("_c1"))
-    val second = top2.filter(col("_r") === 2)
-      .select(col("src_id"), col("_cos").as("_c2"))
-    val margined = best.join(second, Seq("src_id"), "left")
-      .filter(col("_c1") > 0 &&
-        (col("_c2").isNull || col("_c1") * marginDen >= col("_c2") * marginNum))
-    // reverse direction, restricted to the targets that survived margin:
-    // the matched target's best SOURCE (bounded set) must be this source
-    val wT = Window.partitionBy(col("tgt_id"))
-      .orderBy(col("_cos").desc, col("src_id").asc)
-    val bestSrc = scored
-      .join(margined.select(col("tgt_id")).distinct(), Seq("tgt_id"), "left_semi")
-      .withColumn("_r", row_number().over(wT)).filter(col("_r") === 1)
-      .select(col("tgt_id"), col("src_id").as("_back"))
-    margined.join(bestSrc, Seq("tgt_id"))
-      .filter(col("src_id") === col("_back"))
-      .select(col("src_id"), col("tgt_id"))
+    mutualExact(forwardMargin(scored, marginNum, marginDen),
+      tgt, tId, tVec, sPlain)
   }
 
   /** IVF-pruned arm of [[mine]] for 100-TB corpora: instead of scoring
-    * every (src, tgt) pair, candidates come from the [[Ivf]] index —
-    * each source vector scores only the targets in its `nProbe` nearest
-    * cells (cost |corpus|·nProbe/nCells per source instead of |corpus|).
-    * The margin and forward top-2 are computed over the candidate set
-    * (exact re-rank of candidates); the REVERSE direction (mutuality) is
-    * computed EXACTLY against the full bounded source batch, so
-    * approximation enters only through forward candidate recall: with
-    * `nProbe = nCells` this arm equals [[mine]] pair-for-pair
-    * (fuzz-pinned in Round14Spec), and a planted translation twin
-    * (scaled copy ⇒ identical direction ⇒ same nearest cell) is always a
-    * candidate of its source at any nProbe ≥ 1.
+    * every (src, tgt) pair, forward candidates come from the [[Ivf]]
+    * index — each source vector scores only the targets in its `nProbe`
+    * nearest cells (cost |corpus|·nProbe/nCells per source instead of
+    * |corpus|). The margin and forward top-2 are computed over the
+    * candidate set (exact re-rank of candidates); the REVERSE direction
+    * is the same exact leg as [[mine]], so approximation enters only
+    * through forward candidate recall: with `nProbe = nCells` this arm
+    * equals [[mine]] pair-for-pair (fuzz-pinned in Round14Spec), and a
+    * planted translation twin (scaled copy ⇒ identical direction ⇒ same
+    * nearest cell) is always a candidate of its source at any
+    * nProbe ≥ 1.
     *
     * Scale shape: the corpus is scanned once for cell assignment and
     * shuffled once on cell id; the probe join carries candidate
@@ -113,14 +146,7 @@ object Bitext {
       centroids: Array[Array[Double]] = null): DataFrame = {
     require(marginNum >= marginDen && marginDen > 0,
       s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
-    val sPlain = graft.Caches.track(src.select(col(sId).as("src_id"),
-      col(sVec).cast("array<double>").as("_sv")).persist())
-    val n = sPlain.count()
-    require(n <= maxSrcRows,
-      s"Bitext.mineIvf: source batch has $n rows, exceeding maxSrcRows=" +
-        s"$maxSrcRows — the batch is broadcast to every corpus partition; " +
-        "mine in smaller batches (or raise maxSrcRows if the vectors are " +
-        "small enough to hold resident)")
+    val sPlain = boundedBatch(src, sId, sVec, maxSrcRows, "mineIvf")
     // production mining trains centroids once per corpus version and
     // reuses them across ingest batches (pass `centroids`); training here
     // is the convenience path for one-shot calls
@@ -136,31 +162,7 @@ object Bitext {
     val cands = indexed.join(q, "_cell")
       .select(col("src_id"), col("neighbor_id").as("tgt_id"),
         cosineFused(col("_sv"), col("_cv")).as("_cos"))
-    val wS = Window.partitionBy(col("src_id"))
-      .orderBy(col("_cos").desc, col("tgt_id").asc)
-    val top2 = cands.withColumn("_r", row_number().over(wS)).filter(col("_r") <= 2)
-    val best = top2.filter(col("_r") === 1)
-      .select(col("src_id"), col("tgt_id"), col("_cos").as("_c1"))
-    val second = top2.filter(col("_r") === 2)
-      .select(col("src_id"), col("_cos").as("_c2"))
-    val margined = best.join(second, Seq("src_id"), "left")
-      .filter(col("_c1") > 0 &&
-        (col("_c2").isNull || col("_c1") * marginDen >= col("_c2") * marginNum))
-    // reverse direction EXACT: margin survivors (a bounded set) re-score
-    // against the whole broadcast batch — the matched target's true best
-    // source must be this source, not merely its best candidate
-    val matchedTgt = tgt.select(col(tId).as("tgt_id"),
-        col(tVec).cast("array<double>").as("_tv"))
-      .join(margined.select(col("tgt_id")).distinct(), Seq("tgt_id"), "left_semi")
-    val back = matchedTgt.crossJoin(broadcast(sPlain))
-      .select(col("tgt_id"), col("src_id"),
-        cosineFused(col("_sv"), col("_tv")).as("_cos"))
-    val wT = Window.partitionBy(col("tgt_id"))
-      .orderBy(col("_cos").desc, col("src_id").asc)
-    val bestSrc = back.withColumn("_r", row_number().over(wT)).filter(col("_r") === 1)
-      .select(col("tgt_id"), col("src_id").as("_back"))
-    margined.join(bestSrc, Seq("tgt_id"))
-      .filter(col("src_id") === col("_back"))
-      .select(col("src_id"), col("tgt_id"))
+    mutualExact(forwardMargin(cands, marginNum, marginDen),
+      tgt, tId, tVec, sPlain)
   }
 }

@@ -77,9 +77,11 @@ object Scale10 {
     // exchanges are id-only (expect ~linear); gopher_repetition and
     // gopher_dup_ngrams are per-row passes with zero exchanges (expect
     // ~10x flat); bitext_mine holds its source batch FIXED (the id-slice
-    // pin in the query), so the decade measures corpus growth through
-    // the IVF candidate join, which both ends plan (the size pin
-    // engages below sf0.1)
+    // pin in the query). Its FIRST decade crosses the exact→IVF arm
+    // transition (the 20k size pin engages at pseudo-sf1, not at sf0.1 —
+    // IVF recall is approximate, so no oracle-checked scale may plan it,
+    // same structure as ssjoin's broadcast-off pin); the second decade
+    // is IVF at both ends
     "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine")
 
   /** Streaming representatives (round-11 ask): the heaviest stream

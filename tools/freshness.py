@@ -62,22 +62,34 @@ def last_builder_commit(path):
     is not a driver artifact drop; (0, None) if none exists."""
     r = git("log", "--format=%ct %H %s", "--", path)
     for line in r.stdout.splitlines():
-        t, sha, subject = line.split(" ", 2)
+        # an empty subject yields only two fields — treat it as a builder
+        # commit (it is certainly not a driver drop) rather than crash
+        parts = line.split(" ", 2)
+        if len(parts) < 2:
+            continue
+        subject = parts[2] if len(parts) > 2 else ""
         if not DRIVER_DROP_RE.match(subject):
-            return int(t), sha
+            return int(parts[0]), parts[1]
     return 0, None
 
 
 def driver_drop_twin(tree_text):
-    """True iff `tree_text` is byte-equal to some committed BENCH_rNN.json —
-    i.e. the working-tree drift is the round driver overwriting
-    BENCH_LAST.json with its own (already committed) per-round artifact."""
+    """Name of the LATEST committed BENCH_rNN.json iff `tree_text` is
+    byte-equal to it — i.e. the working-tree drift is the round driver
+    overwriting BENCH_LAST.json with its own (already committed)
+    per-round artifact. Only the newest round counts: a drift matching a
+    months-old BENCH_r5.json is a stale leftover, not a driver drop, and
+    must still fail rule 1."""
     ls = git("ls-tree", "--name-only", "HEAD")
+    rounds = []
     for name in ls.stdout.splitlines():
-        if re.fullmatch(r"BENCH_r\d+(_\w+)?\.json", name):
-            shown = git("show", f"HEAD:{name}")
-            if shown.returncode == 0 and shown.stdout == tree_text:
-                return name
+        m = re.fullmatch(r"BENCH_r(\d+)(_\w+)?\.json", name)
+        if m:
+            rounds.append((int(m.group(1)), name))
+    for _, name in sorted(rounds, reverse=True)[:1]:
+        shown = git("show", f"HEAD:{name}")
+        if shown.returncode == 0 and shown.stdout == tree_text:
+            return name
     return None
 
 

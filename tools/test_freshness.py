@@ -91,6 +91,20 @@ def main():
                      needle="driver overwrite")
     shutil.rmtree(root)
 
+    # 1b. drift matching an OLD round's artifact (not the latest) is a
+    # stale leftover, not a driver overwrite -> fail
+    root = scratch_repo(builder_commits_bench=True)
+    old_bench = '{"metric":"total","value":7.7,"contended":false}\n'
+    with open(os.path.join(root, "BENCH_r05.json"), "w") as f:
+        f.write(old_bench)
+    sh(root, "git", "add", "-A")
+    sh(root, "git", "commit", "-qm", "round 5: verdict/advice/correctness/bench")
+    with open(os.path.join(root, "BENCH_LAST.json"), "w") as f:
+        f.write(old_bench)  # == committed BENCH_r05.json, != latest r14
+    passed &= expect("old-round twin fails", gate(root), ok=False,
+                     needle="differs from HEAD")
+    shutil.rmtree(root)
+
     # 2. genuine drift (matches no committed artifact) -> fail
     root = scratch_repo(builder_commits_bench=True)
     with open(os.path.join(root, "BENCH_LAST.json"), "w") as f:
