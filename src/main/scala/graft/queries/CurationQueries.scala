@@ -58,7 +58,10 @@ object CurationQueries {
       element_at(toks0, 1))
     val variants = array(
       struct(col("doc_id").as("doc_id"), col("text").as("text")),
-      when(col("doc_id") % 9 === 3 && size(toks0) >= 1,
+      // %13 (a factor of Scale10.STRIDE, like the %7 below) so every
+      // pseudo-scale copy plants the same per-copy spam subset — %9 broke
+      // the divides-STRIDE synthesis invariant (STRIDE ≡ 3 mod 9)
+      when(col("doc_id") % 13 === 3 && size(toks0) >= 1,
         struct((col("doc_id") + 3000000L).as("doc_id"), spam.as("text"))),
       when(col("doc_id") % 7 === 0,
         struct((col("doc_id") + 5000000L).as("doc_id"),
@@ -958,7 +961,7 @@ object CurationQueries {
       |    repeat(list_filter(string_split(text, ' '), x -> x != '')[1] || ' ', 39)
       |      || list_filter(string_split(text, ' '), x -> x != '')[1]
       |  FROM documents
-      |  WHERE doc_id % 9 = 3
+      |  WHERE doc_id % 13 = 3
       |    AND len(list_filter(string_split(text, ' '), x -> x != '')) >= 1
       |  UNION ALL
       |  SELECT doc_id + 5000000, text || ' ' || text

@@ -125,8 +125,14 @@ object Bitext {
     * nearest cells (cost |corpus|·nProbe/nCells per source instead of
     * |corpus|). The margin and forward top-2 are computed over the
     * candidate set (exact re-rank of candidates); the REVERSE direction
-    * is the same exact leg as [[mine]], so approximation enters only
-    * through forward candidate recall: with `nProbe = nCells` this arm
+    * is the same exact leg as [[mine]]. Approximation enters through
+    * forward candidate RECALL, and it cuts both ways: a missing top-1
+    * drops a pair the exact arm mines, and a missing RUNNER-UP weakens
+    * the margin filter (`_c2` null or smaller than the true second-best),
+    * so at nProbe < nCells this arm can also EMIT pairs the exact arm's
+    * margin would reject — bounded by the exact mutual-top-1 reverse
+    * leg, which any emitted pair must still survive. With
+    * `nProbe = nCells` the candidate set is the full corpus and this arm
     * equals [[mine]] pair-for-pair (fuzz-pinned in Round14Spec), and a
     * planted translation twin (scaled copy ⇒ identical direction ⇒ same
     * nearest cell) is always a candidate of its source at any
@@ -146,7 +152,6 @@ object Bitext {
       centroids: Array[Array[Double]] = null): DataFrame = {
     require(marginNum >= marginDen && marginDen > 0,
       s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
-    val sPlain = boundedBatch(src, sId, sVec, maxSrcRows, "mineIvf")
     // production mining trains centroids once per corpus version and
     // reuses them across ingest batches (pass `centroids`); training here
     // is the convenience path for one-shot calls
@@ -154,15 +159,40 @@ object Bitext {
       if (centroids != null) centroids
       else Ivf.trainCentroids(tgt, tId, tVec, nCells, seed = seed,
         sampleN = sampleN, sampleMod = sampleMod)
-    val indexed = Ivf.index(tgt, tId, tVec, cs)
+    mineIndexed(src, Ivf.index(tgt, tId, tVec, cs), cs, sId, sVec,
+      marginNum, marginDen, nProbe, maxSrcRows, arm = "mineIvf")
+  }
+
+  /** Mine a source batch against a PREBUILT cell index — the INCREMENTAL
+    * entry (the [[Ivf.search]] shape applied to mining): `indexed` is
+    * [[Ivf.index]] output `(neighbor_id, _cv, _cell)` — in production
+    * parquet-persisted once per corpus version — and `centroids` the
+    * matrix it was assigned with. Per ingest batch there is NO training
+    * and NO corpus re-scan or re-shuffle: forward candidates come from
+    * each source's `nProbe` probed cells of the stored index (one
+    * cell-id equi-join against index rows as they sit on disk), and the
+    * exact reverse leg re-ranks the margin survivors' targets — vectors
+    * semi-joined back from the same index — against the broadcast batch.
+    * Given the same index and `nProbe`, equals [[mineIvf]] pair-for-pair
+    * (hence, at `nProbe` = number of cells, equals [[mine]]); same
+    * recall/margin caveats as [[mineIvf]], same fail-fast batch bound.
+    */
+  def mineIndexed(src: DataFrame, indexed: DataFrame,
+      centroids: Array[Array[Double]], sId: String, sVec: String,
+      marginNum: Int = 21, marginDen: Int = 20, nProbe: Int = 4,
+      maxSrcRows: Long = DefaultMaxSrcRows,
+      arm: String = "mineIndexed"): DataFrame = {
+    require(marginNum >= marginDen && marginDen > 0,
+      s"bitext margin must be >= 1 (got $marginNum/$marginDen)")
+    val sPlain = boundedBatch(src, sId, sVec, maxSrcRows, arm)
     // each target lives in exactly ONE cell, so distinct probed cells
     // yield distinct (src, tgt) candidates — no post-join dedup needed
     val q = sPlain.select(col("src_id"), col("_sv"),
-      explode(Ivf.nearestCells(col("_sv"), cs, nProbe)).as("_cell"))
+      explode(Ivf.nearestCells(col("_sv"), centroids, nProbe)).as("_cell"))
     val cands = indexed.join(q, "_cell")
       .select(col("src_id"), col("neighbor_id").as("tgt_id"),
         cosineFused(col("_sv"), col("_cv")).as("_cos"))
     mutualExact(forwardMargin(cands, marginNum, marginDen),
-      tgt, tId, tVec, sPlain)
+      indexed, "neighbor_id", "_cv", sPlain)
   }
 }

@@ -82,7 +82,16 @@ object Scale10 {
     // IVF recall is approximate, so no oracle-checked scale may plan it,
     // same structure as ssjoin's broadcast-off pin); the second decade
     // is IVF at both ends
-    "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine")
+    "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine",
+    // round-15 ask: the remaining round-14 row-local curation operators
+    // (composed Gopher gate, line-stat + keep-first line dedup — all
+    // zero-exchange per-row passes, expect ~10x flat like
+    // gopher_dup_ngrams' 1.03x), plus incremental bitext mining (fixed
+    // batch probing a PERSISTED cell index: the decade measures probe
+    // cost only — index construction is paid once per corpus version,
+    // outside the per-batch path)
+    "gopher_repetition_gate", "dedup_lines_in_doc", "gopher_dup_lines",
+    "bitext_mine_incremental")
 
   /** Streaming representatives (round-11 ask): the heaviest stream
     * queries by r10 cost plus the stateful-session shape. Timed like the
@@ -97,7 +106,10 @@ object Scale10 {
     // round-14 ask: the zero-exchange broadcast blocklist probe — wall
     // time should track input ~linearly with ZERO state rows (the whole
     // point of the stateless probe shape)
-    "stream_url_blocklist")
+    "stream_url_blocklist",
+    // round-15 ask: the stateless row-local stream twins of the Gopher
+    // gate and the in-doc line dedup — same zero-state expectation
+    "stream_repetition_gate", "stream_dedup_lines")
 
   /** The second measured decade: the 5 highest sf0.1→sf1 ratios of the
     * round-10 probe (4.0–5.2x), timed at pseudo-sf1 vs pseudo-sf10 —
@@ -126,7 +138,11 @@ object Scale10 {
     // url_blocklist (id-only exchanges), gopher_repetition and
     // gopher_dup_ngrams (zero-exchange per-row n-gram passes),
     // bitext_mine (fixed batch vs 100x corpus through the IVF join)
-    "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine")
+    "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine",
+    // round-15: the persisted-index arm — same fixed batch, but the
+    // second decade isolates PROBE cost (the cell index is read from
+    // parquet, never rebuilt per batch)
+    "bitext_mine_incremental")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim

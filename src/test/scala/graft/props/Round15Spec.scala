@@ -1,0 +1,103 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Round-15 additions: incremental bitext mining against a persisted IVF
+  * index, plus the fixture-size guard for the bitext arm pin.
+  *
+  *  - [[graft.similarity.Bitext.mineIndexed]] given a prebuilt index must
+  *    equal [[graft.similarity.Bitext.mineIvf]] pair-for-pair at the same
+  *    nProbe (fuzzed), and at nProbe = nCells equal the exact arm;
+  *  - the `bitext_mine_incremental` query must NOT rebuild its persisted
+  *    index on a second batch — the on-disk index files stay untouched
+  *    while the second mine still returns the exact-arm result;
+  *  - the oracle fixtures must all sit BELOW the IVF arm pin: the pin
+  *    switches RESULTS (approximate forward recall), so a fixture at or
+  *    above it would plan the approximate arm under the exact-ranking
+  *    oracle and surface only as a confusing hash mismatch.
+  */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+  import Props.samples
+
+  import graft.similarity.{Bitext, Ivf}
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.as[(Long, Long)].collect().toSet
+
+  test("mineIndexed on a prebuilt index equals mineIvf at the same nProbe") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-10, 10).map(_ / 10f))
+      .map(v => if (v.forall(_ == 0f)) v.updated(0, 1f) else v)
+    val caseGen = Gen.zip(
+      Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k, vecGen)),
+      Gen.chooseNum(4, 12).flatMap(k => Gen.listOfN(k, vecGen)),
+      Gen.chooseNum(1, 4))
+    for (((srcV, tgtV, nProbe), i) <- samples(caseGen, 15).zipWithIndex) {
+      val src = srcV.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val tgt = tgtV.zipWithIndex.map { case (v, j) => (100L + j, v) }
+        .toDF("vec_id", "embedding")
+      val cs = Ivf.trainCentroids(tgt, "vec_id", "embedding", nCells = 4)
+      val oneShot = pairs(Bitext.mineIvf(src, tgt,
+        "vec_id", "embedding", "vec_id", "embedding",
+        nCells = 4, nProbe = nProbe, centroids = cs))
+      val indexed = pairs(Bitext.mineIndexed(src,
+        Ivf.index(tgt, "vec_id", "embedding", cs), cs,
+        "vec_id", "embedding", nProbe = nProbe))
+      assert(indexed === oneShot, s"case $i nProbe=$nProbe src=$srcV tgt=$tgtV")
+      if (nProbe == 4) {
+        val exact = pairs(Bitext.mine(src, tgt,
+          "vec_id", "embedding", "vec_id", "embedding"))
+        assert(indexed === exact, s"case $i exact-arm equality src=$srcV tgt=$tgtV")
+      }
+    }
+  }
+
+  test("bitext_mine_incremental: second batch reuses the persisted index") {
+    val dir = "/root/testdata/sf0.001"
+    val run = graft.SparkEntry.queries("bitext_mine_incremental")
+    val first = pairs(run(spark, dir))
+    // the on-disk index this query persists (persistedIndex tag "bitext",
+    // keyed by data dir + applicationId)
+    val dirKey = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_index_bitext_${dirKey}_${spark.sparkContext.applicationId}")
+    assert(idxPath.isDirectory, s"persisted index missing at $idxPath")
+    def fileStamps() = idxPath.listFiles().map(f => (f.getName, f.lastModified, f.length))
+      .sortBy(_._1).toSeq
+    val before = fileStamps()
+    val second = pairs(run(spark, dir))
+    assert(fileStamps() === before,
+      "second mine rewrote the persisted index — incremental mining must " +
+        "probe the stored cells, not rebuild them")
+    assert(second === first)
+    // and the incremental arm agrees with the one-shot exact arm the
+    // oracle replays (nProbe = nCells below the pin)
+    assert(second === pairs(graft.SparkEntry.queries("bitext_mine")(spark, dir)))
+  }
+
+  test("every oracle fixture sits below the bitext IVF arm pin") {
+    // BitextIvfMinCorpusRows changes RESULTS (IVF forward recall is
+    // approximate); the exact-ranking oracle is valid only while every
+    // driver-checked fixture plans the exact/all-cells arm. A larger
+    // future fixture must fail HERE, by name, not as a hash mismatch.
+    val pin = graft.queries.NorthStarQueries.BitextIvfMinCorpusRows
+    val roots = new java.io.File("/root/testdata").listFiles()
+    assume(roots != null, "/root/testdata not present on this box")
+    val fixtures = roots.filter(d => d.isDirectory && d.getName.startsWith("sf")
+      && new java.io.File(d, "embeddings.parquet").exists)
+    assert(fixtures.nonEmpty)
+    for (d <- fixtures) {
+      val rows = spark.read.parquet(s"${d.getPath}/embeddings.parquet").count()
+      assert(rows < pin,
+        s"fixture ${d.getName} has $rows embeddings rows >= " +
+          s"BitextIvfMinCorpusRows ($pin): the bitext queries would plan " +
+          "the approximate IVF arm under the exact-ranking oracle — raise " +
+          "the pin in NorthStarQueries or shrink the fixture")
+    }
+  }
+}
