@@ -51,7 +51,8 @@ import re
 import subprocess
 import sys
 
-ARTIFACTS = ["BENCH_LAST.json", "SCALE10.json", "SCALE100.json"]
+ARTIFACTS = ["BENCH_LAST.json", "SCALE10.json", "SCALE100.json",
+             "BENCH_AB.json"]
 
 # the driver's artifact-drop commits: "round 12: verdict/advice/..."
 DRIVER_DROP_RE = re.compile(r"^round\s+\d+\b")
