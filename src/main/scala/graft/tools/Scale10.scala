@@ -141,8 +141,11 @@ object Scale10 {
     "url_blocklist", "gopher_repetition", "gopher_dup_ngrams", "bitext_mine",
     // round-15: the persisted-index arm — same fixed batch, but the
     // second decade isolates PROBE cost (the cell index is read from
-    // parquet, never rebuilt per batch)
-    "bitext_mine_incremental")
+    // parquet, never rebuilt per batch) — plus the round-14 row-local
+    // curation ops, so every r13-15 operator has BOTH measured decades
+    // (expect ~10x-flat: zero exchanges, sub-second bases)
+    "bitext_mine_incremental", "gopher_repetition_gate",
+    "dedup_lines_in_doc", "gopher_dup_lines")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim
@@ -152,7 +155,10 @@ object Scale10 {
   val SF10_STREAM_PROBE: Seq[String] = Seq("stream_upsert", "stream_left_join",
     // round-14 ask: the stateless broadcast-probe filter — expect ~10x
     // wall (linear input) with ZERO state rows at both ends
-    "stream_url_blocklist")
+    "stream_url_blocklist",
+    // round-15: the stateless row-local gate/line-dedup twins — same
+    // zero-state expectation at the second decade
+    "stream_repetition_gate", "stream_dedup_lines")
 
   /** 4-char name code "aabb": digit-pair repetition ⇒ any two distinct
     * copies differ in ≥ 2 positions (equal-length strings, so edit
