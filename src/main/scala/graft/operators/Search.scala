@@ -67,4 +67,38 @@ object Search {
     }
     matches.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: fuse per-query rankings from independent
+    * legs (lexical BM25, dense ANN, …) into one ranking by
+    * `rrf_fp(d) = Σ_legs ⌊10⁶ / (rrfK + rank_leg(d))⌋`. The fusion reads
+    * RANKS only, so it is integer-exact regardless of each leg's float
+    * scoring, and a document absent from a leg simply contributes
+    * nothing — no score normalization, no floats, oracle-replayable.
+    *
+    * Legs are (query, doc_id, rank) frames (rank 1-based within query).
+    * Output: (query, doc_id, rrf_fp, rank) — the top `k` fused documents
+    * per query under (rrf_fp DESC, doc_id ASC).
+    *
+    * Scale shape: each leg is already a bounded per-query top-K, so the
+    * union carries ≤ legs·K rows per query; the fusion is one grouped
+    * integer sum on (query, doc_id) with map-side partials plus a
+    * per-query window over those bounded rows — no corpus-sized exchange
+    * anywhere, independent of corpus size.
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: at least one leg")
+    require(k > 0 && rrfK >= 0, s"rrfFuse: bad k=$k / rrfK=$rrfK")
+    val tagged = legs
+      .map(_.select(col("query"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(expr(s"1000000L div (${rrfK}L + rank)")).as("rrf_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query"), col("rank"), col("doc_id"), col("rrf_fp"))
+  }
 }

@@ -179,6 +179,70 @@ object CurationQueries {
       v => v.isNotNull)
   }
 
+  /** C4 corpus-cleaning rules (Raffel et al. 2020, §2.2) over a
+    * (doc_id, text) frame — line level: keep lines that end in a
+    * terminal punctuation mark (. ! ? "), contain ≥ 3 words, and do not
+    * contain the word "javascript"; page level: a document passes iff it
+    * retains ≥ 5 sentences (kept lines — each kept line ends in terminal
+    * punctuation) and contains neither "lorem ipsum" nor a curly
+    * bracket. One shared column builder for the batch query and its
+    * streaming twin (same code, same [[c4FilterSql]] oracle): row-local
+    * built-in expressions only (split / filter / endswith / array_join),
+    * zero state, zero exchange — valid unchanged in a streaming plan.
+    */
+  private def c4FilterCols(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n", -1)
+    val kept = filter(lines, l =>
+      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?")) || endswith(l, lit("\""))) &&
+        size(filter(split(l, " ", -1), t => t =!= "")) >= 3 &&
+        !array_contains(split(lower(l), " ", -1), "javascript"))
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= 5 &&
+        !contains(lower(col("text")), lit("lorem ipsum")) &&
+        !contains(col("text"), lit("{"))).as("doc_pass"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** Row-local plant variants for the C4 filter (the corpus text has no
+    * newlines or punctuation, so every rule needs a plant): a good page
+    * (5 kept + 3 dropped lines — short line, javascript line, missing
+    * terminal punctuation), a lorem-ipsum page, a curly-bracket page,
+    * and a 3-sentence page; the identity row is the no-newline negative.
+    * All moduli divide the pseudo-scale stride.
+    */
+  private def c4PlantVariants: org.apache.spark.sql.Column = {
+    val w = coalesce(element_at(TextFunctions.tokens(col("text")), 1), lit("pad"))
+    val goodBlock = concat(
+      w, lit(" line one good.\n"),
+      w, lit(" two?\n"),
+      w, lit(" three cromulent ok!\n"),
+      w, lit(" javascript line bad.\n"),
+      lit("no terminal punct "), w, lit("\n"),
+      w, lit(" four quoted line\"\n"),
+      w, lit(" five closing line!\n"),
+      w, lit(" six final line."))
+    val shortBlock = concat(
+      w, lit(" line one good.\n"),
+      w, lit(" five closing line!\n"),
+      w, lit(" six final line."))
+    filter(array(
+      struct(col("doc_id").as("doc_id"), col("text").as("text")),
+      when(col("doc_id") % 3 === 0,
+        struct((col("doc_id") + 11000000L).as("doc_id"), goodBlock.as("text"))),
+      when(col("doc_id") % 5 === 1,
+        struct((col("doc_id") + 12000000L).as("doc_id"),
+          concat(goodBlock, lit("\nmore lorem ipsum dolor.")).as("text"))),
+      when(col("doc_id") % 5 === 3,
+        struct((col("doc_id") + 13000000L).as("doc_id"),
+          concat(goodBlock, lit("\nbrace { inline bad.")).as("text"))),
+      when(col("doc_id") % 7 === 2,
+        struct((col("doc_id") + 14000000L).as("doc_id"), shortBlock.as("text")))),
+      v => v.isNotNull)
+  }
+
   private def withDupLinePlants(docs: DataFrame, sep: String): DataFrame =
     docs.select(explode(dupLinePlantVariants(sep)).as("_v"))
       .select(col("_v.doc_id").as("doc_id"), col("_v.text").as("text"))
@@ -842,6 +906,37 @@ object CurationQueries {
         statePartitions = 8)
     },
 
+    /** The C4 cleaning pass ([[c4FilterCols]]): line rules (terminal
+      * punctuation, ≥ 3 words, no "javascript") plus page rules
+      * (≥ 5 kept sentences, no "lorem ipsum", no curly bracket) in one
+      * row-local pass emitting the rebuilt clean text, the line counts,
+      * and the page verdict. The oracle replays the plants and every
+      * rule in SQL.
+      */
+    "c4_filter" -> { (s, dir) =>
+      val base = tableSpread(s, dir, "documents").select(col("doc_id"), col("text"))
+      c4FilterCols(base
+        .select(explode(c4PlantVariants).as("_v"))
+        .select(col("_v.doc_id").as("doc_id"), col("_v.text").as("text")))
+    },
+
+    /** Streaming twin of `c4_filter` — like the repetition gate, the C4
+      * rules are row-local expressions only, so the cleanup runs on an
+      * unbounded stream with ZERO state in append mode; same shared
+      * code ([[c4FilterCols]]/[[c4PlantVariants]]), same oracle SQL
+      * verbatim — the stream result must hash-equal the batch replay.
+      */
+    "stream_c4_filter" -> { (s, dir) =>
+      val stream = graft.streaming.StreamOps
+        .parquetStream(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cleaned = c4FilterCols(stream
+        .select(explode(c4PlantVariants).as("_v"))
+        .select(col("_v.doc_id").as("doc_id"), col("_v.text").as("text")))
+      graft.streaming.StreamOps.drainToBatch(cleaned, outputMode = "append",
+        statePartitions = 8)
+    },
+
     /** EXACT set-similarity self-join ([[graft.operators.SetJoin
       * .prefixJaccard]], AllPairs/PPJoin prefix filtering): every
       * document pair with token-set Jaccard ≥ 3/5, with true
@@ -946,6 +1041,58 @@ object CurationQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
       |  CAST(COUNT(*) FILTER (WHERE r > 1) AS BIGINT) AS n_removed
       |FROM rk GROUP BY doc_id""".stripMargin
+
+  /** One oracle for BOTH `c4_filter` and its streaming twin (lazy:
+    * referenced from the Seq below before this line initializes).
+    * Replays the plants and every line/page rule in SQL.
+    */
+  private lazy val c4FilterSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    COALESCE(list_filter(string_split(text, ' '), x -> x != '')[1], 'pad') AS w
+      |  FROM documents
+      |), blocks AS (
+      |  SELECT doc_id,
+      |    w || ' line one good.' || chr(10) ||
+      |    w || ' two?' || chr(10) ||
+      |    w || ' three cromulent ok!' || chr(10) ||
+      |    w || ' javascript line bad.' || chr(10) ||
+      |    'no terminal punct ' || w || chr(10) ||
+      |    w || ' four quoted line"' || chr(10) ||
+      |    w || ' five closing line!' || chr(10) ||
+      |    w || ' six final line.' AS good,
+      |    w || ' line one good.' || chr(10) ||
+      |    w || ' five closing line!' || chr(10) ||
+      |    w || ' six final line.' AS short
+      |  FROM base
+      |), aug AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 11000000, good FROM blocks WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 12000000, good || chr(10) || 'more lorem ipsum dolor.'
+      |  FROM blocks WHERE doc_id % 5 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 13000000, good || chr(10) || 'brace { inline bad.'
+      |  FROM blocks WHERE doc_id % 5 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 14000000, short FROM blocks WHERE doc_id % 7 = 2
+      |), f AS (
+      |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+      |        OR ends_with(l, '"'))
+      |      AND len(list_filter(string_split(l, ' '), t -> t != '')) >= 3
+      |      AND NOT list_contains(string_split(lower(l), ' '), 'javascript'))
+      |      AS kept
+      |  FROM aug
+      |)
+      |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  (len(kept) >= 5 AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')) AS doc_pass,
+      |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+      |FROM f""".stripMargin
 
   /** One oracle for BOTH `gopher_repetition_gate` and its streaming twin
     * (lazy: referenced from the Seq below before this line initializes).
@@ -1614,6 +1761,8 @@ object CurationQueries {
         |   OR g.dup_chars * 100 > length(a.text) * 20) AS repetitive
         |FROM aug a JOIN agg g USING (doc_id)""".stripMargin,
     "dedup_lines_in_doc" -> dedupLinesSql,
+    "c4_filter" -> c4FilterSql,
+    "stream_c4_filter" -> c4FilterSql,
     // the streaming twin replays the IDENTICAL SQL — batch and stream
     // must hash-agree on the rebuilt clean_text
     "stream_dedup_lines" -> dedupLinesSql,

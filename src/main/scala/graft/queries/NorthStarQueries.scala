@@ -1491,6 +1491,34 @@ object NorthStarQueries {
           coalesce(expr("(100 * dcg_fp) div _idcg"), lit(0L)).as("ndcg_pct"))
     },
 
+    /** Hybrid retrieval ([[graft.operators.Search.rrfFuse]], reciprocal-
+      * rank fusion): the standard RAG retrieval stack — a lexical BM25
+      * top-20 leg and a dense exact-cosine top-20 leg per query, fused
+      * rank-only by RRF (`Σ ⌊10⁶/(60+rank)⌋`) into the final top-10.
+      * Query terms pair with query vectors 0..2 through a 3-row map.
+      * Both legs' float scores stay leg-internal (the established
+      * `text_bm25` / `ann_bruteforce` ranking contracts); the fusion is
+      * integer fixed-point, so the oracle replays both rankings and the
+      * exact fused sum.
+      */
+    "search_hybrid_rrf" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("spark", "join", "data")
+      val lex = graft.functions.Bm25.topDocs(table(s, dir, "documents"),
+          id = "doc_id", text = col("text"), terms = terms, k = 20)
+        .select(col("term").as("query"), col("doc_id"), col("rank"))
+      val qmap = terms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("_qid", "query")
+      val emb = table(s, dir, "embeddings")
+      val dense = Ann.bruteForce(
+          queries = emb.filter(col("vec_id") < 3), corpus = emb,
+          qId = "vec_id", qVec = "embedding", cId = "vec_id",
+          cVec = "embedding", k = 20)
+        .join(broadcast(qmap), col("query_id") === col("_qid"))
+        .select(col("query"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Search.rrfFuse(Seq(lex, dense), k = 10)
+    },
+
     /** Incremental IVF maintenance ([[graft.similarity.Ivf.search]]):
       * centroids trained on the 80 % stored corpus, its cell index
       * PERSISTED, the 20 % ingest batch assigned to the EXISTING cells
@@ -2198,6 +2226,58 @@ object NorthStarQueries {
         |         AS ndcg_pct
         |FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)
         |LEFT JOIN withideal w ON q.term = w.term""".stripMargin,
+    "search_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        |  FROM toks WHERE term <> '' GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+        |), dfr AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM t GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+        |         (t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM t
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  JOIN dfr USING (term)
+        |  WHERE t.term IN ('spark', 'join', 'data')
+        |), lex AS (
+        |  SELECT term AS query, doc_id, rank FROM (
+        |    SELECT term, doc_id,
+        |           row_number() OVER (PARTITION BY term
+        |               ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 20
+        |), dense AS (
+        |  SELECT CASE query_id WHEN 0 THEN 'spark' WHEN 1 THEN 'join'
+        |                       ELSE 'data' END AS query,
+        |         neighbor_id AS doc_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |                        c.vec_id ASC) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 20
+        |), fused AS (
+        |  SELECT query, doc_id,
+        |         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_fp
+        |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query, rank, doc_id, rrf_fp FROM (
+        |  SELECT query, doc_id, rrf_fp,
+        |         row_number() OVER (PARTITION BY query
+        |             ORDER BY rrf_fp DESC, doc_id ASC) AS rank
+        |  FROM fused)
+        |WHERE rank <= 10""".stripMargin,
     "search_mrr" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -60,4 +60,30 @@ class SearchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(m === Map(1L -> 1L, 3L -> 1L))
   }
+
+  private def leg(rows: (String, Long, Int)*) =
+    rows.toSeq.toDF("query", "doc_id", "rank")
+
+  test("rrfFuse: hand-checked fixed-point sums, overlap, and id tie-break") {
+    val leg1 = leg(("q", 10L, 1), ("q", 20L, 2), ("q", 30L, 3))
+    val leg2 = leg(("q", 20L, 1), ("q", 40L, 2), ("r", 10L, 1))
+    val leg3 = leg(("q", 50L, 3))
+    val out = Search.rrfFuse(Seq(leg1, leg2, leg3), k = 10)
+      .as[(String, Int, Long, Long)].collect().toSet
+    // 1000000 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    assert(out === Set(
+      ("q", 1, 20L, 32522L), // both legs: 16129 + 16393
+      ("q", 2, 10L, 16393L),
+      ("q", 3, 40L, 16129L),
+      ("q", 4, 30L, 15873L), // ties 50 at 15873: lower id first
+      ("q", 5, 50L, 15873L),
+      ("r", 1, 10L, 16393L)))
+  }
+
+  test("rrfFuse: k truncates per query, single leg is rank-preserving") {
+    val out = Search.rrfFuse(
+      Seq(leg(("q", 7L, 1), ("q", 5L, 2), ("q", 9L, 3))), k = 2)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(out.map(r => (r._2, r._3)) === Set((1, 7L), (2, 5L)))
+  }
 }

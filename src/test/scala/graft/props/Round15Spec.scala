@@ -100,4 +100,46 @@ class Round15Spec extends SparkSpec {
           "the pin in NorthStarQueries or shrink the fixture")
     }
   }
+
+  test("c4_filter: every plant class gets its hand-derived verdict") {
+    // The good-page plant keeps exactly 5 of 8 lines (short line,
+    // javascript line, and the unpunctuated line drop); the lorem/curly
+    // plants keep one MORE line (their appended line is well-formed) but
+    // fail the page rule; the 3-sentence plant fails the >= 5 floor; the
+    // identity rows have no newline and no terminal punctuation at all.
+    val out = graft.SparkEntry.queries("c4_filter")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_lines", "n_kept", "doc_pass")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byClass = out.groupBy(_._1 / 1000000L)
+    for ((cls, exp) <- Seq(11L -> (8L, 5L, true), 12L -> (9L, 6L, false),
+        13L -> (9L, 6L, false), 14L -> (3L, 3L, false))) {
+      val rows = byClass.getOrElse(cls, Array.empty)
+      assert(rows.nonEmpty, s"plant class $cls missing from the fixture")
+      assert(rows.forall(r => (r._2, r._3, r._4) == exp),
+        s"class $cls: expected $exp, got ${rows.find(r => (r._2, r._3, r._4) != exp)}")
+    }
+    val idents = byClass.getOrElse(0L, Array.empty)
+    assert(idents.nonEmpty &&
+      idents.forall(r => r._2 == 1L && r._3 == 0L && !r._4))
+  }
+
+  test("c4_filter line rules: each rule drops exactly its target line") {
+    // Hand-checked on a 6-line page: rule-by-rule attribution, clean
+    // rebuild order, and the kept-line text surviving verbatim.
+    val docs = Seq((1L,
+      "one two three.\nshort.\nhas javascript inside.\nno punct here\n" +
+        "quoted line ok\"\nfour five six!")).toDF("doc_id", "text")
+    // reuse the query's column semantics via the oracle-equal rules:
+    val lines = split(col("text"), "\n", -1)
+    val kept = filter(lines, l =>
+      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?")) || endswith(l, lit("\""))) &&
+        size(filter(split(l, " ", -1), t => t =!= "")) >= 3 &&
+        !array_contains(split(lower(l), " ", -1), "javascript"))
+    val r = docs.select(size(lines).as("n"), size(kept).as("k"),
+      array_join(kept, "\n").as("c")).as[(Int, Int, String)].head()
+    assert(r === ((6, 3,
+      "one two three.\nquoted line ok\"\nfour five six!")))
+  }
 }
