@@ -59,6 +59,38 @@ object CosineSimilarity {
   }
 }
 
+/** Order-preserving bijection DOUBLE → BIGINT (the IEEE-754 sortable-bits
+  * transform: identity on non-negatives, flip the non-sign bits for
+  * negatives): `a < b ⇔ key(a) < key(b)` for all non-NaN doubles, and
+  * key ties are exactly bit-identical doubles. Lets integer-keyed
+  * machinery — [[BoundedTopKPair]] and its streaming state buffers —
+  * rank float scores with NO precision loss and no float comparator:
+  * the per-group top-k under (key DESC, id ASC) is the top-k under the
+  * double order. Codegen'd, null-preserving.
+  */
+case class DoubleSortKey(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    DoubleSortKey.key(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, d => s"graft.functions.DoubleSortKey.key($d)")
+
+  override protected def withNewChildInternal(c: Expression): DoubleSortKey =
+    copy(child = c)
+}
+
+object DoubleSortKey {
+  def key(d: Double): Long = {
+    val b = java.lang.Double.doubleToRawLongBits(d)
+    if (b >= 0L) b else b ^ Long.MaxValue
+  }
+}
+
 object VectorExprFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -67,4 +99,8 @@ object VectorExprFunctions {
     */
   def cosine_fused(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** The [[DoubleSortKey]] order-preserving DOUBLE → BIGINT key. */
+  def double_sort_key(d: Column): Column =
+    column(DoubleSortKey(expression(d)))
 }

@@ -891,6 +891,39 @@ object NorthStarQueries {
         k = AnnK)
     },
 
+    /** Streaming vector search ([[graft.similarity.Ivf.searchTopKAgg]]):
+      * query vectors arrive on a STREAM and probe the persisted cell
+      * index by stream-static equi-join on cell id; the per-query top-k
+      * is the bounded arg-top-k aggregate over the
+      * [[graft.functions.DoubleSortKey]] of the cosine (rank windows do
+      * not exist on unbounded streams; the sort-key bijection makes the
+      * integer-state aggregate EXACT in the double order). nProbe =
+      * nCells here so the candidate set is the full corpus and the
+      * stream result replays `ann_bruteforce`'s exact-ranking oracle
+      * verbatim; production lowers nProbe for the
+      * O(|corpus|·nProbe/nCells) probe cost — state stays k pairs per
+      * query either way.
+      */
+    "stream_ann_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val centroids = graft.similarity.Ivf.trainCentroids(
+        emb, "vec_id", "embedding", nCells = 16)
+      val indexed = persistedIndex(s, dir,
+        graft.similarity.Ivf.index(emb, "vec_id", "embedding", centroids),
+        "annstream")
+      val qs = graft.streaming.StreamOps
+        .parquetStream(s, s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < AnnQueries)
+        .select(col("vec_id"), col("embedding"))
+      val agg = graft.similarity.Ivf.searchTopKAgg(qs, indexed,
+        "vec_id", "embedding", centroids, k = AnnK, nProbe = 16)
+      graft.streaming.StreamOps.drainToBatch(agg, outputMode = "complete",
+          statePartitions = 8)
+        .select(col("query_id"), posexplode(col("_top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).as("rank"))
+    },
+
     /** Contrastive hard-negative mining ([[Ann.hardNegatives]]): per
       * labeled query vector, the top-k nearest corpus vectors of a
       * DIFFERENT label — close in embedding space, wrong class, exactly
@@ -1930,6 +1963,21 @@ object NorthStarQueries {
       |SELECT m.sid AS src_id, m.tid AS tgt_id
       |FROM m JOIN rt ON m.tid = rt.tid AND rt.r = 1 AND rt.sid = m.sid""".stripMargin
 
+  /** One exact top-k ranking oracle for `ann_bruteforce` AND
+    * `stream_ann_topk` (lazy: referenced from the Seq below before this
+    * line initializes): the streaming aggregate path must reproduce the
+    * window path's exact ranking pair-for-pair.
+    */
+  private lazy val exactAnnSql: String =
+    s"""SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+       |                      c.vec_id ASC) AS rank
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
+       |WHERE rank <= $AnnK""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "text_tokens" ->
       """SELECT doc_id,
@@ -2121,15 +2169,8 @@ object NorthStarQueries {
         |             ORDER BY jaccard DESC, neighbor ASC) AS rank
         |  FROM e)
         |WHERE rank <= 3""".stripMargin,
-    "ann_bruteforce" ->
-      s"""SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-         |                      c.vec_id ASC) AS rank
-         |  FROM embeddings q, embeddings c
-         |  WHERE q.vec_id < $AnnQueries AND c.vec_id <> q.vec_id)
-         |WHERE rank <= $AnnK""".stripMargin,
+    "ann_bruteforce" -> exactAnnSql,
+    "stream_ann_topk" -> exactAnnSql,
     "hard_negatives" ->
       s"""SELECT query_id, neighbor_id, neighbor_label, rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -202,6 +202,35 @@ object Ivf {
     * AFTER the join, so a compressed index representation stays compressed
     * across the exchange.
     */
+  /** [[search]] for STREAMING query frames: the per-query rank window —
+    * which does not exist on an unbounded stream — is replaced by the
+    * bounded arg-top-k aggregate ([[graft.functions.BoundedTopKPair]])
+    * keyed on the [[graft.functions.DoubleSortKey]] of the cosine, an
+    * order-preserving DOUBLE→BIGINT bijection, so the aggregate's
+    * (key DESC, id ASC) top-k IS the exact double-order top-k with no
+    * precision loss. Plan shape: stream-static cell equi-join against
+    * the prebuilt index (each corpus vector lives in exactly one cell, so
+    * a (query, neighbor) pair is scored at most once), then a streaming
+    * aggregation whose state is k (long, long) pairs per query — bounded
+    * regardless of stream length. Works on batch frames too (same code
+    * path, no state). Output: (query_id, _top array<(score_key, id)>
+    * best-first); explode with `posexplode` for (rank, neighbor_id).
+    */
+  def searchTopKAgg(queries: DataFrame, indexed: DataFrame, qId: String,
+      qVec: String, centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+      col(qVec).cast("array<double>").as("_qv"),
+      explode(nearestCells(col(qVec), centroids, nProbe)).as("_cell"))
+    q.join(indexed, "_cell")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("_key", graft.functions.VectorExprFunctions.double_sort_key(
+        VectorFunctions.cosineFused(col("_qv"), col("_cv"))))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.AggExpressions.topkPairAgg(
+        col("_key"), col("neighbor_id"), k).as("_top"))
+  }
+
   private def probe(queries: DataFrame, indexed: DataFrame, qId: String, qVec: String,
       centroids: Array[Array[Double]], k: Int, nProbe: Int,
       excludeSelf: Boolean, corpusVec: Column = col("_cv")): DataFrame = {

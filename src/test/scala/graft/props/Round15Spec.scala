@@ -101,6 +101,56 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("DoubleSortKey: order-preserving bijection on fuzzed doubles") {
+    import graft.functions.DoubleSortKey.key
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-1e12, 1e12),
+      Gen.chooseNum(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, 1.0, -1.0, Double.MinPositiveValue,
+        -Double.MinPositiveValue, Double.MaxValue, Double.MinValue))
+    val vals = samples(Gen.listOfN(40, gen), 25).flatten
+    for (a <- vals; b <- vals.take(40)) {
+      // ±0.0: equal as doubles, but the key is a bijection on BITS and
+      // totals the order (-0.0 below 0.0) — the documented IEEE edge
+      if (!(a == 0.0 && b == 0.0))
+        assert((a < b) === (key(a) < key(b)), s"order broken for ($a, $b)")
+      assert((a == b) === (key(a) == key(b)) ||
+        // -0.0 == 0.0 as doubles but the key is a BIJECTION on bits
+        (a == 0.0 && b == 0.0),
+        s"tie contract broken for ($a, $b)")
+    }
+    // the codegen'd column agrees with the scalar
+    val df = vals.take(100).toDF("d")
+      .select(col("d"), graft.functions.VectorExprFunctions
+        .double_sort_key(col("d")).as("k"))
+      .as[(Double, Long)].collect()
+    assert(df.forall { case (d, k) => k == key(d) })
+  }
+
+  test("searchTopKAgg equals the window-ranked IVF search on batch frames") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-10, 10).map(_ / 10f))
+      .map(v => if (v.forall(_ == 0f)) v.updated(0, 1f) else v)
+    for ((corpusV, i) <- samples(
+        Gen.chooseNum(6, 20).flatMap(n => Gen.listOfN(n, vecGen)), 10).zipWithIndex) {
+      val corpus = corpusV.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val cs = Ivf.trainCentroids(corpus, "vec_id", "embedding", nCells = 4)
+      val indexed = Ivf.index(corpus, "vec_id", "embedding", cs)
+      val queries = corpus.filter(col("vec_id") < 3)
+      for (nProbe <- Seq(1, 4)) {
+        val window = Ivf.search(queries, indexed, "vec_id", "embedding",
+            cs, k = 3, nProbe = nProbe)
+          .as[(Long, Long, Int)].collect().toSet
+        val agged = Ivf.searchTopKAgg(queries, indexed, "vec_id", "embedding",
+            cs, k = 3, nProbe = nProbe)
+          .select(col("query_id"), posexplode(col("_top")))
+          .select(col("query_id"), col("col.id"), (col("pos") + 1).cast("int"))
+          .as[(Long, Long, Int)].collect().toSet
+        assert(agged === window, s"case $i nProbe=$nProbe corpus=$corpusV")
+      }
+    }
+  }
+
   test("c4_filter: every plant class gets its hand-derived verdict") {
     // The good-page plant keeps exactly 5 of 8 lines (short line,
     // javascript line, and the unpunctuated line drop); the lorem/curly
