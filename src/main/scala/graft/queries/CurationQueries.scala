@@ -371,6 +371,41 @@ object CurationQueries {
           sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_recalled"))
     },
 
+    /** Prototype-pruning contract ([[SemDedup.prune]], drop the most
+      * prototypical quarter of every k-means cluster): cluster membership
+      * is sketch-internal (like `kmeans_assign`), so the oracle pins the
+      * invariants a training-mix consumer relies on — per-cluster quota
+      * EXACTLY `n − ⌊n/4⌋` kept with ranks `⌊n/4⌋+1..n` (quota_ok), kept
+      * ids unique (ids_distinct), and the total drop inside the
+      * floor-sum envelope `[⌊N/4⌋−(k−1), ⌊N/4⌋]` (drop_in_range) — the
+      * only interval compatible with SOME cluster-size partition, so a
+      * quota bug that over- or under-prunes globally flips it.
+      */
+    "cluster_prune" -> { (s, dir) =>
+      val k = 8
+      val emb = table(s, dir, "embeddings")
+      val kept = SemDedup.prune(emb, "vec_id", "embedding", k = k,
+        dropNum = 1, dropDen = 4)
+      val perCluster = kept.groupBy(col("cluster")).agg(
+          count(lit(1)).as("_kept"), max(col("cluster_size")).as("_n"),
+          min(col("proto_rank")).as("_minr"), max(col("proto_rank")).as("_maxr"))
+        .withColumn("_drop", expr("(_n * 1) div 4"))
+      val viol = perCluster.agg(
+        sum(when(col("_kept") === col("_n") - col("_drop") &&
+          col("_minr") === col("_drop") + 1 &&
+          col("_maxr") === col("_n"), 0L).otherwise(1L)).as("_viol"))
+      val keptTot = kept.agg(count(lit(1)).as("_nk"),
+        count_distinct(col("vec_id")).as("_nd"))
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(keptTot).crossJoin(viol)
+        .select(col("n_vectors"),
+          (col("_viol") === 0).as("quota_ok"),
+          (col("_nk") === col("_nd")).as("ids_distinct"),
+          (col("n_vectors") - col("_nk") <= expr("(n_vectors * 1) div 4") &&
+            col("n_vectors") - col("_nk") >=
+              expr("(n_vectors * 1) div 4") - (k - 1)).as("drop_in_range"))
+    },
+
     /** Bigram-LM quality scoring (the CCNet shape: train a count LM on
       * the corpus, score every document by how familiar its bigrams
       * are). The model is trained and probed on 8-byte gram hashes; the
@@ -1562,6 +1597,10 @@ object CurationQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
         |       CAST(COUNT(*) AS BIGINT) AS n_recalled
         |FROM embeddings WHERE vec_id < 40""".stripMargin,
+    "cluster_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |       TRUE AS quota_ok, TRUE AS ids_distinct, TRUE AS drop_in_range
+        |FROM embeddings""".stripMargin,
     "gopher_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t

@@ -63,6 +63,50 @@ object SemDedup {
       .select("a", "b", "cosine")
   }
 
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): within each k-means cluster, rank
+    * vectors by cosine to their OWN centroid (prototypicality) and drop
+    * the most prototypical `dropNum/dropDen` fraction —
+    * `floor(|cluster| · dropNum / dropDen)` rows per cluster — keeping
+    * the hard, informative examples a data-constrained trainer wants.
+    *
+    * Ranking uses the [[graft.functions.DoubleSortKey]] of the cosine
+    * (exact double order, id tie-break), and the per-cluster quota is
+    * integer algebra (`rank > (n·num) div den` keeps), so given the
+    * assignment the prune is fully deterministic. Scale shape: the
+    * centroid table is k rows broadcast onto the cell-partitioned index;
+    * the rank window partitions by cell — the same exchange the
+    * assignment already created; nothing corpus-sized moves twice.
+    *
+    * Output: kept rows only — (`id`, cluster, proto_rank (1 = most
+    * prototypical), cluster_size).
+    */
+  def prune(vecs: DataFrame, id: String, vec: String, k: Int,
+      dropNum: Int, dropDen: Int, iters: Int = 10, sampleN: Int = 10000,
+      seed: Long = 11L, sampleMod: Int = 1): DataFrame = {
+    require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
+      s"prune: drop fraction must be in [0, 1] (got $dropNum/$dropDen)")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cs = Ivf.trainCentroids(vecs, id, vec, k, iters, sampleN, seed, sampleMod)
+    val cdf = broadcast(cs.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("_cell", "_centroid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_cell"))
+    val ranked = Ivf.index(vecs, id, vec, cs)
+      .join(cdf, "_cell")
+      .withColumn("_key", graft.functions.VectorExprFunctions.double_sort_key(
+        VectorFunctions.cosineFused(col("_cv"), col("_centroid").cast("array<double>"))))
+      .withColumn("proto_rank", row_number().over(
+        w.orderBy(col("_key").desc, col("neighbor_id").asc)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+    ranked
+      .filter(col("proto_rank") >
+        expr(s"(cluster_size * $dropNum) div $dropDen"))
+      .select(col("neighbor_id").as(id), col("_cell").as("cluster"),
+        col("proto_rank").cast("long").as("proto_rank"),
+        col("cluster_size").cast("long").as("cluster_size"))
+  }
+
   /** Surviving vectors after semantic dedup: the larger `id` of every
     * [[pairs]] hit is dropped (keep-smallest-id, the same deterministic
     * convention as [[graft.dedup.Dedup.exact]]). Vector rows never

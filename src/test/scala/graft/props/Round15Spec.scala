@@ -151,6 +151,40 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("SemDedup.prune drops exactly the most-prototypical quota per cluster") {
+    import graft.similarity.SemDedup
+    val vecGen = Gen.listOfN(3, Gen.chooseNum(-10, 10).map(_ / 10f))
+      .map(v => if (v.forall(_ == 0f)) v.updated(0, 1f) else v)
+    for ((vs, i) <- samples(
+        Gen.chooseNum(8, 24).flatMap(n => Gen.listOfN(n, vecGen)), 8).zipWithIndex) {
+      val corpus = vs.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val kept = SemDedup.prune(corpus, "vec_id", "embedding", k = 3,
+          dropNum = 1, dropDen = 2)
+        .select("vec_id").as[Long].collect().toSet
+      // replay in plain Scala from the same deterministic centroids
+      val cs = Ivf.trainCentroids(corpus, "vec_id", "embedding", nCells = 3)
+      def cos(a: Seq[Float], c: Array[Double]): Double = {
+        val dot = a.zip(c).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nc = math.sqrt(c.map(y => y * y).sum)
+        dot / (na * nc)
+      }
+      def cell(a: Seq[Float]): Int = {
+        // nearest centroid over NORMALIZED inputs = cosine argmax,
+        // first index wins ties (Ivf.nearest contract)
+        val sims = cs.map(c => cos(a, c))
+        sims.zipWithIndex.maxBy { case (s, j) => (s, -j) }._2
+      }
+      val expect = vs.zipWithIndex.map { case (v, j) => (j.toLong, cell(v), cos(v, cs(cell(v)))) }
+        .groupBy(_._2).values.flatMap { cl =>
+          val ranked = cl.sortBy { case (id, _, c) => (-c, id) }
+          ranked.drop(cl.size / 2).map(_._1)
+        }.toSet
+      assert(kept === expect, s"case $i vs=$vs")
+    }
+  }
+
   test("c4_filter: every plant class gets its hand-derived verdict") {
     // The good-page plant keeps exactly 5 of 8 lines (short line,
     // javascript line, and the unpunctuated line drop); the lorem/curly
