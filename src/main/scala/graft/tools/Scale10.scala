@@ -91,7 +91,13 @@ object Scale10 {
     // cost only — index construction is paid once per corpus version,
     // outside the per-batch path)
     "gopher_repetition_gate", "dedup_lines_in_doc", "gopher_dup_lines",
-    "bitext_mine_incremental")
+    "bitext_mine_incremental",
+    // round-15 additions: the C4 page pass (row-local, expect ~10x flat),
+    // hybrid RRF retrieval (BM25 term/doc shuffles grow with corpus; the
+    // fused exchange stays <= legs*K rows per query), and prototype
+    // pruning (centroid broadcast + the cell-partitioned rank window —
+    // the one window rides the assignment's own exchange)
+    "c4_filter", "search_hybrid_rrf", "cluster_prune")
 
   /** Streaming representatives (round-11 ask): the heaviest stream
     * queries by r10 cost plus the stateful-session shape. Timed like the
@@ -109,7 +115,11 @@ object Scale10 {
     "stream_url_blocklist",
     // round-15 ask: the stateless row-local stream twins of the Gopher
     // gate and the in-doc line dedup — same zero-state expectation
-    "stream_repetition_gate", "stream_dedup_lines")
+    "stream_repetition_gate", "stream_dedup_lines",
+    // round-15 additions: the stateless C4 twin, and streaming vector
+    // search whose state is k (long, long) pairs PER QUERY — the state
+    // metric must stay flat in corpus size (only the static index grows)
+    "stream_c4_filter", "stream_ann_topk")
 
   /** The second measured decade: the 5 highest sf0.1→sf1 ratios of the
     * round-10 probe (4.0–5.2x), timed at pseudo-sf1 vs pseudo-sf10 —
@@ -145,7 +155,11 @@ object Scale10 {
     // curation ops, so every r13-15 operator has BOTH measured decades
     // (expect ~10x-flat: zero exchanges, sub-second bases)
     "bitext_mine_incremental", "gopher_repetition_gate",
-    "dedup_lines_in_doc", "gopher_dup_lines")
+    "dedup_lines_in_doc", "gopher_dup_lines",
+    // round-15 additions at the second decade: same expectations as the
+    // first (c4 row-local flat; RRF legs linear in corpus; prune's
+    // window linear within cells)
+    "c4_filter", "search_hybrid_rrf", "cluster_prune")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim
@@ -158,7 +172,11 @@ object Scale10 {
     "stream_url_blocklist",
     // round-15: the stateless row-local gate/line-dedup twins — same
     // zero-state expectation at the second decade
-    "stream_repetition_gate", "stream_dedup_lines")
+    "stream_repetition_gate", "stream_dedup_lines",
+    // round-15: the C4 twin (stateless) and streaming vector search
+    // (state = k pairs per query, flat in corpus size) at the second
+    // decade too
+    "stream_c4_filter", "stream_ann_topk")
 
   /** 4-char name code "aabb": digit-pair repetition ⇒ any two distinct
     * copies differ in ≥ 2 positions (equal-length strings, so edit
