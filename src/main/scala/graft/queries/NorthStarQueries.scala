@@ -1552,6 +1552,37 @@ object NorthStarQueries {
       graft.operators.Search.rrfFuse(Seq(lex, dense), k = 10)
     },
 
+    /** Pseudo-relevance-feedback query expansion (the RM3 shape,
+      * Lavrenko & Croft relevance models, rank-only): take the seed
+      * term's BM25 top-5 documents, mine the 3 most frequent non-seed
+      * tokens from them (count DESC, term ASC — deterministic), rank the
+      * corpus for seed + expansion terms ([[graft.functions.Bm25
+      * .topDocsFor]] — the term set is DATA-DEPENDENT, so it joins as a
+      * frame, not literals), and fuse the four per-term rankings with
+      * [[graft.operators.Search.rrfFuse]] into the final top-10.
+      * Rank-only fusion keeps the whole pipeline integer-exact; the
+      * oracle replays feedback docs, expansion mining, every BM25
+      * ranking, and the fused sum.
+      */
+    "search_rm3" -> { (s, dir) =>
+      import s.implicits._
+      val seed = "spark"
+      val docs = table(s, dir, "documents")
+      val top5 = graft.functions.Bm25.topDocs(docs, id = "doc_id",
+        text = col("text"), terms = Seq(seed), k = 5)
+      val expansion = docs.join(top5.select(col("doc_id")), "doc_id")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= seed)
+        .groupBy(col("term")).agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("term").asc).limit(3)
+        .select(col("term"))
+      val allTerms = expansion.unionByName(Seq(seed).toDF("term"))
+      val legs = graft.functions.Bm25.topDocsFor(docs, id = "doc_id",
+          text = col("text"), terms = allTerms, k = 20)
+        .select(lit(seed).as("query"), col("doc_id"), col("rank"))
+      graft.operators.Search.rrfFuse(Seq(legs), k = 10)
+    },
+
     /** Incremental IVF maintenance ([[graft.similarity.Ivf.search]]):
       * centroids trained on the 80 % stored corpus, its cell index
       * PERSISTED, the 20 % ingest batch assigned to the EXISTING cells
@@ -2267,6 +2298,57 @@ object NorthStarQueries {
         |         AS ndcg_pct
         |FROM (VALUES ('spark'), ('join'), ('data')) AS q(term)
         |LEFT JOIN withideal w ON q.term = w.term""".stripMargin,
+    "search_rm3" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), t AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        |  FROM toks WHERE term <> '' GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+        |), dfr AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM t GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.term,
+        |         ln((stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+        |         (t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM t
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  JOIN dfr USING (term)
+        |), top5 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |             AS rank
+        |    FROM scored WHERE term = 'spark')
+        |  WHERE rank <= 5
+        |), exp AS (
+        |  SELECT term FROM toks JOIN top5 USING (doc_id)
+        |  WHERE term <> 'spark' AND term <> ''
+        |  GROUP BY term ORDER BY COUNT(*) DESC, term ASC LIMIT 3
+        |), qterms AS (
+        |  SELECT term FROM exp UNION ALL SELECT 'spark' AS term
+        |), legs AS (
+        |  SELECT 'spark' AS query, doc_id, rank FROM (
+        |    SELECT term, doc_id,
+        |           row_number() OVER (PARTITION BY term
+        |               ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM scored WHERE term IN (SELECT term FROM qterms))
+        |  WHERE rank <= 20
+        |), fused AS (
+        |  SELECT query, doc_id,
+        |         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_fp
+        |  FROM legs GROUP BY 1, 2
+        |)
+        |SELECT query, rank, doc_id, rrf_fp FROM (
+        |  SELECT query, doc_id, rrf_fp,
+        |         row_number() OVER (PARTITION BY query
+        |             ORDER BY rrf_fp DESC, doc_id ASC) AS rank
+        |  FROM fused)
+        |WHERE rank <= 10""".stripMargin,
     "search_hybrid_rrf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -97,7 +97,11 @@ object Scale10 {
     // fused exchange stays <= legs*K rows per query), and prototype
     // pruning (centroid broadcast + the cell-partitioned rank window —
     // the one window rides the assignment's own exchange)
-    "c4_filter", "search_hybrid_rrf", "cluster_prune")
+    "c4_filter", "search_hybrid_rrf", "cluster_prune",
+    // RM3 pseudo-relevance feedback: two chained BM25 passes (seed leg,
+    // then the data-dependent expanded term set) — same corpus-linear
+    // term/doc shuffles as the hybrid leg, bounded feedback/term frames
+    "search_rm3")
 
   /** Streaming representatives (round-11 ask): the heaviest stream
     * queries by r10 cost plus the stateful-session shape. Timed like the
@@ -159,7 +163,7 @@ object Scale10 {
     // round-15 additions at the second decade: same expectations as the
     // first (c4 row-local flat; RRF legs linear in corpus; prune's
     // window linear within cells)
-    "c4_filter", "search_hybrid_rrf", "cluster_prune")
+    "c4_filter", "search_hybrid_rrf", "cluster_prune", "search_rm3")
 
   /** Streaming representatives for the SECOND decade (round-12 ask):
     * timed like [[SF10_PROBE]] but with state-store metrics — the claim

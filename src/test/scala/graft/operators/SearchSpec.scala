@@ -80,6 +80,22 @@ class SearchSpec extends SparkSpec {
       ("r", 1, 10L, 16393L)))
   }
 
+  test("Bm25.topDocsFor (frame terms) equals topDocs (literal terms)") {
+    val docs = Seq(
+      (1L, "spark join data spark"),
+      (2L, "join data table row"),
+      (3L, "spark table scan scan scan"),
+      (4L, "data data data join spark"),
+      (5L, "row row filter agg")).toDF("doc_id", "text")
+    val terms = Seq("spark", "join", "data")
+    val lit = graft.functions.Bm25.topDocs(docs, "doc_id", col("text"),
+        terms, k = 4).as[(String, Int, Long)].collect().toSet
+    val dyn = graft.functions.Bm25.topDocsFor(docs, "doc_id", col("text"),
+        terms.toDF("term"), k = 4).as[(String, Int, Long)].collect().toSet
+    assert(dyn === lit)
+    assert(lit.nonEmpty)
+  }
+
   test("rrfFuse: k truncates per query, single leg is rank-preserving") {
     val out = Search.rrfFuse(
       Seq(leg(("q", 7L, 1), ("q", 5L, 2), ("q", 9L, 3))), k = 2)

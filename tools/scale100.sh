@@ -9,7 +9,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-QUERIES=${QUERIES:-pagerank,fuzzy_join2,salted_join,dedup_minhash_incremental,triangle_count,dedup_canonical,entity_resolution,ssjoin_prefix,masterjoin,substring_clean,substring_spans,stream_upsert,stream_left_join,boilerplate_strip,url_blocklist,gopher_repetition,gopher_dup_ngrams,bitext_mine,bitext_mine_incremental,gopher_repetition_gate,dedup_lines_in_doc,gopher_dup_lines,stream_url_blocklist,stream_repetition_gate,stream_dedup_lines,c4_filter,search_hybrid_rrf,cluster_prune,stream_c4_filter,stream_ann_topk}
+QUERIES=${QUERIES:-pagerank,fuzzy_join2,salted_join,dedup_minhash_incremental,triangle_count,dedup_canonical,entity_resolution,ssjoin_prefix,masterjoin,substring_clean,substring_spans,stream_upsert,stream_left_join,boilerplate_strip,url_blocklist,gopher_repetition,gopher_dup_ngrams,bitext_mine,bitext_mine_incremental,gopher_repetition_gate,dedup_lines_in_doc,gopher_dup_lines,stream_url_blocklist,stream_repetition_gate,stream_dedup_lines,c4_filter,search_hybrid_rrf,cluster_prune,stream_c4_filter,stream_ann_topk,search_rm3}
 OUT=${OUT:-SCALE100.json}
 JAVA_OPTS=(
   -Xmx32g -XX:+UseG1GC
