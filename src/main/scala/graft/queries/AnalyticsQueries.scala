@@ -86,7 +86,11 @@ object AnalyticsQueries {
       * so a hash match proves the blocking missed nothing.
       */
     "fuzzy_join" -> { (s, dir) =>
-      FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+      // tableSpread: the deletion-neighborhood explode is the query's
+      // CPU-heavy per-row pass, and the single-row-group fixture scan
+      // would otherwise run it on ONE task (guide §2.5 input skew; a
+      // multi-file corpus parallelizes by itself)
+      FuzzyJoin.selfJoinDist1(graft.GraftSession.tableSpread(s, dir, "customer"),
         col("c_custkey"), col("c_name"))
     },
 
@@ -101,8 +105,11 @@ object AnalyticsQueries {
       * recall-heavy.
       */
     "fuzzy_join2" -> { (s, dir) =>
+      // tableSpread: the d=2 neighborhood is O(L²/2) variants per row —
+      // see fuzzy_join (single-task fixture scan otherwise)
       FuzzyJoin.selfJoin(
-        table(s, dir, "part").where(pmod(col("p_partkey"), lit(4L)) === 0),
+        graft.GraftSession.tableSpread(s, dir, "part")
+          .where(pmod(col("p_partkey"), lit(4L)) === 0),
         col("p_partkey"), col("p_name"), maxDist = 2, maxBucket = 4000)
     },
 
@@ -242,7 +249,10 @@ object AnalyticsQueries {
       * is the brute-force a&lt;b&lt;c triple join over the same edge set.
       */
     "triangle_count" -> { (s, dir) =>
-      val pairs = FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+      // tableSpread: parallelize the edge source's deletion-neighborhood
+      // explode off the single-row-group fixture scan (see fuzzy_join)
+      val pairs = FuzzyJoin.selfJoinDist1(
+        graft.GraftSession.tableSpread(s, dir, "customer"),
         col("c_custkey"), col("c_name"))
       graft.operators.Graphs.triangleCount(pairs, "a", "b")
     },
@@ -255,7 +265,9 @@ object AnalyticsQueries {
       * blamed on) the triangle count.
       */
     "triangle_edges_build" -> { (s, dir) =>
-      val pairs = FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+      // tableSpread: same edge source as triangle_count (see fuzzy_join)
+      val pairs = FuzzyJoin.selfJoinDist1(
+        graft.GraftSession.tableSpread(s, dir, "customer"),
         col("c_custkey"), col("c_name"))
       pairs.select(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v"))
