@@ -38,14 +38,12 @@ object Graphs {
         .filter(col("u").isNotNull && col("v").isNotNull)
         .distinct()
         .persist())
-    val nEdges = e.count()
     // cached: both join branches of the orientation read it, and the node
-    // count folds off it driver-side
+    // count aggregate below reads it a third time
     val deg = graft.Caches.track(
       e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("_d"))
         .persist())
-    val nNodes = deg.count()
     // orient by (degree, id): lexicographic compare needs no global rank —
     // a row_number over all nodes would be a single-task sort at scale
     val withDeg = e
@@ -59,7 +57,13 @@ object Graphs {
         when(uFirst, col("_dv")).otherwise(col("_du")).as("dd"))
       .persist())
     // fill eagerly: the wedge sides and the closing build stage execute
-    // concurrently and would otherwise each recompute a lazy cache
+    // concurrently and would otherwise each recompute a lazy cache.
+    // This is the kernel's ONE blocking action — it transitively fills
+    // the e and deg caches too; n_nodes/n_edges ride the final job as
+    // 1-row aggregates over those caches instead of separate driver
+    // counts (r15: two fewer sequential jobs per execution, same values
+    // — the orientation is an edge bijection and every node has an edge,
+    // so |oriented| = |e| and |deg| = |V| by construction).
     oriented.count()
     // wedges at the apex s: out-neighbors (d1 ≺ d2), closed by the
     // oriented edge d1 → d2 (≺ is the same (degree, id) order, so the
@@ -77,8 +81,9 @@ object Graphs {
     // would undercount — so count wedge rows surviving the semi-join,
     // which is exactly one per triangle (unique apex per triangle)
     triangles.agg(count(lit(1)).as("n_triangles"))
-      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        col("n_triangles"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
   /** PageRank in exact fixed-point integer arithmetic — every engine that
