@@ -396,7 +396,9 @@ object AnalyticsQueries {
       * algorithm under a digit-exact differential check.
       */
     "pagerank" -> { (s, dir) =>
-      val pairs = FuzzyJoin.selfJoinDist1(table(s, dir, "customer"),
+      // tableSpread: same single-task edge-source explode as fuzzy_join
+      val pairs = FuzzyJoin.selfJoinDist1(
+        graft.GraftSession.tableSpread(s, dir, "customer"),
         col("c_custkey"), col("c_name"))
       graft.operators.Graphs.pageRank(pairs, "a", "b", iterations = 5)
     },
