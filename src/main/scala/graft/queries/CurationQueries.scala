@@ -122,9 +122,18 @@ object CurationQueries {
     val docs = tableSpread(s, dir, "documents")
       .withColumn("_toks", TextFunctions.tokens(col("text")))
       .select(col("doc_id"), col("_toks"))
-    docs.unionByName(docs.filter(col("doc_id") < 10 && size(col("_toks")) >= 10)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        slice(col("_toks"), lit(1), size(col("_toks")) - 2).as("_toks")))
+    // persisted: every Substring.* consumer reads this frame ≥3 times
+    // (the gram expansion, the per-doc n_grams side, the survivor
+    // anti-join) and each un-cached read re-paid the single-task fixture
+    // scan + tokenize + union (r15 StageDump: four sequential 1-task
+    // 0.6–0.7 s stages under substring_clean). The cache is also the
+    // optimizer leaf that keeps the anti-join from being pushed into the
+    // union's branches (see Dedup.boundedBuckets).
+    graft.Caches.track(
+      docs.unionByName(docs.filter(col("doc_id") < 10 && size(col("_toks")) >= 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          slice(col("_toks"), lit(1), size(col("_toks")) - 2).as("_toks")))
+        .persist())
   }
 
   private val substrOracleCtes =
