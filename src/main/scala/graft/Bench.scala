@@ -354,24 +354,32 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST write failed: $e") }
-    // The round artifact keeps only the LAST ~2000 chars of stdout (r5 and
-    // r6 both captured the full line's tail — mid-diag, unparseable →
-    // "parsed: null"). So the FINAL stdout line is a compact self-contained
-    // JSON sized to fit that tail budget with room for the runner's own
-    // trailer: headline + failures always, then as many of the slowest
-    // per-query medians as fit. The full maps live in BENCH_LAST.json.
+    // The FINAL stdout line carries the COMPLETE per-query maps (r15
+    // VERDICT ask: the driver's PERF per-query comparison must never again
+    // depend on BENCH_LAST.json surviving a later run's overwrite), laid
+    // out so BOTH consumers can read it:
+    //  - a parser of the full stdout line gets the contract keys (metric/
+    //    value/unit/queries/sf) PLUS the full queries_min map;
+    //  - the round artifact keeps only the LAST ~2000 chars of stdout (r5
+    //    and r6 both captured an unparseable mid-line tail), so the big
+    //    maps go FIRST and the human-readable headline + slowest-N
+    //    trailer goes LAST — the archived tail still ends with the
+    //    headline numbers, exactly as before this change.
+    // Additions-only: every key the compact line used to carry is still
+    // present; queries_min/queries are the same maps the first line and
+    // BENCH_LAST.json carry.
     val slowestFirst = results.collect { case (k, Some((med, _)), _) => (k, med) }
       .sortBy(-_._2)
     val headBudget = 1300
     val head = new StringBuilder(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","contended":$contended,"nQueries":${results.size},"failed":$failedJson,"full":"$outFile","slowest":{""")
+      s""""metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","contended":$contended,"nQueries":${results.size},"failed":$failedJson,"full":"$outFile","slowest":{""")
     var first = true
     for ((k, med) <- slowestFirst) {
       val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(med)
       if (head.length + entry.length < headBudget) { head.append(entry); first = false }
     }
     head.append("}}")
-    System.out.println(head.toString)
+    System.out.println(s"""{"queries_min":$qsMin,"queries":$qs,""" + head.toString)
     System.out.flush()
     spark.stop()
   }
