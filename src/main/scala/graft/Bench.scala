@@ -162,6 +162,18 @@ object Bench {
     // (measured ~4-6 s on the first query, independent of the query)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     Caches.clear(spark)
+    // index-serving setup, also untimed (r16): the index-SERVING queries'
+    // contract is "probe an EXISTING index", and their centroids/index are
+    // write-once per session — running them once here makes the timed
+    // region identical across all runs (previously run 1 paid the one-off
+    // training + index write and the min reported the no-train floor).
+    // Serving cost is what the floor measured before too; the ingest-cycle
+    // (train+build) cost stays measured by the index-BUILD queries.
+    SparkEntry.indexServingSetup.foreach { n =>
+      selected.get(n).foreach { fn =>
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
+    }
+    Caches.clear(spark)
     // per-query accumulators: times plus janino-compile / codegen-unit /
     // GC / leaked-block diagnostics attributable to this query's runs —
     // they separate environment cost from plan cost, and ship in the JSON

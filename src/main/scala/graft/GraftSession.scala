@@ -37,6 +37,23 @@ object GraftSession {
       // keys on the ID too — multi-stage plans re-paid ~30 janino
       // compiles per execution (measured on the incremental dedups)
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // Spark 4's per-session ARTIFACT isolation keys the janino compile
+      // cache on the session's classloader identity
+      // (CodeGenerator.compile: (HashableWeakReference(contextClassLoader),
+      // body)). Every StreamingQuery START clones the session, so each
+      // stream (re)start gets a fresh classloader and re-pays a full
+      // janino compile of every codegen unit executed on the stream
+      // thread even though the generated bodies are byte-identical —
+      // measured as 13-30 compiles (~0.5-1.2 s) per rerun on EVERY
+      // stream_* query (r16: stream_window compilesRuns [23,13,13] →
+      // [23,0,0] with this off; the cache-key diff tool
+      // graft.tools.CodegenCacheDiff showed the 13 recompiled keys
+      // differing ONLY in the classloader weak-ref). This engine never
+      // calls addArtifact, so per-session artifact isolation is inert
+      // here and disabling it is semantics-identical; a deployment that
+      // adds session JARs should flip it back on and eat the restart
+      // recompiles. Static conf — set at session creation only.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 

@@ -40,6 +40,9 @@ object Verify {
       // identical generated code should hit the codegen cache across AQE
       // stage renumbering (see GraftSession.builder)
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // stream restarts re-pay janino per session-clone classloader with
+      // artifact isolation on; no artifacts here (see GraftSession.builder)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -88,7 +88,9 @@ object NorthStarQueries {
     */
   private def memoCentroids(s: SparkSession, tag: String, dir: String,
       corpus: DataFrame, nCells: Int = 16): Array[Array[Double]] =
-    centroidMemo.computeIfAbsent(s"$tag|$dir|${s.sparkContext.applicationId}",
+    // nCells is part of the key: a tag reused with a different cell count
+    // must retrain, not alias the other shape's centroids (ADVICE r15)
+    centroidMemo.computeIfAbsent(s"$tag|$nCells|$dir|${s.sparkContext.applicationId}",
       _ => graft.similarity.Ivf.trainCentroids(corpus, "vec_id", "embedding", nCells))
 
   /** The synthesized multi-line boilerplate page shared by

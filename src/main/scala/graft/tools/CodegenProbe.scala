@@ -21,6 +21,10 @@ object CodegenProbe {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // match Bench's session (see GraftSession.builder): without this a
+      // stream probe re-pays per-restart classloader compiles Bench no
+      // longer pays
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

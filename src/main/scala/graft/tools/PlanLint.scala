@@ -58,7 +58,7 @@ object PlanLint {
     "oov_rate" -> "top-1000 vocab cut over the counts-reduced distinct-term frame (TakeOrdered-style prune)",
     "pps_sample" -> "prefixSumBefore's top level: one row per bucket (64), broadcast back",
     "score_auc" -> "one row per distinct integral score — rocAuc REQUIREs integral scores, killing the continuous-domain case",
-    "search_rm3" -> "rrfFuse rank over the fused candidate set, ≤ 4 legs × k=20 = 80 rows k-bounded before the window; the single-seed query column is a literal, so Catalyst folds the partition spec empty",
+    "search_rm3" -> "rrfFuse rank over the fused candidate set, ≤ 4 terms (limit(3) expansion + seed) × k=20 = 80 rows from Bm25.rankTop's per-term cap before the window; the single-seed query column is a literal, so Catalyst folds the partition spec empty",
     "sequence_pack" -> "sequencePack's bucket-offset window over `buckets` (64) rows",
     "skyline" -> "running strict-min over one row per distinct x value (counts-reduced dominance scan)",
     "temperature_mix" -> "allocation window over one row per language (per-source weights frame)",
