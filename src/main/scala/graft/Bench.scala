@@ -150,6 +150,16 @@ object Bench {
       // rerun. Without the ID the cache keys on the code itself.
       .config("spark.sql.codegen.useIdInClassName",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "false"))
+      // session-clone classloader churn: every StreamingQuery start clones
+      // the session, and with artifact isolation on (Spark 4 default) the
+      // clone's fresh classloader misses the janino cache for every unit
+      // run on the stream thread — 13-30 recompiles (~0.5-1.2 s) per rerun
+      // on each stream_* query (see GraftSession.builder for the full
+      // story; graft.tools.CodegenCacheDiff is the instrument). This
+      // engine adds no session artifacts, so isolation is inert here and
+      // turning it off is semantics-identical.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
