@@ -173,20 +173,31 @@ object Graphs {
     // recoverable); unset, fast executor-local localCheckpoint blocks.
     val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
     var release: () => Unit = () => ()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("_n", "u"), "u")
         .select(col("v"), expr("rank_fp DIV _deg").as("_c"))
         .groupBy(col("v")).agg(sum(col("_c")).as("_contrib"))
-      val (next, nextRelease) = lcp(contrib.select(col("v").as("_n"),
+      val stepped = contrib.select(col("v").as("_n"),
         (lit(scale - damp) +
           expr(s"_contrib DIV ${scale}L") * lit(damp) +
           expr(s"((_contrib % ${scale}L) * ${damp}L) DIV ${scale}L"))
-          .as("rank_fp")))
-      next.count()
-      release()
-      ranks = next
-      release = nextRelease
+          .as("rank_fp"))
+      // checkpoint every OTHER round (and the last): truncation exists to
+      // stop plan growth, and a 2-round-deep plan is still O(1) to analyze
+      // — while each checkpoint is a blocking count() job plus a block
+      // write, i.e. pure sequential driver latency × iterations (§5 fewer
+      // sequential jobs; r16). Rank algebra is unchanged — results are
+      // digit-identical, only job boundaries move.
+      if (i % 2 == 0 || i == iterations) {
+        val (next, nextRelease) = lcp(stepped)
+        next.count()
+        release()
+        ranks = next
+        release = nextRelease
+      } else {
+        ranks = stepped
+      }
     }
     graft.Caches.trackRelease(release)
     ranks.select(col("_n").as("node"), col("rank_fp"))
@@ -240,23 +251,30 @@ object Graphs {
     val lcp = Checkpoints.truncating(checkpointDir.isDefined) _
     var ranks = nodes.select(col("_n"), lit(scale).as("rank_fp"))
     var release: () => Unit = () => ()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("_n", "u"), "u")
         .select(col("v"),
           expr("cast(rank_fp as decimal(38,0)) * w div _wsum").as("_c"))
         .groupBy(col("v")).agg(sum(col("_c")).as("_contrib"))
-      val (next, nextRelease) = lcp(
+      val stepped =
         nodes.join(contrib.withColumnRenamed("v", "_n"), Seq("_n"), "left")
           .select(col("_n"),
             (lit(scale - damp) + coalesce(
               expr(s"_contrib DIV ${scale}L") * lit(damp) +
                 expr(s"((_contrib % ${scale}L) * ${damp}L) DIV ${scale}L"),
-              lit(0L))).as("rank_fp")))
-      next.count()
-      release()
-      ranks = next
-      release = nextRelease
+              lit(0L))).as("rank_fp"))
+      // every-other-round truncation (see pageRank): same algebra, fewer
+      // blocking checkpoint jobs
+      if (i % 2 == 0 || i == iterations) {
+        val (next, nextRelease) = lcp(stepped)
+        next.count()
+        release()
+        ranks = next
+        release = nextRelease
+      } else {
+        ranks = stepped
+      }
     }
     graft.Caches.trackRelease(release)
     ranks.select(col("_n").as("node"), col("rank_fp"))
@@ -318,21 +336,28 @@ object Graphs {
       .select(col("_n"),
         (coalesce(col("_vseed"), lit(0L)) * scale).as("rank_fp"))
     var release: () => Unit = () => ()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("_n", "u"), "u")
         .select(col("v"), col("_vseed"), expr("rank_fp DIV _deg").as("_c"))
         .groupBy(col("v"))
         .agg(sum(col("_c")).as("_contrib"), max(col("_vseed")).as("_s"))
-      val (next, nextRelease) = lcp(contrib.select(col("v").as("_n"),
+      val stepped = contrib.select(col("v").as("_n"),
         (col("_s") * (scale - damp) +
           expr(s"_contrib DIV ${scale}L") * lit(damp) +
           expr(s"((_contrib % ${scale}L) * ${damp}L) DIV ${scale}L"))
-          .as("rank_fp")))
-      next.count()
-      release()
-      ranks = next
-      release = nextRelease
+          .as("rank_fp"))
+      // every-other-round truncation (see pageRank): same algebra, fewer
+      // blocking checkpoint jobs
+      if (i % 2 == 0 || i == iterations) {
+        val (next, nextRelease) = lcp(stepped)
+        next.count()
+        release()
+        ranks = next
+        release = nextRelease
+      } else {
+        ranks = stepped
+      }
     }
     graft.Caches.trackRelease(release)
     ranks.select(col("_n").as("node"), col("rank_fp"))
